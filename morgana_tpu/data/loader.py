@@ -1,0 +1,149 @@
+"""Batched data loading with threaded reads and device prefetch.
+
+Replaces the reference's torch ``DataLoader`` + ``ToDeviceWrapper``
+(``morgana/data.py:29-57, 648-663``). The pipeline is:
+
+    item load+normalise (thread pool) -> collate to bucketed padded numpy
+    -> background device_put (double buffered) -> jitted step
+
+so host I/O and the host->device transfer overlap with TPU compute, and the
+train loop never blocks on disk. With a ``jax.sharding.Sharding``, batches are
+placed directly into their data-parallel layout (one transfer per device
+shard, no host gather).
+"""
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import numpy as np
+
+__all__ = ['DataLoader', 'batch', 'ToDeviceWrapper']
+
+
+class DataLoader(object):
+    r"""Iterates padded batches of a dataset.
+
+    Parameters
+    ----------
+    dataset : FilesDataset (or any indexable with ``collate_fn``)
+    batch_size : int
+    shuffle : bool
+        Reshuffles item order each epoch (seeded, epoch-keyed).
+    num_data_threads : int
+        Thread-pool size for parallel item loading (0 = inline).
+    seed : int
+    drop_remainder : bool
+        Drop the final partial batch (required when batches must divide a
+        device mesh evenly).
+    bucket : bool
+        Bucket padded lengths to bound XLA recompilation.
+    """
+
+    def __init__(self, dataset, batch_size=32, shuffle=True, num_data_threads=0,
+                 seed=0, drop_remainder=False, bucket=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_data_threads = num_data_threads
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.bucket = bucket
+        self.epoch = 0
+        self._pool = (ThreadPoolExecutor(max_workers=num_data_threads)
+                      if num_data_threads and num_data_threads > 0 else None)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _order(self):
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n)
+        rng = np.random.default_rng((self.seed, self.epoch))
+        return rng.permutation(n)
+
+    def __iter__(self):
+        order = self._order()
+        self.epoch += 1
+        collate = getattr(self.dataset, 'collate_fn', None)
+
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            if self.drop_remainder and len(idxs) < self.batch_size:
+                break
+            if self._pool is not None:
+                items = list(self._pool.map(self.dataset.__getitem__, idxs))
+            else:
+                items = [self.dataset[i] for i in idxs]
+            if collate is not None:
+                yield collate(items, bucket=self.bucket)
+            else:
+                yield items
+
+
+class ToDeviceWrapper(object):
+    r"""Wraps a loader, asynchronously staging each batch onto device(s).
+
+    Numeric arrays are ``device_put`` (optionally with a sharding); strings
+    and other non-numeric values pass through untouched. A background thread
+    keeps ``prefetch`` batches in flight so the host pipeline overlaps with
+    device compute.
+    """
+
+    def __init__(self, data_loader, sharding=None, prefetch=2):
+        self.data_loader = data_loader
+        self.sharding = sharding
+        self.prefetch = max(1, prefetch)
+
+    def __len__(self):
+        return len(self.data_loader)
+
+    def __getattr__(self, attr):
+        return getattr(self.data_loader, attr)
+
+    def _put(self, features):
+        out = {}
+        for key, value in features.items():
+            if isinstance(value, np.ndarray) and value.dtype.kind in 'fiub':
+                out[key] = jax.device_put(value, self.sharding)
+            else:
+                out[key] = value
+        return out
+
+    def __iter__(self):
+        q = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error = []
+
+        def producer():
+            try:
+                for features in self.data_loader:
+                    q.put(self._put(features))
+            except BaseException as e:  # noqa: BLE001 - must surface in consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+
+def batch(data_generator, batch_size=32, shuffle=True, num_data_threads=0,
+          device=None, sharding=None, seed=0, drop_remainder=False, prefetch=2):
+    r"""Creates the batched, device-prefetching loader for a dataset
+    (reference API: ``morgana/data.py:29-57``)."""
+    loader = DataLoader(data_generator, batch_size=batch_size, shuffle=shuffle,
+                        num_data_threads=num_data_threads, seed=seed,
+                        drop_remainder=drop_remainder)
+    return ToDeviceWrapper(loader, sharding=sharding, prefetch=prefetch)

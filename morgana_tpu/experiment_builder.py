@@ -1,0 +1,641 @@
+"""Experiment orchestration: CLI flags + train/valid/test lifecycle.
+
+Reference-parity surface of ``morgana/experiment_builder.py`` with a TPU-first
+execution model: instead of the reference's eager per-batch loop, each batch
+runs one fused jitted step (forward + masked loss + grad + Adam + EMA, see
+:mod:`morgana_tpu.training`) over fixed-shape, length-bucketed batches fed by
+a prefetching host pipeline. Metrics come back as staged device partials; the
+learning rate is a traced scalar driven by the schedule registry; checkpoints
+keep the ``experiments/<name>/{checkpoints,log,train,valid,test}`` on-disk
+contract.
+
+Flag surface matches the reference (``morgana/experiment_builder.py:92-195``)
+— models call ``ExperimentBuilder.get_experiment_args()`` unchanged — with
+``--model_kwargs``-style dict flags parsed via ``ast.literal_eval`` instead of
+``eval``, plus TPU-specific additions (``--seed``, ``--data_parallel``,
+``--log_interval``, ``--profile_dir``).
+"""
+import argparse
+import ast
+import json
+import os
+import shutil
+import sys
+import time
+
+import jax
+import numpy as np
+
+from morgana_tpu import _logging
+from morgana_tpu import checkpointing
+from morgana_tpu import data
+from morgana_tpu import lr_schedules
+from morgana_tpu import nn
+from morgana_tpu import utils
+from morgana_tpu import viz
+from morgana_tpu.data import file_io
+from morgana_tpu.training import TrainLoop, build_optimizer, host_features
+
+__all__ = ['ExperimentBuilder', 'add_boolean_arg', 'DictAction']
+
+
+def add_boolean_arg(parser, name, help):
+    r"""Adds paired ``--x`` / ``--no-x`` boolean flags."""
+    parser.add_argument(f'--{name}', dest=name, action='store_true', default=True, help=help)
+    parser.add_argument(f'--no-{name}', dest=name, action='store_false', help=argparse.SUPPRESS)
+
+
+class DictAction(argparse.Action):
+    r"""Parses a Python-dict string safely with ``ast.literal_eval`` (the
+    reference used ``eval``, ``morgana/experiment_builder.py:27-35``)."""
+
+    def __init__(self, option_strings, dest, nargs=None, **kwargs):
+        if nargs is not None:
+            raise ValueError('nargs not allowed')
+        super().__init__(option_strings, dest, **kwargs)
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        setattr(namespace, self.dest, ast.literal_eval(values))
+
+
+class ExperimentBuilder(object):
+    r"""Interface for running training, validation, and generation.
+
+    Parameters
+    ----------
+    model_class : morgana_tpu.base_models.BaseModel subclass
+    experiment_name : str
+        Output directory name under ``experiments_base``.
+    kwargs : dict
+        Command line arguments, see :func:`add_args`.
+    """
+
+    @classmethod
+    def get_experiment_args(cls):
+        r"""Creates the command line argument parser and returns the args dict."""
+        parser = argparse.ArgumentParser(
+            description='Experiment builder for TTU-native TTS model training and generation.')
+        cls.add_args(parser)
+        args = parser.parse_args()
+        return vars(args)
+
+    @classmethod
+    def add_args(cls, parser):
+        r"""Adds command line arguments (superset of the reference flags)."""
+        parser.add_argument('--model_kwargs', dest='model_kwargs', action=DictAction,
+                            type=str, default={},
+                            help='Settings for the model, a Python dictionary written in quotes.')
+        parser.add_argument('--analysis_kwargs', dest='analysis_kwargs', action=DictAction,
+                            type=str, default={'sample_rate': 16000},
+                            help='Key-word arguments passed to `BaseModel.analysis_for_*` methods.')
+
+        # Training options.
+        add_boolean_arg(parser, 'train', help='If True, model will be trained for --num_epochs on --train_id_list.')
+        add_boolean_arg(parser, 'valid', help='If True, model will be evaluated on --valid_id_list every epoch.')
+        parser.add_argument('--test', dest='test', action='store_true', default=False,
+                            help='If True, generation for --test_id_list will be performed after training.')
+
+        parser.add_argument('--start_epoch', dest='start_epoch', action='store', type=int, default=1,
+                            help='The epoch number to start training at (will effect checkpoint saves).')
+        parser.add_argument('--end_epoch', dest='end_epoch', action='store', type=int, default=50,
+                            help='Epoch to end training at.')
+        parser.add_argument('--checkpoint_path', dest='checkpoint_path', action='store', type=str, default=None,
+                            help='If specified, the model will first load parameters from an existing checkpoint.')
+        parser.add_argument('--ema_checkpoint_path', dest='ema_checkpoint_path', action='store', type=str,
+                            default=None,
+                            help='If specified, the EMA model will first load parameters from an existing checkpoint.')
+
+        parser.add_argument('--batch_size', dest='batch_size', action='store', type=int, default=32,
+                            help='Batch size used for iteration over train/valid data.')
+        parser.add_argument('--learning_rate', dest='learning_rate', action='store', type=float, default=0.01,
+                            help='Learning rate for the Adam optimiser.')
+        parser.add_argument('--lr_schedule_name', dest='lr_schedule_name', action='store', type=str,
+                            default='constant', help='Learning rate schedule to use during training.')
+        parser.add_argument('--lr_schedule_kwargs', dest='lr_schedule_kwargs', action=DictAction, type=str,
+                            default={}, help='Settings for learning rate schedule, a Python dict in quotes.')
+        parser.add_argument('--weight_decay', dest='weight_decay', action='store', type=float, default=0.,
+                            help='L2 regularisation weight, 0 means no L2 loss term.')
+        parser.add_argument('--ema_decay', dest='ema_decay', action='store', type=float, default=0.,
+                            help='If not 0, track an exponential moving average of model parameters, '
+                                 'used for generation.')
+
+        parser.add_argument('--device', dest='device', action='store', type=str, default=None,
+                            help="JAX platform to run on ('tpu', 'cpu', or 'tpu:0'). Default: JAX default.")
+        parser.add_argument('--num_data_threads', dest='num_data_threads', action='store', type=int, default=0,
+                            help='Number of threads used to load the data with.')
+
+        parser.add_argument('--model_checkpoint_interval', dest='model_checkpoint_interval', action='store',
+                            type=int, default=1, help='Number of epochs between model checkpoints.')
+        parser.add_argument('--train_output_interval', dest='train_output_interval', action='store',
+                            type=int, default=10, help='Epochs between generating output for training data.')
+        parser.add_argument('--valid_output_interval', dest='valid_output_interval', action='store',
+                            type=int, default=10, help='Epochs between generating output for validation data.')
+        parser.add_argument('--test_output_interval', dest='test_output_interval', action='store',
+                            type=int, default=10, help='Epochs between generating output for test data.')
+
+        # Paths for data and output.
+        parser.add_argument('--data_root', dest='data_root', action='store', type=str, default='data',
+                            help='Base directory containing all data.')
+        parser.add_argument('--train_dir', dest='train_dir', action='store', type=str, default='train',
+                            help='Name of the sub-directory in --data_root containing training data.')
+        parser.add_argument('--valid_dir', dest='valid_dir', action='store', type=str, default='valid',
+                            help='Name of the sub-directory in --data_root containing validation data.')
+        parser.add_argument('--test_dir', dest='test_dir', action='store', type=str, default='test',
+                            help='Name of the sub-directory in --data_root containing test data.')
+        parser.add_argument('--train_id_list', dest='train_id_list', action='store', type=str,
+                            default='train_file_id_list.scp',
+                            help='File name in --train_dir containing basenames of training samples.')
+        parser.add_argument('--valid_id_list', dest='valid_id_list', action='store', type=str,
+                            default='valid_file_id_list.scp',
+                            help='File name in --valid_dir containing basenames of validation samples.')
+        parser.add_argument('--test_id_list', dest='test_id_list', action='store', type=str,
+                            default='test_file_id_list.scp',
+                            help='File name in --test_dir containing basenames of test files.')
+        parser.add_argument('--normalisation_dir', dest='normalisation_dir', action='store', type=str,
+                            default='train',
+                            help='Name of the sub-directory in --data_root containing normalisation data.')
+        parser.add_argument('--experiments_base', dest='experiments_base', action='store', type=str,
+                            default='experiments',
+                            help='Base directory where all experiments direct their output.')
+        parser.add_argument('--experiment_name', dest='experiment_name', action='store', type=str, required=True,
+                            help='Name of the sub-directory in --experiments_base used for any output.')
+
+        # TPU-native additions.
+        parser.add_argument('--seed', dest='seed', action='store', type=int, default=1234567890,
+                            help='Seed for parameter init and training RNG streams.')
+        parser.add_argument('--data_parallel', dest='data_parallel', action='store_true', default=False,
+                            help='Shard batches over all local devices (data parallelism over the ICI mesh).')
+        parser.add_argument('--log_interval', dest='log_interval', action='store', type=int, default=1,
+                            help='Batches between progress-bar metric refreshes (higher avoids device syncs).')
+        parser.add_argument('--profile_dir', dest='profile_dir', action='store', type=str, default=None,
+                            help='If set, capture a jax.profiler trace of the first training epoch here.')
+
+    def __init__(self, model_class, experiment_name, **kwargs):
+        self.model_class = model_class
+        self.model_kwargs = kwargs.get('model_kwargs', {})
+        self.experiment_name = experiment_name
+
+        self.train = kwargs['train']
+        self.valid = kwargs['valid']
+        self.test = kwargs['test']
+
+        self.start_epoch = kwargs['start_epoch']
+        self.end_epoch = kwargs['end_epoch']
+        self.checkpoint_path = kwargs['checkpoint_path']
+        self.ema_checkpoint_path = kwargs['ema_checkpoint_path']
+
+        self.batch_size = kwargs['batch_size']
+        self.learning_rate = kwargs['learning_rate']
+        self.lr_schedule_name = kwargs['lr_schedule_name']
+        self.lr_schedule_kwargs = kwargs['lr_schedule_kwargs']
+        self.weight_decay = kwargs['weight_decay']
+        self.ema_decay = kwargs['ema_decay']
+
+        self.device = kwargs['device']
+        self.num_data_threads = kwargs['num_data_threads']
+
+        self.model_checkpoint_interval = kwargs['model_checkpoint_interval']
+        self.train_output_interval = kwargs['train_output_interval']
+        self.valid_output_interval = kwargs['valid_output_interval']
+        self.test_output_interval = kwargs['test_output_interval']
+
+        self.data_root = kwargs['data_root']
+        self.train_dir = kwargs['train_dir']
+        self.valid_dir = kwargs['valid_dir']
+        self.test_dir = kwargs['test_dir']
+        self.train_id_list = kwargs['train_id_list']
+        self.valid_id_list = kwargs['valid_id_list']
+        self.test_id_list = kwargs['test_id_list']
+
+        self.normalisation_dir = kwargs['normalisation_dir']
+        self.experiments_base = kwargs['experiments_base']
+        self.analysis_kwargs = kwargs.get('analysis_kwargs', {})
+
+        self.seed = kwargs.get('seed', 1234567890)
+        self.data_parallel = kwargs.get('data_parallel', False)
+        self.log_interval = kwargs.get('log_interval', 1)
+        self.profile_dir = kwargs.get('profile_dir')
+
+        #
+        # Add/modify settings and attributes.
+        #
+
+        self.experiment_dir = os.path.join(self.experiments_base, self.experiment_name)
+        self.experiment_is_new = not os.path.exists(self.experiment_dir)
+        self.logger = _logging.create_logger(self.experiment_dir)
+
+        self._lr_schedule = lr_schedules.init_lr_schedule(
+            self.lr_schedule_name, **self.lr_schedule_kwargs)
+
+        if self.ema_checkpoint_path is None:
+            self.ema_checkpoint_path = self.checkpoint_path
+
+        self.epoch = 0
+
+        self.resolve_setting_conflicts()
+
+        #
+        # Devices, sharding.
+        #
+
+        self.batch_sharding = None
+        self.mesh = None
+        if self.data_parallel:
+            from morgana_tpu import parallel
+            self.mesh = parallel.make_mesh()
+            self.batch_sharding = parallel.batch_sharding(self.mesh)
+            self.logger.info('Data parallel over mesh %s', self.mesh)
+        self.logger.info('Using JAX backend %s with devices %s',
+                         jax.default_backend(), jax.devices())
+
+        #
+        # Model, normalisers, EMA, training loop.
+        #
+
+        nn.manual_seed(self.seed)
+        self.model = self.build_model(self.model_class, self.model_kwargs,
+                                      checkpoint_path=self.checkpoint_path)
+
+        normalisers = self.model.normaliser_sources()
+        for name in normalisers.keys():
+            normalisers[name].load_params(self.normalisation_dir, self.data_root)
+        self.model.normalisers = normalisers
+
+        self.ema = None
+        if self.ema_decay:
+            averaged_model = self.build_model(
+                self.model_class, self.model_kwargs, checkpoint_path=self.ema_checkpoint_path)
+            averaged_model.normalisers = normalisers
+            self.ema = utils.ExponentialMovingAverage(model=averaged_model, decay=self.ema_decay)
+
+        optimizer = build_optimizer(weight_decay=self.weight_decay)
+        self.loop = TrainLoop(self.model, optimizer, ema_decay=self.ema_decay,
+                              seed=self.seed, ema_model=self.ema.model if self.ema else None)
+
+        # Exact resume: restore optimiser/EMA state saved alongside the checkpoint.
+        if self.checkpoint_path and self.train:
+            train_state_path = checkpointing.training_state_path_for(self.checkpoint_path)
+            if os.path.exists(train_state_path):
+                state = checkpointing.load_training_state(train_state_path)
+                self.loop.opt_state = jax.tree_util.tree_map(
+                    lambda x: x, state['opt_state']) if state['opt_state'] is not None \
+                    else self.loop.opt_state
+                if state.get('ema_params') is not None and self.ema_decay:
+                    self.loop.ema_params = state['ema_params']
+                self.loop.step_count = state.get('step', 0)
+                self.logger.info('Restored optimiser state from %s', train_state_path)
+
+        #
+        # Data loaders.
+        #
+
+        if self.train:
+            self.train_loader = self.load_data(
+                self.model.train_data_sources(), self.train_dir, self.train_id_list,
+                normalisers, name='train')
+        if self.valid:
+            self.valid_loader = self.load_data(
+                self.model.valid_data_sources(), self.valid_dir, self.valid_id_list,
+                normalisers, name='valid', shuffle=False)
+        if self.test:
+            self.test_loader = self.load_data(
+                self.model.test_data_sources(), self.test_dir, self.test_id_list,
+                normalisers, name='test', shuffle=False)
+
+        self.log_initial_setup(experiment_name=experiment_name, **kwargs)
+
+        try:
+            from tensorboardX import SummaryWriter
+            self.model.tensorboard = SummaryWriter(self.experiment_dir)
+        except Exception:  # noqa: BLE001 - observability must not break training
+            self.logger.warning('tensorboardX unavailable; model.tensorboard is None')
+
+        self.finalise_init()
+
+    # ------------------------------------------------------------------ init
+
+    def finalise_init(self):
+        r"""Initialisation that requires normalisers can be performed here."""
+        self.model.finalise_init()
+        if self.ema_decay and self.ema:
+            self.ema.model.finalise_init()
+
+    def log_initial_setup(self, **kwargs):
+        r"""Copies the model definition on first run; logs model summary + config."""
+        if self.experiment_is_new and hasattr(sys.modules['__main__'], '__file__'):
+            model_class_file = sys.modules['__main__'].__file__
+            os.makedirs(self.experiment_dir, exist_ok=True)
+            try:
+                shutil.copy2(model_class_file, self.experiment_dir)
+            except (shutil.SameFileError, FileNotFoundError):
+                pass
+
+        os.makedirs(self.experiment_dir, exist_ok=True)
+        self.logger.info('\n\n%s\n\n', self.model)
+        with open(os.path.join(self.experiment_dir, 'model_summary.txt'), 'w') as f:
+            f.write(str(self.model))
+
+        self.logger.info('\n\n%s\n\n', json.dumps(kwargs, indent=4, default=str))
+        with open(os.path.join(self.experiment_dir, 'config.json'), 'w') as f:
+            json.dump(kwargs, f, indent=4, default=str)
+
+    def resolve_setting_conflicts(self):
+        r"""Checks and reconciles settings (reference
+        ``morgana/experiment_builder.py:337-384``)."""
+        if not (self.train or self.valid or self.test):
+            raise ValueError('No process specified, use --train, --valid, or --test.')
+
+        if self.train:
+            if self.checkpoint_path:
+                checkpoint_epoch = utils.get_epoch_from_checkpoint_path(self.checkpoint_path)
+                if self.start_epoch <= checkpoint_epoch:
+                    raise ValueError(
+                        'Warning: --start_epoch is less than or equal to --checkpoint_path epoch, this may '
+                        'cause checkpoints to be overwritten. Either rename the checkpoint or increase '
+                        'start_epoch,\n'
+                        '\tcheckpoint_path: {path}\n'
+                        '\tstart_epoch\t <= checkpoint_epoch\n'
+                        '\t{s_epoch}\t\t <= {c_epoch}'.format(
+                            path=self.checkpoint_path, s_epoch=self.start_epoch,
+                            c_epoch=checkpoint_epoch))
+
+            if self.lr_schedule_name == 'plateau' and not self.valid:
+                raise ValueError(
+                    "To use the 'plateau' learning rate schedule you must turn on the validation process.")
+
+        if (not self.train) and (self.valid or self.test):
+            if self.checkpoint_path:
+                self.epoch = utils.get_epoch_from_checkpoint_path(self.checkpoint_path)
+            else:
+                raise ValueError('If we are performing evaluations without training a checkpoint '
+                                 'must be specified using --checkpoint_path.')
+
+    def build_model(self, model_class, model_kwargs, checkpoint_path=None):
+        r"""Creates the model instance; loads checkpoint parameters if given."""
+        model = model_class(**model_kwargs)
+        if checkpoint_path:
+            self.logger.info('Loading model checkpoint from\n\t%s\n', checkpoint_path)
+            model.load_parameters(checkpoint_path)
+        return model
+
+    def load_data(self, data_sources, data_dir, id_list, normalisers=None, name='', shuffle=True):
+        r"""Creates a dataset + prefetching loader for one split."""
+        self.logger.info('Loading %s data using %s from\n\t%s/%s',
+                         name, id_list, self.data_root, data_dir)
+        dataset = data.FilesDataset(data_sources, data_dir, id_list, normalisers, self.data_root)
+        return data.batch(dataset, batch_size=self.batch_size, shuffle=shuffle,
+                          num_data_threads=self.num_data_threads,
+                          sharding=self.batch_sharding, seed=self.seed,
+                          drop_remainder=bool(self.batch_sharding))
+
+    # ----------------------------------------------------------------- train
+
+    def train_epoch(self, data_loader, lr_schedule=None, gen_output=False, out_dir=None):
+        r"""Trains once over all batches: fused jit steps, EMA, batch-level LR
+        schedule updates, metric accumulation, per-epoch metrics.json."""
+        self.model.mode = 'train'
+        self.model.metrics.reset_state('train')
+
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+
+        losses = []
+        num_batches = len(data_loader)
+        pbar = _logging.ProgressBar(num_batches, print_interval=self.log_interval)
+        for i, features in zip(pbar, data_loader):
+            self.model.step = (self.epoch - 1) * num_batches + i + 1
+
+            lr = lr_schedule.lr if lr_schedule is not None else self.learning_rate
+            batch_loss, staged, output_features = self.loop.train_step(features, lr)
+
+            if lr_schedule is not None and self.lr_schedule_name in lr_schedules.BATCH_LR_SCHEDULES:
+                lr_schedule.step()
+
+            losses.append(batch_loss)
+
+            self.model.metrics.apply_staged(staged, tag='train')
+            self.model.metrics.accumulate(self.model.mode, loss=batch_loss)
+            pbar.print('train', self.epoch,
+                       batch_loss=utils.format_float_tensor(batch_loss),
+                       **self.model.metrics.results_as_str_dict('train'))
+
+            if gen_output:
+                self.loop.sync_model()
+                self.model.analysis_for_train_batch(features, output_features,
+                                                    out_dir=out_dir, **self.analysis_kwargs)
+
+        if gen_output:
+            self.model.analysis_for_train_epoch(out_dir=out_dir, **self.analysis_kwargs)
+
+        if out_dir:
+            file_io.save_json(self.model.metrics.results_as_json_dict('train'),
+                              os.path.join(out_dir, 'metrics.json'))
+
+        self.model.mode = ''
+        return float(np.mean([float(l) for l in losses])) if losses else 0.0
+
+    def run_train(self):
+        r"""Runs training from ``start_epoch`` to ``end_epoch``: checkpointing
+        (+EMA), validation/generation, epoch-level LR schedule updates."""
+        self.logger.info('epoch %2d: Beginning training', self.start_epoch)
+
+        lr_schedule = self._lr_schedule(self.learning_rate)
+
+        profiling = False
+        if self.profile_dir:
+            os.makedirs(self.profile_dir, exist_ok=True)
+            jax.profiler.start_trace(self.profile_dir)
+            profiling = True
+
+        for self.epoch in range(self.start_epoch, self.end_epoch + 1):
+            gen_train_output = self.epoch % self.train_output_interval == 0
+            epoch_train_dir = os.path.join(self.experiment_dir, 'train', f'epoch_{self.epoch}')
+
+            self.logger.info('epoch %2d: Training model', self.epoch)
+            if gen_train_output:
+                self.logger.info('\toutput being saved to\n\t%s', epoch_train_dir)
+
+            train_loss = self.train_epoch(self.train_loader, lr_schedule,
+                                          gen_output=gen_train_output, out_dir=epoch_train_dir)
+
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                self.logger.info('Profiler trace written to %s', self.profile_dir)
+
+            # Save model (+ EMA model + training state for exact resume).
+            if self.epoch % self.model_checkpoint_interval == 0:
+                self.logger.info(
+                    'epoch %2d: loss %.3f: Saving model to\n\t%s/checkpoints/epoch_%d.npz',
+                    self.epoch, train_loss, self.experiment_dir, self.epoch)
+                self.loop.sync_model()
+                ckpt_path = self.model.save_parameters(self.experiment_dir, self.epoch)
+                checkpointing.save_training_state(
+                    checkpointing.training_state_path_for(ckpt_path),
+                    params=self.loop.params, opt_state=self.loop.opt_state,
+                    ema_params=self.loop.ema_params, step=self.loop.step_count)
+
+                if self.ema_decay:
+                    self.logger.info(
+                        'epoch %2d: Saving EMA model to\n\t%s/checkpoints/epoch_%d_ema.npz',
+                        self.epoch, self.experiment_dir, self.epoch)
+                    self.loop.sync_ema_model()
+                    self.ema.model.save_parameters(self.experiment_dir, f'{self.epoch}_ema')
+
+            # Run validation.
+            if self.valid:
+                gen_valid_output = self.epoch % self.valid_output_interval == 0
+                val_loss = self.run_valid(gen_valid_output)
+
+                if self.lr_schedule_name == 'plateau':
+                    lr_schedule.step(metrics=val_loss)
+
+            # Run test.
+            gen_test_output = self.epoch % self.test_output_interval == 0
+            if self.test and gen_test_output:
+                self.run_test()
+
+            if self.lr_schedule_name in lr_schedules.EPOCH_LR_SCHEDULES:
+                lr_schedule.step()
+
+    # ----------------------------------------------------------------- valid
+
+    def valid_epoch(self, data_loader, model=None, gen_output=False, out_dir=None):
+        r"""Evaluates once over all batches (jitted forward, no grads)."""
+        use_ema = bool(self.ema_decay)
+        if model is None:
+            model = self.ema.model if use_ema else self.model
+
+        model.mode = 'valid'
+        self.model.mode = 'valid'
+        model.metrics.reset_state('valid')
+        self.model.metrics.reset_state('valid')
+
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+
+        losses = []
+        num_batches = len(data_loader)
+        pbar = _logging.ProgressBar(num_batches, print_interval=self.log_interval)
+
+        synced = False
+        for i, features in zip(pbar, data_loader):
+            self.model.step = (self.epoch - 1) * num_batches + i + 1
+
+            batch_loss, staged, output_features = self.loop.eval_step(features, use_ema=use_ema)
+            losses.append(batch_loss)
+
+            self.model.metrics.apply_staged(staged, tag='eval')
+            self.model.metrics.accumulate('valid', loss=batch_loss)
+            pbar.print('valid', self.epoch,
+                       batch_loss=utils.format_float_tensor(batch_loss),
+                       **self.model.metrics.results_as_str_dict('valid'))
+
+            if gen_output:
+                if not synced:
+                    self.loop.sync_model()
+                    self.loop.sync_ema_model()
+                    synced = True
+                model.analysis_for_valid_batch(features, output_features,
+                                               out_dir=out_dir, **self.analysis_kwargs)
+
+        if gen_output:
+            model.analysis_for_valid_epoch(out_dir=out_dir, **self.analysis_kwargs)
+
+        if out_dir:
+            file_io.save_json(self.model.metrics.results_as_json_dict('valid'),
+                              os.path.join(out_dir, 'metrics.json'))
+
+        model.mode = ''
+        self.model.mode = ''
+        return float(np.mean([float(l) for l in losses])) if losses else 0.0
+
+    def run_valid(self, gen_output):
+        r"""Runs evaluation for the current epoch (EMA weights if enabled,
+        matching ``morgana/experiment_builder.py:629-632``)."""
+        epoch_valid_dir = os.path.join(self.experiment_dir, 'valid', f'epoch_{self.epoch}')
+        self.logger.info('epoch %2d: Evaluating loaded model on validation set', self.epoch)
+        if gen_output:
+            self.logger.info('\toutput being saved to\n\t%s', epoch_valid_dir)
+
+        model = self.ema.model if self.ema_decay else self.model
+        valid_loss = self.valid_epoch(self.valid_loader, model=model,
+                                      gen_output=gen_output, out_dir=epoch_valid_dir)
+        self.logger.info('epoch %2d: valid_loss %.3f', self.epoch, valid_loss)
+        return valid_loss
+
+    # ------------------------------------------------------------------ test
+
+    def test_epoch(self, data_loader, model=None, out_dir=None):
+        r"""Runs prediction (no loss) over all batches with analysis hooks."""
+        use_ema = bool(self.ema_decay)
+        if model is None:
+            model = self.ema.model if use_ema else self.model
+
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+
+        model.mode = 'test'
+        self.model.mode = 'test'
+        model.metrics.reset_state('test')
+        self.model.metrics.reset_state('test')
+
+        self.loop.sync_model()
+        self.loop.sync_ema_model()
+
+        num_batches = len(data_loader)
+        pbar = _logging.ProgressBar(num_batches, print_interval=self.log_interval)
+        for i, features in zip(pbar, data_loader):
+            self.model.step = (self.epoch - 1) * num_batches + i + 1
+
+            staged, output_features = self.loop.predict_step(features, use_ema=use_ema)
+            self.model.metrics.apply_staged(staged, tag='predict')
+
+            model.analysis_for_test_batch(features, output_features,
+                                          out_dir=out_dir, **self.analysis_kwargs)
+
+            pbar.print('test', self.epoch, **self.model.metrics.results_as_str_dict('test'))
+
+        model.analysis_for_test_epoch(out_dir=out_dir, **self.analysis_kwargs)
+
+        if out_dir:
+            file_io.save_json(self.model.metrics.results_as_json_dict('test'),
+                              os.path.join(out_dir, 'metrics.json'))
+
+        model.mode = ''
+        self.model.mode = ''
+
+    def run_test(self):
+        r"""Runs generation for the current epoch."""
+        epoch_test_dir = os.path.join(self.experiment_dir, 'test', f'epoch_{self.epoch}')
+        self.logger.info('epoch %2d: Running synthesis for the test set, output being saved to\n\t%s',
+                         self.epoch, epoch_test_dir)
+        model = self.ema.model if self.ema_decay else self.model
+        self.test_epoch(self.test_loader, model=model, out_dir=epoch_test_dir)
+
+    # ------------------------------------------------------------------- run
+
+    def run_experiment(self):
+        r"""Runs all procedures requested for the experiment."""
+        if self.train:
+            try:
+                self.run_train()
+
+                if self.valid:
+                    metric_names = [name for name, metric in self.model.metrics['all'].items()
+                                    if not metric.hidden]
+                    viz.plotting.plot_experiment(self.experiment_name, metric_names,
+                                                 self.experiments_base, save=True)
+            except KeyboardInterrupt:
+                if self.valid:
+                    metric_names = [name for name, metric in self.model.metrics['all'].items()
+                                    if not metric.hidden]
+                    viz.plotting.plot_experiment(self.experiment_name, metric_names,
+                                                 self.experiments_base, save=True)
+                raise
+
+        if (not self.train) and self.valid:
+            self.run_valid(gen_output=True)
+
+        if (not self.train) and self.test:
+            self.run_test()

@@ -1,0 +1,463 @@
+"""A minimal, explicit neural-network module system on JAX pytrees.
+
+Why not torch-style stateful autograd: on TPU everything under ``jit`` is
+traced once and compiled, so parameters must be an explicit pytree that can be
+donated, sharded with ``jax.sharding``, and transformed with ``jax.grad``.
+Why not a closed framework: the reference's user contract
+(``morgana/base_models.py``) is an *object* with ``predict``/``loss`` methods
+and mutable support attributes (``mode``, ``metrics``, ``normalisers``). This
+module bridges the two:
+
+* Modules are ordinary Python objects; parameters are :class:`Param` leaves
+  discovered by attribute traversal (torch-style dotted names, so checkpoint
+  state dicts look familiar and parity tests can load torch weights).
+* :func:`parameters` extracts the param pytree; :func:`bind` temporarily
+  installs (possibly traced) values into the same module objects, so a pure
+  ``f(params, batch)`` can run the user's eager-looking method code under
+  ``jit``/``grad`` with zero per-step Python overhead after compilation.
+* RNG is a bound context (:func:`next_rng`) with deterministic
+  ``fold_in`` sequencing, replacing torch's global RNG state.
+
+Initialisation reproducibility: :func:`manual_seed` seeds a process-global
+NumPy generator used by all initialisers (the TPU-native analogue of the
+reference models' ``torch.random.manual_seed(1234567890)``,
+``models/f0_test_model.py:141``).
+"""
+import contextlib
+import math
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morgana_tpu.ops import rnn as rnn_ops
+
+__all__ = [
+    'Param', 'Module', 'ModuleList', 'Linear', 'Dropout', 'Embedding',
+    'Recurrent', 'SequentialWithRecurrent', 'Sigmoid', 'Tanh', 'ReLU',
+    'manual_seed', 'parameters', 'named_parameters', 'load_parameters',
+    'state_dict', 'load_state_dict', 'bind', 'next_rng', 'is_training',
+    'ExponentialMovingAverage',
+]
+
+# ---------------------------------------------------------------------------
+# Global init RNG (torch.manual_seed analogue)
+# ---------------------------------------------------------------------------
+
+_INIT_RNG = np.random.default_rng(0)
+
+
+def manual_seed(seed):
+    """Seeds the global initialiser RNG used when constructing modules."""
+    global _INIT_RNG
+    _INIT_RNG = np.random.default_rng(seed)
+
+
+def _uniform(shape, bound, dtype=np.float32):
+    return jnp.asarray(_INIT_RNG.uniform(-bound, bound, size=shape).astype(dtype))
+
+
+# ---------------------------------------------------------------------------
+# Param + Module
+# ---------------------------------------------------------------------------
+
+class Param:
+    """A single parameter leaf holding a jnp array (possibly a tracer when bound)."""
+    __slots__ = ('value',)
+
+    def __init__(self, value):
+        self.value = jnp.asarray(value)
+
+    def __repr__(self):
+        return f'Param(shape={tuple(self.value.shape)}, dtype={self.value.dtype})'
+
+
+class Module:
+    """Base class. Parameters/submodules are plain attributes; traversal order
+    is attribute insertion order (deterministic)."""
+
+    def __call__(self, *args, **kwargs):
+        return self.forward(*args, **kwargs)
+
+    def forward(self, *args, **kwargs):
+        raise NotImplementedError
+
+    # -- traversal ---------------------------------------------------------
+
+    def _children(self):
+        for name, value in vars(self).items():
+            yield name, value
+
+    def named_parameters(self, prefix=''):
+        for name, value in self._children():
+            full = f'{prefix}{name}'
+            if isinstance(value, Param):
+                yield full, value
+            elif isinstance(value, Module):
+                yield from value.named_parameters(prefix=full + '.')
+            elif isinstance(value, (list, tuple)):
+                for i, item in enumerate(value):
+                    if isinstance(item, Module):
+                        yield from item.named_parameters(prefix=f'{full}.{i}.')
+            elif isinstance(value, dict):
+                for k, item in value.items():
+                    if isinstance(item, Module):
+                        yield from item.named_parameters(prefix=f'{full}.{k}.')
+
+    def modules(self):
+        yield self
+        for _, value in self._children():
+            if isinstance(value, Module):
+                yield from value.modules()
+            elif isinstance(value, (list, tuple)):
+                for item in value:
+                    if isinstance(item, Module):
+                        yield from item.modules()
+            elif isinstance(value, dict):
+                for item in value.values():
+                    if isinstance(item, Module):
+                        yield from item.modules()
+
+    def __repr__(self):
+        lines = [self.__class__.__name__ + '(']
+        for name, value in self._children():
+            if isinstance(value, (Module, Param)):
+                sub = repr(value).replace('\n', '\n  ')
+                lines.append(f'  ({name}): {sub}')
+            elif isinstance(value, (list, tuple)) and any(isinstance(v, Module) for v in value):
+                for i, item in enumerate(value):
+                    sub = repr(item).replace('\n', '\n  ')
+                    lines.append(f'  ({name}.{i}): {sub}')
+        lines.append(')')
+        return '\n'.join(lines)
+
+
+class ModuleList(Module):
+    def __init__(self, modules=()):
+        self.items = list(modules)
+
+    def __iter__(self):
+        return iter(self.items)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+    def append(self, module):
+        self.items.append(module)
+
+
+# ---------------------------------------------------------------------------
+# Functional access: parameters / bind / state dicts
+# ---------------------------------------------------------------------------
+
+def named_parameters(module):
+    return dict(module.named_parameters())
+
+
+def parameters(module):
+    """Extracts the parameter pytree: {dotted_name: jnp array}."""
+    return {name: p.value for name, p in module.named_parameters()}
+
+
+def load_parameters(module, values):
+    """Writes a {name: array} pytree back into the module's Param slots."""
+    params = named_parameters(module)
+    for name, value in values.items():
+        if name not in params:
+            raise KeyError(f'Unknown parameter {name!r}')
+        params[name].value = value
+
+
+def state_dict(module):
+    """Host-side copy of all parameters as numpy arrays."""
+    return {name: np.asarray(p.value) for name, p in module.named_parameters()}
+
+
+def load_state_dict(module, sd, strict=True):
+    params = named_parameters(module)
+    missing = set(params) - set(sd)
+    unexpected = set(sd) - set(params)
+    if strict and (missing or unexpected):
+        raise KeyError(f'state_dict mismatch: missing={sorted(missing)}, unexpected={sorted(unexpected)}')
+    for name, value in sd.items():
+        if name in params:
+            params[name].value = jnp.asarray(value)
+
+
+# Per-thread execution context (train flag + rng sequence) used under bind().
+_CTX = threading.local()
+
+
+def _ctx():
+    if not hasattr(_CTX, 'stack'):
+        _CTX.stack = []
+    return _CTX.stack
+
+
+@contextlib.contextmanager
+def bind(module, params=None, rng=None, train=False):
+    """Temporarily installs `params` into `module` and sets the execution
+    context (rng stream + train flag). Used to build pure functions:
+
+        def loss_fn(params, batch, rng):
+            with nn.bind(model, params, rng=rng, train=True):
+                return model(batch)
+    """
+    saved = None
+    if params is not None:
+        slots = named_parameters(module)
+        saved = {name: p.value for name, p in slots.items()}
+        for name, value in params.items():
+            slots[name].value = value
+    _ctx().append({'rng': rng, 'n': 0, 'train': train})
+    try:
+        yield module
+    finally:
+        _ctx().pop()
+        if saved is not None:
+            slots = named_parameters(module)
+            for name, value in saved.items():
+                slots[name].value = value
+
+
+def next_rng():
+    """Next deterministic PRNG key from the bound context (call-site ordered)."""
+    stack = _ctx()
+    if not stack or stack[-1]['rng'] is None:
+        raise RuntimeError(
+            'No RNG bound: stochastic layers need `with nn.bind(model, rng=key, ...)` '
+            'or an explicit rng argument.')
+    frame = stack[-1]
+    key = jax.random.fold_in(frame['rng'], frame['n'])
+    frame['n'] += 1
+    return key
+
+
+def is_training():
+    stack = _ctx()
+    return bool(stack) and stack[-1]['train']
+
+
+# ---------------------------------------------------------------------------
+# Layers
+# ---------------------------------------------------------------------------
+
+class Linear(Module):
+    """Dense layer, kernel stored (in, out) so ``x @ w`` maps onto the MXU.
+
+    Init matches torch.nn.Linear: U(-1/sqrt(in), 1/sqrt(in)).
+    """
+
+    def __init__(self, in_features, out_features, bias=True):
+        self.in_features = in_features
+        self.out_features = out_features
+        bound = 1.0 / math.sqrt(in_features)
+        self.weight = Param(_uniform((in_features, out_features), bound))
+        self.bias = Param(_uniform((out_features,), bound)) if bias else None
+
+    def forward(self, x):
+        y = x @ self.weight.value
+        if self.bias is not None:
+            y = y + self.bias.value
+        return y
+
+    def __repr__(self):
+        return f'Linear(in={self.in_features}, out={self.out_features})'
+
+
+class Embedding(Module):
+    def __init__(self, num_embeddings, features):
+        self.weight = Param(jnp.asarray(
+            _INIT_RNG.normal(0., 1., size=(num_embeddings, features)).astype(np.float32)))
+
+    def forward(self, ids):
+        return jnp.take(self.weight.value, jnp.asarray(ids), axis=0)
+
+
+class Dropout(Module):
+    def __init__(self, p=0.5):
+        self.p = float(p)
+
+    def forward(self, x):
+        if self.p == 0.0 or not is_training():
+            return x
+        keep = 1.0 - self.p
+        mask = jax.random.bernoulli(next_rng(), keep, x.shape)
+        return jnp.where(mask, x / keep, 0.)
+
+    def __repr__(self):
+        return f'Dropout(p={self.p})'
+
+
+class Sigmoid(Module):
+    def forward(self, x):
+        return jax.nn.sigmoid(x)
+
+    def __repr__(self):
+        return 'Sigmoid()'
+
+
+class Tanh(Module):
+    def forward(self, x):
+        return jnp.tanh(x)
+
+    def __repr__(self):
+        return 'Tanh()'
+
+
+class ReLU(Module):
+    def forward(self, x):
+        return jax.nn.relu(x)
+
+    def __repr__(self):
+        return 'ReLU()'
+
+
+class Recurrent(Module):
+    """Masked scan LSTM/GRU stack — TPU replacement for the reference's
+    ``RecurrentCuDNNWrapper`` (``morgana/utils.py:333-393``); no sorting or
+    packing is needed on fixed-shape padded batches.
+
+    Parameters use torch layout/naming conventions transposed to (in, gates)
+    so parity tests can load torch RNN weights with a transpose.
+    """
+
+    def __init__(self, mode, input_size, hidden_size, num_layers=1, dropout=0.0, unroll=8):
+        mode = mode.lower()
+        if mode not in ('lstm', 'gru'):
+            raise ValueError(f'Unsupported recurrent mode {mode!r}')
+        self.mode = mode
+        self.input_size = input_size
+        self.hidden_size = hidden_size
+        self.num_layers = num_layers
+        self.dropout = Dropout(dropout) if dropout else None
+        self.unroll = unroll
+
+        gates = 4 if mode == 'lstm' else 3
+        bound = 1.0 / math.sqrt(hidden_size)
+        self.layers = []
+        for layer in range(num_layers):
+            in_dim = input_size if layer == 0 else hidden_size
+            self.layers.append({
+                'w_ih': Param(_uniform((in_dim, gates * hidden_size), bound)),
+                'w_hh': Param(_uniform((hidden_size, gates * hidden_size), bound)),
+                'b_ih': Param(_uniform((gates * hidden_size,), bound)),
+                'b_hh': Param(_uniform((gates * hidden_size,), bound)),
+            })
+
+    def named_parameters(self, prefix=''):
+        for i, layer in enumerate(self.layers):
+            for key, p in layer.items():
+                suffix = f'_l{i}' if self.num_layers > 1 else '_l0'
+                yield f'{prefix}{key}{suffix}', p
+        if self.dropout is not None:
+            yield from self.dropout.named_parameters(prefix=prefix + 'dropout.')
+
+    def forward(self, inputs, hidden=None, seq_len=None):
+        squeeze_time = inputs.ndim == 2
+        if squeeze_time:
+            inputs = inputs[:, None, :]
+
+        if hidden is None:
+            hidden = [None] * self.num_layers
+        elif self.num_layers == 1 and not isinstance(hidden, list):
+            hidden = [hidden]
+
+        x = inputs
+        new_hidden = []
+        for i, layer in enumerate(self.layers):
+            h0 = hidden[i]
+            if self.mode == 'lstm':
+                h0c0 = (None, None) if h0 is None else h0
+                x, hc = rnn_ops.lstm(
+                    x, layer['w_ih'].value, layer['w_hh'].value,
+                    layer['b_ih'].value, layer['b_hh'].value,
+                    seq_len=seq_len, h0=h0c0[0], c0=h0c0[1], unroll=self.unroll)
+                new_hidden.append(hc)
+            else:
+                x, h = rnn_ops.gru(
+                    x, layer['w_ih'].value, layer['w_hh'].value,
+                    layer['b_ih'].value, layer['b_hh'].value,
+                    seq_len=seq_len, h0=h0, unroll=self.unroll)
+                new_hidden.append(h)
+            if self.dropout is not None and i < self.num_layers - 1:
+                x = self.dropout(x)
+
+        if squeeze_time:
+            x = x[:, 0, :]
+        if self.num_layers == 1:
+            new_hidden = new_hidden[0]
+        return x, new_hidden
+
+    def __repr__(self):
+        return (f'Recurrent({self.mode.upper()}, in={self.input_size}, '
+                f'hidden={self.hidden_size}, layers={self.num_layers})')
+
+
+def LSTM(input_size, hidden_size, num_layers=1, dropout=0.0):
+    return Recurrent('lstm', input_size, hidden_size, num_layers, dropout)
+
+
+def GRU(input_size, hidden_size, num_layers=1, dropout=0.0):
+    return Recurrent('gru', input_size, hidden_size, num_layers, dropout)
+
+
+class SequentialWithRecurrent(Module):
+    """Sequential container threading (hiddens, seq_len) through recurrent
+    members — same contract as the reference (``morgana/utils.py:396-418``)."""
+
+    def __init__(self, *modules):
+        self.items = list(modules)
+
+    def named_parameters(self, prefix=''):
+        for i, item in enumerate(self.items):
+            if isinstance(item, Module):
+                yield from item.named_parameters(prefix=f'{prefix}{i}.')
+
+    def forward(self, input, hiddens=None, seq_len=None):
+        if hiddens is None:
+            hiddens = [None] * len(self.items)
+        for i, module in enumerate(self.items):
+            if isinstance(module, Recurrent):
+                input, hiddens[i] = module(input, hiddens[i], seq_len)
+            else:
+                input = module(input)
+        return input
+
+    def __repr__(self):
+        lines = ['SequentialWithRecurrent(']
+        for i, item in enumerate(self.items):
+            sub = repr(item).replace('\n', '\n  ')
+            lines.append(f'  ({i}): {sub}')
+        lines.append(')')
+        return '\n'.join(lines)
+
+
+# ---------------------------------------------------------------------------
+# EMA (API-parity helper; the fused train step updates EMA on device)
+# ---------------------------------------------------------------------------
+
+def ema_update(ema_params, params, decay):
+    """One EMA step on parameter pytrees:
+    ``shadow = shadow - (1 - decay) * (shadow - x)`` (``morgana/utils.py:443-448``)."""
+    return jax.tree_util.tree_map(
+        lambda s, x: s - (1.0 - decay) * (s - x), ema_params, params)
+
+
+class ExponentialMovingAverage:
+    """Object-API parity with the reference's EMA helper
+    (``morgana/utils.py:421-456``): wraps a separate averaged model whose
+    parameters are updated towards another model's parameters."""
+
+    def __init__(self, model, decay):
+        self.model = model
+        self.decay = decay
+
+    def update_params(self, other_model):
+        assert other_model is not self.model
+        new = ema_update(parameters(self.model), parameters(other_model), self.decay)
+        load_parameters(self.model, new)

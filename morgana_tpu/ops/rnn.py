@@ -1,0 +1,118 @@
+"""Masked scan LSTM/GRU recurrence kernels.
+
+TPU-native replacement for the reference's cuDNN RNNs with sort/pack/unpack
+(``morgana/utils.py:333-393``). On TPU there is no packing: batches are fixed
+shape and zero padded, so the recurrence is a masked ``lax.scan``:
+
+* The input projection for the *whole sequence* is computed as one large
+  matmul (batch*time, 4H) that maps straight onto the MXU.
+* The scan body only does the small recurrent matmul + gate math (VPU),
+  carrying ``(h, c)``.
+* Masking freezes the carried state at each sequence's end, so the final
+  hidden state equals the state at ``seq_len`` — identical semantics to
+  pack/unpack — and outputs at padded positions are zeroed, identical to
+  ``pad_packed_sequence``.
+
+Gate layout matches torch (LSTM: i, f, g, o; GRU: r, z, n) so parity tests can
+load torch-trained weights directly.
+"""
+import jax
+import jax.numpy as jnp
+
+__all__ = ['lstm', 'gru']
+
+
+def _time_major(x):
+    return jnp.swapaxes(x, 0, 1)
+
+
+def _step_mask(seq_len, num_frames, batch_size, dtype):
+    if seq_len is None:
+        return jnp.ones((num_frames, batch_size, 1), dtype)
+    seq_len = jnp.asarray(seq_len).reshape(batch_size)
+    t = jnp.arange(num_frames, dtype=seq_len.dtype)
+    return (t[:, None] < seq_len[None, :]).astype(dtype)[:, :, None]
+
+
+def lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None, unroll=8):
+    r"""Single-layer LSTM over a padded batch.
+
+    Parameters
+    ----------
+    x : jnp.ndarray, shape (batch, time, input_dim)
+    w_ih : jnp.ndarray, shape (input_dim, 4*hidden)   -- gate order i, f, g, o
+    w_hh : jnp.ndarray, shape (hidden, 4*hidden)
+    b_ih, b_hh : jnp.ndarray, shape (4*hidden,)
+    seq_len : jnp.ndarray, shape (batch,), optional
+    h0, c0 : jnp.ndarray, shape (batch, hidden), optional
+
+    Returns
+    -------
+    y : jnp.ndarray, shape (batch, time, hidden) -- zero at padded positions
+    (h, c) : final state at each sequence's ``seq_len`` (pack/unpack semantics)
+    """
+    batch, time, _ = x.shape
+    hidden = w_hh.shape[0]
+    dtype = x.dtype
+
+    # One big MXU matmul for all timesteps; both biases fold in here for LSTM.
+    xg = x @ w_ih + (b_ih + b_hh)
+    xg = _time_major(xg)                       # (T, B, 4H)
+    mask = _step_mask(seq_len, time, batch, dtype)
+
+    h = jnp.zeros((batch, hidden), dtype) if h0 is None else h0.astype(dtype)
+    c = jnp.zeros((batch, hidden), dtype) if c0 is None else c0.astype(dtype)
+
+    def body(carry, inp):
+        h, c = carry
+        xg_t, m = inp
+        gates = xg_t + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        h_out = h_new * m
+        h_keep = jnp.where(m > 0, h_new, h)
+        c_keep = jnp.where(m > 0, c_new, c)
+        return (h_keep, c_keep), h_out
+
+    (h, c), ys = jax.lax.scan(body, (h, c), (xg, mask), unroll=unroll)
+    return _time_major(ys), (h, c)
+
+
+def gru(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, unroll=8):
+    r"""Single-layer GRU over a padded batch (torch gate formulation).
+
+    ``r = sigmoid(x W_ir + b_ir + h W_hr + b_hr)``,
+    ``z = sigmoid(x W_iz + b_iz + h W_hz + b_hz)``,
+    ``n = tanh(x W_in + b_in + r * (h W_hn + b_hn))``,
+    ``h' = (1 - z) * n + z * h``.
+
+    Shapes as in :func:`lstm` with 3*hidden gate dims (order r, z, n).
+    """
+    batch, time, _ = x.shape
+    hidden = w_hh.shape[0]
+    dtype = x.dtype
+
+    xg = x @ w_ih + b_ih
+    xg = _time_major(xg)                       # (T, B, 3H)
+    mask = _step_mask(seq_len, time, batch, dtype)
+
+    h = jnp.zeros((batch, hidden), dtype) if h0 is None else h0.astype(dtype)
+
+    def body(h, inp):
+        xg_t, m = inp
+        hg = h @ w_hh + b_hh
+        xr, xz, xn = jnp.split(xg_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1. - z) * n + z * h
+        h_out = h_new * m
+        h_keep = jnp.where(m > 0, h_new, h)
+        return h_keep, h_out
+
+    h, ys = jax.lax.scan(body, h, (xg, mask), unroll=unroll)
+    return _time_major(ys), h

@@ -1,0 +1,20 @@
+"""Parallelism over TPU device meshes.
+
+The reference is strictly single-process, single-device
+(``morgana/experiment_builder.py:262-263``; no NCCL/MPI/Gloo anywhere). Here
+scaling is first-class and TPU-idiomatic:
+
+* **Data parallelism**: a 1-D (or 2-D dp x tp) ``jax.sharding.Mesh``; batches
+  are ``device_put`` directly into a ``NamedSharding`` over the ``'data'``
+  axis, parameters are replicated, and XLA's SPMD partitioner inserts the
+  gradient ``psum`` over ICI automatically — the fused train step is unchanged.
+* **Tensor parallelism** (optional): parameter sharding rules place large
+  Dense/recurrent kernels over a ``'model'`` axis.
+* **Multi-host**: ``jax.distributed.initialize`` over DCN, with host-local
+  id-list sharding for the data pipeline.
+"""
+from morgana_tpu.parallel.mesh import (
+    make_mesh, batch_sharding, replicated_sharding, shard_batch, shard_params,
+    param_shardings,
+)
+from morgana_tpu.parallel.distributed import initialize_distributed, shard_id_list

@@ -1,0 +1,32 @@
+"""Multi-host (DCN) initialisation and host-local data sharding."""
+import jax
+
+__all__ = ['initialize_distributed', 'shard_id_list']
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialises jax.distributed for multi-host training over DCN.
+
+    On TPU pods with standard env configuration all arguments are inferred;
+    they may be passed explicitly for other setups. Safe to call on a single
+    host (no-op on failure to infer a cluster).
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError):
+        # Single-host / already initialised: proceed without a cluster.
+        pass
+    return jax.process_index(), jax.process_count()
+
+
+def shard_id_list(file_ids, process_index=None, process_count=None):
+    """Host-local shard of an utterance id list: each host reads only its own
+    slice, so the global batch is assembled without any cross-host data
+    movement (per-host sharded loading)."""
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    return file_ids[process_index::process_count]

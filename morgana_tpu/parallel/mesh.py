@@ -1,0 +1,88 @@
+"""Device meshes and sharding layouts.
+
+The canonical layout for this framework's workloads (frame-level acoustic
+models, <= tens of M params):
+
+* batch dim sharded over ``'data'`` (pure DP — gradients psum over ICI),
+* optionally the hidden dim of large kernels sharded over ``'model'`` (TP).
+
+Because parameters are replicated in DP, the fused train step needs no code
+changes: committed input shardings propagate through jit and XLA inserts the
+collectives (the GSPMD model; cf. the "How to Scale Your Model" recipe:
+pick a mesh, annotate shardings, let XLA insert collectives).
+"""
+import re
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    'make_mesh', 'batch_sharding', 'replicated_sharding', 'shard_batch',
+    'shard_params', 'param_shardings',
+]
+
+
+def make_mesh(num_data=None, num_model=1, devices=None):
+    """Creates a ('data', 'model') mesh. Defaults to all devices on 'data'."""
+    if devices is None:
+        devices = jax.devices()
+    if num_data is None:
+        num_data = len(devices) // num_model
+    devices = np.asarray(devices[:num_data * num_model]).reshape(num_data, num_model)
+    return Mesh(devices, axis_names=('data', 'model'))
+
+
+def batch_sharding(mesh):
+    """Sharding for batches: leading (batch) dim split over 'data'."""
+    return NamedSharding(mesh, P('data'))
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh):
+    """Places a batch dict into the data-parallel layout."""
+    sharding = batch_sharding(mesh)
+    out = {}
+    for key, value in batch.items():
+        if isinstance(value, (np.ndarray, jax.Array)) and value.dtype.kind in 'fiub':
+            out[key] = jax.device_put(value, sharding)
+        else:
+            out[key] = value
+    return out
+
+
+# Parameter-name patterns whose *last* axis is sharded over 'model' (TP).
+# Matches the dotted names produced by morgana_tpu.nn (Linear kernels and
+# recurrent gate projections).
+_TP_LAST_AXIS = re.compile(r'.*(weight|w_ih_l\d+|w_hh_l\d+)$')
+_TP_BIAS = re.compile(r'.*(bias|b_ih_l\d+|b_hh_l\d+)$')
+
+
+def param_shardings(params, mesh, tensor_parallel=False, min_size=2 ** 16):
+    """Builds a {name: NamedSharding} map for a parameter pytree.
+
+    With ``tensor_parallel=False`` (the default and the right call at this
+    model scale) everything is replicated. With TP on, large matrices shard
+    their output axis over 'model' when divisible.
+    """
+    model_size = mesh.shape.get('model', 1)
+    out = {}
+    for name, value in params.items():
+        spec = P()
+        if tensor_parallel and model_size > 1 and value.ndim >= 1 and value.size >= min_size:
+            if _TP_LAST_AXIS.match(name) and value.shape[-1] % model_size == 0:
+                spec = P(*([None] * (value.ndim - 1) + ['model']))
+            elif _TP_BIAS.match(name) and value.shape[-1] % model_size == 0:
+                spec = P('model') if value.ndim == 1 else P()
+        out[name] = NamedSharding(mesh, spec)
+    return out
+
+
+def shard_params(params, mesh, tensor_parallel=False):
+    """Places a parameter pytree onto the mesh according to
+    :func:`param_shardings`."""
+    shardings = param_shardings(params, mesh, tensor_parallel=tensor_parallel)
+    return {name: jax.device_put(value, shardings[name]) for name, value in params.items()}

@@ -1,0 +1,26 @@
+"""WORLD-style vocoder: waveform synthesis from (f0, spectral envelope,
+aperiodicity) and mel-cepstrum conversions.
+
+Replaces the reference's external C++ vocoder stack (pyworld
+``models/f0_test_model.py:136`` and tts_data_tools
+``world_with_reaper_f0.synthesis``, ``models/RNN_SPSS.py:160``). Two
+implementations with identical semantics:
+
+* a native C++ library (``csrc/world_synth.cpp``) loaded via ctypes — the
+  production path for host-side post-processing;
+* a NumPy fallback used when the shared library has not been built.
+
+Synthesis model: per-frame excitation (glottal pulses at f0, white noise for
+the aperiodic band) filtered by the minimum-phase reconstruction of the
+spectral envelope, overlap-added — the same pulse/noise + minimum-phase
+scheme WORLD uses.
+"""
+from morgana_tpu.vocoder.world import (
+    synthesize, synthesize_world_feats, smooth_f0,
+    mcep_to_spectrum, bap_to_aperiodicity, native_available,
+)
+
+__all__ = [
+    'synthesize', 'synthesize_world_feats', 'smooth_f0',
+    'mcep_to_spectrum', 'bap_to_aperiodicity', 'native_available',
+]
