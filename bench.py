@@ -1,0 +1,181 @@
+"""Benchmark: acoustic-frame training throughput of the flagship model.
+
+Measures frames/sec of the fused jit training step for LSTMAcousticModel
+(Linear(609->512) + 8xLSTM(512) + heads, exactly the reference architecture
+``models/RNN_SPSS.py:32-42``) on realistic Blizzard-like shapes
+(batch 32 x ~600 frames), including everything the reference does per batch:
+duration upsampling, the LSTM stack, per-stream MLPG, masked losses, metric
+accumulation, Adam and EMA updates.
+
+Baseline: the same training step implemented faithfully in PyTorch on CPU
+(the reference's architecture and per-batch host MLPG), measured once and
+cached in BENCH_BASELINE.json.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), 'models'))
+
+BATCH = 32
+PHONES = 64
+FRAMES = 640           # ~3.2 s utterances at 5 ms frames
+WARMUP_STEPS = 2
+MEASURE_STEPS = 10
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'BENCH_BASELINE.json')
+
+
+def make_batch(rng, batch=BATCH, phones=PHONES, frames=FRAMES):
+    reps = frames // phones
+    dur = np.full((batch, phones, 1), reps, np.int64)
+    # Vary lengths a little (80-100% of max) like real batches.
+    lens = rng.integers(int(0.8 * phones), phones + 1, size=batch)
+    for b in range(batch):
+        dur[b, lens[b]:] = 0
+    n_frames = dur.sum(axis=(1, 2)).astype(np.float32)
+    return {
+        'normalised_lab': rng.random((batch, phones, 600)).astype(np.float32),
+        'normalised_counters': rng.random((batch, frames, 9)).astype(np.float32),
+        'dur': dur,
+        'n_frames': n_frames,
+        'lf0': rng.normal(size=(batch, frames, 1)).astype(np.float32),
+        'vuv': (rng.random((batch, frames, 1)) > 0.3).astype(np.float32),
+        'mcep': rng.normal(size=(batch, frames, 60)).astype(np.float32),
+        'bap': rng.normal(size=(batch, frames, 5)).astype(np.float32),
+        'normalised_lf0_deltas': rng.normal(size=(batch, frames, 3)).astype(np.float32),
+        'normalised_mcep_deltas': rng.normal(size=(batch, frames, 180)).astype(np.float32),
+        'normalised_bap_deltas': rng.normal(size=(batch, frames, 15)).astype(np.float32),
+    }, n_frames.sum()
+
+
+def bench_tpu():
+    import jax
+    from morgana_tpu import nn
+    from morgana_tpu.training import TrainLoop, build_optimizer
+    from __graft_entry__ import _make_model
+
+    model = _make_model(num_layers=8, hidden_size=512)
+    model.mode = 'train'
+    loop = TrainLoop(model, build_optimizer(), ema_decay=0.99, seed=0)
+
+    rng = np.random.default_rng(0)
+    batch, frames_per_batch = make_batch(rng)
+
+    for _ in range(WARMUP_STEPS):
+        loss, _, _ = loop.train_step(batch, lr=1e-3)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        loss, _, _ = loop.train_step(batch, lr=1e-3)
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+
+    fps = MEASURE_STEPS * frames_per_batch / elapsed
+    return fps, float(loss)
+
+
+def bench_torch_baseline(measure_steps=2):
+    """Faithful reference training step in torch on CPU: upsample via host
+    np.repeat indices, LSTM stack, per-stream host MLPG inside predict
+    (as the reference does every batch, models/RNN_SPSS.py:108-118),
+    masked MSE+BCE, Adam."""
+    import torch
+    from morgana_tpu.viz.synthesis import mlpg_numpy
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    class RefModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.pre = torch.nn.Sequential(torch.nn.Linear(609, 512), torch.nn.Sigmoid())
+            self.rnns = torch.nn.ModuleList(
+                [torch.nn.LSTM(512, 512, batch_first=True) for _ in range(8)])
+            self.post = torch.nn.Sequential(
+                torch.nn.Linear(512, 256), torch.nn.Sigmoid(), torch.nn.Linear(256, 199))
+
+        def forward(self, x):
+            h = self.pre(x)
+            for rnn in self.rnns:
+                h, _ = rnn(h)
+            return self.post(h)
+
+    model = RefModel()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+
+    rng = np.random.default_rng(0)
+    batch, frames_per_batch = make_batch(rng)
+
+    lab = torch.tensor(batch['normalised_lab'])
+    counters = torch.tensor(batch['normalised_counters'])
+    dur = batch['dur'][:, :, 0]
+    n_frames = batch['n_frames'].astype(np.int64)
+    targets = torch.tensor(np.concatenate(
+        [batch['normalised_lf0_deltas'], batch['vuv'],
+         batch['normalised_mcep_deltas'], batch['normalised_bap_deltas']], axis=-1))
+    mask = torch.zeros(BATCH, FRAMES, 1)
+    for b in range(BATCH):
+        mask[b, :n_frames[b]] = 1.
+
+    def step():
+        opt.zero_grad()
+        # Host-side np.repeat upsampling (reference utils.py:219-220).
+        ups = np.zeros((BATCH, FRAMES, 600), np.float32)
+        lab_np = lab.numpy()
+        for b in range(BATCH):
+            rep = np.repeat(np.arange(lab_np.shape[1]), dur[b])
+            ups[b, :len(rep)] = lab_np[b, rep]
+        x = torch.cat([torch.tensor(ups), counters], dim=-1)
+        pred = model(x)
+        # Reference runs MLPG (host) inside predict for each stream.
+        pred_np = pred.detach().numpy()
+        for s, dims in (('lf0', (0, 3)), ('mcep', (4, 184)), ('bap', (184, 199))):
+            mlpg_numpy(pred_np[..., dims[0]:dims[1] if s != 'mcep' else 184],
+                       np.ones(dims[1] - dims[0], np.float32),
+                       padding_size=100, seq_len=n_frames)
+        el = (pred - targets) ** 2
+        loss = ((el * mask).sum(1) / mask.sum(1)).mean()
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(measure_steps):
+        step()
+    elapsed = time.perf_counter() - t0
+    return measure_steps * frames_per_batch / elapsed
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)['frames_per_sec']
+    fps = bench_torch_baseline()
+    with open(BASELINE_FILE, 'w') as f:
+        json.dump({'frames_per_sec': fps,
+                   'config': 'RNN_SPSS torch CPU, batch 32 x 640 frames, '
+                             'incl. host MLPG per batch'}, f, indent=2)
+    return fps
+
+
+def main():
+    baseline_fps = get_baseline()
+    fps, loss = bench_tpu()
+    print(json.dumps({
+        'metric': 'rnn_spss_train_frames_per_sec',
+        'value': round(fps, 1),
+        'unit': 'frames/sec',
+        'vs_baseline': round(fps / baseline_fps, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -25,7 +25,8 @@ from morgana_tpu.data import file_io
 
 
 class LSTMAcousticModel(BaseSPSS):
-    def __init__(self, input_dim=600 + 9, output_dims=None, dropout_prob=0., num_layers=8):
+    def __init__(self, input_dim=600 + 9, output_dims=None, dropout_prob=0.,
+                 num_layers=8, hidden_size=512):
         """Initialises acoustic model parameters and settings (reference
         architecture: ``models/RNN_SPSS.py:21-48``)."""
         if output_dims is None:
@@ -36,14 +37,15 @@ class LSTMAcousticModel(BaseSPSS):
         self.output_dims = output_dims
         self.dropout_prob = dropout_prob
         self.num_layers = num_layers
+        self.hidden_size = hidden_size
 
         self.layers = nn.SequentialWithRecurrent(
-            nn.Linear(self.input_dim, 512),
+            nn.Linear(self.input_dim, hidden_size),
             nn.Sigmoid(),
             nn.Dropout(p=self.dropout_prob),
-            *[nn.Recurrent('lstm', 512, 512, dropout=self.dropout_prob)
+            *[nn.Recurrent('lstm', hidden_size, hidden_size, dropout=self.dropout_prob)
               for _ in range(self.num_layers)],
-            nn.Linear(512, 256),
+            nn.Linear(hidden_size, 256),
             nn.Sigmoid(),
             nn.Dropout(p=self.dropout_prob),
             nn.Linear(256, sum(self.output_dims.values())),

@@ -77,7 +77,10 @@ class TrainLoop(object):
         self.opt_state = optimizer.init(self.params)
         if self.ema_decay:
             src = ema_model if ema_model is not None else model
-            self.ema_params = nn.parameters(src)
+            # Deep copy: ema_params must never alias params, both are donated
+            # into the fused step (donating the same buffer twice is an error).
+            self.ema_params = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), nn.parameters(src))
         else:
             self.ema_params = None
 
@@ -148,6 +151,10 @@ class TrainLoop(object):
         """One fused optimisation step. Returns (loss, staged, outputs) as
         device values (no host sync)."""
         batch = numeric_features(features)
+        # Traced global-step scalar: models can schedule (e.g. KL annealing)
+        # without retracing — `self.step` on the model is a trace-time python
+        # int and must not be used inside jitted code.
+        batch['global_step'] = jnp.asarray(self.step_count, jnp.float32)
         (self.params, self.opt_state, self.ema_params,
          loss, staged, outputs) = self._train_step(
             self.params, self.opt_state, self.ema_params, batch,

@@ -73,9 +73,10 @@ def _window_matrix(l, u, coeffs, num_frames):
 
 
 def mlpg_numpy(means, variances, windows=DEFAULT_WINDOWS, padding_size=0, seq_len=None):
-    r"""Exact float64 host MLPG: Gaussian product-of-experts natural
-    parameters solved with a banded Cholesky (scipy ``solveh_banded``),
-    mirroring the reference's bandmat computation
+    r"""Exact float64 host MLPG: the banded Gaussian product-of-experts
+    natural parameters (built with shift-and-add vector ops, never dense) are
+    solved with scipy's banded Cholesky (``solveh_banded``) — the same
+    banded-efficiency class as the reference's bandmat computation
     (``morgana/viz/synthesis.py:39-171``)."""
     means = np.asarray(means, np.float64)
     if means.ndim == 2:
@@ -94,6 +95,69 @@ def mlpg_numpy(means, variances, windows=DEFAULT_WINDOWS, padding_size=0, seq_le
             return x
         return np.concatenate([np.repeat(x[:1], n, 0), x, np.repeat(x[-1:], n, 0)], 0)
 
+    def shifted(x, s):
+        """out[t] = x[t + s], zero padded (t outside the matrix contributes 0)."""
+        if s == 0:
+            return x
+        out = np.zeros_like(x)
+        if s > 0:
+            out[:-s] = x[s:]
+        else:
+            out[-s:] = x[:s]
+        return out
+
+    out = np.zeros((batch, num_frames, feat_dim))
+    for i in range(batch):
+        n = int(seq_len[i])
+        tn = n + 2 * padding_size
+        m_i = pad(means[i, :n], padding_size).reshape(tn, num_windows, feat_dim)
+        v_i = pad(variances[i, :n], padding_size).reshape(tn, num_windows, feat_dim)
+
+        tau = 1.0 / v_i                               # (tn, W, D)
+        b_fr = m_i * tau
+
+        b = np.zeros((tn, feat_dim))
+        band = np.zeros((bandwidth + 1, tn, feat_dim))
+        for w, (l, u, coeffs) in enumerate(windows):
+            width = l + u + 1
+            for a in range(width):
+                ca = float(coeffs[a])
+                if ca:
+                    b += ca * shifted(b_fr[:, w], l - a)
+            for mo in range(bandwidth + 1):
+                for a in range(width - mo):
+                    c2 = float(coeffs[a]) * float(coeffs[a + mo])
+                    if c2:
+                        band[mo] += c2 * shifted(tau[:, w], l - a)
+
+        for d in range(feat_dim):
+            # Upper banded storage: ab[bw - mo, j] = P[j - mo, j].
+            ab = np.zeros((bandwidth + 1, tn))
+            for mo in range(bandwidth + 1):
+                ab[bandwidth - mo, mo:] = band[mo, :tn - mo, d]
+            x = solveh_banded(ab, b[:, d])
+            out[i, :n, d] = x[padding_size:padding_size + n]
+    return out
+
+
+def _mlpg_dense(means, variances, windows=DEFAULT_WINDOWS, padding_size=0, seq_len=None):
+    r"""Dense-matrix MLPG built literally from window matrices — slow, used
+    only as an independent correctness oracle in tests."""
+    means = np.asarray(means, np.float64)
+    if means.ndim == 2:
+        means = means[None]
+    batch, num_frames, total_dim = means.shape
+    num_windows = len(windows)
+    feat_dim = total_dim // num_windows
+    variances = np.broadcast_to(np.asarray(variances, np.float64), means.shape)
+    if seq_len is None:
+        seq_len = [num_frames] * batch
+
+    def pad(x, n):
+        if n == 0:
+            return x
+        return np.concatenate([np.repeat(x[:1], n, 0), x, np.repeat(x[-1:], n, 0)], 0)
+
     out = np.zeros((batch, num_frames, feat_dim))
     for i in range(batch):
         n = int(seq_len[i])
@@ -101,9 +165,6 @@ def mlpg_numpy(means, variances, windows=DEFAULT_WINDOWS, padding_size=0, seq_le
         v_i = pad(variances[i, :n], padding_size)
         tn = n + 2 * padding_size
         win_mats = [_window_matrix(l, u, c, tn) for l, u, c in windows]
-
-        # Precision band is identical across feature dims only if variances
-        # are; build per-dim (general case).
         for d in range(feat_dim):
             idx = np.arange(num_windows) * feat_dim + d
             mu, var = m_i[:, idx], v_i[:, idx]
@@ -112,9 +173,6 @@ def mlpg_numpy(means, variances, windows=DEFAULT_WINDOWS, padding_size=0, seq_le
             for w, wm in enumerate(win_mats):
                 b += wm.T @ (mu[:, w] / var[:, w])
                 prec += wm.T @ np.diag(1.0 / var[:, w]) @ wm
-            ab = np.zeros((bandwidth + 1, tn))
-            for m in range(bandwidth + 1):
-                ab[bandwidth - m, m:] = np.diag(prec, m)
-            x = solveh_banded(ab, b)
+            x = np.linalg.solve(prec, b)
             out[i, :n, d] = x[padding_size:padding_size + n]
     return out

@@ -123,9 +123,10 @@ def spectrum_to_mcep(sp, order=59, alpha=None, fs=16000):
     sp = np.atleast_2d(np.asarray(sp, np.float64))
     fft_size = (sp.shape[-1] - 1) * 2
     log_amp = 0.5 * np.log(np.maximum(sp, 1e-100))
-    full = np.concatenate([log_amp, log_amp[:, -2:0:-1]], axis=-1)
-    cep = np.fft.irfft(full, axis=-1)[:, :fft_size // 2 + 1]
-    cep[:, 1:] *= 1.0  # real cepstrum, one-sided convention with cos series
+    # log_amp is the half spectrum of a real, even signal: irfft gives the
+    # symmetric real cepstrum; keep the one-sided part (cos-series convention
+    # matching mcep_to_spectrum).
+    cep = np.fft.irfft(log_amp, n=fft_size, axis=-1)[:, :fft_size // 2 + 1]
     return _freqt(cep, order, alpha)
 
 
@@ -152,8 +153,7 @@ def _minimum_phase_spectra(power_sp):
     """Batched minimum-phase complex spectra from power envelopes (T, K)."""
     fft_size = (power_sp.shape[-1] - 1) * 2
     log_amp = 0.5 * np.log(np.maximum(power_sp, 1e-100))
-    full = np.concatenate([log_amp, log_amp[:, -2:0:-1]], axis=-1)
-    cep = np.fft.irfft(full, axis=-1)
+    cep = np.fft.irfft(log_amp, n=fft_size, axis=-1)
     # Fold anticausal part onto causal part (minimum phase).
     cep[:, 1:fft_size // 2] *= 2.0
     cep[:, fft_size // 2 + 1:] = 0.0

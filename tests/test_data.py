@@ -1,0 +1,165 @@
+"""Data pipeline tests: sources, normalisers (JSON param contract), dataset
+feature dict, bucketed collate, loader iteration and prefetch."""
+import os
+
+import numpy as np
+import pytest
+
+from morgana_tpu import data
+from morgana_tpu.data import file_io
+from morgana_tpu.data.dataset import bucket_size
+
+
+class TestFileIO:
+    def test_json_roundtrip(self, tmp_path):
+        path = str(tmp_path / 'params.json')
+        file_io.save_json({'mean': [1.0, 2.0]}, path)
+        assert file_io.load_json(path) == {'mean': [1.0, 2.0]}
+
+    def test_wav_roundtrip(self, tmp_path):
+        path = str(tmp_path / 'test.wav')
+        wav = (np.sin(np.linspace(0, 100, 1600)) * 0.5).astype(np.float32)
+        file_io.save_wav(wav, path, sample_rate=16000)
+        loaded, sr = file_io.load_wav(path)
+        assert sr == 16000
+        np.testing.assert_allclose(loaded / 32767.0, wav, atol=1e-4)
+
+    def test_get_file_ids(self, tmp_path):
+        path = str(tmp_path / 'ids.scp')
+        file_io.save_lines(['a', ' b ', '', 'c'], path)
+        assert file_io.get_file_ids(path) == ['a', 'b', 'c']
+
+
+class TestNormalisers:
+    def test_mvn_roundtrip(self, tmp_path, rng):
+        x = rng.normal(loc=3., scale=2., size=(50, 4)).astype(np.float32)
+        norm = data.MeanVarianceNormaliser('feat')
+        norm.save_params(data.fit_mvn_params([x]), '.', str(tmp_path))
+        norm.load_params('.', str(tmp_path))
+
+        normalised = norm.normalise(x)
+        assert abs(normalised.mean()) < 0.1 and abs(normalised.std() - 1) < 0.1
+        np.testing.assert_allclose(norm.denormalise(normalised), x, atol=1e-4)
+        # JSON file name contract: {name}_mvn.json.
+        assert os.path.exists(tmp_path / 'feat_mvn.json')
+
+    def test_minmax_roundtrip(self, tmp_path, rng):
+        x = rng.random((50, 4)).astype(np.float32) * 7 - 3
+        norm = data.MinMaxNormaliser('feat')
+        norm.save_params(data.fit_minmax_params([x]), '.', str(tmp_path))
+        norm.load_params('.', str(tmp_path))
+
+        normalised = norm.normalise(x)
+        assert normalised.min() >= -1e-6 and normalised.max() <= 1 + 1e-6
+        np.testing.assert_allclose(norm.denormalise(normalised), x, atol=1e-4)
+        assert os.path.exists(tmp_path / 'feat_minmax.json')
+
+    def test_minmax_zero_range_guard(self):
+        from morgana_tpu.data.normalisers import normalise_minmax
+        x = np.ones((3, 2), np.float32)
+        out = normalise_minmax(x, np.array([1., 0.]), np.array([1., 2.]))
+        assert np.isfinite(out).all()
+
+    def test_speaker_dependent(self, tmp_path, rng):
+        ids_file = tmp_path / 'speakers.scp'
+        file_io.save_lines(['spk_a', 'spk_b'], str(ids_file))
+        for spk, mean in [('spk_a', 0.), ('spk_b', 5.)]:
+            file_io.save_json({'mean': [mean], 'std_dev': [1.0]},
+                              str(tmp_path / 'norm' / spk / 'feat_mvn.json'))
+
+        norm = data.SpeakerDependentMeanVarianceNormaliser('feat', 'speakers.scp')
+        norm.load_params('norm', str(tmp_path))
+
+        x = np.zeros((2, 3, 1), np.float32)
+        out = norm.normalise(x, ['spk_a', 'spk_b'])
+        np.testing.assert_allclose(out[0], 0., atol=1e-6)
+        np.testing.assert_allclose(out[1], -5., atol=1e-5)
+
+    def test_sd_normaliser_requires_speaker_id_source(self, tmp_path):
+        sources = {'feat': data.NumpyBinarySource('feat')}
+        norm = {'feat': data.SpeakerDependentMeanVarianceNormaliser('feat', 'x.scp')}
+        ids = tmp_path / 'ids.scp'
+        file_io.save_lines(['a'], str(ids))
+        with pytest.raises(KeyError, match='speaker'):
+            data.FilesDataset(sources, '.', 'ids.scp', norm, str(tmp_path))
+
+
+class TestBucketing:
+    def test_bucket_sizes_bounded(self):
+        assert bucket_size(1) == 16
+        assert bucket_size(16) == 16
+        assert bucket_size(17) == 32
+        assert bucket_size(100) == 112
+        assert bucket_size(1000) == 1024
+        # At most 8 buckets per octave.
+        buckets = sorted({bucket_size(n) for n in range(1, 2049)})
+        per_octave = [b for b in buckets if 512 < b <= 1024]
+        assert len(per_octave) <= 8
+
+    def test_collate_pads_to_bucket(self, rng):
+        items = [{'x': rng.normal(size=(n, 2)).astype(np.float32)} for n in (5, 9, 17)]
+        out = data.collate(items)
+        assert out['x'].shape == (3, 32, 2)
+        np.testing.assert_allclose(out['x'][0, 5:], 0.)
+
+    def test_collate_passthrough_and_scalars(self):
+        items = [{'name': 'a', 'n': np.float32(3.)}, {'name': 'b', 'n': np.float32(5.)}]
+        out = data.collate(items)
+        assert out['name'] == ['a', 'b']
+        np.testing.assert_allclose(out['n'], [3., 5.])
+
+
+class TestDatasetAndLoader:
+    def test_dataset_keys(self, voice_data):
+        from f0_model_fixture import make_f0_sources, make_f0_normalisers
+        sources = make_f0_sources()
+        normalisers = make_f0_normalisers()
+        for norm in normalisers.values():
+            norm.load_params('train', voice_data['data_root'])
+
+        ds = data.FilesDataset(sources, 'train', 'train/train_file_id_list.scp',
+                               normalisers, voice_data['data_root'])
+        item = ds[0]
+        for key in ('name', 'n_frames', 'dur', 'lab', 'lf0', 'lf0_deltas', 'vuv',
+                    'normalised_lab', 'normalised_lf0', 'normalised_lf0_deltas',
+                    'normalised_counters', 'normalised_dur'):
+            assert key in item, key
+        assert item['lf0_deltas'].shape[-1] == 3
+        assert item['lab'].shape[-1] == 600
+
+    def test_loader_batching(self, voice_data):
+        from f0_model_fixture import make_f0_sources, make_f0_normalisers
+        sources = make_f0_sources()
+        normalisers = make_f0_normalisers()
+        for norm in normalisers.values():
+            norm.load_params('train', voice_data['data_root'])
+
+        ds = data.FilesDataset(sources, 'train', 'train/train_file_id_list.scp',
+                               normalisers, voice_data['data_root'])
+        loader = data.batch(ds, batch_size=4, shuffle=True, num_data_threads=2)
+        batches = list(loader)
+        assert len(batches) == 2 == len(loader)
+        b = batches[0]
+        assert b['lab'].shape[0] == 4
+        assert b['normalised_lf0_deltas'].shape[-1] == 3
+        assert len(b['name']) == 4
+
+    def test_loader_shuffles_per_epoch(self, voice_data):
+        from f0_model_fixture import make_f0_sources
+        ds = data.FilesDataset(make_f0_sources(), 'train', 'train/train_file_id_list.scp',
+                               {}, voice_data['data_root'])
+        loader = data.DataLoader(ds, batch_size=8, shuffle=True, seed=0)
+        names1 = next(iter(loader))['name']
+        names2 = next(iter(loader))['name']
+        assert sorted(names1) == sorted(names2) == sorted(ds.file_ids)
+
+        ordered = data.DataLoader(ds, batch_size=8, shuffle=False)
+        assert next(iter(ordered))['name'] == ds.file_ids
+
+    def test_drop_remainder(self, voice_data):
+        from f0_model_fixture import make_f0_sources
+        ds = data.FilesDataset(make_f0_sources(), 'train', 'train/train_file_id_list.scp',
+                               {}, voice_data['data_root'])
+        loader = data.DataLoader(ds, batch_size=3, drop_remainder=True)
+        assert len(loader) == 2
+        assert all(len(b['name']) == 3 for b in loader)

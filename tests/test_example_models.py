@@ -1,0 +1,71 @@
+"""Integration tests for the bundled example models on synthetic data."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import builder_args
+from morgana_tpu import nn
+from morgana_tpu.experiment_builder import ExperimentBuilder
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'models'))
+
+
+def _run(model_cls, voice_data, tmp_path, name, **overrides):
+    args = builder_args(voice_data['data_root'], str(tmp_path / 'experiments'), **overrides)
+    nn.manual_seed(args['seed'])
+    exp = ExperimentBuilder(model_cls, experiment_name=name, **args)
+    exp.run_experiment()
+    return os.path.join(str(tmp_path / 'experiments'), name)
+
+
+def _epoch_metrics(expdir, mode, epoch):
+    return json.load(open(os.path.join(expdir, mode, f'epoch_{epoch}', 'metrics.json')))
+
+
+@pytest.mark.slow
+def test_duration_model_trains(voice_data, tmp_path):
+    from duration_model import DurationModel
+    expdir = _run(DurationModel, voice_data, tmp_path, 'dur',
+                  end_epoch=3, valid=True, learning_rate=0.01)
+    m1, m3 = _epoch_metrics(expdir, 'train', 1), _epoch_metrics(expdir, 'train', 3)
+    assert m3['loss'] < m1['loss']
+    assert 'dur_RMSE_frames' in m1 and np.isfinite(m1['dur_RMSE_frames'])
+
+
+@pytest.mark.slow
+def test_vae_prosody_model_trains(voice_data, tmp_path):
+    from vae_prosody import VAEProsodyModel
+    expdir = _run(VAEProsodyModel, voice_data, tmp_path, 'vaepros',
+                  end_epoch=2, valid=True,
+                  model_kwargs={'kld_anneal_steps': 4, 'hidden_size': 16})
+    m = _epoch_metrics(expdir, 'train', 2)
+    assert np.isfinite(m['loss']) and 'kld' in m and 'LF0_RMSE_Hz' in m
+
+
+@pytest.mark.slow
+def test_f0_model_trains_and_generates(voice_data, tmp_path):
+    from f0_test_model import F0Model
+    expdir = _run(F0Model, voice_data, tmp_path, 'f0full',
+                  end_epoch=2, valid=True, valid_output_interval=2,
+                  ema_decay=0.995, num_data_threads=2)
+    m1, m2 = _epoch_metrics(expdir, 'train', 1), _epoch_metrics(expdir, 'train', 2)
+    assert m2['loss'] < m1['loss']
+    assert np.isfinite(m1['LF0_RMSE_Hz'])
+    # gen_output epoch produced synthesised wavs via the analysis hook.
+    synth_dir = os.path.join(expdir, 'valid', 'epoch_2', 'synth')
+    wavs = [f for f in os.listdir(synth_dir) if f.endswith('.wav')]
+    assert len(wavs) == 4
+
+
+@pytest.mark.slow
+def test_rnn_spss_small_trains(voice_data, tmp_path):
+    from rnn_spss import LSTMAcousticModel
+    expdir = _run(LSTMAcousticModel, voice_data, tmp_path, 'spss',
+                  end_epoch=1, valid=True,
+                  model_kwargs={'num_layers': 1, 'hidden_size': 32})
+    m = _epoch_metrics(expdir, 'train', 1)
+    for key in ('loss', 'LF0_RMSE_Hz', 'VUV_accuracy', 'MCEP_distortion', 'BAP_distortion'):
+        assert key in m and np.isfinite(m[key]), key

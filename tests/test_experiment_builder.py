@@ -1,0 +1,143 @@
+"""Integration tests: full experiment lifecycle on synthetic data — training
+convergence, on-disk contract, checkpoint/resume, EMA, eval-only runs,
+setting-conflict validation, VAE plumbing."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import builder_args
+from tiny_models import TinyF0Model, TinyVAE
+
+from morgana_tpu import nn
+from morgana_tpu.experiment_builder import ExperimentBuilder
+
+
+def _build(voice_data, tmp_path, name, model_cls=TinyF0Model, **overrides):
+    args = builder_args(voice_data['data_root'], str(tmp_path / 'experiments'), **overrides)
+    nn.manual_seed(args['seed'])
+    return ExperimentBuilder(model_cls, experiment_name=name, **args), args
+
+
+class TestTrainingLifecycle:
+    def test_two_epoch_train_decreases_loss(self, voice_data, tmp_path):
+        exp, _ = _build(voice_data, tmp_path, 'tiny', end_epoch=3, ema_decay=0.9)
+        exp.run_experiment()
+
+        expdir = os.path.join(str(tmp_path / 'experiments'), 'tiny')
+        m1 = json.load(open(os.path.join(expdir, 'train', 'epoch_1', 'metrics.json')))
+        m3 = json.load(open(os.path.join(expdir, 'train', 'epoch_3', 'metrics.json')))
+        assert m3['loss'] < m1['loss']
+        assert 'LF0_RMSE_Hz' in m1
+
+        # On-disk contract.
+        assert os.path.isfile(os.path.join(expdir, 'config.json'))
+        assert os.path.isfile(os.path.join(expdir, 'model_summary.txt'))
+        assert os.path.isfile(os.path.join(expdir, 'metrics.pdf'))
+        ckpts = sorted(os.listdir(os.path.join(expdir, 'checkpoints')))
+        assert 'epoch_1.npz' in ckpts and 'epoch_3_ema.npz' in ckpts
+        # valid metrics exist.
+        assert os.path.isfile(os.path.join(expdir, 'valid', 'epoch_1', 'metrics.json'))
+        # log files exist.
+        assert any(f.endswith('.stdout') for f in os.listdir(os.path.join(expdir, 'log')))
+
+    def test_checkpoint_resume(self, voice_data, tmp_path):
+        exp1, _ = _build(voice_data, tmp_path, 'resume_a', end_epoch=1, valid=False)
+        exp1.run_experiment()
+        ckpt = os.path.join(str(tmp_path / 'experiments'), 'resume_a',
+                            'checkpoints', 'epoch_1.npz')
+        assert os.path.isfile(ckpt)
+
+        exp2, _ = _build(voice_data, tmp_path, 'resume_b', start_epoch=2, end_epoch=2,
+                         valid=False, checkpoint_path=ckpt)
+        # Params were loaded from the checkpoint.
+        p1 = np.load(ckpt)
+        p2 = nn.state_dict(exp2.model)
+        np.testing.assert_allclose(p1['layers.0.weight'], p2['layers.0.weight'])
+        exp2.run_experiment()
+        assert os.path.isfile(os.path.join(str(tmp_path / 'experiments'), 'resume_b',
+                                           'checkpoints', 'epoch_2.npz'))
+
+    def test_eval_only_requires_checkpoint(self, voice_data, tmp_path):
+        with pytest.raises(ValueError, match='checkpoint'):
+            _build(voice_data, tmp_path, 'evalonly_fail', train=False, valid=True)
+
+    def test_start_epoch_overwrite_guard(self, voice_data, tmp_path):
+        exp1, _ = _build(voice_data, tmp_path, 'guard_a', end_epoch=1, valid=False)
+        exp1.run_experiment()
+        ckpt = os.path.join(str(tmp_path / 'experiments'), 'guard_a',
+                            'checkpoints', 'epoch_1.npz')
+        with pytest.raises(ValueError, match='start_epoch'):
+            _build(voice_data, tmp_path, 'guard_b', checkpoint_path=ckpt, start_epoch=1)
+
+    def test_no_procedure_errors(self, voice_data, tmp_path):
+        with pytest.raises(ValueError, match='No process'):
+            _build(voice_data, tmp_path, 'nothing', train=False, valid=False, test=False)
+
+    def test_plateau_requires_valid(self, voice_data, tmp_path):
+        with pytest.raises(ValueError, match='plateau'):
+            _build(voice_data, tmp_path, 'plat', lr_schedule_name='plateau', valid=False)
+
+    def test_eval_only_run(self, voice_data, tmp_path):
+        exp1, _ = _build(voice_data, tmp_path, 'evalsrc', end_epoch=1, valid=False)
+        exp1.run_experiment()
+        ckpt = os.path.join(str(tmp_path / 'experiments'), 'evalsrc',
+                            'checkpoints', 'epoch_1.npz')
+
+        exp2, _ = _build(voice_data, tmp_path, 'evalrun', train=False, valid=True,
+                         checkpoint_path=ckpt)
+        assert exp2.epoch == 1  # epoch from checkpoint filename
+        exp2.run_experiment()
+        assert os.path.isfile(os.path.join(str(tmp_path / 'experiments'), 'evalrun',
+                                           'valid', 'epoch_1', 'metrics.json'))
+
+    def test_test_epoch_generates(self, voice_data, tmp_path):
+        exp, _ = _build(voice_data, tmp_path, 'testgen', end_epoch=1, valid=False,
+                        test=True, test_output_interval=1)
+        exp.run_experiment()
+        # test dir created with metrics.json
+        assert os.path.isfile(os.path.join(str(tmp_path / 'experiments'), 'testgen',
+                                           'test', 'epoch_1', 'metrics.json'))
+
+
+class TestEMA:
+    def test_ema_matches_manual_recurrence(self, voice_data, tmp_path):
+        decay = 0.9
+        exp, _ = _build(voice_data, tmp_path, 'ema', end_epoch=1, valid=False,
+                        ema_decay=decay, batch_size=8)
+        start = {k: np.asarray(v) for k, v in exp.loop.ema_params.items()}
+        assert len(exp.train_loader) == 1  # single batch -> single EMA update
+
+        exp.run_experiment()
+
+        final_params = {k: np.asarray(v) for k, v in exp.loop.params.items()}
+        final_ema = {k: np.asarray(v) for k, v in exp.loop.ema_params.items()}
+        for k in final_ema:
+            expected = decay * start[k] + (1 - decay) * final_params[k]
+            np.testing.assert_allclose(final_ema[k], expected, atol=1e-6)
+
+
+class TestVAE:
+    def test_vae_trains_and_tracks_kld(self, voice_data, tmp_path):
+        exp, _ = _build(voice_data, tmp_path, 'vae', model_cls=TinyVAE,
+                        end_epoch=2, valid=True)
+        exp.run_experiment()
+        expdir = os.path.join(str(tmp_path / 'experiments'), 'vae')
+        m = json.load(open(os.path.join(expdir, 'train', 'epoch_2', 'metrics.json')))
+        assert 'kld' in m and np.isfinite(m['kld'])
+
+    def test_vae_predict_zero_latent(self, voice_data, tmp_path):
+        import jax.numpy as jnp
+        nn.manual_seed(0)
+        model = TinyVAE()
+        for name, norm in model.normaliser_sources().items():
+            norm.load_params('train', voice_data['data_root'])
+            model.normalisers[name] = norm
+        features = {
+            'normalised_lab': jnp.ones((2, 5, 600)) * 0.5,
+            'normalised_counters': jnp.ones((2, 20, 9)) * 0.5,
+            'n_frames': jnp.array([20., 15.]),
+        }
+        out = model.predict(features)
+        assert out['normalised_lf0_deltas'].shape == (2, 20, 3)

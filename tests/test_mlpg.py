@@ -1,0 +1,89 @@
+"""MLPG tests: the on-device banded Cholesky kernel against the exact float64
+host solve, plus the reference API behaviours (global variance broadcast,
+unbatched input, padding burn-in, seq_len masking)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morgana_tpu.ops.deltas import DEFAULT_WINDOWS, compute_deltas
+from morgana_tpu.viz.synthesis import MLPG, mlpg_numpy, _mlpg_dense
+
+
+def _random_problem(rng, batch=2, time=40, dim=3):
+    means = rng.normal(size=(batch, time, 3 * dim)).astype(np.float32)
+    variances = (0.5 + rng.random((3 * dim,))).astype(np.float32)
+    return means, variances
+
+
+class TestKernelVsExact:
+    def test_banded_numpy_matches_dense_oracle(self, rng):
+        """The fast banded host construction equals the literal dense
+        window-matrix formulation."""
+        means, variances = _random_problem(rng, batch=2, time=25, dim=2)
+        seq_len = [25, 14]
+        ref = _mlpg_dense(means, variances, DEFAULT_WINDOWS, 5, seq_len)
+        got = mlpg_numpy(means, variances, DEFAULT_WINDOWS, 5, seq_len)
+        np.testing.assert_allclose(got, ref, atol=1e-9)
+
+    def test_exact_length(self, rng):
+        means, variances = _random_problem(rng)
+        ref = mlpg_numpy(means, variances)
+        got = MLPG(means, variances)
+        np.testing.assert_allclose(got, ref, atol=5e-5)
+
+    def test_variable_length_with_padding(self, rng):
+        means, variances = _random_problem(rng, batch=3, time=50)
+        seq_len = np.array([50, 30, 17])
+        ref = mlpg_numpy(means, variances, padding_size=100, seq_len=seq_len)
+        got = MLPG(means, variances, padding_size=100, seq_len=seq_len)
+        np.testing.assert_allclose(got, ref, atol=5e-5)
+        # Out-of-sequence frames are zero.
+        np.testing.assert_allclose(got[1, 30:], 0.)
+        np.testing.assert_allclose(got[2, 17:], 0.)
+
+    def test_per_frame_variances(self, rng):
+        means, _ = _random_problem(rng, batch=2, time=20, dim=2)
+        variances = (0.5 + rng.random(means.shape)).astype(np.float32)
+        ref = mlpg_numpy(means, variances)
+        got = MLPG(means, variances)
+        np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+class TestReferenceAPI:
+    def test_unbatched_input(self, rng):
+        means, variances = _random_problem(rng, batch=1)
+        got = MLPG(means[0], variances)
+        assert got.shape == (means.shape[1], 3)
+
+    def test_jnp_in_jnp_out(self, rng):
+        means, variances = _random_problem(rng)
+        got = MLPG(jnp.array(means), variances)
+        assert isinstance(got, jax.Array)
+
+    def test_inside_jit(self, rng):
+        means, variances = _random_problem(rng)
+
+        @jax.jit
+        def f(m):
+            return MLPG(m, variances, padding_size=10, seq_len=jnp.array([40, 25]))
+
+        out = np.asarray(f(jnp.array(means)))
+        ref = mlpg_numpy(means, variances, padding_size=10, seq_len=[40, 25])
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+    def test_recovers_smooth_trajectory(self, rng):
+        """MLPG on deltas of a smooth signal should reconstruct the signal:
+        with consistent (static, delta, delta2) means and tight variances, the
+        solution equals the static track."""
+        t = np.linspace(0, 4 * np.pi, 80)
+        signal = np.sin(t).astype(np.float32)[:, None]
+        deltas = compute_deltas(signal)  # (T, 3)
+        variances = np.full((3,), 0.01, np.float32)
+        out = MLPG(deltas[None], variances)
+        np.testing.assert_allclose(out[0, 5:-5, 0], signal[5:-5, 0], atol=1e-2)
+
+    def test_numpy_backend_matches(self, rng):
+        means, variances = _random_problem(rng)
+        a = MLPG(means, variances, backend='numpy')
+        b = MLPG(means, variances, backend='jax')
+        np.testing.assert_allclose(a, b, atol=5e-5)

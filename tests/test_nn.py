@@ -1,0 +1,140 @@
+"""Module-system tests: parameter traversal, state dicts, bind semantics,
+dropout/RNG behaviour, EMA."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from morgana_tpu import nn
+
+
+class TwoLayer(nn.Module):
+    def __init__(self):
+        self.fc1 = nn.Linear(4, 8)
+        self.act = nn.Sigmoid()
+        self.drop = nn.Dropout(0.5)
+        self.fc2 = nn.Linear(8, 2)
+
+    def forward(self, x):
+        return self.fc2(self.drop(self.act(self.fc1(x))))
+
+
+class TestParams:
+    def test_named_parameters(self):
+        nn.manual_seed(0)
+        m = TwoLayer()
+        names = set(dict(m.named_parameters()))
+        assert names == {'fc1.weight', 'fc1.bias', 'fc2.weight', 'fc2.bias'}
+
+    def test_state_dict_roundtrip(self):
+        nn.manual_seed(0)
+        m1 = TwoLayer()
+        nn.manual_seed(99)
+        m2 = TwoLayer()
+        sd = nn.state_dict(m1)
+        nn.load_state_dict(m2, sd)
+        x = jnp.ones((2, 4))
+        np.testing.assert_allclose(np.asarray(m1(x)), np.asarray(m2(x)), atol=1e-7)
+
+    def test_strict_load_errors(self):
+        nn.manual_seed(0)
+        m = TwoLayer()
+        with pytest.raises(KeyError):
+            nn.load_state_dict(m, {'bogus': np.zeros(3)})
+
+    def test_manual_seed_reproducible(self):
+        nn.manual_seed(42)
+        m1 = TwoLayer()
+        nn.manual_seed(42)
+        m2 = TwoLayer()
+        np.testing.assert_array_equal(nn.state_dict(m1)['fc1.weight'],
+                                      nn.state_dict(m2)['fc1.weight'])
+
+    def test_torch_like_init_range(self):
+        nn.manual_seed(0)
+        lin = nn.Linear(100, 50)
+        w = np.asarray(lin.weight.value)
+        assert np.abs(w).max() <= 0.1 + 1e-6  # 1/sqrt(100)
+
+
+class TestBind:
+    def test_bind_installs_and_restores(self):
+        nn.manual_seed(0)
+        m = TwoLayer()
+        orig = nn.parameters(m)
+        zeros = {k: jnp.zeros_like(v) for k, v in orig.items()}
+        x = jnp.ones((1, 4))
+        with nn.bind(m, zeros):
+            out = m(x)
+        np.testing.assert_allclose(np.asarray(out), 0.)
+        # Restored after exit.
+        np.testing.assert_allclose(np.asarray(m(x)), np.asarray(
+            m.fc2(m.act(m.fc1(x)))), atol=1e-7)
+
+    def test_grad_through_bind(self):
+        nn.manual_seed(0)
+        m = TwoLayer()
+        params = nn.parameters(m)
+        x = jnp.ones((2, 4))
+
+        def loss_fn(p):
+            with nn.bind(m, p):
+                return jnp.sum(m(x) ** 2)
+
+        grads = jax.grad(loss_fn)(params)
+        assert set(grads) == set(params)
+        assert all(np.isfinite(np.asarray(g)).all() for g in grads.values())
+        assert float(jnp.abs(grads['fc1.weight']).sum()) > 0
+
+
+class TestDropoutRng:
+    def test_dropout_off_outside_training(self):
+        nn.manual_seed(0)
+        m = TwoLayer()
+        x = jnp.ones((2, 4))
+        out1 = m(x)
+        out2 = m(x)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def test_dropout_on_in_training(self):
+        nn.manual_seed(0)
+        drop = nn.Dropout(0.5)
+        x = jnp.ones((4, 100))
+        with nn.bind(drop, rng=jax.random.PRNGKey(0), train=True):
+            out = np.asarray(drop(x))
+        assert (out == 0).sum() > 100  # roughly half dropped
+        assert np.allclose(out[out != 0], 2.0)  # inverted scaling
+
+    def test_rng_deterministic_per_key(self):
+        drop = nn.Dropout(0.5)
+        x = jnp.ones((4, 100))
+        with nn.bind(drop, rng=jax.random.PRNGKey(7), train=True):
+            a = np.asarray(drop(x))
+        with nn.bind(drop, rng=jax.random.PRNGKey(7), train=True):
+            b = np.asarray(drop(x))
+        np.testing.assert_array_equal(a, b)
+
+    def test_next_rng_requires_context(self):
+        with pytest.raises(RuntimeError, match='No RNG bound'):
+            nn.next_rng()
+
+
+class TestEMA:
+    def test_ema_update_formula(self):
+        shadow = {'w': jnp.ones((2,)) * 2.0}
+        current = {'w': jnp.zeros((2,))}
+        out = nn.ema_update(shadow, current, decay=0.9)
+        np.testing.assert_allclose(np.asarray(out['w']), 1.8)
+
+    def test_ema_object_api(self):
+        nn.manual_seed(0)
+        m1 = TwoLayer()
+        nn.manual_seed(0)
+        m2 = TwoLayer()  # identical start
+        ema = nn.ExponentialMovingAverage(m2, decay=0.5)
+        # Perturb m1 and update.
+        nn.load_parameters(m1, {k: v + 1.0 for k, v in nn.parameters(m1).items()})
+        ema.update_params(m1)
+        w_ema = nn.parameters(m2)['fc1.weight']
+        w_m1 = nn.parameters(m1)['fc1.weight']
+        np.testing.assert_allclose(np.asarray(w_ema), np.asarray(w_m1) - 0.5, atol=1e-6)

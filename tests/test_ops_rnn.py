@@ -1,0 +1,99 @@
+"""RNN parity tests: the masked-scan LSTM/GRU must match torch's cuDNN-style
+cells bit-for-bit (within float32 tolerance) when loaded with the same
+weights, including pack/unpack semantics at sequence tails."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+from morgana_tpu import nn
+from morgana_tpu.ops import rnn as rnn_ops
+
+
+def _copy_torch_rnn_weights(torch_rnn, layer=0):
+    w_ih = torch_rnn.weight_ih_l0.detach().numpy().T  # (in, gates*H)
+    w_hh = torch_rnn.weight_hh_l0.detach().numpy().T
+    b_ih = torch_rnn.bias_ih_l0.detach().numpy()
+    b_hh = torch_rnn.bias_hh_l0.detach().numpy()
+    return w_ih, w_hh, b_ih, b_hh
+
+
+@pytest.mark.parametrize('mode', ['lstm', 'gru'])
+def test_cell_matches_torch_full_length(mode, rng):
+    torch.manual_seed(7)
+    batch, time, in_dim, hidden = 3, 11, 5, 8
+    x = rng.normal(size=(batch, time, in_dim)).astype(np.float32)
+
+    t_rnn = (torch.nn.LSTM if mode == 'lstm' else torch.nn.GRU)(
+        in_dim, hidden, batch_first=True)
+    with torch.no_grad():
+        t_out, t_hidden = t_rnn(torch.tensor(x))
+    w_ih, w_hh, b_ih, b_hh = _copy_torch_rnn_weights(t_rnn)
+
+    fn = rnn_ops.lstm if mode == 'lstm' else rnn_ops.gru
+    j_out, j_hidden = fn(jnp.array(x), jnp.array(w_ih), jnp.array(w_hh),
+                         jnp.array(b_ih), jnp.array(b_hh))
+
+    np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(), atol=2e-5)
+    if mode == 'lstm':
+        np.testing.assert_allclose(np.asarray(j_hidden[0]), t_hidden[0][0].numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(j_hidden[1]), t_hidden[1][0].numpy(), atol=2e-5)
+    else:
+        np.testing.assert_allclose(np.asarray(j_hidden), t_hidden[0].numpy(), atol=2e-5)
+
+
+@pytest.mark.parametrize('mode', ['lstm', 'gru'])
+def test_masked_matches_torch_packed(mode, rng):
+    """Variable-length semantics must equal torch pack/unpack: zero outputs at
+    padding, final hidden at each sequence's end."""
+    torch.manual_seed(3)
+    batch, time, in_dim, hidden = 4, 9, 6, 5
+    x = rng.normal(size=(batch, time, in_dim)).astype(np.float32)
+    seq_len = np.array([9, 5, 1, 7])
+
+    t_rnn = (torch.nn.LSTM if mode == 'lstm' else torch.nn.GRU)(
+        in_dim, hidden, batch_first=True)
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(x), torch.tensor(seq_len), batch_first=True, enforce_sorted=False)
+    with torch.no_grad():
+        packed_out, t_hidden = t_rnn(packed)
+    t_out, _ = torch.nn.utils.rnn.pad_packed_sequence(
+        packed_out, batch_first=True, total_length=time)
+
+    w_ih, w_hh, b_ih, b_hh = _copy_torch_rnn_weights(t_rnn)
+    fn = rnn_ops.lstm if mode == 'lstm' else rnn_ops.gru
+    j_out, j_hidden = fn(jnp.array(x), jnp.array(w_ih), jnp.array(w_hh),
+                         jnp.array(b_ih), jnp.array(b_hh), seq_len=jnp.array(seq_len))
+
+    np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(), atol=2e-5)
+    h_final = t_hidden[0][0].numpy() if mode == 'lstm' else t_hidden[0].numpy()
+    j_h = np.asarray(j_hidden[0] if mode == 'lstm' else j_hidden)
+    np.testing.assert_allclose(j_h, h_final, atol=2e-5)
+
+
+def test_recurrent_module_stack(rng):
+    """Stacked Recurrent module runs and masks correctly."""
+    nn.manual_seed(11)
+    rec = nn.Recurrent('lstm', 4, 6, num_layers=2)
+    x = jnp.array(rng.normal(size=(2, 7, 4)).astype(np.float32))
+    y, hidden = rec(x, seq_len=jnp.array([7, 3]))
+    assert y.shape == (2, 7, 6)
+    np.testing.assert_allclose(np.asarray(y)[1, 3:], 0.)
+    assert len(hidden) == 2  # per-layer states
+
+    # Single-timestep (2-d) input path.
+    y1, _ = rec(x[:, 0])
+    assert y1.shape == (2, 6)
+
+
+def test_sequential_with_recurrent_threads_seq_len(rng):
+    nn.manual_seed(5)
+    net = nn.SequentialWithRecurrent(
+        nn.Linear(4, 8), nn.Sigmoid(), nn.Recurrent('gru', 8, 8), nn.Linear(8, 2))
+    x = jnp.array(rng.normal(size=(2, 5, 4)).astype(np.float32))
+    out = net(x, seq_len=jnp.array([5, 2]))
+    assert out.shape == (2, 5, 2)
+
+    names = dict(net.named_parameters())
+    assert '0.weight' in names and '2.w_ih_l0' in names and '3.bias' in names

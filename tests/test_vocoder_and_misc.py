@@ -1,0 +1,140 @@
+"""Vocoder, sampling, utils and viz tests."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morgana_tpu import sampling, utils, vocoder, viz
+from morgana_tpu.vocoder import world
+
+
+class TestVocoder:
+    def test_synthesize_basic(self):
+        fs, frames, bins = 16000, 60, 129
+        f0 = np.full(frames, 150.0)
+        f0[40:] = 0.0  # unvoiced tail
+        sp = np.full((frames, bins), 1e-4)
+        ap = np.full((frames, bins), 0.1)
+        wav = vocoder.synthesize(f0, sp, ap, fs)
+        hop = int(fs * 5.0 / 1000)
+        assert wav.shape == (frames * hop,)
+        assert np.isfinite(wav).all()
+        assert np.abs(wav).max() > 0
+
+    def test_voiced_region_is_periodic(self):
+        fs, frames, bins = 16000, 100, 129
+        f0 = np.full(frames, 100.0)  # period = 160 samples
+        sp = np.full((frames, bins), 1e-2)
+        ap = np.full((frames, bins), 1e-3)  # nearly fully periodic
+        wav = vocoder.synthesize(f0, sp, ap, fs)
+        seg = wav[2000:6000]
+        ac = np.correlate(seg, seg, mode='full')[len(seg) - 1:]
+        period = fs // 100
+        peak = np.argmax(ac[period - 12:period + 12]) + period - 12
+        assert abs(peak - period) <= 5
+
+    def test_mcep_spectrum_roundtrip(self, rng):
+        frames, order, fft = 5, 24, 512
+        mcep = 0.1 * rng.standard_normal((frames, order + 1))
+        mcep[:, 0] = -2.0
+        sp = world.mcep_to_spectrum(mcep, fft_size=fft, fs=16000)
+        mcep2 = world.spectrum_to_mcep(sp, order=order, fs=16000)
+        np.testing.assert_allclose(mcep2, mcep, atol=1e-3)
+
+    def test_bap_to_aperiodicity_range(self, rng):
+        bap = -np.abs(rng.standard_normal((4, 5)))
+        ap = world.bap_to_aperiodicity(bap, fft_size=256)
+        assert ap.shape == (4, 129)
+        assert (ap > 0).all() and (ap <= 1.0).all()
+
+    def test_synthesize_world_feats(self, rng):
+        frames = 40
+        f0 = np.full(frames, 120.0)
+        vuv = np.ones(frames)
+        mcep = 0.05 * rng.standard_normal((frames, 20))
+        mcep[:, 0] = -3.0
+        bap = -2 + 0.1 * rng.standard_normal((frames, 5))
+        wav = vocoder.synthesize_world_feats(f0, vuv, mcep, bap, 16000, fft_size=256)
+        assert np.isfinite(wav).all() and wav.size == frames * 80
+
+    def test_smooth_f0(self):
+        f0 = np.full(50, 100.0)
+        f0[25] = 200.0  # outlier
+        sm = vocoder.smooth_f0(f0)
+        assert sm[25] < 150.0
+
+
+class TestSampling:
+    def test_sphere_radius(self):
+        centre = jnp.zeros(8)
+        sampler = sampling.UniformSphereSurfaceSampler(centre, radius=3.0)
+        pts = sampler.rsample((100,), key=jax.random.PRNGKey(0))
+        radii = np.linalg.norm(np.asarray(pts), axis=-1)
+        np.testing.assert_allclose(radii, 3.0, atol=1e-5)
+
+    def test_sphere_offset_centre(self):
+        centre = jnp.ones(4) * 2.0
+        sampler = sampling.UniformSphereSurfaceSampler(centre, radius=1.0)
+        pts = sampler.rsample((200,), key=jax.random.PRNGKey(1))
+        radii = np.linalg.norm(np.asarray(pts) - 2.0, axis=-1)
+        np.testing.assert_allclose(radii, 1.0, atol=1e-5)
+
+    def test_ellipsoid_on_surface(self):
+        radii = jnp.array([1.0, 2.0, 3.0])
+        sampler = sampling.UniformEllipsoidSurfaceApproximateSampler(jnp.zeros(3), radii)
+        pts = np.asarray(sampler.rsample((200,), key=jax.random.PRNGKey(2)))
+        # On-ellipsoid: sum((x/r)^2) == 1.
+        vals = ((pts / np.asarray(radii)) ** 2).sum(-1)
+        np.testing.assert_allclose(vals, 1.0, atol=1e-5)
+
+
+class TestUtils:
+    def test_listify(self):
+        assert utils.listify(3) == [3]
+        assert utils.listify([3]) == [3]
+
+    def test_epoch_from_checkpoint_path(self):
+        assert utils.get_epoch_from_checkpoint_path('experiments/x/checkpoints/epoch_12.npz') == 12
+        assert utils.get_epoch_from_checkpoint_path('a/checkpoints/epoch_5_ema.pt') == 5
+        assert utils.get_epoch_from_checkpoint_path('nonsense') == 0
+
+    def test_detach_batched_seqs(self, rng):
+        x = jnp.array(rng.normal(size=(2, 5, 1)).astype(np.float32))
+        out = utils.detach_batched_seqs(x, seq_len=np.array([5, 2]))
+        assert isinstance(out, list) and out[0].shape == (5,) and out[1].shape == (2,)
+
+    def test_map_nested(self):
+        data = {'a': np.ones(2), 'b': [np.zeros(1), {'c': np.ones(3)}]}
+        out = utils.map_nested(lambda x: x + 1, data)
+        np.testing.assert_array_equal(out['a'], [2, 2])
+        np.testing.assert_array_equal(out['b'][1]['c'], [2, 2, 2])
+
+    def test_format_float_tensor(self):
+        assert utils.format_float_tensor(1.23456) == '1.23'
+        assert utils.format_float_tensor(np.array([1., 2., 3.])) == '[1, 2, 3]'
+        s = utils.format_float_tensor(np.arange(10.))
+        assert s.startswith('[0, 1') and '...' in s
+
+
+class TestVizIO:
+    def test_save_batched_seqs(self, tmp_path, rng):
+        feats = {'lf0': jnp.array(rng.normal(size=(2, 6, 1)).astype(np.float32)),
+                 'mcep': jnp.array(rng.normal(size=(2, 6, 4)).astype(np.float32))}
+        viz.save_batched_seqs(feats, ['utt_a', 'utt_b'], str(tmp_path),
+                              seq_len=np.array([6, 3]))
+        a = np.load(tmp_path / 'feats' / 'mcep' / 'utt_b.npy')
+        assert a.shape == (3, 4)
+        assert os.path.isfile(tmp_path / 'feats' / 'lf0' / 'utt_a.npy')
+
+    def test_plot_experiment(self, tmp_path):
+        from morgana_tpu.data import file_io
+        base = tmp_path / 'experiments'
+        for mode in ('train', 'valid'):
+            for epoch, val in [(1, 1.0), (2, 0.5)]:
+                file_io.save_json({'loss': val},
+                                  str(base / 'exp1' / mode / f'epoch_{epoch}' / 'metrics.json'))
+        res = viz.plotting.load_experiment_results('exp1', 'loss', 'train', str(base))
+        assert list(res['loss'].items()) == [(1, 1.0), (2, 0.5)]
+        viz.plotting.plot_experiment('exp1', ['loss'], str(base), save=True)
+        assert os.path.isfile(base / 'exp1' / 'metrics.pdf')
