@@ -77,7 +77,7 @@ def bench_tpu():
     jax.block_until_ready(loss)
     elapsed = time.perf_counter() - t0
 
-    fps = MEASURE_STEPS * frames_per_batch / elapsed
+    fps = float(MEASURE_STEPS * frames_per_batch / elapsed)
     return fps, float(loss)
 
 
@@ -151,7 +151,7 @@ def bench_torch_baseline(measure_steps=2):
     for _ in range(measure_steps):
         step()
     elapsed = time.perf_counter() - t0
-    return measure_steps * frames_per_batch / elapsed
+    return float(measure_steps * frames_per_batch / elapsed)
 
 
 def get_baseline():
@@ -159,10 +159,12 @@ def get_baseline():
         with open(BASELINE_FILE) as f:
             return json.load(f)['frames_per_sec']
     fps = bench_torch_baseline()
-    with open(BASELINE_FILE, 'w') as f:
-        json.dump({'frames_per_sec': fps,
+    tmp = BASELINE_FILE + '.tmp'
+    with open(tmp, 'w') as f:
+        json.dump({'frames_per_sec': float(fps),
                    'config': 'RNN_SPSS torch CPU, batch 32 x 640 frames, '
                              'incl. host MLPG per batch'}, f, indent=2)
+    os.replace(tmp, BASELINE_FILE)
     return fps
 
 
