@@ -115,11 +115,17 @@ def collate(batch, bucket=True):
             max_len = max(v.shape[0] for v in values)
             if bucket:
                 max_len = bucket_size(max_len)
-            feat_dim = first.shape[-1]
-            out = np.zeros((batch_size, max_len, feat_dim), dtype=first.dtype)
-            for i, v in enumerate(values):
-                out[i, :v.shape[0]] = v
-            batched[key] = out
+            if first.dtype == np.float32:
+                # Parallel native pad-copy when libbatch_io.so is built.
+                from morgana_tpu.data import native_io
+                batched[key] = native_io.pad_collate(
+                    [np.ascontiguousarray(v) for v in values], max_len)
+            else:
+                feat_dim = first.shape[-1]
+                out = np.zeros((batch_size, max_len, feat_dim), dtype=first.dtype)
+                for i, v in enumerate(values):
+                    out[i, :v.shape[0]] = v
+                batched[key] = out
 
         elif isinstance(first, np.ndarray):
             batched[key] = np.stack([np.asarray(v) for v in values])

@@ -169,6 +169,10 @@ class ExperimentBuilder(object):
                             help='Batches between progress-bar metric refreshes (higher avoids device syncs).')
         parser.add_argument('--profile_dir', dest='profile_dir', action='store', type=str, default=None,
                             help='If set, capture a jax.profiler trace of the first training epoch here.')
+        parser.add_argument('--compute_dtype', dest='compute_dtype', action='store', type=str,
+                            default='float32',
+                            help="Matmul compute dtype: 'float32' (default) or 'bfloat16' "
+                                 '(bf16 MXU matmuls with f32 accumulation and state).')
 
     def __init__(self, model_class, experiment_name, **kwargs):
         self.model_class = model_class
@@ -215,6 +219,8 @@ class ExperimentBuilder(object):
         self.data_parallel = kwargs.get('data_parallel', False)
         self.log_interval = kwargs.get('log_interval', 1)
         self.profile_dir = kwargs.get('profile_dir')
+        self.compute_dtype = kwargs.get('compute_dtype', 'float32')
+        nn.set_default_compute_dtype(self.compute_dtype)
 
         #
         # Add/modify settings and attributes.

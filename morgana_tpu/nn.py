@@ -35,6 +35,7 @@ from morgana_tpu.ops import rnn as rnn_ops
 
 __all__ = [
     'Param', 'Module', 'ModuleList', 'Linear', 'Dropout', 'Embedding',
+    'set_default_compute_dtype', 'default_compute_dtype',
     'Recurrent', 'SequentialWithRecurrent', 'Sigmoid', 'Tanh', 'ReLU',
     'manual_seed', 'parameters', 'named_parameters', 'load_parameters',
     'state_dict', 'load_state_dict', 'bind', 'next_rng', 'is_training',
@@ -46,6 +47,22 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 _INIT_RNG = np.random.default_rng(0)
+
+# Global matmul compute dtype (None = full f32). Set to bfloat16 to run the
+# large matmuls in bf16 on the MXU with f32 accumulation/state.
+_DEFAULT_COMPUTE_DTYPE = None
+
+
+def set_default_compute_dtype(dtype):
+    # Accepts None, 'float32', 'bfloat16' or a dtype object.
+    global _DEFAULT_COMPUTE_DTYPE
+    if isinstance(dtype, str):
+        dtype = None if dtype in ('float32', 'f32', 'none') else jnp.dtype(dtype)
+    _DEFAULT_COMPUTE_DTYPE = dtype
+
+
+def default_compute_dtype():
+    return _DEFAULT_COMPUTE_DTYPE
 
 
 def manual_seed(seed):
@@ -260,7 +277,12 @@ class Linear(Module):
         self.bias = Param(_uniform((out_features,), bound)) if bias else None
 
     def forward(self, x):
-        y = x @ self.weight.value
+        w = self.weight.value
+        cd = _DEFAULT_COMPUTE_DTYPE
+        if cd is not None:
+            y = jnp.dot(x.astype(cd), w.astype(cd), preferred_element_type=x.dtype)
+        else:
+            y = x @ w
         if self.bias is not None:
             y = y + self.bias.value
         return y
@@ -326,7 +348,8 @@ class Recurrent(Module):
     so parity tests can load torch RNN weights with a transpose.
     """
 
-    def __init__(self, mode, input_size, hidden_size, num_layers=1, dropout=0.0, unroll=8):
+    def __init__(self, mode, input_size, hidden_size, num_layers=1, dropout=0.0,
+                 unroll=8, compute_dtype=None):
         mode = mode.lower()
         if mode not in ('lstm', 'gru'):
             raise ValueError(f'Unsupported recurrent mode {mode!r}')
@@ -336,6 +359,7 @@ class Recurrent(Module):
         self.num_layers = num_layers
         self.dropout = Dropout(dropout) if dropout else None
         self.unroll = unroll
+        self.compute_dtype = compute_dtype
 
         gates = 4 if mode == 'lstm' else 3
         bound = 1.0 / math.sqrt(hidden_size)
@@ -367,6 +391,10 @@ class Recurrent(Module):
         elif self.num_layers == 1 and not isinstance(hidden, list):
             hidden = [hidden]
 
+        compute_dtype = self.compute_dtype
+        if compute_dtype is None:
+            compute_dtype = _DEFAULT_COMPUTE_DTYPE
+
         x = inputs
         new_hidden = []
         for i, layer in enumerate(self.layers):
@@ -376,13 +404,15 @@ class Recurrent(Module):
                 x, hc = rnn_ops.lstm(
                     x, layer['w_ih'].value, layer['w_hh'].value,
                     layer['b_ih'].value, layer['b_hh'].value,
-                    seq_len=seq_len, h0=h0c0[0], c0=h0c0[1], unroll=self.unroll)
+                    seq_len=seq_len, h0=h0c0[0], c0=h0c0[1], unroll=self.unroll,
+                    compute_dtype=compute_dtype)
                 new_hidden.append(hc)
             else:
                 x, h = rnn_ops.gru(
                     x, layer['w_ih'].value, layer['w_hh'].value,
                     layer['b_ih'].value, layer['b_hh'].value,
-                    seq_len=seq_len, h0=h0, unroll=self.unroll)
+                    seq_len=seq_len, h0=h0, unroll=self.unroll,
+                    compute_dtype=compute_dtype)
                 new_hidden.append(h)
             if self.dropout is not None and i < self.num_layers - 1:
                 x = self.dropout(x)

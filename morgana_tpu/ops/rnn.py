@@ -34,7 +34,14 @@ def _step_mask(seq_len, num_frames, batch_size, dtype):
     return (t[:, None] < seq_len[None, :]).astype(dtype)[:, :, None]
 
 
-def lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None, unroll=8):
+def _cast_for_matmul(x, w, compute_dtype):
+    if compute_dtype is None:
+        return x, w
+    return x.astype(compute_dtype), w.astype(compute_dtype)
+
+
+def lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None, unroll=8,
+         compute_dtype=None):
     r"""Single-layer LSTM over a padded batch.
 
     Parameters
@@ -56,9 +63,14 @@ def lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None, unroll=8):
     dtype = x.dtype
 
     # One big MXU matmul for all timesteps; both biases fold in here for LSTM.
-    xg = x @ w_ih + (b_ih + b_hh)
+    # With a bf16 compute_dtype the matmuls run on the MXU in bf16 with f32
+    # accumulation (halves HBM traffic for the weights); the gate math and
+    # the carried state stay f32.
+    x_c, w_ih_c = _cast_for_matmul(x, w_ih, compute_dtype)
+    xg = jnp.dot(x_c, w_ih_c, preferred_element_type=dtype) + (b_ih + b_hh)
     xg = _time_major(xg)                       # (T, B, 4H)
     mask = _step_mask(seq_len, time, batch, dtype)
+    w_hh_c = w_hh if compute_dtype is None else w_hh.astype(compute_dtype)
 
     h = jnp.zeros((batch, hidden), dtype) if h0 is None else h0.astype(dtype)
     c = jnp.zeros((batch, hidden), dtype) if c0 is None else c0.astype(dtype)
@@ -66,7 +78,8 @@ def lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None, unroll=8):
     def body(carry, inp):
         h, c = carry
         xg_t, m = inp
-        gates = xg_t + h @ w_hh
+        h_c = h if compute_dtype is None else h.astype(compute_dtype)
+        gates = xg_t + jnp.dot(h_c, w_hh_c, preferred_element_type=dtype)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
@@ -81,7 +94,8 @@ def lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None, unroll=8):
     return _time_major(ys), (h, c)
 
 
-def gru(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, unroll=8):
+def gru(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, unroll=8,
+        compute_dtype=None):
     r"""Single-layer GRU over a padded batch (torch gate formulation).
 
     ``r = sigmoid(x W_ir + b_ir + h W_hr + b_hr)``,
@@ -95,15 +109,18 @@ def gru(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, unroll=8):
     hidden = w_hh.shape[0]
     dtype = x.dtype
 
-    xg = x @ w_ih + b_ih
+    x_c, w_ih_c = _cast_for_matmul(x, w_ih, compute_dtype)
+    xg = jnp.dot(x_c, w_ih_c, preferred_element_type=dtype) + b_ih
     xg = _time_major(xg)                       # (T, B, 3H)
     mask = _step_mask(seq_len, time, batch, dtype)
+    w_hh_c = w_hh if compute_dtype is None else w_hh.astype(compute_dtype)
 
     h = jnp.zeros((batch, hidden), dtype) if h0 is None else h0.astype(dtype)
 
     def body(h, inp):
         xg_t, m = inp
-        hg = h @ w_hh + b_hh
+        h_c = h if compute_dtype is None else h.astype(compute_dtype)
+        hg = jnp.dot(h_c, w_hh_c, preferred_element_type=dtype) + b_hh
         xr, xz, xn = jnp.split(xg_t, 3, axis=-1)
         hr, hz, hn = jnp.split(hg, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
