@@ -349,10 +349,14 @@ class Recurrent(Module):
     """
 
     def __init__(self, mode, input_size, hidden_size, num_layers=1, dropout=0.0,
-                 unroll=8, compute_dtype=None):
+                 unroll=8, compute_dtype=None, backend='scan', interpret=False):
         mode = mode.lower()
         if mode not in ('lstm', 'gru'):
             raise ValueError(f'Unsupported recurrent mode {mode!r}')
+        if backend not in ('scan', 'pallas'):
+            raise ValueError(f'Unsupported backend {backend!r}')
+        if backend == 'pallas' and mode != 'lstm':
+            raise ValueError('backend=pallas currently supports LSTM only')
         self.mode = mode
         self.input_size = input_size
         self.hidden_size = hidden_size
@@ -360,6 +364,8 @@ class Recurrent(Module):
         self.dropout = Dropout(dropout) if dropout else None
         self.unroll = unroll
         self.compute_dtype = compute_dtype
+        self.backend = backend
+        self.interpret = interpret
 
         gates = 4 if mode == 'lstm' else 3
         bound = 1.0 / math.sqrt(hidden_size)
@@ -401,11 +407,19 @@ class Recurrent(Module):
             h0 = hidden[i]
             if self.mode == 'lstm':
                 h0c0 = (None, None) if h0 is None else h0
-                x, hc = rnn_ops.lstm(
-                    x, layer['w_ih'].value, layer['w_hh'].value,
-                    layer['b_ih'].value, layer['b_hh'].value,
-                    seq_len=seq_len, h0=h0c0[0], c0=h0c0[1], unroll=self.unroll,
-                    compute_dtype=compute_dtype)
+                if self.backend == 'pallas':
+                    from morgana_tpu.ops.pallas_rnn import lstm_layer
+                    x, hc = lstm_layer(
+                        x, layer['w_ih'].value, layer['w_hh'].value,
+                        layer['b_ih'].value, layer['b_hh'].value,
+                        seq_len=seq_len, h0=h0c0[0], c0=h0c0[1],
+                        interpret=self.interpret)
+                else:
+                    x, hc = rnn_ops.lstm(
+                        x, layer['w_ih'].value, layer['w_hh'].value,
+                        layer['b_ih'].value, layer['b_hh'].value,
+                        seq_len=seq_len, h0=h0c0[0], c0=h0c0[1], unroll=self.unroll,
+                        compute_dtype=compute_dtype)
                 new_hidden.append(hc)
             else:
                 x, h = rnn_ops.gru(

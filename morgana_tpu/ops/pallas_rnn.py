@@ -1,0 +1,282 @@
+"""Fused Pallas LSTM layer kernel — the persistent-RNN pattern on TPU.
+
+The ``lax.scan`` LSTM (:mod:`morgana_tpu.ops.rnn`) relies on XLA to keep the
+recurrent weights resident; this kernel makes the speed-of-light structure
+explicit: the whole layer runs as ONE kernel whose sequential grid walks time
+chunks while
+
+* ``w_hh`` (H, 4H) is a constant-index block — fetched into VMEM once and
+  reused for every timestep (the HBM-bandwidth term that dominates small-batch
+  RNNs drops from O(T) to O(1)),
+* ``h``/``c`` live in VMEM scratch that persists across grid steps,
+* the time-chunked ``xg``/outputs stream through the standard Pallas pipeline
+  (double-buffered DMA overlapping the MXU matmuls).
+
+The backward pass is the same structure run in reverse (reverse-indexed grid)
+with gate recomputation from the saved per-step states — trading one extra
+(B, H) x (H, 4H) matmul per step for not storing gates. The kernel emits the
+per-step ``dgates`` (= ``dxg``); the weight gradient
+``dW_hh = sum_t h_{t-1}^T dgates_t`` then falls out as ONE large MXU matmul
+over the whole sequence outside the kernel (keeping the kernel's VMEM budget
+to the streamed blocks + resident ``w_hh``). Gradients w.r.t. the final
+(h, c) state enter as the initial backward carries, so the VJP is exact.
+
+Semantics note: this fast path carries state through padded frames (valid
+positions are unaffected — the recurrence is causal); outputs are masked with
+``seq_len``. The masked ``lax.scan`` path remains the reference-semantics
+default (pack/unpack-identical final states); this kernel is opt-in via
+``nn.Recurrent(..., backend='pallas')``.
+
+The time dimension must be divisible by the chosen chunk; the chunk is picked
+as the largest divisor of T up to ``TIME_CHUNK`` (length-bucketed batches are
+multiples of 16, giving full-size chunks).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['lstm_layer', 'TIME_CHUNK', 'BWD_TIME_CHUNK']
+
+# Chunk sizes are VMEM-budget driven (v5e scoped VMEM is 16 MB): forward
+# streams xg (chunk, B, 4H) double-buffered next to the resident (H, 4H)
+# weights; backward streams four state blocks as well, so it uses a smaller
+# chunk.
+TIME_CHUNK = 8
+BWD_TIME_CHUNK = 4
+
+
+def _pick_chunk(time, limit):
+    for c in range(min(limit, time), 0, -1):
+        if time % c == 0:
+            return c
+    return 1
+
+
+def _gate_slices(gates, hidden):
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+    return i, f, g, o
+
+
+def _lstm_fwd_kernel(xg_ref, w_hh_ref, h0_ref, c0_ref, y_ref, c_all_ref,
+                     hn_ref, cn_ref, h_s, c_s):
+    chunk = xg_ref.shape[0]
+    hidden = h_s.shape[-1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    def step(k, _):
+        h, c = h_s[:], c_s[:]
+        gates = xg_ref[k] + jnp.dot(h, w_hh_ref[:], preferred_element_type=jnp.float32)
+        i, f, g, o = _gate_slices(gates, hidden)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        y_ref[k] = h_new
+        c_all_ref[k] = c_new
+        h_s[:] = h_new
+        c_s[:] = c_new
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0, unroll=True)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        hn_ref[:] = h_s[:]
+        cn_ref[:] = c_s[:]
+
+
+def _lstm_bwd_kernel(xg_ref, w_hh_ref, h_prev_ref, c_prev_ref, c_all_ref,
+                     dy_ref, dhn_ref, dcn_ref,
+                     dxg_ref, dh0_ref, dc0_ref,
+                     dh_s, dc_s):
+    """Reverse-time chunk: recompute gates, backprop through the cell."""
+    chunk = xg_ref.shape[0]
+    hidden = dh_s.shape[-1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        # Gradients w.r.t. the layer's final (h, c) enter as initial carries.
+        dh_s[:] = dhn_ref[:]
+        dc_s[:] = dcn_ref[:]
+
+    def step(j, _):
+        k = chunk - 1 - j
+        h_prev = h_prev_ref[k]
+        c_prev = c_prev_ref[k]
+        c_t = c_all_ref[k]
+
+        gates = xg_ref[k] + jnp.dot(h_prev, w_hh_ref[:],
+                                    preferred_element_type=jnp.float32)
+        i, f, g, o = _gate_slices(gates, hidden)
+
+        tanh_c = jnp.tanh(c_t)
+        dh_total = dy_ref[k] + dh_s[:]
+        do = dh_total * tanh_c
+        dct = dh_total * o * (1.0 - tanh_c * tanh_c) + dc_s[:]
+
+        da_i = dct * g * i * (1.0 - i)
+        da_f = dct * c_prev * f * (1.0 - f)
+        da_g = dct * i * (1.0 - g * g)
+        da_o = do * o * (1.0 - o)
+        dgates = jnp.concatenate([da_i, da_f, da_g, da_o], axis=-1)  # (B, 4H)
+
+        dxg_ref[k] = dgates
+        # dh_{t-1} = dgates @ w_hh^T without materialising the transpose.
+        dh_s[:] = jax.lax.dot_general(
+            dgates, w_hh_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dc_s[:] = dct * f
+        return 0
+
+    jax.lax.fori_loop(0, chunk, step, 0, unroll=True)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        dh0_ref[:] = dh_s[:]
+        dc0_ref[:] = dc_s[:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _lstm_layer_core(xg, w_hh, h0, c0, interpret):
+    y, c_all, hn, cn = _fwd_call(xg, w_hh, h0, c0, interpret)
+    return y, hn, cn
+
+
+def _fwd_call(xg, w_hh, h0, c0, interpret):
+    time, batch, gates4 = xg.shape
+    hidden = gates4 // 4
+    chunk = _pick_chunk(time, TIME_CHUNK)
+    grid = time // chunk
+
+    time_block = lambda i: (i, 0, 0)
+    const2 = lambda i: (0, 0)
+
+    y, c_all, hn, cn = pl.pallas_call(
+        _lstm_fwd_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((chunk, batch, gates4), time_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, gates4), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, batch, hidden), time_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, hidden), time_block, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((time, batch, hidden), xg.dtype),
+            jax.ShapeDtypeStruct((time, batch, hidden), xg.dtype),
+            jax.ShapeDtypeStruct((batch, hidden), xg.dtype),
+            jax.ShapeDtypeStruct((batch, hidden), xg.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden), jnp.float32),
+            pltpu.VMEM((batch, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xg, w_hh, h0, c0)
+    return y, c_all, hn, cn
+
+
+def _core_fwd(xg, w_hh, h0, c0, interpret):
+    y, c_all, hn, cn = _fwd_call(xg, w_hh, h0, c0, interpret)
+    return (y, hn, cn), (xg, w_hh, h0, c0, y, c_all)
+
+
+def _core_bwd(interpret, residuals, grads):
+    xg, w_hh, h0, c0, y, c_all = residuals
+    dy, dhn, dcn = grads
+
+    time, batch, gates4 = xg.shape
+    hidden = gates4 // 4
+    chunk = _pick_chunk(time, BWD_TIME_CHUNK)
+    grid = time // chunk
+
+    # Previous-step states: h_{t-1} = y[t-1] (h0 at t=0), same for c.
+    h_prev = jnp.concatenate([h0[None], y[:-1]], axis=0)
+    c_prev = jnp.concatenate([c0[None], c_all[:-1]], axis=0)
+
+    rev = lambda i: (grid - 1 - i, 0, 0)
+    const2 = lambda i: (0, 0)
+
+    dxg, dh0, dc0 = pl.pallas_call(
+        _lstm_bwd_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((chunk, batch, gates4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, gates4), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, batch, gates4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((time, batch, gates4), xg.dtype),
+            jax.ShapeDtypeStruct((batch, hidden), xg.dtype),
+            jax.ShapeDtypeStruct((batch, hidden), xg.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden), jnp.float32),
+            pltpu.VMEM((batch, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xg, w_hh, h_prev, c_prev, c_all, dy, dhn, dcn)
+
+    # dW_hh = sum_t h_{t-1}^T dgates_t: one large MXU matmul outside the
+    # kernel over the flattened (T*B) dimension.
+    dw_hh = jax.lax.dot_general(
+        h_prev.reshape(time * batch, hidden), dxg.reshape(time * batch, gates4),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    return dxg, dw_hh, dh0, dc0
+
+
+_lstm_layer_core.defvjp(_core_fwd, _core_bwd)
+
+
+def lstm_layer(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None,
+               interpret=False):
+    r"""Fused-Pallas single-layer LSTM over a padded batch.
+
+    Same interface as :func:`morgana_tpu.ops.rnn.lstm`. Outputs at padded
+    positions are zeroed via ``seq_len`` masking; the returned final state is
+    the state at the last *frame* (not at ``seq_len`` — use the scan path if
+    pack/unpack final-state semantics are required).
+    """
+    batch, time, _ = x.shape
+    hidden = w_hh.shape[0]
+    dtype = x.dtype
+
+    xg = x @ w_ih + (b_ih + b_hh)               # one big MXU matmul
+    xg = jnp.swapaxes(xg, 0, 1)                 # (T, B, 4H)
+
+    h0 = jnp.zeros((batch, hidden), dtype) if h0 is None else h0
+    c0 = jnp.zeros((batch, hidden), dtype) if c0 is None else c0
+
+    y, hn, cn = _lstm_layer_core(xg, w_hh, h0, c0, interpret)
+    y = jnp.swapaxes(y, 0, 1)                   # (B, T, H)
+
+    if seq_len is not None:
+        t = jnp.arange(time, dtype=jnp.asarray(seq_len).dtype)
+        mask = (t[None, :] < jnp.asarray(seq_len).reshape(batch)[:, None])
+        y = y * mask[:, :, None].astype(dtype)
+    return y, (hn, cn)

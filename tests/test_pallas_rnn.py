@@ -1,0 +1,83 @@
+"""Fused Pallas LSTM layer: forward and VJP parity vs the scan path
+(interpret mode on CPU; the compiled path is exercised on TPU by bench)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from morgana_tpu.ops import rnn as rnn_ops
+from morgana_tpu.ops.pallas_rnn import lstm_layer, _pick_chunk
+
+
+def _weights(rng, in_dim, hidden):
+    return (jnp.array(rng.normal(size=(in_dim, 4 * hidden)).astype(np.float32)) * 0.1,
+            jnp.array(rng.normal(size=(hidden, 4 * hidden)).astype(np.float32)) * 0.1,
+            jnp.array(rng.normal(size=(4 * hidden,)).astype(np.float32)) * 0.1,
+            jnp.array(rng.normal(size=(4 * hidden,)).astype(np.float32)) * 0.1)
+
+
+class TestPallasLSTM:
+    def test_forward_matches_scan(self, rng):
+        B, T, I, H = 4, 32, 8, 128
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        w_ih, w_hh, b_ih, b_hh = _weights(rng, I, H)
+
+        y_ref, (h_ref, c_ref) = rnn_ops.lstm(x, w_ih, w_hh, b_ih, b_hh)
+        y_pl, (h_pl, c_pl) = lstm_layer(x, w_ih, w_hh, b_ih, b_hh, interpret=True)
+
+        np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_pl), np.asarray(c_ref), atol=1e-5)
+
+    def test_vjp_matches_scan(self, rng):
+        B, T, I, H = 4, 32, 8, 128
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        w_ih, w_hh, b_ih, b_hh = _weights(rng, I, H)
+
+        def loss_scan(w_ih, w_hh, b_ih, b_hh, x):
+            y, (h, c) = rnn_ops.lstm(x, w_ih, w_hh, b_ih, b_hh)
+            return jnp.sum(y ** 2) + jnp.sum(h * 0.5) + jnp.sum(c * 0.25)
+
+        def loss_pl(w_ih, w_hh, b_ih, b_hh, x):
+            y, (h, c) = lstm_layer(x, w_ih, w_hh, b_ih, b_hh, interpret=True)
+            return jnp.sum(y ** 2) + jnp.sum(h * 0.5) + jnp.sum(c * 0.25)
+
+        g_ref = jax.grad(loss_scan, argnums=(0, 1, 2, 3, 4))(w_ih, w_hh, b_ih, b_hh, x)
+        g_pl = jax.grad(loss_pl, argnums=(0, 1, 2, 3, 4))(w_ih, w_hh, b_ih, b_hh, x)
+        for a, b in zip(g_ref, g_pl):
+            scale = float(jnp.abs(a).max()) + 1e-9
+            np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                                       atol=2e-5)
+
+    def test_masked_outputs_zeroed(self, rng):
+        B, T, I, H = 3, 16, 8, 128
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        w_ih, w_hh, b_ih, b_hh = _weights(rng, I, H)
+        seq_len = jnp.array([16, 7, 1])
+
+        y_pl, _ = lstm_layer(x, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len, interpret=True)
+        y_ref, _ = rnn_ops.lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len)
+        # Valid positions match the masked scan exactly (causality).
+        np.testing.assert_allclose(np.asarray(y_pl)[1, :7], np.asarray(y_ref)[1, :7],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y_pl)[1, 7:], 0.)
+
+    def test_chunk_picking(self):
+        assert _pick_chunk(640, 8) == 8
+        assert _pick_chunk(16, 16) == 16
+        assert _pick_chunk(30, 16) == 15
+        assert _pick_chunk(7, 8) == 7
+        assert _pick_chunk(13, 8) == 1
+
+
+class TestRecurrentPallasBackend:
+    def test_backend_flag(self, rng):
+        from morgana_tpu import nn
+        nn.manual_seed(0)
+        rec = nn.Recurrent('lstm', 8, 128, backend='pallas', interpret=True)
+        nn.manual_seed(0)
+        ref = nn.Recurrent('lstm', 8, 128)
+        x = jnp.array(rng.normal(size=(2, 16, 8)).astype(np.float32))
+        y_pl, _ = rec(x, seq_len=jnp.array([16, 9]))
+        y_ref, _ = ref(x, seq_len=jnp.array([16, 9]))
+        np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), atol=1e-5)
