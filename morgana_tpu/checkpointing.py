@@ -65,3 +65,52 @@ def save_training_state(path, params, opt_state=None, ema_params=None, step=0, e
 def load_training_state(path):
     with open(path, 'rb') as f:
         return pickle.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Orbax (optional): async, sharding-aware checkpoints for large state
+# ---------------------------------------------------------------------------
+
+_ORBAX_MANAGERS = {}
+
+
+def orbax_available():
+    try:
+        import orbax.checkpoint  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _orbax_manager(directory, async_save=True):
+    import orbax.checkpoint as ocp
+    directory = os.path.abspath(directory)
+    if directory not in _ORBAX_MANAGERS:
+        options = ocp.CheckpointManagerOptions(enable_async_checkpointing=async_save)
+        _ORBAX_MANAGERS[directory] = ocp.CheckpointManager(directory, options=options)
+    return _ORBAX_MANAGERS[directory]
+
+
+def orbax_save(directory, step, state, async_save=True):
+    """Asynchronously saves a (possibly sharded) training-state pytree under
+    ``directory/<step>``. Non-blocking when ``async_save``: the transfer and
+    write overlap with subsequent training steps."""
+    import orbax.checkpoint as ocp
+    manager = _orbax_manager(directory, async_save)
+    manager.save(step, args=ocp.args.StandardSave(state))
+    return directory
+
+
+def orbax_restore(directory, step=None):
+    """Restores a training-state pytree saved by :func:`orbax_save`."""
+    import orbax.checkpoint as ocp
+    manager = _orbax_manager(directory)
+    if step is None:
+        step = manager.latest_step()
+    return manager.restore(step)
+
+
+def orbax_wait(directory):
+    """Blocks until pending async saves for ``directory`` complete."""
+    if os.path.abspath(directory) in _ORBAX_MANAGERS:
+        _ORBAX_MANAGERS[os.path.abspath(directory)].wait_until_finished()

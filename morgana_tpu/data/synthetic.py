@@ -57,8 +57,15 @@ def _utt_features(rng, n_phones_range=(8, 24), dur_range=(3, 12),
 
 def generate_voice_data(data_root, num_train=8, num_valid=4, num_test=2, seed=2468,
                         lab_dim=600, counters_dim=9, mcep_dim=60, bap_dim=5,
-                        sp_bins=513, dur_range=(3, 12), n_phones_range=(8, 24)):
+                        sp_bins=513, dur_range=(3, 12), n_phones_range=(8, 24),
+                        speakers=None):
     r"""Writes a complete synthetic voice dataset under ``data_root``.
+
+    With ``speakers`` (a list of speaker names), utterances are assigned
+    speakers round-robin, a per-utterance ``speaker_id`` text file is written,
+    a ``speakers.scp`` id list is created, and per-speaker normalisation
+    parameter files are fitted (``{speaker}/{name}_mvn.json``), exercising the
+    speaker-dependent normaliser contract.
 
     Returns a dict with the id lists per split.
     """
@@ -68,6 +75,10 @@ def generate_voice_data(data_root, num_train=8, num_valid=4, num_test=2, seed=24
     splits = {'train': num_train, 'valid': num_valid, 'test': num_test}
     id_lists = {}
     train_feats_for_norm = {}
+    per_speaker_feats = {}
+
+    if speakers:
+        file_io.save_lines(speakers, os.path.join(data_root, 'speakers.scp'))
 
     for split, count in splits.items():
         split_dir = os.path.join(data_root, split)
@@ -75,10 +86,21 @@ def generate_voice_data(data_root, num_train=8, num_valid=4, num_test=2, seed=24
         id_lists[split] = ids
         file_io.save_lines(ids, os.path.join(split_dir, f'{split}_file_id_list.scp'))
 
-        for utt_id in ids:
+        for utt_index, utt_id in enumerate(ids):
             feats = _utt_features(rng, n_phones_range=n_phones_range, dur_range=dur_range,
                                   lab_dim=lab_dim, counters_dim=counters_dim,
                                   mcep_dim=mcep_dim, bap_dim=bap_dim, sp_bins=sp_bins)
+
+            if speakers:
+                speaker = speakers[utt_index % len(speakers)]
+                # Speaker-dependent offset so per-speaker stats differ.
+                feats['lf0'] = feats['lf0'] + 0.2 * speakers.index(speaker)
+                spk_dir = os.path.join(split_dir, 'speaker_id')
+                os.makedirs(spk_dir, exist_ok=True)
+                with open(os.path.join(spk_dir, f'{utt_id}.txt'), 'w') as f:
+                    f.write(speaker)
+                if split == 'train':
+                    per_speaker_feats.setdefault(speaker, []).append(feats['lf0'])
 
             # Text features.
             file_io.save_txt(feats['n_frames'].astype(np.int64),
@@ -110,5 +132,10 @@ def generate_voice_data(data_root, num_train=8, num_valid=4, num_test=2, seed=24
     for name in ('lab', 'counters'):
         file_io.save_json(fit_minmax_params(train_feats_for_norm[name]),
                           os.path.join(norm_dir, f'{name}_minmax.json'))
+
+    if speakers:
+        for speaker, feats_list in per_speaker_feats.items():
+            file_io.save_json(fit_mvn_params(feats_list),
+                              os.path.join(norm_dir, speaker, 'lf0_mvn.json'))
 
     return id_lists

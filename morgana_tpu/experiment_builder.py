@@ -21,7 +21,6 @@ import json
 import os
 import shutil
 import sys
-import time
 
 import jax
 import numpy as np
@@ -34,7 +33,7 @@ from morgana_tpu import nn
 from morgana_tpu import utils
 from morgana_tpu import viz
 from morgana_tpu.data import file_io
-from morgana_tpu.training import TrainLoop, build_optimizer, host_features
+from morgana_tpu.training import TrainLoop, build_optimizer
 
 __all__ = ['ExperimentBuilder', 'add_boolean_arg', 'DictAction']
 
@@ -243,6 +242,16 @@ class ExperimentBuilder(object):
         #
         # Devices, sharding.
         #
+
+        if self.device:
+            # Best-effort platform selection ('cpu', 'tpu'); must happen
+            # before any backend is initialised.
+            try:
+                jax.config.update('jax_platforms', str(self.device).split(':')[0])
+            except RuntimeError:
+                self.logger.warning('Could not switch platform to %s (backend already '
+                                    'initialised); continuing on %s',
+                                    self.device, jax.default_backend())
 
         self.batch_sharding = None
         self.mesh = None
