@@ -54,13 +54,13 @@ def make_batch(rng, batch=BATCH, phones=PHONES, frames=FRAMES):
     }, n_frames.sum()
 
 
-def bench_tpu():
+def bench_tpu(rnn_backend='pallas'):
     import jax
     from morgana_tpu import nn
     from morgana_tpu.training import TrainLoop, build_optimizer
     from __graft_entry__ import _make_model
 
-    model = _make_model(num_layers=8, hidden_size=512)
+    model = _make_model(num_layers=8, hidden_size=512, rnn_backend=rnn_backend)
     model.mode = 'train'
     loop = TrainLoop(model, build_optimizer(), ema_decay=0.99, seed=0)
 

@@ -26,7 +26,7 @@ from morgana_tpu.data import file_io
 
 class LSTMAcousticModel(BaseSPSS):
     def __init__(self, input_dim=600 + 9, output_dims=None, dropout_prob=0.,
-                 num_layers=8, hidden_size=512):
+                 num_layers=8, hidden_size=512, rnn_backend='scan'):
         """Initialises acoustic model parameters and settings (reference
         architecture: ``models/RNN_SPSS.py:21-48``)."""
         if output_dims is None:
@@ -38,12 +38,17 @@ class LSTMAcousticModel(BaseSPSS):
         self.dropout_prob = dropout_prob
         self.num_layers = num_layers
         self.hidden_size = hidden_size
+        self.rnn_backend = rnn_backend
 
+        # rnn_backend='pallas' selects the fused persistent-RNN kernel
+        # (ops/pallas_rnn.py): ~1.75x faster fwd+bwd per layer on TPU than the
+        # masked scan at this size. 'scan' keeps exact pack/unpack semantics.
         self.layers = nn.SequentialWithRecurrent(
             nn.Linear(self.input_dim, hidden_size),
             nn.Sigmoid(),
             nn.Dropout(p=self.dropout_prob),
-            *[nn.Recurrent('lstm', hidden_size, hidden_size, dropout=self.dropout_prob)
+            *[nn.Recurrent('lstm', hidden_size, hidden_size, dropout=self.dropout_prob,
+                           backend=rnn_backend)
               for _ in range(self.num_layers)],
             nn.Linear(hidden_size, 256),
             nn.Sigmoid(),

@@ -21,6 +21,9 @@ def _load():
         return _LIB
     _LIB_TRIED = True
     path = os.path.join(os.path.dirname(__file__), 'libbatch_io.so')
+    source = os.path.join(os.path.dirname(__file__), 'csrc', 'batch_io.cpp')
+    from morgana_tpu._build import ensure_built
+    ensure_built(path, source)
     if os.path.exists(path):
         try:
             lib = ctypes.CDLL(path)

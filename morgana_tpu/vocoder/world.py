@@ -33,6 +33,9 @@ def _load_native():
         return _LIB
     _LIB_TRIED = True
     lib_path = os.path.join(os.path.dirname(__file__), 'libworld_synth.so')
+    source = os.path.join(os.path.dirname(__file__), 'csrc', 'world_synth.cpp')
+    from morgana_tpu._build import ensure_built
+    ensure_built(lib_path, source)
     if os.path.exists(lib_path):
         try:
             lib = ctypes.CDLL(lib_path)
