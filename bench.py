@@ -170,7 +170,11 @@ def get_baseline():
 
 def main():
     baseline_fps = get_baseline()
-    fps, loss = bench_tpu()
+    try:
+        fps, loss = bench_tpu(rnn_backend='pallas')
+    except Exception:
+        # Pallas unavailable on this backend/platform: measure the scan path.
+        fps, loss = bench_tpu(rnn_backend='scan')
     print(json.dumps({
         'metric': 'rnn_spss_train_frames_per_sec',
         'value': round(fps, 1),
