@@ -355,8 +355,6 @@ class Recurrent(Module):
             raise ValueError(f'Unsupported recurrent mode {mode!r}')
         if backend not in ('scan', 'pallas'):
             raise ValueError(f'Unsupported backend {backend!r}')
-        if backend == 'pallas' and mode != 'lstm':
-            raise ValueError('backend=pallas currently supports LSTM only')
         self.mode = mode
         self.input_size = input_size
         self.hidden_size = hidden_size
@@ -422,11 +420,18 @@ class Recurrent(Module):
                         compute_dtype=compute_dtype)
                 new_hidden.append(hc)
             else:
-                x, h = rnn_ops.gru(
-                    x, layer['w_ih'].value, layer['w_hh'].value,
-                    layer['b_ih'].value, layer['b_hh'].value,
-                    seq_len=seq_len, h0=h0, unroll=self.unroll,
-                    compute_dtype=compute_dtype)
+                if self.backend == 'pallas':
+                    from morgana_tpu.ops.pallas_gru import gru_layer
+                    x, h = gru_layer(
+                        x, layer['w_ih'].value, layer['w_hh'].value,
+                        layer['b_ih'].value, layer['b_hh'].value,
+                        seq_len=seq_len, h0=h0, interpret=self.interpret)
+                else:
+                    x, h = rnn_ops.gru(
+                        x, layer['w_ih'].value, layer['w_hh'].value,
+                        layer['b_ih'].value, layer['b_hh'].value,
+                        seq_len=seq_len, h0=h0, unroll=self.unroll,
+                        compute_dtype=compute_dtype)
                 new_hidden.append(h)
             if self.dropout is not None and i < self.num_layers - 1:
                 x = self.dropout(x)

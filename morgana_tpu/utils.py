@@ -60,6 +60,15 @@ def format_float_tensor(value):
     return '[{}, {}, ..., {}]'.format(fmt(flat[0]), fmt(flat[1]), fmt(flat[-1]))
 
 
+def infer_device(array):
+    r"""Gets the device of a jax array (reference API parity,
+    ``morgana/utils.py:56-63``). Returns None for host numpy arrays."""
+    if isinstance(array, jax.Array):
+        devices = array.devices()
+        return next(iter(devices)) if devices else None
+    return None
+
+
 def map_nested(func, data):
     r"""Recursively applies ``func`` over nested dict/list structures.
     Base cases: ``np.ndarray`` and ``jax.Array`` (reference ``morgana/utils.py:37-53``)."""

@@ -70,6 +70,46 @@ class TestPallasLSTM:
         assert _pick_chunk(13, 8) == 1
 
 
+class TestPallasGRU:
+    def test_forward_matches_scan(self, rng):
+        from morgana_tpu.ops.pallas_gru import gru_layer
+        B, T, I, H = 4, 32, 8, 128
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        w_ih = jnp.array(rng.normal(size=(I, 3 * H)).astype(np.float32)) * 0.1
+        w_hh = jnp.array(rng.normal(size=(H, 3 * H)).astype(np.float32)) * 0.1
+        b_ih = jnp.array(rng.normal(size=(3 * H,)).astype(np.float32)) * 0.1
+        b_hh = jnp.array(rng.normal(size=(3 * H,)).astype(np.float32)) * 0.1
+
+        y_ref, h_ref = rnn_ops.gru(x, w_ih, w_hh, b_ih, b_hh)
+        y_pl, h_pl = gru_layer(x, w_ih, w_hh, b_ih, b_hh, interpret=True)
+        np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), atol=1e-5)
+
+    def test_vjp_matches_scan(self, rng):
+        from morgana_tpu.ops.pallas_gru import gru_layer
+        B, T, I, H = 4, 32, 8, 128
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        w_ih = jnp.array(rng.normal(size=(I, 3 * H)).astype(np.float32)) * 0.1
+        w_hh = jnp.array(rng.normal(size=(H, 3 * H)).astype(np.float32)) * 0.1
+        b_ih = jnp.array(rng.normal(size=(3 * H,)).astype(np.float32)) * 0.1
+        b_hh = jnp.array(rng.normal(size=(3 * H,)).astype(np.float32)) * 0.1
+
+        def loss_ref(*args):
+            y, h = rnn_ops.gru(args[4], *args[:4])
+            return jnp.sum(y ** 2) + jnp.sum(h * 0.5)
+
+        def loss_pl(*args):
+            y, h = gru_layer(args[4], *args[:4], interpret=True)
+            return jnp.sum(y ** 2) + jnp.sum(h * 0.5)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(w_ih, w_hh, b_ih, b_hh, x)
+        g_pl = jax.grad(loss_pl, argnums=(0, 1, 2, 3, 4))(w_ih, w_hh, b_ih, b_hh, x)
+        for a, b in zip(g_ref, g_pl):
+            scale = float(jnp.abs(a).max()) + 1e-9
+            np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                                       atol=2e-5)
+
+
 class TestRecurrentPallasBackend:
     def test_backend_flag(self, rng):
         from morgana_tpu import nn
