@@ -258,6 +258,11 @@ class ExperimentBuilder(object):
         if self.data_parallel:
             from morgana_tpu import parallel
             self.mesh = parallel.make_mesh()
+            num_data = self.mesh.shape['data']
+            if self.batch_size % num_data:
+                raise ValueError(
+                    f'--batch_size {self.batch_size} must be divisible by the '
+                    f'number of data-parallel devices ({num_data})')
             self.batch_sharding = parallel.batch_sharding(self.mesh)
             self.logger.info('Data parallel over mesh %s', self.mesh)
         self.logger.info('Using JAX backend %s with devices %s',

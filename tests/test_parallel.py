@@ -118,6 +118,39 @@ class TestTensorParallel:
         assert np.isfinite(float(loss))
 
 
+class TestBuilderDataParallel:
+    def test_builder_trains_data_parallel(self, voice_data, tmp_path):
+        """Full builder lifecycle with --data_parallel on the virtual mesh."""
+        import json
+        import os
+        from conftest import builder_args
+        from tiny_models import TinyF0Model
+        from morgana_tpu.experiment_builder import ExperimentBuilder
+
+        args = builder_args(voice_data['data_root'], str(tmp_path / 'experiments'),
+                            end_epoch=2, valid=False, batch_size=8,
+                            data_parallel=True)
+        nn.manual_seed(args['seed'])
+        exp = ExperimentBuilder(TinyF0Model, experiment_name='dp', **args)
+        assert exp.mesh is not None and exp.mesh.shape['data'] == 8
+        exp.run_experiment()
+
+        expdir = os.path.join(str(tmp_path / 'experiments'), 'dp')
+        m1 = json.load(open(os.path.join(expdir, 'train', 'epoch_1', 'metrics.json')))
+        m2 = json.load(open(os.path.join(expdir, 'train', 'epoch_2', 'metrics.json')))
+        assert m2['loss'] < m1['loss']
+
+    def test_builder_rejects_indivisible_batch(self, voice_data, tmp_path):
+        from conftest import builder_args
+        from tiny_models import TinyF0Model
+        from morgana_tpu.experiment_builder import ExperimentBuilder
+
+        args = builder_args(voice_data['data_root'], str(tmp_path / 'experiments'),
+                            batch_size=3, data_parallel=True)
+        with pytest.raises(ValueError, match='divisible'):
+            ExperimentBuilder(TinyF0Model, experiment_name='dp_bad', **args)
+
+
 class TestDistributed:
     def test_shard_id_list(self):
         ids = [f'utt{i}' for i in range(10)]
