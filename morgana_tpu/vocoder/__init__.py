@@ -17,10 +17,16 @@ scheme WORLD uses.
 """
 from morgana_tpu.vocoder.world import (
     synthesize, synthesize_world_feats, smooth_f0,
-    mcep_to_spectrum, bap_to_aperiodicity, native_available,
+    mcep_to_spectrum, spectrum_to_mcep, bap_to_aperiodicity, native_available,
+)
+from morgana_tpu.vocoder.analysis import (
+    analyze, estimate_f0, spectral_envelope, band_aperiodicity,
+    features_from_wav,
 )
 
 __all__ = [
     'synthesize', 'synthesize_world_feats', 'smooth_f0',
-    'mcep_to_spectrum', 'bap_to_aperiodicity', 'native_available',
+    'mcep_to_spectrum', 'spectrum_to_mcep', 'bap_to_aperiodicity',
+    'native_available', 'analyze', 'estimate_f0', 'spectral_envelope',
+    'band_aperiodicity', 'features_from_wav',
 ]

@@ -1,0 +1,184 @@
+"""Vocoder analysis: wav -> (f0, spectral envelope, aperiodicity) -> model
+features (lf0, vuv, mcep, bap).
+
+The reference delegated feature extraction to external C++ tools (REAPER f0 +
+WORLD analysis via tts_data_tools); this module provides a self-contained
+host-side analysis path so a complete voice can be prepared, trained and
+resynthesised with this framework alone:
+
+* f0: normalised-autocorrelation pitch tracker with parabolic refinement and
+  an energy+periodicity voicing decision,
+* spectral envelope: STFT power with cepstral-liftering smoothing,
+* aperiodicity: per-band noise-to-total energy ratio from the normalised
+  autocorrelation peak.
+"""
+import numpy as np
+
+from morgana_tpu.vocoder.world import spectrum_to_mcep
+
+__all__ = ['estimate_f0', 'spectral_envelope', 'band_aperiodicity', 'analyze',
+           'features_from_wav']
+
+
+def _frame_signal(wav, frame_len, hop, num_frames):
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(num_frames)[:, None]
+    padded = np.concatenate([wav, np.zeros(frame_len, wav.dtype)])
+    return padded[idx]
+
+
+def estimate_f0(wav, fs, frame_period=5.0, f0_min=60.0, f0_max=400.0,
+                voicing_threshold=0.45):
+    r"""Normalised-autocorrelation f0 tracking.
+
+    Returns ``(f0, vuv)`` per frame; ``f0`` is 0 in unvoiced frames.
+    """
+    wav = np.asarray(wav, np.float64)
+    hop = int(fs * frame_period / 1000.0)
+    num_frames = int(np.ceil(len(wav) / hop))
+    frame_len = min(int(2.5 * fs / f0_min), 2048)
+
+    frames = _frame_signal(wav, frame_len, hop, num_frames)
+    frames = frames - frames.mean(axis=1, keepdims=True)
+
+    lag_min = int(fs / f0_max)
+    lag_max = min(int(fs / f0_min), frame_len - 1)
+
+    # Autocorrelation via FFT (batched).
+    nfft = 1
+    while nfft < 2 * frame_len:
+        nfft *= 2
+    spec = np.fft.rfft(frames, n=nfft, axis=1)
+    ac = np.fft.irfft(spec * np.conj(spec), n=nfft, axis=1)[:, :lag_max + 1]
+
+    energy = ac[:, 0] + 1e-12
+    nac = ac / energy[:, None]
+
+    window = nac[:, lag_min:lag_max + 1]
+    best = np.argmax(window, axis=1)
+    peak = window[np.arange(num_frames), best]
+
+    # Parabolic interpolation around the peak for sub-sample lag precision.
+    lags = (best + lag_min).astype(np.float64)
+    valid = (best > 0) & (best < window.shape[1] - 1)
+    b_idx = np.clip(best, 1, window.shape[1] - 2)
+    y0 = window[np.arange(num_frames), b_idx - 1]
+    y1 = window[np.arange(num_frames), b_idx]
+    y2 = window[np.arange(num_frames), b_idx + 1]
+    denom = (y0 - 2 * y1 + y2)
+    shift = np.where(np.abs(denom) > 1e-12, 0.5 * (y0 - y2) / denom, 0.0)
+    lags = np.where(valid, b_idx + lag_min + np.clip(shift, -1, 1), lags)
+
+    f0 = fs / np.maximum(lags, 1.0)
+
+    frame_rms = np.sqrt(energy / frame_len)
+    loud = frame_rms > max(1e-4, 0.05 * np.median(frame_rms[frame_rms > 1e-6]) if
+                           (frame_rms > 1e-6).any() else 1e-4)
+    vuv = (peak > voicing_threshold) & loud & (f0 >= f0_min) & (f0 <= f0_max)
+
+    return np.where(vuv, f0, 0.0), vuv.astype(np.float64)
+
+
+def spectral_envelope(wav, fs, frame_period=5.0, fft_size=1024, lifter_quefrency=None):
+    r"""STFT power spectrum smoothed by cepstral liftering -> envelope
+    (num_frames, fft_size//2 + 1)."""
+    wav = np.asarray(wav, np.float64)
+    hop = int(fs * frame_period / 1000.0)
+    num_frames = int(np.ceil(len(wav) / hop))
+    frame_len = min(fft_size, 4 * hop)
+
+    frames = _frame_signal(wav, frame_len, hop, num_frames) * np.hanning(frame_len)
+    power = np.abs(np.fft.rfft(frames, n=fft_size, axis=1)) ** 2 / frame_len
+    power = np.maximum(power, 1e-12)
+
+    # Cepstral smoothing: keep quefrencies below ~1/f0_floor.
+    if lifter_quefrency is None:
+        lifter_quefrency = int(fs / 120.0)
+    log_power = np.log(power)
+    cep = np.fft.irfft(log_power, n=fft_size, axis=1)
+    cep[:, lifter_quefrency:fft_size - lifter_quefrency] = 0.0
+    smoothed = np.fft.rfft(cep, axis=1).real
+    return np.exp(smoothed)
+
+
+def band_aperiodicity(wav, f0, fs, frame_period=5.0, num_bands=5):
+    r"""Per-band log aperiodicity (num_frames, num_bands), <= 0.
+
+    Estimated from the normalised autocorrelation at the pitch lag computed
+    per band-passed signal: ap^2 ~ 1 - nac (noise-to-total energy ratio).
+    Unvoiced frames saturate to 0 (fully aperiodic).
+    """
+    wav = np.asarray(wav, np.float64)
+    hop = int(fs * frame_period / 1000.0)
+    num_frames = len(f0)
+    frame_len = min(int(2.5 * fs / 60.0), 2048)
+
+    spectrum = np.fft.rfft(wav)
+    freqs = np.fft.rfftfreq(len(wav), 1.0 / fs)
+    edges = np.linspace(0, fs / 2, num_bands + 1)
+
+    bap = np.zeros((num_frames, num_bands))
+    for b in range(num_bands):
+        mask = (freqs >= edges[b]) & (freqs < edges[b + 1])
+        band = np.fft.irfft(spectrum * mask, n=len(wav))
+        frames = _frame_signal(band, frame_len, hop, num_frames)
+        frames = frames - frames.mean(axis=1, keepdims=True)
+
+        nfft = 1
+        while nfft < 2 * frame_len:
+            nfft *= 2
+        spec = np.fft.rfft(frames, n=nfft, axis=1)
+        ac = np.fft.irfft(spec * np.conj(spec), n=nfft, axis=1)
+        energy = ac[:, 0] + 1e-12
+
+        lags = np.where(f0 > 0, np.clip(fs / np.maximum(f0, 1.0), 1,
+                                        frame_len - 1).astype(int), 1)
+        nac = ac[np.arange(num_frames), lags] / energy
+        periodic_fraction = np.clip(nac, 0.0, 1.0 - 1e-6)
+        ap2 = np.where(f0 > 0, 1.0 - periodic_fraction, 1.0 - 1e-6)
+        bap[:, b] = 0.5 * np.log(np.maximum(ap2, 1e-12))
+
+    return np.clip(bap, -20.0, 0.0)
+
+
+def analyze(wav, fs, frame_period=5.0, fft_size=1024):
+    r"""wav -> ``(f0, sp, ap)`` in WORLD conventions (power envelope,
+    per-bin aperiodicity in (0, 1])."""
+    from morgana_tpu.vocoder.world import bap_to_aperiodicity
+
+    f0, _vuv = estimate_f0(wav, fs, frame_period)
+    sp = spectral_envelope(wav, fs, frame_period, fft_size)
+    num_frames = min(len(f0), sp.shape[0])
+    f0, sp = f0[:num_frames], sp[:num_frames]
+    bap = band_aperiodicity(wav, f0, fs, frame_period)[:num_frames]
+    ap = bap_to_aperiodicity(bap, fft_size=fft_size, fs=fs)
+    return f0, sp, ap
+
+
+def features_from_wav(wav, fs, frame_period=5.0, fft_size=1024,
+                      mcep_order=59, num_bands=5):
+    r"""wav -> model-feature dict ``{lf0, vuv, mcep, bap, n_frames}`` in the
+    shapes/conventions the example models train on (``models/rnn_spss.py``)."""
+    f0, vuv = estimate_f0(wav, fs, frame_period)
+    sp = spectral_envelope(wav, fs, frame_period, fft_size)
+    num_frames = min(len(f0), sp.shape[0])
+    f0, vuv, sp = f0[:num_frames], vuv[:num_frames], sp[:num_frames]
+
+    # Interpolate f0 through unvoiced regions for a continuous lf0 track.
+    f0_interp = f0.copy()
+    voiced_idx = np.nonzero(f0 > 0)[0]
+    if voiced_idx.size:
+        f0_interp = np.interp(np.arange(num_frames), voiced_idx, f0[voiced_idx])
+    else:
+        f0_interp = np.full(num_frames, 100.0)
+
+    lf0 = np.log(np.maximum(f0_interp, 1.0)).astype(np.float32)[:, None]
+    mcep = spectrum_to_mcep(sp, order=mcep_order, fs=fs).astype(np.float32)
+    bap = band_aperiodicity(wav, f0, fs, frame_period, num_bands)[:num_frames]
+
+    return {
+        'lf0': lf0,
+        'vuv': vuv.astype(np.float32)[:, None],
+        'mcep': mcep,
+        'bap': bap.astype(np.float32),
+        'n_frames': np.array([num_frames], np.float32),
+    }

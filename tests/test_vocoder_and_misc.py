@@ -65,6 +65,43 @@ class TestVocoder:
         assert sm[25] < 150.0
 
 
+class TestVocoderAnalysis:
+    @pytest.fixture(scope='class')
+    def synth_wav(self):
+        fs, frames, bins = 16000, 160, 129
+        f0 = np.full(frames, 150.0)
+        f0[130:] = 0.0
+        sp = np.full((frames, bins), 1e-3)
+        ap = np.full((frames, bins), 0.05)
+        return vocoder.synthesize(f0, sp, ap, fs), fs
+
+    def test_f0_tracking_recovers_pitch(self, synth_wav):
+        wav, fs = synth_wav
+        f0, vuv = vocoder.estimate_f0(wav, fs)
+        voiced = f0[10:120]
+        voiced = voiced[voiced > 0]
+        assert len(voiced) > 80
+        assert abs(np.median(voiced) - 150.0) < 8.0
+
+    def test_analyze_shapes_and_ranges(self, synth_wav):
+        wav, fs = synth_wav
+        f0, sp, ap = vocoder.analyze(wav, fs, fft_size=256)
+        assert sp.shape == ap.shape == (len(f0), 129)
+        assert np.isfinite(sp).all() and (sp > 0).all()
+        assert (ap > 0).all() and (ap <= 1.0).all()
+
+    def test_features_from_wav_roundtrip(self, synth_wav):
+        wav, fs = synth_wav
+        feats = vocoder.features_from_wav(wav, fs, fft_size=256, mcep_order=24)
+        assert feats['mcep'].shape[1] == 25
+        assert feats['bap'].shape[1] == 5
+        assert feats['lf0'].shape == feats['vuv'].shape
+        wav2 = vocoder.synthesize_world_feats(
+            np.exp(feats['lf0'][:, 0]), feats['vuv'][:, 0],
+            feats['mcep'], feats['bap'], fs, fft_size=256)
+        assert np.isfinite(wav2).all() and np.abs(wav2).max() > 0
+
+
 class TestSampling:
     def test_sphere_radius(self):
         centre = jnp.zeros(8)
