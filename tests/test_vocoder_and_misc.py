@@ -4,6 +4,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from morgana_tpu import sampling, utils, vocoder, viz
 from morgana_tpu.vocoder import world
