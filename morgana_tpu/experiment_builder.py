@@ -410,6 +410,18 @@ class ExperimentBuilder(object):
 
     # ----------------------------------------------------------------- train
 
+    def _log_metrics_to_tensorboard(self, mode):
+        """Writes the epoch's visible scalar metrics to TensorBoard."""
+        tb = self.model.tensorboard
+        if tb is None:
+            return
+        for name, value in self.model.metrics.results_as_json_dict(mode).items():
+            if isinstance(value, (int, float)):
+                try:
+                    tb.add_scalar(f'{mode}/{name}', value, self.epoch)
+                except Exception:  # noqa: BLE001 - observability must not break training
+                    pass
+
     def train_epoch(self, data_loader, lr_schedule=None, gen_output=False, out_dir=None):
         r"""Trains once over all batches: fused jit steps, EMA, batch-level LR
         schedule updates, metric accumulation, per-epoch metrics.json."""
@@ -450,6 +462,7 @@ class ExperimentBuilder(object):
         if out_dir:
             file_io.save_json(self.model.metrics.results_as_json_dict('train'),
                               os.path.join(out_dir, 'metrics.json'))
+        self._log_metrics_to_tensorboard('train')
 
         self.model.mode = ''
         return float(np.mean([float(l) for l in losses])) if losses else 0.0
@@ -565,6 +578,7 @@ class ExperimentBuilder(object):
         if out_dir:
             file_io.save_json(self.model.metrics.results_as_json_dict('valid'),
                               os.path.join(out_dir, 'metrics.json'))
+        self._log_metrics_to_tensorboard('valid')
 
         model.mode = ''
         self.model.mode = ''
