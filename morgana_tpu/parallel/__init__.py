@@ -18,3 +18,4 @@ from morgana_tpu.parallel.mesh import (
     param_shardings,
 )
 from morgana_tpu.parallel.distributed import initialize_distributed, shard_id_list
+from morgana_tpu.parallel.shard_map_step import build_shard_map_train_step
