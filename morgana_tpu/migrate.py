@@ -1,0 +1,100 @@
+"""Migration from reference (PyTorch) checkpoints.
+
+Users switching from the torch reference can load their trained
+``state_dict``s directly: this module maps torch parameter names/layouts onto
+:mod:`morgana_tpu.nn` modules —
+
+* ``Linear.weight`` (out, in)            -> ``weight`` (in, out), transposed
+* ``RecurrentCuDNNWrapper.layer.weight_ih_l0`` (gates, in)
+                                          -> ``w_ih_l0`` (in, gates), transposed
+* biases copy through unchanged; gate orders already match (torch layout).
+
+Works on ``.pt`` files (requires torch importable) or already-loaded
+``{name: tensor/ndarray}`` dicts.
+"""
+import numpy as np
+
+from morgana_tpu import nn
+
+__all__ = ['torch_name_map', 'convert_torch_state_dict', 'load_torch_state_dict']
+
+
+def _is_transposed_matrix(name):
+    leaf = name.rsplit('.', 1)[-1]
+    return leaf == 'weight' or leaf.startswith('w_ih_l') or leaf.startswith('w_hh_l')
+
+
+def torch_name_map(model):
+    r"""Builds {our_name: torch_name} for a model built from
+    ``nn.Linear``/``nn.Recurrent``/``nn.SequentialWithRecurrent`` modules.
+
+    The reference wrapped each ``nn.LSTM``/``nn.GRU`` in
+    ``RecurrentCuDNNWrapper`` whose submodule is called ``layer``
+    (``morgana/utils.py:341-343``), so torch names gain a ``.layer`` segment
+    at each Recurrent position.
+    """
+    mapping = {}
+    for name, _param in model.named_parameters():
+        parts = name.split('.')
+        torch_parts = []
+        module = model
+        for i, part in enumerate(parts[:-1]):
+            if isinstance(module, nn.SequentialWithRecurrent):
+                sub = module.items[int(part)]
+            elif isinstance(module, nn.ModuleList):
+                sub = module.items[int(part)]
+            else:
+                sub = getattr(module, part)
+            torch_parts.append(part)
+            if isinstance(sub, nn.Recurrent):
+                torch_parts.append('layer')
+            module = sub
+        leaf = parts[-1]
+        if leaf.startswith(('w_ih_l', 'w_hh_l', 'b_ih_l', 'b_hh_l')):
+            kind, layer_idx = leaf.rsplit('_l', 1)
+            leaf = {'w_ih': 'weight_ih', 'w_hh': 'weight_hh',
+                    'b_ih': 'bias_ih', 'b_hh': 'bias_hh'}[kind] + f'_l{layer_idx}'
+        torch_parts.append(leaf)
+        mapping[name] = '.'.join(torch_parts)
+    return mapping
+
+
+def convert_torch_state_dict(model, torch_sd):
+    r"""Converts a torch state dict into this model's layout.
+
+    Parameters
+    ----------
+    model : nn.Module
+    torch_sd : dict[str, tensor-like]
+
+    Returns
+    -------
+    dict[str, np.ndarray] loadable with ``nn.load_state_dict``.
+    """
+    mapping = torch_name_map(model)
+    out = {}
+    missing = []
+    for our_name, torch_name in mapping.items():
+        if torch_name not in torch_sd:
+            missing.append(torch_name)
+            continue
+        value = torch_sd[torch_name]
+        value = np.asarray(value.detach().cpu().numpy() if hasattr(value, 'detach')
+                           else value, np.float32)
+        if _is_transposed_matrix(our_name) and value.ndim == 2:
+            value = value.T
+        out[our_name] = value
+    if missing:
+        raise KeyError(f'torch state dict is missing parameters: {missing[:5]}'
+                       f'{"..." if len(missing) > 5 else ""}')
+    return out
+
+
+def load_torch_state_dict(model, state_dict_or_path, strict=True):
+    r"""Loads a reference (torch) checkpoint into a morgana_tpu model."""
+    if isinstance(state_dict_or_path, (str, bytes)):
+        import torch
+        state_dict_or_path = torch.load(state_dict_or_path, map_location='cpu')
+    converted = convert_torch_state_dict(model, state_dict_or_path)
+    nn.load_state_dict(model, converted, strict=strict)
+    return converted

@@ -1,0 +1,136 @@
+"""The north-star parity test: a torch model with the reference F0Model
+architecture and a morgana_tpu F0Model loaded with ITS weights must produce
+matching lf0 outputs (BASELINE.json target: lf0 RMSE parity within 1e-3)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax.numpy as jnp
+
+from morgana_tpu import migrate, nn
+from morgana_tpu.viz.synthesis import MLPG
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'models'))
+
+
+def _build_torch_f0_net():
+    """The reference F0Model network (models/f0_test_model.py:28-45) in torch,
+    with RecurrentCuDNNWrapper-style naming (submodule 'layer')."""
+
+    class Wrapper(torch.nn.Module):
+        def __init__(self, layer):
+            super().__init__()
+            self.layer = layer
+
+    class RefNet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layers = torch.nn.ModuleList([
+                torch.nn.Linear(609, 256),
+                torch.nn.Sigmoid(),
+                torch.nn.Dropout(0.),
+                Wrapper(torch.nn.GRU(256, 64, batch_first=True)),
+                torch.nn.Dropout(0.),
+                Wrapper(torch.nn.GRU(64, 64, batch_first=True)),
+                torch.nn.Dropout(0.),
+                Wrapper(torch.nn.GRU(64, 64, batch_first=True)),
+                torch.nn.Dropout(0.),
+                torch.nn.Linear(64, 64),
+                torch.nn.Sigmoid(),
+                torch.nn.Dropout(0.),
+                torch.nn.Linear(64, 3),
+            ])
+
+        def forward(self, x):
+            h = x
+            for m in self.layers:
+                if isinstance(m, Wrapper):
+                    h, _ = m.layer(h)
+                else:
+                    h = m(h)
+            return h
+
+    return RefNet()
+
+
+class TestTorchMigration:
+    def test_name_map(self):
+        from f0_test_model import F0Model
+        nn.manual_seed(0)
+        model = F0Model()
+        mapping = migrate.torch_name_map(model)
+        assert mapping['layers.0.weight'] == 'layers.0.weight'
+        assert mapping['layers.3.w_ih_l0'] == 'layers.3.layer.weight_ih_l0'
+        assert mapping['layers.12.bias'] == 'layers.12.bias'
+
+    def test_f0_network_forward_parity(self, rng):
+        """Torch-trained weights -> identical network outputs (<=2e-5)."""
+        from f0_test_model import F0Model
+
+        torch.manual_seed(1234567890)
+        ref = _build_torch_f0_net()
+        nn.manual_seed(0)
+        model = F0Model()
+        migrate.load_torch_state_dict(model, ref.state_dict())
+
+        x = rng.normal(size=(3, 50, 609)).astype(np.float32)
+        with torch.no_grad():
+            y_ref = ref(torch.tensor(x)).numpy()
+        y_ours = np.asarray(model.layers(jnp.array(x),
+                                         seq_len=jnp.array([50, 50, 50])))
+        np.testing.assert_allclose(y_ours, y_ref, atol=2e-5)
+
+    def test_lf0_rmse_parity_north_star(self, rng):
+        """End-to-end lf0 parity incl. denormalisation and MLPG: RMSE of our
+        lf0 trajectory vs the torch-reference pipeline <= 1e-3."""
+        from f0_test_model import F0Model
+
+        torch.manual_seed(42)
+        ref = _build_torch_f0_net()
+        nn.manual_seed(0)
+        model = F0Model()
+        migrate.load_torch_state_dict(model, ref.state_dict())
+
+        # Shared normaliser parameters.
+        mean = np.float32([5.0, 0.0, 0.0])
+        std = np.float32([0.2, 0.05, 0.02])
+        model.normalisers = {}
+        lf0_norm = model.normaliser_sources()['lf0']
+        lf0_norm.params = {'mean': mean[:1], 'std_dev': std[:1]}
+        lf0_norm.delta_params = {'mean': mean, 'std_dev': std}
+        model.normalisers['lf0'] = lf0_norm
+
+        batch, frames = 2, 60
+        x = rng.normal(size=(batch, frames, 609)).astype(np.float32)
+        seq_len = np.array([60, 45])
+
+        # Torch reference pipeline: network -> denorm -> float64 MLPG.
+        with torch.no_grad():
+            pred_norm = ref(torch.tensor(x)).numpy()
+        # Zero padded region like the masked scan does.
+        pred_norm[1, 45:] = 0.
+        pred_deltas = pred_norm * std + mean
+        gv = (std ** 2).astype(np.float32)
+        lf0_ref = MLPG(pred_deltas, gv, padding_size=100, seq_len=seq_len,
+                       backend='numpy')[:, :, 0]
+
+        # Our pipeline (network + denorm + on-device MLPG), driven with the
+        # same network inputs to isolate the compute path.
+        pred_norm_ours = np.asarray(model.layers(jnp.array(x),
+                                                 seq_len=jnp.array(seq_len)))
+        pred_deltas_ours = np.asarray(
+            model.normalisers['lf0'].denormalise(jnp.array(pred_norm_ours), deltas=True))
+        lf0_ours = np.asarray(MLPG(jnp.array(pred_deltas_ours), gv,
+                                   padding_size=100,
+                                   seq_len=jnp.array(seq_len)))[:, :, 0]
+
+        # Masked RMSE in lf0 domain.
+        mask = np.zeros((batch, frames))
+        mask[0, :60] = 1
+        mask[1, :45] = 1
+        rmse = np.sqrt((((lf0_ours - lf0_ref) ** 2) * mask).sum() / mask.sum())
+        assert rmse <= 1e-3, f'lf0 RMSE parity {rmse} exceeds 1e-3'
