@@ -8,8 +8,6 @@ is numerically identical but gives manual control over where the ICI
 collective happens (useful for overlapping communication or customising the
 reduction, and the canonical pattern for multi-host DP).
 """
-import functools
-
 import jax
 from jax.sharding import PartitionSpec as P
 

@@ -14,8 +14,6 @@ Data-parallel scaling needs no changes here: with batches placed in a
 partitioner runs the same jitted step on every device and inserts the
 gradient ``psum`` over ICI automatically.
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
