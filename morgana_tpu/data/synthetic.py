@@ -19,7 +19,8 @@ __all__ = ['generate_voice_data']
 
 
 def _utt_features(rng, n_phones_range=(8, 24), dur_range=(3, 12),
-                  lab_dim=600, counters_dim=9, mcep_dim=60, bap_dim=5, sp_bins=513):
+                  lab_dim=600, counters_dim=9, mcep_dim=60, bap_dim=5, sp_bins=513,
+                  voice_proj=None):
     n_phones = int(rng.integers(*n_phones_range))
     dur = rng.integers(dur_range[0], dur_range[1], size=(n_phones, 1)).astype(np.int64)
     n_frames = int(dur.sum())
@@ -27,15 +28,32 @@ def _utt_features(rng, n_phones_range=(8, 24), dur_range=(3, 12),
     lab = rng.random((n_phones, lab_dim)).astype(np.float32)
     counters = rng.random((n_frames, counters_dim)).astype(np.float32)
 
-    # lf0: smooth log-f0 around log(120Hz)..log(250Hz) with a voiced mask.
     t = np.arange(n_frames)
-    lf0 = (np.log(160.) + 0.25 * np.sin(2 * np.pi * t / max(40, n_frames // 3))
-           + 0.05 * rng.standard_normal(n_frames)).astype(np.float32)[:, None]
-    vuv = (rng.random((n_frames, 1)) > 0.2).astype(np.float32)
+    if voice_proj is not None:
+        # LEARNABLE targets: lf0/mcep/bap are deterministic functions of the
+        # linguistic labels (a fixed per-voice projection, duration-upsampled
+        # and smoothed) plus small observation noise — so a model that maps
+        # labels to acoustics can actually drive the loss down.
+        lab_frames = np.repeat(lab, dur[:, 0], axis=0)            # (T, lab)
+        base = lab_frames @ voice_proj                            # (T, 1+mcep+bap)
+        k = np.hanning(9); k /= k.sum()
+        base = np.apply_along_axis(lambda c: np.convolve(c, k, mode='same'), 0, base)
+        lf0 = (np.log(160.) + 0.3 * base[:, :1]
+               + 0.01 * rng.standard_normal((n_frames, 1))).astype(np.float32)
+        mcep = (0.3 * base[:, 1:1 + mcep_dim]
+                + 0.01 * rng.standard_normal((n_frames, mcep_dim))).astype(np.float32)
+        mcep[:, 0] += -2.0
+        bap = (-2.0 + 0.3 * base[:, 1 + mcep_dim:]
+               + 0.01 * rng.standard_normal((n_frames, bap_dim))).astype(np.float32)
+    else:
+        # lf0: smooth log-f0 around log(120Hz)..log(250Hz) with a voiced mask.
+        lf0 = (np.log(160.) + 0.25 * np.sin(2 * np.pi * t / max(40, n_frames // 3))
+               + 0.05 * rng.standard_normal(n_frames)).astype(np.float32)[:, None]
+        mcep = (0.1 * rng.standard_normal((n_frames, mcep_dim))).astype(np.float32)
+        mcep[:, 0] += -2.0  # typical energy coefficient offset
+        bap = (-2.0 + 0.3 * rng.standard_normal((n_frames, bap_dim))).astype(np.float32)
 
-    mcep = (0.1 * rng.standard_normal((n_frames, mcep_dim))).astype(np.float32)
-    mcep[:, 0] += -2.0  # typical energy coefficient offset
-    bap = (-2.0 + 0.3 * rng.standard_normal((n_frames, bap_dim))).astype(np.float32)
+    vuv = (rng.random((n_frames, 1)) > 0.2).astype(np.float32)
 
     sp = np.abs(0.01 * rng.standard_normal((n_frames, sp_bins)) + 0.01).astype(np.float32)
     ap = np.clip(rng.random((n_frames, sp_bins)) * 0.5, 1e-4, 1.0).astype(np.float32)
@@ -77,6 +95,10 @@ def generate_voice_data(data_root, num_train=8, num_valid=4, num_test=2, seed=24
     train_feats_for_norm = {}
     per_speaker_feats = {}
 
+    # Per-voice projection making acoustics a learnable function of labels.
+    voice_proj = (rng.standard_normal((lab_dim, 1 + mcep_dim + bap_dim))
+                  / np.sqrt(lab_dim)).astype(np.float32)
+
     if speakers:
         file_io.save_lines(speakers, os.path.join(data_root, 'speakers.scp'))
 
@@ -89,7 +111,8 @@ def generate_voice_data(data_root, num_train=8, num_valid=4, num_test=2, seed=24
         for utt_index, utt_id in enumerate(ids):
             feats = _utt_features(rng, n_phones_range=n_phones_range, dur_range=dur_range,
                                   lab_dim=lab_dim, counters_dim=counters_dim,
-                                  mcep_dim=mcep_dim, bap_dim=bap_dim, sp_bins=sp_bins)
+                                  mcep_dim=mcep_dim, bap_dim=bap_dim, sp_bins=sp_bins,
+                                  voice_proj=voice_proj)
 
             if speakers:
                 speaker = speakers[utt_index % len(speakers)]

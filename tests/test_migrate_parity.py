@@ -84,6 +84,51 @@ class TestTorchMigration:
                                          seq_len=jnp.array([50, 50, 50])))
         np.testing.assert_allclose(y_ours, y_ref, atol=2e-5)
 
+    def test_acoustic_model_network_parity(self, rng):
+        """LSTMAcousticModel (mcep/bap streams) network parity with torch."""
+        from rnn_spss import LSTMAcousticModel
+
+        class Wrapper(torch.nn.Module):
+            def __init__(self, layer):
+                super().__init__()
+                self.layer = layer
+
+        class RefNet(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.layers = torch.nn.ModuleList([
+                    torch.nn.Linear(609, 64),
+                    torch.nn.Sigmoid(),
+                    torch.nn.Dropout(0.),
+                    Wrapper(torch.nn.LSTM(64, 64, batch_first=True)),
+                    Wrapper(torch.nn.LSTM(64, 64, batch_first=True)),
+                    torch.nn.Linear(64, 256),
+                    torch.nn.Sigmoid(),
+                    torch.nn.Dropout(0.),
+                    torch.nn.Linear(256, 199),
+                ])
+
+            def forward(self, x):
+                h = x
+                for m in self.layers:
+                    if isinstance(m, Wrapper):
+                        h, _ = m.layer(h)
+                    else:
+                        h = m(h)
+                return h
+
+        torch.manual_seed(9)
+        ref = RefNet()
+        nn.manual_seed(0)
+        model = LSTMAcousticModel(num_layers=2, hidden_size=64)
+        migrate.load_torch_state_dict(model, ref.state_dict())
+
+        x = rng.normal(size=(2, 40, 609)).astype(np.float32)
+        with torch.no_grad():
+            y_ref = ref(torch.tensor(x)).numpy()
+        y_ours = np.asarray(model.layers(jnp.array(x), seq_len=jnp.array([40, 40])))
+        np.testing.assert_allclose(y_ours, y_ref, atol=3e-5)
+
     def test_lf0_rmse_parity_north_star(self, rng):
         """End-to-end lf0 parity incl. denormalisation and MLPG: RMSE of our
         lf0 trajectory vs the torch-reference pipeline <= 1e-3."""
