@@ -14,7 +14,7 @@ __version__ = '0.1.0'
 from morgana_tpu import nn
 from morgana_tpu import ops
 from morgana_tpu import utils
-from morgana_tpu.ops import losses  # reference API: ``morgana.losses``
+from morgana_tpu import losses  # reference API path: ``morgana.losses``
 
 __all__ = ['nn', 'ops', 'utils', 'losses', '__version__']
 

@@ -399,13 +399,20 @@ class Recurrent(Module):
         if compute_dtype is None:
             compute_dtype = _DEFAULT_COMPUTE_DTYPE
 
+        # The Pallas kernels are TPU programs; off-TPU (e.g. CPU analysis of a
+        # model trained with backend='pallas'), fall back to the numerically
+        # equivalent scan path unless interpret mode was requested.
+        backend = self.backend
+        if backend == 'pallas' and not self.interpret and jax.default_backend() != 'tpu':
+            backend = 'scan'
+
         x = inputs
         new_hidden = []
         for i, layer in enumerate(self.layers):
             h0 = hidden[i]
             if self.mode == 'lstm':
                 h0c0 = (None, None) if h0 is None else h0
-                if self.backend == 'pallas':
+                if backend == 'pallas':
                     from morgana_tpu.ops.pallas_rnn import lstm_layer
                     x, hc = lstm_layer(
                         x, layer['w_ih'].value, layer['w_hh'].value,
@@ -420,7 +427,7 @@ class Recurrent(Module):
                         compute_dtype=compute_dtype)
                 new_hidden.append(hc)
             else:
-                if self.backend == 'pallas':
+                if backend == 'pallas':
                     from morgana_tpu.ops.pallas_gru import gru_layer
                     x, h = gru_layer(
                         x, layer['w_ih'].value, layer['w_hh'].value,
