@@ -491,6 +491,16 @@ class ExperimentBuilder(object):
             train_loss = self.train_epoch(self.train_loader, lr_schedule,
                                           gen_output=gen_train_output, out_dir=epoch_train_dir)
 
+            # Failure detection: a non-finite loss means the run has diverged;
+            # stop before overwriting good checkpoints (the reference would
+            # silently keep training on NaNs).
+            if not np.isfinite(train_loss):
+                self.logger.error('epoch %2d: training loss is %s — stopping '
+                                  '(reduce --learning_rate or inspect the data)',
+                                  self.epoch, train_loss)
+                raise FloatingPointError(
+                    f'Training diverged: epoch {self.epoch} loss {train_loss}')
+
             if profiling:
                 jax.profiler.stop_trace()
                 profiling = False

@@ -141,3 +141,14 @@ class TestVAE:
         }
         out = model.predict(features)
         assert out['normalised_lf0_deltas'].shape == (2, 20, 3)
+
+
+class TestFailureDetection:
+    def test_divergence_raises(self, voice_data, tmp_path):
+        """A non-finite training loss stops the run with a clear error."""
+        # An absurd lr overflows the params to inf after the first update;
+        # subsequent batch losses become non-finite.
+        exp, _ = _build(voice_data, tmp_path, 'nan', end_epoch=5, valid=False,
+                        learning_rate=1e30)
+        with pytest.raises(FloatingPointError, match='diverged'):
+            exp.run_experiment()

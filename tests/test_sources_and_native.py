@@ -97,3 +97,45 @@ class TestNativeIO:
         for i, a in enumerate(items):
             np.testing.assert_array_equal(out[i, :a.shape[0]], a)
             np.testing.assert_array_equal(out[i, a.shape[0]:], 0)
+
+
+class TestPrepareVoice:
+    def test_prepare_from_wavs(self, tmp_path, rng):
+        from morgana_tpu import vocoder
+        from morgana_tpu.data.prepare import prepare_voice
+        from morgana_tpu.data import FilesDataset, MeanVarianceNormaliser
+        from morgana_tpu.data.sources import NumpyBinarySource, TextSource
+
+        fs, bins = 16000, 129
+        wav_dir = tmp_path / 'wavs'
+        wav_dir.mkdir()
+        for i in range(5):
+            frames = int(rng.integers(60, 120))
+            f0 = np.full(frames, 120.0 + 20 * i)
+            sp = np.full((frames, bins), 1e-3)
+            ap = np.full((frames, bins), 0.1)
+            wav = vocoder.synthesize(f0, sp, ap, fs)
+            file_io.save_wav(wav, str(wav_dir / f'utt{i}.wav'), sample_rate=fs)
+
+        out = tmp_path / 'data'
+        id_lists = prepare_voice(str(wav_dir), str(out), fft_size=256,
+                                 mcep_order=24, seed=0)
+        assert sum(len(v) for v in id_lists.values()) == 5
+        assert len(id_lists['train']) >= 3
+
+        # Dataset loads the prepared features with normalisation.
+        sources = {
+            'n_frames': TextSource('n_frames', sentence_level=True),
+            'counters': NumpyBinarySource('counters'),
+            'lf0': NumpyBinarySource('lf0', use_deltas=True),
+            'vuv': NumpyBinarySource('vuv'),
+        }
+        normalisers = {'lf0': MeanVarianceNormaliser('lf0', use_deltas=True)}
+        for norm in normalisers.values():
+            norm.load_params('train', str(out))
+        ds = FilesDataset(sources, 'train', 'train/train_file_id_list.scp',
+                          normalisers, str(out))
+        item = ds[0]
+        assert item['counters'].shape[1] == 9
+        assert 'normalised_lf0_deltas' in item
+        assert item['lf0'].shape[0] == int(item['n_frames'])
