@@ -72,6 +72,39 @@ def test_masked_matches_torch_packed(mode, rng):
     np.testing.assert_allclose(j_h, h_final, atol=2e-5)
 
 
+@pytest.mark.parametrize('mode', ['lstm', 'gru'])
+def test_multilayer_stack_matches_torch(mode, rng):
+    """2-layer stacks (torch num_layers=2) match our Recurrent(num_layers=2)
+    with migrated weights."""
+    from morgana_tpu import migrate, nn
+
+    torch.manual_seed(21)
+    in_dim, hidden = 6, 8
+    t_rnn = (torch.nn.LSTM if mode == 'lstm' else torch.nn.GRU)(
+        in_dim, hidden, num_layers=2, batch_first=True)
+
+    class Holder(nn.Module):
+        def __init__(self):
+            self.rnn = nn.Recurrent(mode, in_dim, hidden, num_layers=2)
+
+    nn.manual_seed(0)
+    holder = Holder()
+    # torch names: rnn.weight_ih_l0 ... — our map adds '.layer' only for the
+    # reference's wrapper; plain torch RNN attrs live directly on the module.
+    sd = {}
+    for name, value in t_rnn.state_dict().items():
+        arr = value.numpy()
+        sd[f'rnn.{name.replace("weight_ih", "w_ih").replace("weight_hh", "w_hh").replace("bias_ih", "b_ih").replace("bias_hh", "b_hh")}'] = \
+            arr.T if name.startswith('weight') else arr
+    nn.load_state_dict(holder, sd)
+
+    x = rng.normal(size=(2, 9, in_dim)).astype(np.float32)
+    with torch.no_grad():
+        y_ref, _ = t_rnn(torch.tensor(x))
+    y_ours, _ = holder.rnn(jnp.array(x))
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref.numpy(), atol=2e-5)
+
+
 def test_recurrent_module_stack(rng):
     """Stacked Recurrent module runs and masks correctly."""
     nn.manual_seed(11)
