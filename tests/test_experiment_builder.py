@@ -152,3 +152,25 @@ class TestFailureDetection:
                         learning_rate=1e30)
         with pytest.raises(FloatingPointError, match='diverged'):
             exp.run_experiment()
+
+
+class TestKeyboardInterrupt:
+    def test_interrupt_still_plots(self, voice_data, tmp_path):
+        """KeyboardInterrupt mid-training flushes the metrics plot before
+        re-raising (reference behaviour, experiment_builder.py:705-709)."""
+        exp, _ = _build(voice_data, tmp_path, 'kint', end_epoch=5, valid=True)
+
+        original = exp.train_epoch
+        calls = {'n': 0}
+
+        def interrupting(*args, **kwargs):
+            calls['n'] += 1
+            if calls['n'] >= 2:
+                raise KeyboardInterrupt
+            return original(*args, **kwargs)
+
+        exp.train_epoch = interrupting
+        with pytest.raises(KeyboardInterrupt):
+            exp.run_experiment()
+        assert os.path.isfile(os.path.join(str(tmp_path / 'experiments'), 'kint',
+                                           'metrics.pdf'))
