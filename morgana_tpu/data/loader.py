@@ -41,7 +41,7 @@ class DataLoader(object):
     """
 
     def __init__(self, dataset, batch_size=32, shuffle=True, num_data_threads=0,
-                 seed=0, drop_remainder=False, bucket=True):
+                 seed=0, drop_remainder=False, bucket=True, length_sort_window=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,7 +49,14 @@ class DataLoader(object):
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.bucket = bucket
+        # length_sort_window > 0 enables length-smart batching: within a
+        # shuffled window of `window * batch_size` utterances, sort by
+        # sequence length so each batch pads to a similar max — cutting
+        # padded-frame compute (classic RNN bucketing). Lengths are learned
+        # from the first (randomly ordered) epoch, so it needs no schema.
+        self.length_sort_window = length_sort_window
         self.epoch = 0
+        self._lengths = {}
         self._pool = (ThreadPoolExecutor(max_workers=num_data_threads)
                       if num_data_threads and num_data_threads > 0 else None)
 
@@ -64,7 +71,26 @@ class DataLoader(object):
         if not self.shuffle:
             return np.arange(n)
         rng = np.random.default_rng((self.seed, self.epoch))
-        return rng.permutation(n)
+        perm = rng.permutation(n)
+
+        if self.length_sort_window and len(self._lengths) == n:
+            window = max(1, self.length_sort_window) * self.batch_size
+            sorted_perm = np.concatenate([
+                sorted(perm[s:s + window], key=self._lengths.__getitem__)
+                for s in range(0, n, window)])
+            # Re-shuffle batch order so batches aren't presented short->long.
+            starts = np.arange(0, n, self.batch_size)
+            rng.shuffle(starts)
+            perm = np.concatenate([sorted_perm[s:s + self.batch_size] for s in starts])
+        return perm
+
+    def _record_lengths(self, idxs, items):
+        for idx, item in zip(idxs, items):
+            max_len = 0
+            for value in item.values():
+                if isinstance(value, np.ndarray) and value.ndim > 1:
+                    max_len = max(max_len, value.shape[0])
+            self._lengths[int(idx)] = max_len
 
     def __iter__(self):
         order = self._order()
@@ -79,6 +105,8 @@ class DataLoader(object):
                 items = list(self._pool.map(self.dataset.__getitem__, idxs))
             else:
                 items = [self.dataset[i] for i in idxs]
+            if self.length_sort_window:
+                self._record_lengths(idxs, items)
             if collate is not None:
                 yield collate(items, bucket=self.bucket)
             else:
@@ -140,10 +168,12 @@ class ToDeviceWrapper(object):
 
 
 def batch(data_generator, batch_size=32, shuffle=True, num_data_threads=0,
-          device=None, sharding=None, seed=0, drop_remainder=False, prefetch=2):
+          device=None, sharding=None, seed=0, drop_remainder=False, prefetch=2,
+          length_sort_window=0):
     r"""Creates the batched, device-prefetching loader for a dataset
     (reference API: ``morgana/data.py:29-57``)."""
     loader = DataLoader(data_generator, batch_size=batch_size, shuffle=shuffle,
                         num_data_threads=num_data_threads, seed=seed,
-                        drop_remainder=drop_remainder)
+                        drop_remainder=drop_remainder,
+                        length_sort_window=length_sort_window)
     return ToDeviceWrapper(loader, sharding=sharding, prefetch=prefetch)

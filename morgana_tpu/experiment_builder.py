@@ -168,6 +168,10 @@ class ExperimentBuilder(object):
                             help='Batches between progress-bar metric refreshes (higher avoids device syncs).')
         parser.add_argument('--profile_dir', dest='profile_dir', action='store', type=str, default=None,
                             help='If set, capture a jax.profiler trace of the first training epoch here.')
+        parser.add_argument('--length_sort_window', dest='length_sort_window', action='store',
+                            type=int, default=0,
+                            help='If > 0, sort utterances by length within windows of N batches '
+                                 '(after a first random epoch) to cut padded-frame compute.')
         parser.add_argument('--compute_dtype', dest='compute_dtype', action='store', type=str,
                             default='float32',
                             help="Matmul compute dtype: 'float32' (default) or 'bfloat16' "
@@ -219,6 +223,7 @@ class ExperimentBuilder(object):
         self.log_interval = kwargs.get('log_interval', 1)
         self.profile_dir = kwargs.get('profile_dir')
         self.compute_dtype = kwargs.get('compute_dtype', 'float32')
+        self.length_sort_window = kwargs.get('length_sort_window', 0)
         nn.set_default_compute_dtype(self.compute_dtype)
 
         #
@@ -406,7 +411,8 @@ class ExperimentBuilder(object):
         return data.batch(dataset, batch_size=self.batch_size, shuffle=shuffle,
                           num_data_threads=self.num_data_threads,
                           sharding=self.batch_sharding, seed=self.seed,
-                          drop_remainder=bool(self.batch_sharding))
+                          drop_remainder=bool(self.batch_sharding),
+                          length_sort_window=self.length_sort_window if shuffle else 0)
 
     # ----------------------------------------------------------------- train
 

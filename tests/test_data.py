@@ -163,3 +163,30 @@ class TestDatasetAndLoader:
         loader = data.DataLoader(ds, batch_size=3, drop_remainder=True)
         assert len(loader) == 2
         assert all(len(b['name']) == 3 for b in loader)
+
+
+class TestLengthSortedBatching:
+    def test_reduces_padding_after_first_epoch(self, voice_data):
+        from f0_model_fixture import make_f0_sources
+        ds = data.FilesDataset(make_f0_sources(), 'train', 'train/train_file_id_list.scp',
+                               {}, voice_data['data_root'])
+        loader = data.DataLoader(ds, batch_size=2, shuffle=True, seed=0,
+                                 length_sort_window=4)
+
+        def epoch_names_and_spread(loader):
+            names, spreads = [], []
+            for b in loader:
+                names.extend(b['name'])
+                lens = [int(n) for n in np.asarray(b['n_frames']).reshape(-1)]
+                spreads.append(max(lens) - min(lens))
+            return names, spreads
+
+        names1, _ = epoch_names_and_spread(loader)       # random epoch, learns lengths
+        names2, spreads2 = epoch_names_and_spread(loader)  # length-sorted windows
+        # All utterances still covered exactly once.
+        assert sorted(names1) == sorted(names2) == sorted(ds.file_ids)
+        # With the window covering the whole set, each batch pairs neighbours
+        # by length: spread within each batch is (near-)minimal.
+        lengths = sorted(loader._lengths.values())
+        optimal = max(b - a for a, b in zip(lengths[::2], lengths[1::2]))
+        assert max(spreads2) <= optimal + 1
