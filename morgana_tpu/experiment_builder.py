@@ -168,6 +168,9 @@ class ExperimentBuilder(object):
                             help='Batches between progress-bar metric refreshes (higher avoids device syncs).')
         parser.add_argument('--profile_dir', dest='profile_dir', action='store', type=str, default=None,
                             help='If set, capture a jax.profiler trace of the first training epoch here.')
+        parser.add_argument('--remat', dest='remat', action='store_true', default=False,
+                            help='Rematerialise recurrent layers in the backward pass '
+                                 '(O(1) activation memory per layer; enables longer sequences).')
         parser.add_argument('--length_sort_window', dest='length_sort_window', action='store',
                             type=int, default=0,
                             help='If > 0, sort utterances by length within windows of N batches '
@@ -225,6 +228,7 @@ class ExperimentBuilder(object):
         self.compute_dtype = kwargs.get('compute_dtype', 'float32')
         self.length_sort_window = kwargs.get('length_sort_window', 0)
         nn.set_default_compute_dtype(self.compute_dtype)
+        nn.set_default_remat(kwargs.get('remat', False))
 
         #
         # Add/modify settings and attributes.

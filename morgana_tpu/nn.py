@@ -36,6 +36,7 @@ from morgana_tpu.ops import rnn as rnn_ops
 __all__ = [
     'Param', 'Module', 'ModuleList', 'Linear', 'Dropout', 'Embedding',
     'set_default_compute_dtype', 'default_compute_dtype',
+    'set_default_remat', 'default_remat',
     'Recurrent', 'SequentialWithRecurrent', 'Sigmoid', 'Tanh', 'ReLU',
     'manual_seed', 'parameters', 'named_parameters', 'load_parameters',
     'state_dict', 'load_state_dict', 'bind', 'next_rng', 'is_training',
@@ -51,6 +52,21 @@ _INIT_RNG = np.random.default_rng(0)
 # Global matmul compute dtype (None = full f32). Set to bfloat16 to run the
 # large matmuls in bf16 on the MXU with f32 accumulation/state.
 _DEFAULT_COMPUTE_DTYPE = None
+
+# Global rematerialisation toggle: recurrent layers recompute their forward
+# in the backward pass (jax.checkpoint) instead of saving per-step
+# activations — O(T) activation memory becomes O(1) per layer, enabling much
+# longer sequences / larger batches at ~1.3x train FLOPs.
+_DEFAULT_REMAT = False
+
+
+def set_default_remat(enabled):
+    global _DEFAULT_REMAT
+    _DEFAULT_REMAT = bool(enabled)
+
+
+def default_remat():
+    return _DEFAULT_REMAT
 
 
 def set_default_compute_dtype(dtype):
@@ -349,7 +365,8 @@ class Recurrent(Module):
     """
 
     def __init__(self, mode, input_size, hidden_size, num_layers=1, dropout=0.0,
-                 unroll=8, compute_dtype=None, backend='scan', interpret=False):
+                 unroll=8, compute_dtype=None, backend='scan', interpret=False,
+                 remat=None):
         mode = mode.lower()
         if mode not in ('lstm', 'gru'):
             raise ValueError(f'Unsupported recurrent mode {mode!r}')
@@ -364,6 +381,7 @@ class Recurrent(Module):
         self.compute_dtype = compute_dtype
         self.backend = backend
         self.interpret = interpret
+        self.remat = remat
 
         gates = 4 if mode == 'lstm' else 3
         bound = 1.0 / math.sqrt(hidden_size)
@@ -406,6 +424,8 @@ class Recurrent(Module):
         if backend == 'pallas' and not self.interpret and jax.default_backend() != 'tpu':
             backend = 'scan'
 
+        remat = self.remat if self.remat is not None else _DEFAULT_REMAT
+
         x = inputs
         new_hidden = []
         for i, layer in enumerate(self.layers):
@@ -414,31 +434,35 @@ class Recurrent(Module):
                 h0c0 = (None, None) if h0 is None else h0
                 if backend == 'pallas':
                     from morgana_tpu.ops.pallas_rnn import lstm_layer
-                    x, hc = lstm_layer(
-                        x, layer['w_ih'].value, layer['w_hh'].value,
-                        layer['b_ih'].value, layer['b_hh'].value,
+                    fn = lambda x, w_ih, w_hh, b_ih, b_hh: lstm_layer(
+                        x, w_ih, w_hh, b_ih, b_hh,
                         seq_len=seq_len, h0=h0c0[0], c0=h0c0[1],
                         interpret=self.interpret)
                 else:
-                    x, hc = rnn_ops.lstm(
-                        x, layer['w_ih'].value, layer['w_hh'].value,
-                        layer['b_ih'].value, layer['b_hh'].value,
+                    fn = lambda x, w_ih, w_hh, b_ih, b_hh: rnn_ops.lstm(
+                        x, w_ih, w_hh, b_ih, b_hh,
                         seq_len=seq_len, h0=h0c0[0], c0=h0c0[1], unroll=self.unroll,
                         compute_dtype=compute_dtype)
+                if remat:
+                    fn = jax.checkpoint(fn)
+                x, hc = fn(x, layer['w_ih'].value, layer['w_hh'].value,
+                           layer['b_ih'].value, layer['b_hh'].value)
                 new_hidden.append(hc)
             else:
                 if backend == 'pallas':
                     from morgana_tpu.ops.pallas_gru import gru_layer
-                    x, h = gru_layer(
-                        x, layer['w_ih'].value, layer['w_hh'].value,
-                        layer['b_ih'].value, layer['b_hh'].value,
+                    fn = lambda x, w_ih, w_hh, b_ih, b_hh: gru_layer(
+                        x, w_ih, w_hh, b_ih, b_hh,
                         seq_len=seq_len, h0=h0, interpret=self.interpret)
                 else:
-                    x, h = rnn_ops.gru(
-                        x, layer['w_ih'].value, layer['w_hh'].value,
-                        layer['b_ih'].value, layer['b_hh'].value,
+                    fn = lambda x, w_ih, w_hh, b_ih, b_hh: rnn_ops.gru(
+                        x, w_ih, w_hh, b_ih, b_hh,
                         seq_len=seq_len, h0=h0, unroll=self.unroll,
                         compute_dtype=compute_dtype)
+                if remat:
+                    fn = jax.checkpoint(fn)
+                x, h = fn(x, layer['w_ih'].value, layer['w_hh'].value,
+                          layer['b_ih'].value, layer['b_hh'].value)
                 new_hidden.append(h)
             if self.dropout is not None and i < self.num_layers - 1:
                 x = self.dropout(x)
