@@ -138,3 +138,35 @@ class TestEMA:
         w_ema = nn.parameters(m2)['fc1.weight']
         w_m1 = nn.parameters(m1)['fc1.weight']
         np.testing.assert_allclose(np.asarray(w_ema), np.asarray(w_m1) - 0.5, atol=1e-6)
+
+
+class TestComputeOptions:
+    def test_bf16_compute_close_to_f32(self, rng):
+        import jax.numpy as jnp
+        nn.manual_seed(3)
+        rec = nn.Recurrent('lstm', 8, 16)
+        x = jnp.array(rng.normal(size=(2, 10, 8)).astype(np.float32))
+        y32, _ = rec(x)
+        rec.compute_dtype = jnp.bfloat16
+        y16, _ = rec(x)
+        assert y16.dtype == jnp.float32  # state/accumulation stay f32
+        np.testing.assert_allclose(np.asarray(y16), np.asarray(y32), atol=2e-2)
+
+    def test_global_compute_dtype_toggle(self):
+        import jax.numpy as jnp
+        nn.set_default_compute_dtype('bfloat16')
+        assert nn.default_compute_dtype() == jnp.bfloat16
+        nn.set_default_compute_dtype('float32')
+        assert nn.default_compute_dtype() is None
+
+    def test_remat_grads_match(self, rng):
+        import jax.numpy as jnp
+        nn.manual_seed(4)
+        base = nn.Recurrent('gru', 6, 12)
+        nn.manual_seed(4)
+        rm = nn.Recurrent('gru', 6, 12, remat=True)
+        x = jnp.array(rng.normal(size=(2, 9, 6)).astype(np.float32))
+        sl = jnp.array([9, 5])
+        g1 = jax.grad(lambda x: jnp.sum(base(x, seq_len=sl)[0] ** 2))(x)
+        g2 = jax.grad(lambda x: jnp.sum(rm(x, seq_len=sl)[0] ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-6)
