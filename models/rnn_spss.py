@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from morgana_tpu.base_models import BaseSPSS
 from morgana_tpu.experiment_builder import ExperimentBuilder
-from morgana_tpu.viz.synthesis import MLPG
+from morgana_tpu.viz.synthesis import MLPG, MLPG_streams
 from morgana_tpu import data
 from morgana_tpu import losses
 from morgana_tpu import metrics
@@ -102,9 +102,17 @@ class LSTMAcousticModel(BaseSPSS):
         pred_norm_lf0_deltas, pred_vuv, pred_norm_mcep_deltas, pred_norm_bap_deltas = \
             jnp.split(pred_norm_deltas, splits, axis=-1)
 
-        pred_lf0 = self._prepare_output('lf0', pred_norm_lf0_deltas, seq_len=n_frames)
-        pred_mcep = self._prepare_output('mcep', pred_norm_mcep_deltas, seq_len=n_frames)
-        pred_bap = self._prepare_output('bap', pred_norm_bap_deltas, seq_len=n_frames)
+        # All three MLPG stream solves fuse into ONE batched banded solve
+        # (stop-gradient matches the reference's `.detach()` before MLPG).
+        streams = {}
+        for name, pred in (('lf0', pred_norm_lf0_deltas),
+                           ('mcep', pred_norm_mcep_deltas),
+                           ('bap', pred_norm_bap_deltas)):
+            deltas = self.normalisers[name].denormalise(pred, deltas=True)
+            streams[name] = (jax.lax.stop_gradient(deltas),
+                             self.normalisers[name].delta_params['std_dev'] ** 2)
+        trajs = MLPG_streams(streams, padding_size=100, seq_len=n_frames)
+        pred_lf0, pred_mcep, pred_bap = trajs['lf0'], trajs['mcep'], trajs['bap']
 
         pred_vuv = jax.nn.sigmoid(pred_vuv)
 

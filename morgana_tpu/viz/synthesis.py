@@ -62,6 +62,46 @@ def MLPG(means, variances, windows=None, padding_size=0, seq_len=None, backend='
     return out if is_jax_in else np.asarray(out)
 
 
+def MLPG_streams(streams, windows=None, padding_size=0, seq_len=None):
+    r"""Runs MLPG for several feature streams in ONE batched solve.
+
+    ``streams`` maps name -> (means, variances) with means shaped
+    (batch, time, W * D_name). All streams share windows/padding/seq_len, so
+    their per-lane solves concatenate along the feature dim — one kernel
+    launch and one set of scans instead of one per stream (the acoustic model
+    runs lf0+mcep+bap per training step).
+
+    Returns {name: trajectory (batch, time, D_name)}.
+    """
+    windows = _canonical_windows(windows)
+    num_windows = len(windows)
+    names = list(streams.keys())
+
+    means_parts, var_parts, dims = [], [], []
+    batch, time = None, None
+    for name in names:
+        means, variances = streams[name]
+        means = jnp.asarray(means)
+        batch, time = means.shape[0], means.shape[1]
+        d = means.shape[-1] // num_windows
+        dims.append(d)
+        means_parts.append(means.reshape(batch, time, num_windows, d))
+        var_parts.append(jnp.broadcast_to(jnp.asarray(variances), means.shape)
+                         .reshape(batch, time, num_windows, d))
+
+    means_all = jnp.concatenate(means_parts, axis=-1).reshape(batch, time, -1)
+    vars_all = jnp.concatenate(var_parts, axis=-1).reshape(batch, time, -1)
+
+    traj = _mlpg_jax(means_all, vars_all, windows, int(padding_size),
+                     None if seq_len is None else jnp.asarray(seq_len))
+
+    out, start = {}, 0
+    for name, d in zip(names, dims):
+        out[name] = traj[:, :, start:start + d]
+        start += d
+    return out
+
+
 def _window_matrix(l, u, coeffs, num_frames):
     w = np.zeros((num_frames, num_frames))
     for t in range(num_frames):

@@ -87,3 +87,20 @@ class TestReferenceAPI:
         a = MLPG(means, variances, backend='numpy')
         b = MLPG(means, variances, backend='jax')
         np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+class TestFusedStreams:
+    def test_streams_match_separate_calls(self, rng):
+        from morgana_tpu.viz.synthesis import MLPG_streams
+        streams = {
+            'lf0': (rng.normal(size=(2, 30, 3)).astype(np.float32),
+                    (0.5 + rng.random(3)).astype(np.float32)),
+            'mcep': (rng.normal(size=(2, 30, 12)).astype(np.float32),
+                     (0.5 + rng.random(12)).astype(np.float32)),
+        }
+        seq_len = np.array([30, 22])
+        fused = MLPG_streams(streams, padding_size=10, seq_len=seq_len)
+        for name, (means, variances) in streams.items():
+            separate = MLPG(means, variances, padding_size=10, seq_len=seq_len)
+            np.testing.assert_allclose(np.asarray(fused[name]),
+                                       np.asarray(separate), atol=1e-5)
