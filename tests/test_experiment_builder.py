@@ -174,3 +174,14 @@ class TestKeyboardInterrupt:
             exp.run_experiment()
         assert os.path.isfile(os.path.join(str(tmp_path / 'experiments'), 'kint',
                                            'metrics.pdf'))
+
+
+class TestProfiling:
+    def test_profile_dir_writes_trace(self, voice_data, tmp_path):
+        profile_dir = str(tmp_path / 'trace')
+        exp, _ = _build(voice_data, tmp_path, 'prof', end_epoch=1, valid=False,
+                        profile_dir=profile_dir)
+        exp.run_experiment()
+        # jax.profiler writes plugins/profile/<ts>/*.pb under the trace dir.
+        found = [f for root, _, files in os.walk(profile_dir) for f in files]
+        assert found, 'profiler trace directory is empty'
