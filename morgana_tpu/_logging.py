@@ -77,20 +77,25 @@ class ProgressBar(tqdm):
         self._print_count = 0
 
     def print(self, mode, epoch, **kwargs):
-        r"""Formats metrics into the bar description and logs them.
-
-        ``print_interval`` lets high-throughput loops avoid forcing a device
-        sync on every batch (stringifying metrics synchronises): with
-        interval N, metric strings are materialised every N-th call only.
-        """
-        self._print_count += 1
-        if self._print_count % self.print_interval:
-            return
+        r"""Formats metrics into the bar description and logs them."""
         desc = f'{mode} | epoch {epoch: >2}'
         if kwargs:
             desc += ': ' + ' | '.join(f'{k} = {v}' for k, v in kwargs.items())
         self.logger.debug(desc, {'is_tqdm': True})
         self.set_description(desc)
+
+    def maybe_print(self, mode, epoch, kwargs_fn):
+        r"""Rate-limited print with LAZY kwargs.
+
+        ``print_interval`` lets high-throughput loops avoid forcing a device
+        sync on every batch: metric strings (which synchronise on device
+        values) are only materialised — by calling ``kwargs_fn()`` — on every
+        N-th call.
+        """
+        self._print_count += 1
+        if self._print_count % self.print_interval:
+            return
+        self.print(mode, epoch, **kwargs_fn())
 
 
 class IsTqdmFilter(logging.Filter):

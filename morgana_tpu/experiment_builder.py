@@ -457,9 +457,9 @@ class ExperimentBuilder(object):
 
             self.model.metrics.apply_staged(staged, tag='train')
             self.model.metrics.accumulate(self.model.mode, loss=batch_loss)
-            pbar.print('train', self.epoch,
-                       batch_loss=utils.format_float_tensor(batch_loss),
-                       **self.model.metrics.results_as_str_dict('train'))
+            pbar.maybe_print('train', self.epoch, lambda: dict(
+                batch_loss=utils.format_float_tensor(batch_loss),
+                **self.model.metrics.results_as_str_dict('train')))
 
             if gen_output:
                 self.loop.sync_model()
@@ -580,9 +580,9 @@ class ExperimentBuilder(object):
 
             self.model.metrics.apply_staged(staged, tag='eval')
             self.model.metrics.accumulate('valid', loss=batch_loss)
-            pbar.print('valid', self.epoch,
-                       batch_loss=utils.format_float_tensor(batch_loss),
-                       **self.model.metrics.results_as_str_dict('valid'))
+            pbar.maybe_print('valid', self.epoch, lambda: dict(
+                batch_loss=utils.format_float_tensor(batch_loss),
+                **self.model.metrics.results_as_str_dict('valid')))
 
             if gen_output:
                 if not synced:
@@ -648,7 +648,8 @@ class ExperimentBuilder(object):
             model.analysis_for_test_batch(features, output_features,
                                           out_dir=out_dir, **self.analysis_kwargs)
 
-            pbar.print('test', self.epoch, **self.model.metrics.results_as_str_dict('test'))
+            pbar.maybe_print('test', self.epoch,
+                             lambda: self.model.metrics.results_as_str_dict('test'))
 
         model.analysis_for_test_epoch(out_dir=out_dir, **self.analysis_kwargs)
 
