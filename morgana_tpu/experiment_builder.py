@@ -555,9 +555,11 @@ class ExperimentBuilder(object):
 
     def valid_epoch(self, data_loader, model=None, gen_output=False, out_dir=None):
         r"""Evaluates once over all batches (jitted forward, no grads)."""
-        use_ema = bool(self.ema_decay)
         if model is None:
-            model = self.ema.model if use_ema else self.model
+            model = self.ema.model if self.ema_decay else self.model
+        # Use EMA parameters exactly when the EMA model was selected — the
+        # passed model decides, as in the reference (morgana/experiment_builder.py:583-584).
+        use_ema = bool(self.ema_decay) and self.ema is not None and model is self.ema.model
 
         model.mode = 'valid'
         self.model.mode = 'valid'
@@ -622,9 +624,9 @@ class ExperimentBuilder(object):
 
     def test_epoch(self, data_loader, model=None, out_dir=None):
         r"""Runs prediction (no loss) over all batches with analysis hooks."""
-        use_ema = bool(self.ema_decay)
         if model is None:
-            model = self.ema.model if use_ema else self.model
+            model = self.ema.model if self.ema_decay else self.model
+        use_ema = bool(self.ema_decay) and self.ema is not None and model is self.ema.model
 
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
