@@ -28,7 +28,7 @@ PHONES = 64
 FRAMES = 640           # ~3.2 s utterances at 5 ms frames
 WARMUP_STEPS = 2
 MEASURE_STEPS = 5
-MEASURE_ROUNDS = 4     # best-of-rounds: the shared TPU shows throttling episodes
+MEASURE_ROUNDS = 6     # best-of-rounds: the shared TPU shows throttling episodes
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'BENCH_BASELINE.json')
 
 
