@@ -366,12 +366,14 @@ class Recurrent(Module):
 
     def __init__(self, mode, input_size, hidden_size, num_layers=1, dropout=0.0,
                  unroll=8, compute_dtype=None, backend='scan', interpret=False,
-                 remat=None):
+                 remat=None, bidirectional=False):
         mode = mode.lower()
         if mode not in ('lstm', 'gru'):
             raise ValueError(f'Unsupported recurrent mode {mode!r}')
         if backend not in ('scan', 'pallas'):
             raise ValueError(f'Unsupported backend {backend!r}')
+        if bidirectional and backend == 'pallas':
+            raise ValueError('bidirectional currently uses the scan backend')
         self.mode = mode
         self.input_size = input_size
         self.hidden_size = hidden_size
@@ -382,24 +384,35 @@ class Recurrent(Module):
         self.backend = backend
         self.interpret = interpret
         self.remat = remat
+        self.bidirectional = bidirectional
 
         gates = 4 if mode == 'lstm' else 3
         bound = 1.0 / math.sqrt(hidden_size)
-        self.layers = []
-        for layer in range(num_layers):
-            in_dim = input_size if layer == 0 else hidden_size
-            self.layers.append({
+        num_directions = 2 if bidirectional else 1
+
+        def make_weights(in_dim):
+            return {
                 'w_ih': Param(_uniform((in_dim, gates * hidden_size), bound)),
                 'w_hh': Param(_uniform((hidden_size, gates * hidden_size), bound)),
                 'b_ih': Param(_uniform((gates * hidden_size,), bound)),
                 'b_hh': Param(_uniform((gates * hidden_size,), bound)),
-            })
+            }
+
+        self.layers = []
+        self.layers_reverse = [] if bidirectional else None
+        for layer in range(num_layers):
+            in_dim = input_size if layer == 0 else hidden_size * num_directions
+            self.layers.append(make_weights(in_dim))
+            if bidirectional:
+                self.layers_reverse.append(make_weights(in_dim))
 
     def named_parameters(self, prefix=''):
         for i, layer in enumerate(self.layers):
             for key, p in layer.items():
-                suffix = f'_l{i}' if self.num_layers > 1 else '_l0'
-                yield f'{prefix}{key}{suffix}', p
+                yield f'{prefix}{key}_l{i}', p
+            if self.bidirectional:
+                for key, p in self.layers_reverse[i].items():
+                    yield f'{prefix}{key}_l{i}_reverse', p
         if self.dropout is not None:
             yield from self.dropout.named_parameters(prefix=prefix + 'dropout.')
 
@@ -430,6 +443,12 @@ class Recurrent(Module):
         new_hidden = []
         for i, layer in enumerate(self.layers):
             h0 = hidden[i]
+            if self.bidirectional:
+                x, h_pair = self._bidirectional_layer(i, x, seq_len, remat)
+                new_hidden.append(h_pair)
+                if self.dropout is not None and i < self.num_layers - 1:
+                    x = self.dropout(x)
+                continue
             if self.mode == 'lstm':
                 h0c0 = (None, None) if h0 is None else h0
                 if backend == 'pallas':
@@ -472,6 +491,28 @@ class Recurrent(Module):
         if self.num_layers == 1:
             new_hidden = new_hidden[0]
         return x, new_hidden
+
+    def _bidirectional_layer(self, i, x, seq_len, remat):
+        """Runs one bidirectional layer: the backward direction consumes the
+        within-length-reversed sequence so its recurrence starts at each
+        sequence's last valid frame (pack/unpack semantics), then its outputs
+        are reversed back and concatenated with the forward direction."""
+        fwd_w, bwd_w = self.layers[i], self.layers_reverse[i]
+        cell = rnn_ops.lstm if self.mode == 'lstm' else rnn_ops.gru
+
+        def run(weights, seq):
+            fn = lambda seq, w_ih, w_hh, b_ih, b_hh: cell(
+                seq, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len, unroll=self.unroll)
+            if remat:
+                fn = jax.checkpoint(fn)
+            return fn(seq, weights['w_ih'].value, weights['w_hh'].value,
+                      weights['b_ih'].value, weights['b_hh'].value)
+
+        y_f, h_f = run(fwd_w, x)
+        x_rev = rnn_ops.reverse_sequences(x, seq_len)
+        y_b, h_b = run(bwd_w, x_rev)
+        y_b = rnn_ops.reverse_sequences(y_b, seq_len)
+        return jnp.concatenate([y_f, y_b], axis=-1), (h_f, h_b)
 
     def __repr__(self):
         return (f'Recurrent({self.mode.upper()}, in={self.input_size}, '

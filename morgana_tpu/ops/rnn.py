@@ -19,7 +19,7 @@ load torch-trained weights directly.
 import jax
 import jax.numpy as jnp
 
-__all__ = ['lstm', 'gru']
+__all__ = ['lstm', 'gru', 'reverse_sequences']
 
 
 def _time_major(x):
@@ -32,6 +32,24 @@ def _step_mask(seq_len, num_frames, batch_size, dtype):
     seq_len = jnp.asarray(seq_len).reshape(batch_size)
     t = jnp.arange(num_frames, dtype=seq_len.dtype)
     return (t[:, None] < seq_len[None, :]).astype(dtype)[:, :, None]
+
+
+def reverse_sequences(x, seq_len=None):
+    r"""Reverses each sequence along time WITHIN its valid length; padding
+    stays in place. With ``seq_len=None`` this is a plain flip.
+
+    Used for the backward direction of bidirectional RNNs: the recurrence must
+    start at each sequence's last valid frame, not at the padded tail (torch
+    pack/unpack semantics).
+    """
+    batch, time = x.shape[0], x.shape[1]
+    if seq_len is None:
+        return jnp.flip(x, axis=1)
+    seq_len = jnp.asarray(seq_len).reshape(batch).astype(jnp.int32)
+    t = jnp.arange(time, dtype=jnp.int32)
+    rev_idx = seq_len[:, None] - 1 - t[None, :]
+    idx = jnp.where(t[None, :] < seq_len[:, None], rev_idx, t[None, :])
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
 
 
 def _cast_for_matmul(x, w, compute_dtype):

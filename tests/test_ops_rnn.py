@@ -130,3 +130,46 @@ def test_sequential_with_recurrent_threads_seq_len(rng):
 
     names = dict(net.named_parameters())
     assert '0.weight' in names and '2.w_ih_l0' in names and '3.bias' in names
+
+
+@pytest.mark.parametrize('mode', ['lstm', 'gru'])
+def test_bidirectional_matches_torch_packed(mode, rng):
+    """Bidirectional stacks with variable lengths match torch pack/unpack:
+    the backward direction starts at each sequence's last valid frame."""
+    from morgana_tpu import nn
+
+    torch.manual_seed(5)
+    B, T, I, H = 3, 9, 6, 8
+    t_rnn = (torch.nn.LSTM if mode == 'lstm' else torch.nn.GRU)(
+        I, H, batch_first=True, bidirectional=True)
+    nn.manual_seed(0)
+    rec = nn.Recurrent(mode, I, H, bidirectional=True)
+
+    sd = {}
+    for name, v in t_rnn.state_dict().items():
+        arr = v.numpy()
+        ours = name.replace('weight_ih', 'w_ih').replace('weight_hh', 'w_hh') \
+                   .replace('bias_ih', 'b_ih').replace('bias_hh', 'b_hh')
+        sd[ours] = arr.T if name.startswith('weight') else arr
+    nn.load_state_dict(rec, sd)
+
+    x = rng.normal(size=(B, T, I)).astype(np.float32)
+    seq_len = np.array([9, 5, 2])
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(x), torch.tensor(seq_len), batch_first=True, enforce_sorted=False)
+    with torch.no_grad():
+        po, _ = t_rnn(packed)
+    y_ref, _ = torch.nn.utils.rnn.pad_packed_sequence(po, batch_first=True, total_length=T)
+
+    y_ours, hidden = rec(jnp.array(x), seq_len=jnp.array(seq_len))
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref.numpy(), atol=3e-5)
+    assert y_ours.shape == (B, T, 2 * H)
+
+
+def test_reverse_sequences(rng):
+    from morgana_tpu.ops.rnn import reverse_sequences
+    x = jnp.array(rng.normal(size=(2, 5, 3)).astype(np.float32))
+    out = np.asarray(reverse_sequences(x, jnp.array([5, 2])))
+    np.testing.assert_allclose(out[0], np.asarray(x)[0, ::-1])
+    np.testing.assert_allclose(out[1, :2], np.asarray(x)[1, 1::-1])
+    np.testing.assert_allclose(out[1, 2:], np.asarray(x)[1, 2:])  # padding in place
