@@ -1,6 +1,8 @@
 """Parallelism tests on the 8-device virtual CPU mesh: data-parallel training
 must be numerically equivalent to single-device training (the gradient psum is
 an exact mean over shards), and sharded placement must actually shard."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -160,3 +162,27 @@ class TestDistributed:
         assert b == ['utt1', 'utt5', 'utt9']
         all_shards = [parallel.shard_id_list(ids, p, 4) for p in range(4)]
         assert sorted(sum(all_shards, [])) == sorted(ids)
+
+
+class TestMultiHostDataSharding:
+    def test_two_host_loaders_cover_dataset(self, voice_data, tmp_path):
+        """Simulated 2-host loading: each host reads only its id-list shard;
+        together they cover the dataset exactly once."""
+        from morgana_tpu import data
+        from morgana_tpu.data import file_io
+        from f0_model_fixture import make_f0_sources
+
+        full_ids = file_io.get_file_ids(os.path.join(
+            voice_data['data_root'], 'train', 'train_file_id_list.scp'))
+
+        seen = []
+        for host in range(2):
+            shard = parallel.shard_id_list(full_ids, host, 2)
+            shard_list = tmp_path / f'host{host}.scp'
+            file_io.save_lines(shard, str(shard_list))
+            ds = data.FilesDataset(make_f0_sources(), 'train',
+                                   os.path.relpath(shard_list, voice_data['data_root']),
+                                   {}, voice_data['data_root'])
+            for b in data.DataLoader(ds, batch_size=2, shuffle=False):
+                seen.extend(b['name'])
+        assert sorted(seen) == sorted(full_ids)
