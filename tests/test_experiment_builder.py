@@ -185,3 +185,31 @@ class TestProfiling:
         # jax.profiler writes plugins/profile/<ts>/*.pb under the trace dir.
         found = [f for root, _, files in os.walk(profile_dir) for f in files]
         assert found, 'profiler trace directory is empty'
+
+
+class TestFullFeatureMatrix:
+    @pytest.mark.slow
+    def test_everything_enabled_together(self, voice_data, tmp_path):
+        """Soak: EMA + noam schedule + weight decay + remat + length-sorted
+        batching + per-epoch generation + test split, all in one run."""
+        exp, _ = _build(
+            voice_data, tmp_path, 'matrix', end_epoch=3, valid=True, test=True,
+            ema_decay=0.99, weight_decay=1e-6,
+            lr_schedule_name='noam', lr_schedule_kwargs={'warmup_steps': 5},
+            train_output_interval=3, valid_output_interval=3, test_output_interval=3,
+            num_data_threads=2)
+        exp.length_sort_window = 2
+        nn.set_default_remat(True)
+        try:
+            exp.run_experiment()
+        finally:
+            nn.set_default_remat(False)
+
+        expdir = os.path.join(str(tmp_path / 'experiments'), 'matrix')
+        for sub in ('train/epoch_3/metrics.json', 'valid/epoch_3/metrics.json',
+                    'test/epoch_3/metrics.json', 'checkpoints/epoch_3_ema.npz',
+                    'metrics.pdf'):
+            assert os.path.exists(os.path.join(expdir, sub)), sub
+        m1 = json.load(open(os.path.join(expdir, 'train', 'epoch_1', 'metrics.json')))
+        m3 = json.load(open(os.path.join(expdir, 'train', 'epoch_3', 'metrics.json')))
+        assert np.isfinite(m1['loss']) and np.isfinite(m3['loss'])
