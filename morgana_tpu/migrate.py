@@ -72,6 +72,8 @@ def convert_torch_state_dict(model, torch_sd):
     dict[str, np.ndarray] loadable with ``nn.load_state_dict``.
     """
     mapping = torch_name_map(model)
+    target_shapes = {name: tuple(p.value.shape)
+                     for name, p in model.named_parameters()}
     out = {}
     missing = []
     for our_name, torch_name in mapping.items():
@@ -81,7 +83,15 @@ def convert_torch_state_dict(model, torch_sd):
         value = torch_sd[torch_name]
         value = np.asarray(value.detach().cpu().numpy() if hasattr(value, 'detach')
                            else value, np.float32)
-        if _is_transposed_matrix(our_name) and value.ndim == 2:
+        # Transposition is shape-driven: torch stores Linear/RNN matrices
+        # (out, in); ours are (in, out). Square matrices (ambiguous) fall back
+        # to the name heuristic, and already-matching shapes (Embedding) copy
+        # through untouched.
+        target = target_shapes[our_name]
+        if value.ndim == 2 and value.shape != target and value.T.shape == target:
+            value = value.T
+        elif value.ndim == 2 and value.shape == target and value.shape[0] == value.shape[1] \
+                and _is_transposed_matrix(our_name):
             value = value.T
         out[our_name] = value
     if missing:
