@@ -176,3 +176,28 @@ class TestVizIO:
         assert list(res['loss'].items()) == [(1, 1.0), (2, 0.5)]
         viz.plotting.plot_experiment('exp1', ['loss'], str(base), save=True)
         assert os.path.isfile(base / 'exp1' / 'metrics.pdf')
+
+
+class TestMiscAPI:
+    def test_losses_module_import_path(self):
+        import morgana_tpu.losses as L
+        assert callable(L.mse) and callable(L.KLD_standard_normal)
+
+    def test_infer_device(self):
+        x = jnp.ones(3)
+        dev = utils.infer_device(x)
+        assert dev is not None
+        assert utils.infer_device(np.ones(3)) is None
+
+    def test_plot_experiment_set(self, tmp_path, monkeypatch):
+        from morgana_tpu.data import file_io
+        base = tmp_path / 'experiments'
+        for exp in ('e1', 'e2'):
+            for mode in ('train', 'valid'):
+                for epoch, val in [(1, 1.0), (2, 0.5)]:
+                    file_io.save_json({'loss': val},
+                                      str(base / exp / mode / f'epoch_{epoch}' / 'metrics.json'))
+        monkeypatch.chdir(tmp_path)
+        viz.plotting.plot_experiment_set(['e1', 'e2'], ['loss'], str(base),
+                                         file_name='cmp.pdf')
+        assert os.path.isfile(tmp_path / 'plots' / 'cmp.pdf')
