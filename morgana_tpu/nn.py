@@ -37,7 +37,7 @@ __all__ = [
     'Param', 'Module', 'ModuleList', 'Linear', 'Dropout', 'Embedding',
     'set_default_compute_dtype', 'default_compute_dtype',
     'set_default_remat', 'default_remat',
-    'Recurrent', 'SequentialWithRecurrent', 'Sigmoid', 'Tanh', 'ReLU',
+    'Recurrent', 'SequentialWithRecurrent', 'Sigmoid', 'Tanh', 'ReLU', 'LayerNorm',
     'manual_seed', 'parameters', 'named_parameters', 'load_parameters',
     'state_dict', 'load_state_dict', 'bind', 'next_rng', 'is_training',
     'ExponentialMovingAverage',
@@ -329,6 +329,27 @@ class Dropout(Module):
 
     def __repr__(self):
         return f'Dropout(p={self.p})'
+
+
+class LayerNorm(Module):
+    """Layer normalisation over the feature dim (Ba et al., 2016) — the
+    standard stabiliser for recurrent stacks; normalises per frame so it is
+    mask-agnostic (padded frames normalise to garbage that downstream masking
+    discards)."""
+
+    def __init__(self, features, eps=1e-5):
+        self.eps = float(eps)
+        self.weight = Param(jnp.ones((features,)))
+        self.bias = Param(jnp.zeros((features,)))
+
+    def forward(self, x):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        normed = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return normed * self.weight.value + self.bias.value
+
+    def __repr__(self):
+        return f'LayerNorm({self.weight.value.shape[0]})'
 
 
 class Sigmoid(Module):

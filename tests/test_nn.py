@@ -170,3 +170,26 @@ class TestComputeOptions:
         g1 = jax.grad(lambda x: jnp.sum(base(x, seq_len=sl)[0] ** 2))(x)
         g2 = jax.grad(lambda x: jnp.sum(rm(x, seq_len=sl)[0] ** 2))(x)
         np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-6)
+
+
+class TestLayerNormEmbedding:
+    def test_layernorm_matches_torch(self, rng):
+        import torch
+        x = rng.normal(size=(2, 5, 8)).astype(np.float32)
+        t_ln = torch.nn.LayerNorm(8)
+        with torch.no_grad():
+            t_ln.weight.copy_(torch.arange(8, dtype=torch.float32) * 0.1 + 1)
+            t_ln.bias.copy_(torch.ones(8) * 0.3)
+            y_ref = t_ln(torch.tensor(x)).numpy()
+        ln = nn.LayerNorm(8)
+        ln.weight.value = jnp.arange(8, dtype=jnp.float32) * 0.1 + 1
+        ln.bias.value = jnp.ones(8) * 0.3
+        np.testing.assert_allclose(np.asarray(ln(jnp.array(x))), y_ref, atol=1e-5)
+
+    def test_embedding_lookup(self):
+        nn.manual_seed(0)
+        emb = nn.Embedding(10, 4)
+        out = emb(jnp.array([[1, 3], [0, 9]]))
+        assert out.shape == (2, 2, 4)
+        np.testing.assert_array_equal(np.asarray(out[0, 0]),
+                                      np.asarray(emb.weight.value[1]))
