@@ -90,10 +90,8 @@ class TextSource(_DataSource):
         super().__init__(name, use_deltas, ext, sentence_level)
 
     def load_file(self, base_name, data_dir):
-        feature = file_io.load_txt(self.file_path(base_name, data_dir))
-        if self.sentence_level:
-            return np.asarray(feature, np.float32)
-        return np.asarray(feature, np.float32)
+        return np.asarray(file_io.load_txt(self.file_path(base_name, data_dir)),
+                          np.float32)
 
 
 class StringSource(_DataSource):

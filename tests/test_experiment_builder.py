@@ -213,3 +213,20 @@ class TestFullFeatureMatrix:
         m1 = json.load(open(os.path.join(expdir, 'train', 'epoch_1', 'metrics.json')))
         m3 = json.load(open(os.path.join(expdir, 'train', 'epoch_3', 'metrics.json')))
         assert np.isfinite(m1['loss']) and np.isfinite(m3['loss'])
+
+
+class TestReproducibility:
+    def test_same_seed_same_checkpoint(self, voice_data, tmp_path):
+        """Two runs with the same seed produce byte-identical parameters
+        (init RNG + training RNG streams + data order are all seeded)."""
+        sds = []
+        for name in ('repro_a', 'repro_b'):
+            exp, _ = _build(voice_data, tmp_path, name, end_epoch=1, valid=False,
+                            model_kwargs={'dropout_prob': 0.2})
+            exp.run_experiment()
+            ckpt = os.path.join(str(tmp_path / 'experiments'), name,
+                                'checkpoints', 'epoch_1.npz')
+            sds.append(dict(np.load(ckpt)))
+        assert set(sds[0]) == set(sds[1])
+        for k in sds[0]:
+            np.testing.assert_array_equal(sds[0][k], sds[1][k])
