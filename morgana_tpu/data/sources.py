@@ -141,7 +141,7 @@ class SyntheticSource(_DataSource):
     sources without touching the filesystem.
     """
 
-    def __init__(self, name, feat_dim, frame_rate_of=None, use_deltas=False,
+    def __init__(self, name, feat_dim, use_deltas=False,
                  sentence_level=False, kind='normal', seq_len_range=(50, 200)):
         super().__init__(name, use_deltas, None, sentence_level)
         self.feat_dim = feat_dim
