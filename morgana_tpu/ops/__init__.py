@@ -2,6 +2,8 @@
 from morgana_tpu.ops import deltas
 from morgana_tpu.ops import losses
 from morgana_tpu.ops import masking
+from morgana_tpu.ops import pallas_gru
+from morgana_tpu.ops import pallas_rnn
 from morgana_tpu.ops import rnn
 from morgana_tpu.ops import sequence
 
