@@ -92,10 +92,6 @@ class FilesDataset(object):
         return collate(batch, bucket=bucket)
 
 
-_FLOAT_KINDS = ('f',)
-_INT_KINDS = ('i', 'u', 'b')
-
-
 def collate(batch, bucket=True):
     r"""Collates a list of per-utterance feature dicts into a padded batch.
 
@@ -130,12 +126,14 @@ def collate(batch, bucket=True):
         elif isinstance(first, np.ndarray):
             batched[key] = np.stack([np.asarray(v) for v in values])
 
+        elif isinstance(first, bool):
+            # Checked before int: Python bool subclasses int. uint8 matches
+            # the reference dtype map (morgana/data.py:25).
+            batched[key] = np.asarray(values, dtype=np.uint8)
+
         elif isinstance(first, (int, float, np.integer, np.floating)):
             dtype = np.int64 if isinstance(first, (int, np.integer)) else np.float32
             batched[key] = np.asarray(values, dtype=dtype)
-
-        elif isinstance(first, bool):
-            batched[key] = np.asarray(values, dtype=np.uint8)
 
         else:
             batched[key] = values

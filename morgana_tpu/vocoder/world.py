@@ -225,8 +225,9 @@ def _synthesize_numpy(f0, sp, ap, fs, hop, seed=0):
         # Energy normalisation: each pulse carries sqrt(T0 * fs).
         amp = np.sqrt(np.maximum(fs / np.maximum(f0_per_sample[pulse_pos], 1.0), 1.0))
         periodic_exc[pulse_pos] = amp
+    # Unvoiced regions get pure-noise excitation (the aperiodicity there is
+    # ~1, routing nearly all energy through the noise filter anyway).
     noise_exc = rng.standard_normal(num_samples)
-    noise_exc[~voiced] *= 1.0  # unvoiced regions: all excitation is noise
     periodic_exc[~voiced] = 0.0
 
     # Frame both excitations (window length = fft_size), filter, overlap-add.
@@ -264,7 +265,9 @@ def synthesize_world_feats(f0, vuv, mcep, bap, sample_rate, frame_period=5.0,
     ``models/RNN_SPSS.py:160``)."""
     f0 = np.asarray(f0, np.float64).reshape(-1)
     vuv = np.asarray(vuv).reshape(-1)
-    f0 = np.where(vuv > 0.5, f0, 0.0)
     sp = mcep_to_spectrum(mcep, fft_size=fft_size, fs=sample_rate)
     ap = bap_to_aperiodicity(bap, fft_size=fft_size, fs=sample_rate)
-    return synthesize(f0, sp, ap, sample_rate, frame_period=frame_period)
+    num_frames = min(len(f0), len(vuv), sp.shape[0], ap.shape[0])
+    f0 = np.where(vuv[:num_frames] > 0.5, f0[:num_frames], 0.0)
+    return synthesize(f0, sp[:num_frames], ap[:num_frames], sample_rate,
+                      frame_period=frame_period)
