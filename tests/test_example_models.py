@@ -39,10 +39,13 @@ def test_duration_model_trains(voice_data, tmp_path):
 def test_vae_prosody_model_trains(voice_data, tmp_path):
     from vae_prosody import VAEProsodyModel
     expdir = _run(VAEProsodyModel, voice_data, tmp_path, 'vaepros',
-                  end_epoch=2, valid=True,
+                  end_epoch=2, valid=True, test=True, test_output_interval=2,
                   model_kwargs={'kld_anneal_steps': 4, 'hidden_size': 16})
     m = _epoch_metrics(expdir, 'train', 2)
     assert np.isfinite(m['loss']) and 'kld' in m and 'LF0_RMSE_Hz' in m
+    # Test-time latent exploration wrote sphere-sampled lf0 trajectories.
+    sample_dir = os.path.join(expdir, 'test', 'epoch_2', 'latent_samples', 'feats', 'lf0')
+    assert os.path.isdir(sample_dir) and len(os.listdir(sample_dir)) == 8
 
 
 @pytest.mark.slow
