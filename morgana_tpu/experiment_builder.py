@@ -168,6 +168,9 @@ class ExperimentBuilder(object):
                             help='Batches between progress-bar metric refreshes (higher avoids device syncs).')
         parser.add_argument('--profile_dir', dest='profile_dir', action='store', type=str, default=None,
                             help='If set, capture a jax.profiler trace of the first training epoch here.')
+        parser.add_argument('--grad_clip_norm', dest='grad_clip_norm', action='store',
+                            type=float, default=0.,
+                            help='If > 0, clip the global gradient norm before Adam.')
         parser.add_argument('--remat', dest='remat', action='store_true', default=False,
                             help='Rematerialise recurrent layers in the backward pass '
                                  '(O(1) activation memory per layer; enables longer sequences).')
@@ -297,15 +300,19 @@ class ExperimentBuilder(object):
             averaged_model.normalisers = normalisers
             self.ema = utils.ExponentialMovingAverage(model=averaged_model, decay=self.ema_decay)
 
-        optimizer = build_optimizer(weight_decay=self.weight_decay)
+        optimizer = build_optimizer(weight_decay=self.weight_decay,
+                                    grad_clip_norm=kwargs.get('grad_clip_norm', 0.))
         self.loop = TrainLoop(self.model, optimizer, ema_decay=self.ema_decay,
                               seed=self.seed, ema_model=self.ema.model if self.ema else None)
 
         # Exact resume: restore optimiser/EMA state saved alongside the checkpoint.
+        self._restored_lr_state = None
         if self.checkpoint_path and self.train:
             train_state_path = checkpointing.training_state_path_for(self.checkpoint_path)
             if os.path.exists(train_state_path):
                 state = checkpointing.load_training_state(train_state_path)
+                extra = state.get('extra') or {}
+                self._restored_lr_state = extra.get('lr_schedule')
                 self.loop.opt_state = jax.tree_util.tree_map(
                     lambda x: x, state['opt_state']) if state['opt_state'] is not None \
                     else self.loop.opt_state
@@ -483,6 +490,10 @@ class ExperimentBuilder(object):
         self.logger.info('epoch %2d: Beginning training', self.start_epoch)
 
         lr_schedule = self._lr_schedule(self.learning_rate)
+        if self._restored_lr_state is not None:
+            lr_schedule.load_state_dict(self._restored_lr_state)
+            self.logger.info('Restored LR-schedule state (last_epoch=%s)',
+                             getattr(lr_schedule, 'last_epoch', '?'))
 
         profiling = False
         if self.profile_dir:
@@ -526,7 +537,9 @@ class ExperimentBuilder(object):
                 checkpointing.save_training_state(
                     checkpointing.training_state_path_for(ckpt_path),
                     params=self.loop.params, opt_state=self.loop.opt_state,
-                    ema_params=self.loop.ema_params, step=self.loop.step_count)
+                    ema_params=self.loop.ema_params, step=self.loop.step_count,
+                    extra={'lr_schedule': lr_schedule.state_dict()
+                           if hasattr(lr_schedule, 'state_dict') else None})
 
                 if self.ema_decay:
                     self.logger.info(

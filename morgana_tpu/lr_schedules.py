@@ -46,7 +46,9 @@ class _LRSchedule(object):
         return [self.lr]
 
     def state_dict(self):
-        return {k: v for k, v in vars(self).items()}
+        # Callables (e.g. LambdaLR's lr_lambda) are construction-time config,
+        # not state — excluded so the dict stays picklable.
+        return {k: v for k, v in vars(self).items() if not callable(v)}
 
     def load_state_dict(self, state):
         vars(self).update(state)

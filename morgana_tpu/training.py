@@ -24,12 +24,17 @@ from morgana_tpu import nn
 __all__ = ['build_optimizer', 'TrainLoop', 'numeric_features', 'host_features']
 
 
-def build_optimizer(weight_decay=0., b1=0.9, b2=0.999, eps=1e-8):
+def build_optimizer(weight_decay=0., b1=0.9, b2=0.999, eps=1e-8,
+                    grad_clip_norm=0.):
     r"""Adam with L2 regularisation added to the gradient — torch
     ``Adam(weight_decay=...)`` semantics (``morgana/experiment_builder.py:516``),
     not AdamW. The learning rate is applied separately inside the step (as a
-    traced scalar) so LR schedules never retrace."""
+    traced scalar) so LR schedules never retrace. ``grad_clip_norm`` > 0
+    clips the global gradient norm before the Adam transform (the classic
+    guard against recurrent-net gradient explosions)."""
     transforms = []
+    if grad_clip_norm:
+        transforms.append(optax.clip_by_global_norm(grad_clip_norm))
     if weight_decay:
         transforms.append(optax.add_decayed_weights(weight_decay))
     transforms.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))

@@ -230,3 +230,26 @@ class TestReproducibility:
         assert set(sds[0]) == set(sds[1])
         for k in sds[0]:
             np.testing.assert_array_equal(sds[0][k], sds[1][k])
+
+
+class TestLRScheduleResume:
+    def test_schedule_state_survives_resume(self, voice_data, tmp_path):
+        """Resuming from a checkpoint continues the LR schedule instead of
+        restarting the warmup (the reference lost this state)."""
+        exp1, _ = _build(voice_data, tmp_path, 'lrres_a', end_epoch=1, valid=False,
+                         lr_schedule_name='noam', lr_schedule_kwargs={'warmup_steps': 3})
+        exp1.run_experiment()
+        ckpt = os.path.join(str(tmp_path / 'experiments'), 'lrres_a',
+                            'checkpoints', 'epoch_1.npz')
+
+        exp2, _ = _build(voice_data, tmp_path, 'lrres_b', start_epoch=2, end_epoch=2,
+                         valid=False, checkpoint_path=ckpt,
+                         lr_schedule_name='noam', lr_schedule_kwargs={'warmup_steps': 3})
+        assert exp2._restored_lr_state is not None
+        assert exp2._restored_lr_state['last_epoch'] == 2  # 2 batches in epoch 1
+        exp2.run_experiment()
+
+    def test_grad_clip_flag(self, voice_data, tmp_path):
+        exp, _ = _build(voice_data, tmp_path, 'clip', end_epoch=1, valid=False,
+                        grad_clip_norm=0.5)
+        exp.run_experiment()  # runs and converges without error
