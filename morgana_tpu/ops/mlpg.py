@@ -87,6 +87,10 @@ def _banded_cholesky_solve(b, p_band, bandwidth):
     bw = bandwidth
     dtype = b.dtype
 
+    if bw == 0:
+        # Diagonal system: pure elementwise solve.
+        return b / p_band[:, 0]
+
     # Row-form access: row i needs P[i, i-p] = p_band[i-p, p] for p = bw..1 and
     # the diagonal p_band[i, 0]. Precompute those shifts outside the scan.
     row_p = [p_band[:, 0]]  # diagonal first
@@ -108,11 +112,11 @@ def _banded_cholesky_solve(b, p_band, bandwidth):
         for p in range(bw, 0, -1):
             q = bw - p
             s = p_row[p]  # P[i, i-p]
-            # subtract sum over k = i-bw+q' for q' in [0, min(bw-p-1, p)]
-            for qp in range(0, min(bw - p - 1, p) + 1):
-                # L[i, i-bw+qp] * L[i-p, (i-bw+qp)]
+            # Subtract sum over k = i-bw+q' for q' in [0, bw-p-1]; within
+            # row j = i-p's stored band, k sits at index q' + p.
+            for qp in range(0, bw - p):
                 rj = prev[p - 1]                      # row i-p
-                s = s - r[qp] * rj[qp + bw - p]
+                s = s - r[qp] * rj[qp + p]
             diag_j = prev[p - 1][bw]                  # L[i-p, i-p]
             r[q] = s / diag_j
         # Diagonal.

@@ -104,3 +104,40 @@ class TestFusedStreams:
             separate = MLPG(means, variances, padding_size=10, seq_len=seq_len)
             np.testing.assert_allclose(np.asarray(fused[name]),
                                        np.asarray(separate), atol=1e-5)
+
+
+class TestGeneralBandwidth:
+    def test_bandwidth_three_windows(self, rng):
+        """The banded solver generalises beyond the default bandwidth-2
+        windows: a 4-window set with extents up to (2,1) (bandwidth 3)."""
+        windows = (
+            (0, 0, (1.0,)),
+            (1, 1, (-0.5, 0.0, 0.5)),
+            (1, 1, (1.0, -2.0, 1.0)),
+            (2, 1, (0.25, -0.5, 0.0, 0.25)),
+        )
+        batch, time, dim = 2, 20, 2
+        means = rng.normal(size=(batch, time, 4 * dim)).astype(np.float32)
+        variances = (0.5 + rng.random(4 * dim)).astype(np.float32)
+
+        # Exact-length: the solver itself is exact at any bandwidth.
+        ref = _mlpg_dense(means, variances, windows)
+        got = MLPG(means, variances, windows=windows)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+
+        # Variable length needs burn-in padding proportional to the bandwidth
+        # (the static-shape formulation replicates edge frames past seq_len;
+        # the models use padding_size=100).
+        seq_len = [20, 13]
+        ref2 = _mlpg_dense(means, variances, windows, padding_size=30, seq_len=seq_len)
+        got2 = MLPG(means, variances, windows=windows, padding_size=30,
+                    seq_len=np.array(seq_len))
+        np.testing.assert_allclose(np.asarray(got2), ref2, atol=1e-5)
+
+    def test_static_only_window(self, rng):
+        """Bandwidth 0 (static window only): MLPG reduces to the means."""
+        windows = ((0, 0, (1.0,)),)
+        means = rng.normal(size=(1, 10, 2)).astype(np.float32)
+        variances = np.ones(2, np.float32)
+        got = MLPG(means, variances, windows=windows)
+        np.testing.assert_allclose(np.asarray(got), means, atol=1e-5)
