@@ -4,6 +4,7 @@ unbatched input, padding burn-in, seq_len masking)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from morgana_tpu.ops.deltas import DEFAULT_WINDOWS, compute_deltas
 from morgana_tpu.viz.synthesis import MLPG, mlpg_numpy, _mlpg_dense
@@ -141,3 +142,56 @@ class TestGeneralBandwidth:
         variances = np.ones(2, np.float32)
         got = MLPG(means, variances, windows=windows)
         np.testing.assert_allclose(np.asarray(got), means, atol=1e-5)
+
+
+class TestBandedSolverFuzz:
+    @pytest.mark.parametrize('bandwidth', [1, 2, 3, 4])
+    def test_random_spd_banded_systems(self, bandwidth, rng):
+        """The scan-based banded Cholesky matches scipy on random SPD banded
+        systems across bandwidths."""
+        from scipy.linalg import solveh_banded
+        from morgana_tpu.ops.mlpg import _banded_cholesky_solve
+        T = 40
+        # Build a random SPD banded matrix: A = B^T B + diag boost with B banded.
+        dense = np.zeros((T, T))
+        for off in range(bandwidth + 1):
+            vals = rng.normal(size=T - off) * (0.5 ** off)
+            dense += np.diag(vals, off)
+        spd = dense.T @ dense + np.eye(T) * (bandwidth + 1.0)
+        # Upper-banded storage (T, bw+1): p_band[i, m] = A[i, i+m].
+        p_band = np.zeros((T, bandwidth + 1), np.float32)
+        for m in range(bandwidth + 1):
+            p_band[:T - m, m] = np.diag(spd, m)
+        b = rng.normal(size=T).astype(np.float32)
+
+        ab = np.zeros((bandwidth + 1, T))
+        for m in range(bandwidth + 1):
+            ab[bandwidth - m, m:] = np.diag(spd, m)
+        x_ref = solveh_banded(ab, b.astype(np.float64))
+
+        x = np.asarray(_banded_cholesky_solve(
+            jnp.array(b), jnp.array(p_band), bandwidth))
+        np.testing.assert_allclose(x, x_ref, atol=5e-4)
+
+
+class TestUpsampleFuzz:
+    def test_random_shapes_match_np_repeat(self, rng):
+        import jax
+        from morgana_tpu.ops.sequence import upsample_to_repetitions
+        for _ in range(20):
+            batch = int(rng.integers(1, 5))
+            max_seq = int(rng.integers(1, 12))
+            dim = int(rng.integers(1, 6))
+            x = rng.normal(size=(batch, max_seq, dim)).astype(np.float32)
+            reps = rng.integers(0, 5, size=(batch, max_seq, 1))
+            out = np.asarray(upsample_to_repetitions(jnp.array(x), jnp.array(reps)))
+            for b in range(batch):
+                ref = np.repeat(x[b], reps[b, :, 0], axis=0)
+                np.testing.assert_allclose(out[b, :len(ref)], ref)
+                np.testing.assert_allclose(out[b, len(ref):], 0.)
+
+    def test_all_zero_repeats(self):
+        from morgana_tpu.ops.sequence import upsample_to_repetitions
+        x = jnp.ones((2, 3, 2))
+        out = upsample_to_repetitions(x, jnp.zeros((2, 3, 1), jnp.int32), max_len=4)
+        np.testing.assert_allclose(np.asarray(out), 0.)
