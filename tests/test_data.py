@@ -190,3 +190,23 @@ class TestLengthSortedBatching:
         lengths = sorted(loader._lengths.values())
         optimal = max(b - a for a, b in zip(lengths[::2], lengths[1::2]))
         assert max(spreads2) <= optimal + 1
+
+
+class TestLoaderErrorPropagation:
+    def test_producer_error_reaches_consumer(self):
+        class BadDataset:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                if i >= 2:
+                    raise RuntimeError('boom at item 2')
+                return {'x': np.ones((3, 2), np.float32)}
+
+            @staticmethod
+            def collate_fn(items, bucket=True):
+                return data.collate(items, bucket=bucket)
+
+        loader = data.batch(BadDataset(), batch_size=2, shuffle=False)
+        with pytest.raises(RuntimeError, match='boom'):
+            list(loader)

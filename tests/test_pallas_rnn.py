@@ -121,3 +121,17 @@ class TestRecurrentPallasBackend:
         y_pl, _ = rec(x, seq_len=jnp.array([16, 9]))
         y_ref, _ = ref(x, seq_len=jnp.array([16, 9]))
         np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), atol=1e-5)
+
+
+class TestOddShapes:
+    @pytest.mark.parametrize('time', [7, 30, 13])
+    def test_odd_time_lengths(self, time, rng):
+        """Chunk picking handles T not divisible by the preferred chunk."""
+        B, I, H = 2, 8, 128
+        x = jnp.array(rng.normal(size=(B, time, I)).astype(np.float32))
+        w_ih = jnp.array(rng.normal(size=(I, 4 * H)).astype(np.float32)) * 0.1
+        w_hh = jnp.array(rng.normal(size=(H, 4 * H)).astype(np.float32)) * 0.1
+        b = jnp.zeros(4 * H)
+        y_ref, _ = rnn_ops.lstm(x, w_ih, w_hh, b, b)
+        y_pl, _ = lstm_layer(x, w_ih, w_hh, b, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), atol=1e-5)
