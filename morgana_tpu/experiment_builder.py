@@ -256,14 +256,14 @@ class ExperimentBuilder(object):
         #
 
         if self.device:
-            # Best-effort platform selection ('cpu', 'tpu'); must happen
-            # before any backend is initialised.
-            try:
-                jax.config.update('jax_platforms', str(self.device).split(':')[0])
-            except RuntimeError:
+            # Platform selection ('cpu', 'tpu') must happen before any
+            # backend is initialised; the hardened helper warns-and-continues
+            # here (interactive use) rather than failing the whole run.
+            from morgana_tpu import platform as _platform
+            got = _platform.select_platform(self.device, allow_fallback=True)
+            if got != str(self.device).split(':')[0].lower():
                 self.logger.warning('Could not switch platform to %s (backend already '
-                                    'initialised); continuing on %s',
-                                    self.device, jax.default_backend())
+                                    'initialised); continuing on %s', self.device, got)
 
         self.batch_sharding = None
         self.mesh = None

@@ -1,0 +1,113 @@
+"""Hardened JAX platform selection — decide the platform BEFORE backend init.
+
+JAX binds its default platform when the first backend initialises; after
+that point ``jax.config.update('jax_platforms', ...)`` no longer changes
+where new arrays land, and environments whose TPU plugin pre-sets the
+platform ignore the ``JAX_PLATFORMS`` env var entirely.  Every entry point
+that cares about the platform — the ``--device`` CLI flag, the driver's
+multi-chip dryrun, tests, bench — must therefore make the decision before
+touching any backend-initialising API, and must fail loudly (with
+remediation text) when it is too late.  This module is the single place
+that implements that decision.
+
+This replaces the reference's one-line device pick
+(``/root/reference/morgana/experiment_builder.py:262-263``,
+``'cuda:0' if torch.cuda.is_available() else 'cpu'``) with an explicit,
+order-sensitive platform gate appropriate to JAX's initialise-once model.
+"""
+import os
+
+__all__ = ['backends_initialized', 'select_platform', 'force_cpu', 'PlatformError']
+
+_HOST_COUNT_FLAG = '--xla_force_host_platform_device_count'
+
+
+class PlatformError(RuntimeError):
+    """Raised when a platform request can no longer be honoured."""
+
+
+def backends_initialized():
+    """True once any JAX backend exists in this process (platform is frozen)."""
+    try:
+        from jax._src import xla_bridge
+        return bool(xla_bridge.backends_are_initialized())
+    except Exception:
+        # Private API moved: assume initialised (the conservative answer —
+        # callers then only proceed when the platform already matches).
+        return True
+
+
+def _current_platform():
+    import jax
+    try:
+        return jax.default_backend()
+    except Exception:
+        return None
+
+
+def _ensure_host_device_flag(n_devices):
+    """Arrange for the CPU backend to expose ``n_devices`` virtual devices.
+
+    Must run before the *CPU* backend is created (which is lazy and separate
+    from e.g. a TPU backend, so this can still succeed after a TPU client
+    exists).
+    """
+    flags = os.environ.get('XLA_FLAGS', '')
+    if _HOST_COUNT_FLAG in flags:
+        return
+    os.environ['XLA_FLAGS'] = (flags + f' {_HOST_COUNT_FLAG}={n_devices}').strip()
+
+
+def select_platform(platform, n_devices=None, allow_fallback=False):
+    """Makes ``platform`` the default JAX platform, or fails loudly.
+
+    Parameters
+    ----------
+    platform : str
+        'cpu', 'tpu', ... (a ``--device`` value like ``tpu:0`` is accepted;
+        only the platform part is used — JAX owns per-device placement).
+    n_devices : int, optional
+        For 'cpu': also request this many virtual host devices
+        (``--xla_force_host_platform_device_count``).
+    allow_fallback : bool
+        If True and the backend is already initialised to something else,
+        log-and-continue instead of raising (the old best-effort behaviour,
+        for interactive use).
+
+    Returns the platform actually in effect.
+    """
+    platform = str(platform).split(':')[0].lower()
+    if platform == 'cpu' and n_devices:
+        _ensure_host_device_flag(n_devices)
+
+    import jax
+    if not backends_initialized():
+        # The env var alone is ignored where a TPU plugin pre-sets the
+        # platform; the config update always wins when applied this early.
+        os.environ['JAX_PLATFORMS'] = platform
+        jax.config.update('jax_platforms', platform)
+        return platform
+
+    current = _current_platform()
+    if current == platform:
+        return platform
+    if allow_fallback:
+        return current
+    raise PlatformError(
+        f"JAX backend already initialised on '{current}'; cannot switch the "
+        f"default platform to '{platform}'. Call "
+        f"morgana_tpu.platform.select_platform('{platform}') before any JAX "
+        f"API that creates arrays or lists devices (imports are fine), or "
+        f"start a fresh process.")
+
+
+def force_cpu(n_devices=None):
+    """Forces the CPU platform with ``n_devices`` virtual devices.
+
+    The fake-backend recipe for validating multi-chip sharding without
+    hardware: combined with a ``jax.sharding.Mesh`` over the virtual
+    devices, ``jit`` compiles and executes the same GSPMD program it would
+    on a real slice. Raises :class:`PlatformError` if a non-CPU backend
+    already owns the process.
+    """
+    return select_platform('cpu', n_devices=n_devices)

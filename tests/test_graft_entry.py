@@ -25,3 +25,20 @@ def test_entry_compiles_and_runs():
 def test_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_driver_environment():
+    """The driver invokes dryrun_multichip in a fresh process with NO
+    platform/env preparation — the dryrun itself must force the virtual-CPU
+    platform before any backend initialises (round-1 red gate)."""
+    import subprocess
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    repo = os.path.join(os.path.dirname(__file__), '..')
+    proc = subprocess.run(
+        [sys.executable, '-c',
+         'from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)'],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=560)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert 'dryrun_multichip ok' in proc.stdout
