@@ -1,9 +1,16 @@
-"""Logging: file-mirrored stdout/stderr/tqdm channels + metric progress bar.
+"""Run logging: console + file-mirrored channels and a metric progress bar.
 
-Same observability contract as the reference (``morgana/_logging.py``): a
-'morgana_tpu' logger with five handlers writing timestamped ``.tqdm`` /
-``.stdout`` / ``.stderr`` files under ``experiments/<name>/log/``, and a tqdm
-progress bar whose per-batch metric descriptions are also logged.
+Behavioural contract (reference-parity surface of ``morgana/_logging.py``,
+rebuilt from the contract rather than the code): every experiment gets a
+``log/`` directory containing timestamped ``.stdout`` / ``.stderr`` /
+``.tqdm`` files; normal records go to the console and the ``.stdout`` file,
+errors additionally to stderr and the ``.stderr`` file, and per-batch
+progress-bar descriptions ONLY to the ``.tqdm`` file (so console scrollback
+stays readable while the bar itself renders live).
+
+Routing is driven by the record tag ``{'is_tqdm': True}`` (passed as the
+log call's ``args``) and the record level; the five output channels are
+declared in one spec table, :data:`_CHANNELS`.
 """
 import logging
 import os
@@ -12,114 +19,120 @@ import time
 
 from tqdm import tqdm
 
-__all__ = ['create_logger', 'ProgressBar', 'IsTqdmFilter', 'LessThanLevelFilter']
+__all__ = ['create_logger', 'ProgressBar', 'LOGGER_NAME']
 
 LOGGER_NAME = 'morgana_tpu'
 
+_DETAIL_FMT = '{asctime} - {levelname:8s} - {module}.{funcName}:{lineno} - {message}'
+_BARE_FMT = '{asctime} - {message}'
+
+
+def _is_progress(record):
+    """True for records tagged ``{'is_tqdm': True}`` via the args slot."""
+    return isinstance(record.args, dict) and bool(record.args.get('is_tqdm'))
+
+
+class _Route(logging.Filter):
+    """Admits records matching an arbitrary predicate."""
+
+    def __init__(self, predicate):
+        super().__init__()
+        self._admit = predicate
+
+    def filter(self, record):
+        return self._admit(record)
+
+
+def _progress_only(record):
+    return _is_progress(record)
+
+
+def _console_out(record):
+    return not _is_progress(record) and record.levelno < logging.ERROR
+
+
+def _everything_else(record):
+    return not _is_progress(record)
+
+
+def _errors_only(record):
+    return not _is_progress(record) and record.levelno >= logging.ERROR
+
+
+# (sink, format, predicate). sink: a file suffix (str) under log/, or a
+# stream. One handler is built per row by create_logger.
+_CHANNELS = (
+    ('.tqdm', _BARE_FMT, _progress_only),
+    (sys.stdout, _DETAIL_FMT, _console_out),
+    ('.stdout', _DETAIL_FMT, _everything_else),
+    (sys.stderr, _DETAIL_FMT, _errors_only),
+    ('.stderr', _DETAIL_FMT, _errors_only),
+)
+
 
 def create_logger(experiment_dir):
-    r"""Writes stdout and stderr to their stream and to files; tqdm progress
-    output goes to a separate file."""
-    curr_time = time.strftime('%y_%m_%d-%H_%M_%S')
-    base_dir = os.path.join(experiment_dir, 'log')
-    os.makedirs(base_dir, exist_ok=True)
+    """Builds the experiment logger from the :data:`_CHANNELS` spec.
+
+    Idempotent across repeated calls (handlers are replaced, not stacked),
+    so tests and notebook reuse don't duplicate output.
+    """
+    log_dir = os.path.join(experiment_dir, 'log')
+    os.makedirs(log_dir, exist_ok=True)
+    run_stamp = time.strftime('%y_%m_%d-%H_%M_%S')
 
     logger = logging.getLogger(LOGGER_NAME)
     logger.setLevel(logging.DEBUG)
-    # Re-creating the logger (e.g. across tests) should not stack handlers.
-    for handler in list(logger.handlers):
-        logger.removeHandler(handler)
+    while logger.handlers:
+        logger.removeHandler(logger.handlers[-1])
 
-    format_str = '{asctime} - {levelname:8s} - {module}.{funcName}:{lineno} - {message}'
-    formatter = logging.Formatter(format_str, style='{')
-
-    tqdm_file = logging.FileHandler(os.path.join(base_dir, f'{curr_time}.tqdm'))
-    tqdm_file.setFormatter(logging.Formatter('{asctime} - {message}', style='{'))
-    tqdm_file.addFilter(IsTqdmFilter(include_tqdm=True))
-    logger.addHandler(tqdm_file)
-
-    stdout_stream = logging.StreamHandler(sys.stdout)
-    stdout_stream.setLevel(logging.DEBUG)
-    stdout_stream.setFormatter(formatter)
-    stdout_stream.addFilter(IsTqdmFilter())
-    stdout_stream.addFilter(LessThanLevelFilter(level=logging.ERROR))
-    logger.addHandler(stdout_stream)
-
-    stdout_file = logging.FileHandler(os.path.join(base_dir, f'{curr_time}.stdout'))
-    stdout_file.setLevel(logging.DEBUG)
-    stdout_file.setFormatter(formatter)
-    stdout_file.addFilter(IsTqdmFilter())
-    logger.addHandler(stdout_file)
-
-    stderr_stream = logging.StreamHandler(sys.stderr)
-    stderr_stream.setLevel(logging.ERROR)
-    stderr_stream.setFormatter(formatter)
-    stderr_stream.addFilter(IsTqdmFilter())
-    logger.addHandler(stderr_stream)
-
-    stderr_file = logging.FileHandler(os.path.join(base_dir, f'{curr_time}.stderr'))
-    stderr_file.setLevel(logging.ERROR)
-    stderr_file.setFormatter(formatter)
-    stderr_file.addFilter(IsTqdmFilter())
-    logger.addHandler(stderr_file)
+    for sink, fmt, predicate in _CHANNELS:
+        if isinstance(sink, str):
+            handler = logging.FileHandler(os.path.join(log_dir, run_stamp + sink))
+        else:
+            handler = logging.StreamHandler(sink)
+        handler.setFormatter(logging.Formatter(fmt, style='{'))
+        handler.addFilter(_Route(predicate))
+        logger.addHandler(handler)
 
     return logger
 
 
-class ProgressBar(tqdm):
-    r"""tqdm bar with a :func:`print` method logging metric strings."""
+class ProgressBar:
+    """Iterable batch counter rendering a live tqdm bar with metric text.
+
+    Iterating yields ``0..num_batches-1`` while advancing the bar.
+    :meth:`print` pushes a ``mode | epoch N: k = v | ...`` description onto
+    the bar and logs the same string to the ``.tqdm`` channel;
+    :meth:`maybe_print` is the rate-limited, lazy variant for jit-hot loops
+    — the metric dict is only built (and device values only synchronised)
+    on every ``print_interval``-th call.
+    """
+
+    _LAYOUT = ('{desc}{percentage:3.0f}% |{bar}| {n_fmt}/{total_fmt} '
+               '[{elapsed}<{remaining}{postfix}]')
 
     def __init__(self, num_batches, print_interval=1):
-        bar_format = '{desc}{percentage:3.0f}% |{bar}| {n_fmt}/{total_fmt} [{elapsed}<{remaining}{postfix}]'
-        super().__init__(range(num_batches), bar_format=bar_format)
-        self.logger = logging.getLogger(LOGGER_NAME)
-        self.print_interval = max(1, int(print_interval))
-        self._print_count = 0
+        self._bar = tqdm(total=num_batches, bar_format=self._LAYOUT)
+        self._every = max(1, int(print_interval))
+        self._calls = 0
 
-    def print(self, mode, epoch, **kwargs):
-        r"""Formats metrics into the bar description and logs them."""
-        desc = f'{mode} | epoch {epoch: >2}'
-        if kwargs:
-            desc += ': ' + ' | '.join(f'{k} = {v}' for k, v in kwargs.items())
-        self.logger.debug(desc, {'is_tqdm': True})
-        self.set_description(desc)
+    def __iter__(self):
+        with self._bar:
+            for index in range(self._bar.total):
+                yield index
+                self._bar.update()
 
-    def maybe_print(self, mode, epoch, kwargs_fn):
-        r"""Rate-limited print with LAZY kwargs.
+    def print(self, mode, epoch, **metrics):
+        parts = [f'{mode} | epoch {epoch: >2}']
+        if metrics:
+            parts.append(': ')
+            parts.append(' | '.join(f'{name} = {value}'
+                                    for name, value in metrics.items()))
+        text = ''.join(parts)
+        logging.getLogger(LOGGER_NAME).debug(text, {'is_tqdm': True})
+        self._bar.set_description(text)
 
-        ``print_interval`` lets high-throughput loops avoid forcing a device
-        sync on every batch: metric strings (which synchronise on device
-        values) are only materialised — by calling ``kwargs_fn()`` — on every
-        N-th call.
-        """
-        self._print_count += 1
-        if self._print_count % self.print_interval:
-            return
-        self.print(mode, epoch, **kwargs_fn())
-
-
-class IsTqdmFilter(logging.Filter):
-    r"""Allows only tqdm messages, or disallows all tqdm messages."""
-
-    def __init__(self, name='', include_tqdm=False):
-        super().__init__(name=name)
-        self.include_tqdm = include_tqdm
-
-    def filter(self, record):
-        include_record = super().filter(record)
-        record_has_kwargs = record.args and not isinstance(record.args, tuple)
-        is_tqdm_message = record.args.get('is_tqdm', False) if record_has_kwargs else False
-        if self.include_tqdm:
-            return include_record and is_tqdm_message
-        return include_record and not is_tqdm_message
-
-
-class LessThanLevelFilter(logging.Filter):
-    r"""Only allows messages below a given level."""
-
-    def __init__(self, name='', level=logging.NOTSET):
-        super().__init__(name=name)
-        self.level = level
-
-    def filter(self, record):
-        return super().filter(record) and record.levelno < self.level
+    def maybe_print(self, mode, epoch, metrics_fn):
+        self._calls += 1
+        if self._calls % self._every == 0:
+            self.print(mode, epoch, **metrics_fn())
