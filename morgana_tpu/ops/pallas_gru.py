@@ -199,9 +199,13 @@ _gru_layer_core.defvjp(_core_fwd, _core_bwd)
 def gru_layer(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, interpret=False):
     r"""Fused-Pallas single-layer GRU over a padded batch.
 
-    Same interface as :func:`morgana_tpu.ops.rnn.gru`; the same masking
-    semantics note as :func:`morgana_tpu.ops.pallas_rnn.lstm_layer` applies.
+    Same interface and semantics as :func:`morgana_tpu.ops.rnn.gru`: outputs
+    at padded positions are zeroed and the final state is the state at
+    ``seq_len`` (gathered from the output trace — for a GRU, ``y`` IS the
+    hidden-state trace).
     """
+    from morgana_tpu.ops.pallas_rnn import _state_at_seq_len
+
     batch, time, _ = x.shape
     hidden = w_hh.shape[0]
     dtype = x.dtype
@@ -218,4 +222,5 @@ def gru_layer(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, interpret=False)
         t = jnp.arange(time, dtype=jnp.asarray(seq_len).dtype)
         mask = (t[None, :] < jnp.asarray(seq_len).reshape(batch)[:, None])
         y = y * mask[:, :, None].astype(dtype)
+        hn = _state_at_seq_len(y, seq_len, h0)
     return y, hn

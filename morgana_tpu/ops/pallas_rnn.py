@@ -21,11 +21,12 @@ over the whole sequence outside the kernel (keeping the kernel's VMEM budget
 to the streamed blocks + resident ``w_hh``). Gradients w.r.t. the final
 (h, c) state enter as the initial backward carries, so the VJP is exact.
 
-Semantics note: this fast path carries state through padded frames (valid
-positions are unaffected — the recurrence is causal); outputs are masked with
-``seq_len``. The masked ``lax.scan`` path remains the reference-semantics
-default (pack/unpack-identical final states); this kernel is opt-in via
-``nn.Recurrent(..., backend='pallas')``.
+Semantics: identical to the masked ``lax.scan`` path. The kernel carries
+state through padded frames (valid positions are unaffected — the recurrence
+is causal), outputs are masked with ``seq_len``, and the final (h, c) is
+gathered from the state traces at ``seq_len - 1``, matching pack/unpack
+final-state semantics exactly (values and gradients). The scan path remains
+the default; this kernel is opt-in via ``nn.Recurrent(..., backend='pallas')``.
 
 The time dimension must be divisible by the chosen chunk; the chunk is picked
 as the largest divisor of T up to ``TIME_CHUNK`` (length-bucketed batches are
@@ -94,7 +95,7 @@ def _lstm_fwd_kernel(xg_ref, w_hh_ref, h0_ref, c0_ref, y_ref, c_all_ref,
 
 
 def _lstm_bwd_kernel(xg_ref, w_hh_ref, h_prev_ref, c_prev_ref, c_all_ref,
-                     dy_ref, dhn_ref, dcn_ref,
+                     dy_ref, dc_all_ref, dhn_ref, dcn_ref,
                      dxg_ref, dh0_ref, dc0_ref,
                      dh_s, dc_s):
     """Reverse-time chunk: recompute gates, backprop through the cell."""
@@ -120,7 +121,9 @@ def _lstm_bwd_kernel(xg_ref, w_hh_ref, h_prev_ref, c_prev_ref, c_all_ref,
         tanh_c = jnp.tanh(c_t)
         dh_total = dy_ref[k] + dh_s[:]
         do = dh_total * tanh_c
-        dct = dh_total * o * (1.0 - tanh_c * tanh_c) + dc_s[:]
+        # dc_all carries external cotangents on the exposed cell-state trace
+        # (e.g. the final-state-at-seq_len gather in lstm_layer).
+        dct = dh_total * o * (1.0 - tanh_c * tanh_c) + dc_s[:] + dc_all_ref[k]
 
         da_i = dct * g * i * (1.0 - i)
         da_f = dct * c_prev * f * (1.0 - f)
@@ -146,8 +149,9 @@ def _lstm_bwd_kernel(xg_ref, w_hh_ref, h_prev_ref, c_prev_ref, c_all_ref,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _lstm_layer_core(xg, w_hh, h0, c0, interpret):
-    y, c_all, hn, cn = _fwd_call(xg, w_hh, h0, c0, interpret)
-    return y, hn, cn
+    # Exposes the full cell-state trace c_all so callers can read the state
+    # at any timestep (lstm_layer gathers the state at seq_len).
+    return _fwd_call(xg, w_hh, h0, c0, interpret)
 
 
 def _fwd_call(xg, w_hh, h0, c0, interpret):
@@ -191,12 +195,12 @@ def _fwd_call(xg, w_hh, h0, c0, interpret):
 
 def _core_fwd(xg, w_hh, h0, c0, interpret):
     y, c_all, hn, cn = _fwd_call(xg, w_hh, h0, c0, interpret)
-    return (y, hn, cn), (xg, w_hh, h0, c0, y, c_all)
+    return (y, c_all, hn, cn), (xg, w_hh, h0, c0, y, c_all)
 
 
 def _core_bwd(interpret, residuals, grads):
     xg, w_hh, h0, c0, y, c_all = residuals
-    dy, dhn, dcn = grads
+    dy, dc_all, dhn, dcn = grads
 
     time, batch, gates4 = xg.shape
     hidden = gates4 // 4
@@ -220,6 +224,7 @@ def _core_bwd(interpret, residuals, grads):
             pl.BlockSpec((chunk, batch, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, batch, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, batch, hidden), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, batch, hidden), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
         ],
@@ -238,7 +243,7 @@ def _core_bwd(interpret, residuals, grads):
             pltpu.VMEM((batch, hidden), jnp.float32),
         ],
         interpret=interpret,
-    )(xg, w_hh, h_prev, c_prev, c_all, dy, dhn, dcn)
+    )(xg, w_hh, h_prev, c_prev, c_all, dy, dc_all, dhn, dcn)
 
     # dW_hh = sum_t h_{t-1}^T dgates_t: one large MXU matmul outside the
     # kernel over the flattened (T*B) dimension.
@@ -253,14 +258,30 @@ def _core_bwd(interpret, residuals, grads):
 _lstm_layer_core.defvjp(_core_fwd, _core_bwd)
 
 
+def _state_at_seq_len(trace, seq_len, state0):
+    """Reads each row's state at position ``seq_len - 1`` from a (B, T, H)
+    state trace (``state0`` for empty rows) — the pack/unpack final-state
+    semantics of the reference cuDNN wrapper
+    (``/root/reference/morgana/utils.py:366-393``) recovered from a
+    carry-through-padding kernel. Differentiable: the gather routes the
+    final-state cotangent to timestep ``seq_len - 1``.
+    """
+    batch, time, _ = trace.shape
+    seq_len = jnp.asarray(seq_len).reshape(batch)
+    idx = jnp.clip(seq_len - 1, 0, time - 1).astype(jnp.int32)
+    picked = jnp.take_along_axis(trace, idx[:, None, None], axis=1)[:, 0]
+    return jnp.where((seq_len > 0)[:, None], picked, state0)
+
+
 def lstm_layer(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None,
                interpret=False):
     r"""Fused-Pallas single-layer LSTM over a padded batch.
 
-    Same interface as :func:`morgana_tpu.ops.rnn.lstm`. Outputs at padded
-    positions are zeroed via ``seq_len`` masking; the returned final state is
-    the state at the last *frame* (not at ``seq_len`` — use the scan path if
-    pack/unpack final-state semantics are required).
+    Same interface and semantics as :func:`morgana_tpu.ops.rnn.lstm`: outputs
+    at padded positions are zeroed, and the returned final state is the state
+    at ``seq_len`` (the kernel carries state through padded frames — harmless
+    for the causal recurrence — and the true final state is gathered from the
+    h/c traces at ``seq_len - 1``).
     """
     batch, time, _ = x.shape
     hidden = w_hh.shape[0]
@@ -272,11 +293,15 @@ def lstm_layer(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None,
     h0 = jnp.zeros((batch, hidden), dtype) if h0 is None else h0
     c0 = jnp.zeros((batch, hidden), dtype) if c0 is None else c0
 
-    y, hn, cn = _lstm_layer_core(xg, w_hh, h0, c0, interpret)
+    y, c_all, hn, cn = _lstm_layer_core(xg, w_hh, h0, c0, interpret)
     y = jnp.swapaxes(y, 0, 1)                   # (B, T, H)
 
     if seq_len is not None:
         t = jnp.arange(time, dtype=jnp.asarray(seq_len).dtype)
         mask = (t[None, :] < jnp.asarray(seq_len).reshape(batch)[:, None])
         y = y * mask[:, :, None].astype(dtype)
+        # y is masked but position seq_len-1 is valid, so gathering from the
+        # masked trace is exact (and shares the mask multiply's gradient).
+        hn = _state_at_seq_len(y, seq_len, h0)
+        cn = _state_at_seq_len(jnp.swapaxes(c_all, 0, 1), seq_len, c0)
     return y, (hn, cn)

@@ -62,6 +62,41 @@ class TestPallasLSTM:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(y_pl)[1, 7:], 0.)
 
+    def test_final_state_at_seq_len_matches_scan(self, rng):
+        """Ragged batches: final (h, c) must be the state at seq_len, exactly
+        as the masked-scan (pack/unpack) path returns it."""
+        B, T, I, H = 4, 16, 8, 128
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        w_ih, w_hh, b_ih, b_hh = _weights(rng, I, H)
+        seq_len = jnp.array([16, 7, 1, 0])
+
+        _, (h_ref, c_ref) = rnn_ops.lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len)
+        _, (h_pl, c_pl) = lstm_layer(x, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_pl), np.asarray(c_ref), atol=1e-5)
+
+    def test_final_state_grads_ragged(self, rng):
+        """Gradients through a consumed final state on a ragged batch match
+        the scan path (the VAE-encoder usage pattern)."""
+        B, T, I, H = 3, 16, 8, 128
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        w_ih, w_hh, b_ih, b_hh = _weights(rng, I, H)
+        seq_len = jnp.array([16, 9, 4])
+
+        def loss(layer_fn, w_ih, w_hh, b_ih, b_hh, x):
+            y, (h, c) = layer_fn(x, w_ih, w_hh, b_ih, b_hh)
+            return jnp.sum(h ** 2) + jnp.sum(c * 0.5) + jnp.sum(y ** 2) * 0.1
+
+        scan_fn = lambda x, *w: rnn_ops.lstm(x, *w, seq_len=seq_len)
+        pl_fn = lambda x, *w: lstm_layer(x, *w, seq_len=seq_len, interpret=True)
+        g_ref = jax.grad(loss, argnums=(1, 2, 3, 4, 5))(scan_fn, w_ih, w_hh, b_ih, b_hh, x)
+        g_pl = jax.grad(loss, argnums=(1, 2, 3, 4, 5))(pl_fn, w_ih, w_hh, b_ih, b_hh, x)
+        for a, b in zip(g_ref, g_pl):
+            scale = float(jnp.abs(a).max()) + 1e-9
+            np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
+                                       atol=2e-5)
+
     def test_chunk_picking(self):
         assert _pick_chunk(640, 8) == 8
         assert _pick_chunk(16, 16) == 16
@@ -108,6 +143,32 @@ class TestPallasGRU:
             scale = float(jnp.abs(a).max()) + 1e-9
             np.testing.assert_allclose(np.asarray(b) / scale, np.asarray(a) / scale,
                                        atol=2e-5)
+
+    def test_final_state_at_seq_len_matches_scan(self, rng):
+        from morgana_tpu.ops.pallas_gru import gru_layer
+        B, T, I, H = 4, 16, 8, 128
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        w_ih = jnp.array(rng.normal(size=(I, 3 * H)).astype(np.float32)) * 0.1
+        w_hh = jnp.array(rng.normal(size=(H, 3 * H)).astype(np.float32)) * 0.1
+        b_ih = jnp.array(rng.normal(size=(3 * H,)).astype(np.float32)) * 0.1
+        b_hh = jnp.array(rng.normal(size=(3 * H,)).astype(np.float32)) * 0.1
+        seq_len = jnp.array([16, 7, 1, 0])
+
+        _, h_ref = rnn_ops.gru(x, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len)
+        _, h_pl = gru_layer(x, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len, interpret=True)
+        np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), atol=1e-5)
+
+        def loss(fn):
+            _, h = fn()
+            return jnp.sum(h ** 2)
+
+        g_ref = jax.grad(lambda w: loss(lambda: rnn_ops.gru(
+            x, w_ih, w, b_ih, b_hh, seq_len=seq_len)))(w_hh)
+        g_pl = jax.grad(lambda w: loss(lambda: gru_layer(
+            x, w_ih, w, b_ih, b_hh, seq_len=seq_len, interpret=True)))(w_hh)
+        scale = float(jnp.abs(g_ref).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(g_pl) / scale, np.asarray(g_ref) / scale,
+                                   atol=2e-5)
 
 
 class TestRecurrentPallasBackend:
