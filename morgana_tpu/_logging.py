@@ -70,15 +70,19 @@ _CHANNELS = (
 )
 
 
-def create_logger(experiment_dir):
+def create_logger(experiment_dir, process_index=0):
     """Builds the experiment logger from the :data:`_CHANNELS` spec.
 
     Idempotent across repeated calls (handlers are replaced, not stacked),
-    so tests and notebook reuse don't duplicate output.
+    so tests and notebook reuse don't duplicate output. In multi-host runs
+    every host logs, with non-lead hosts' files suffixed ``.pN`` so files on
+    a shared filesystem never collide.
     """
     log_dir = os.path.join(experiment_dir, 'log')
     os.makedirs(log_dir, exist_ok=True)
     run_stamp = time.strftime('%y_%m_%d-%H_%M_%S')
+    if process_index:
+        run_stamp += f'.p{process_index}'
 
     logger = logging.getLogger(LOGGER_NAME)
     logger.setLevel(logging.DEBUG)

@@ -137,7 +137,13 @@ class ToDeviceWrapper(object):
         out = {}
         for key, value in features.items():
             if isinstance(value, np.ndarray) and value.dtype.kind in 'fiub':
-                out[key] = jax.device_put(value, self.sharding)
+                if self.sharding is not None:
+                    # Multi-host aware: assembles the global batch from this
+                    # host's local shard when running over DCN.
+                    from morgana_tpu.parallel.mesh import put_global
+                    out[key] = put_global(value, self.sharding)
+                else:
+                    out[key] = jax.device_put(value, self.sharding)
             else:
                 out[key] = value
         return out

@@ -164,6 +164,11 @@ class ExperimentBuilder(object):
                             help='Seed for parameter init and training RNG streams.')
         parser.add_argument('--data_parallel', dest='data_parallel', action='store_true', default=False,
                             help='Shard batches over all local devices (data parallelism over the ICI mesh).')
+        parser.add_argument('--multihost', dest='multihost', action='store_true', default=False,
+                            help='Initialise jax.distributed over DCN for multi-host training: '
+                                 'id lists are sharded per host, --batch_size is the GLOBAL batch, '
+                                 'and only process 0 writes checkpoints/config/metrics. '
+                                 'Pair with --data_parallel for synchronised training.')
         parser.add_argument('--log_interval', dest='log_interval', action='store', type=int, default=1,
                             help='Batches between progress-bar metric refreshes (higher avoids device syncs).')
         parser.add_argument('--profile_dir', dest='profile_dir', action='store', type=str, default=None,
@@ -239,7 +244,38 @@ class ExperimentBuilder(object):
 
         self.experiment_dir = os.path.join(self.experiments_base, self.experiment_name)
         self.experiment_is_new = not os.path.exists(self.experiment_dir)
-        self.logger = _logging.create_logger(self.experiment_dir)
+
+        #
+        # Devices, multi-host, platform — all order-sensitive: jax.distributed
+        # must initialise before any backend exists, platform selection before
+        # the first device query. Logger creation follows (it needs the
+        # process index for collision-free log files).
+        #
+
+        self.multihost = kwargs.get('multihost', False)
+        self.process_index, self.process_count = 0, 1
+        if self.multihost:
+            from morgana_tpu import parallel
+            parallel.initialize_distributed()
+
+        platform_warning = None
+        if self.device:
+            from morgana_tpu import platform as _platform
+            got = _platform.select_platform(self.device, allow_fallback=True)
+            if got != str(self.device).split(':')[0].lower():
+                platform_warning = (
+                    f'Could not switch platform to {self.device} (backend '
+                    f'already initialised); continuing on {got}')
+
+        if self.multihost:
+            from morgana_tpu import parallel
+            self.process_index, self.process_count = parallel.process_info()
+        self.is_lead_host = self.process_index == 0
+
+        self.logger = _logging.create_logger(self.experiment_dir,
+                                             process_index=self.process_index)
+        if platform_warning:
+            self.logger.warning(platform_warning)
 
         self._lr_schedule = lr_schedules.init_lr_schedule(
             self.lr_schedule_name, **self.lr_schedule_kwargs)
@@ -252,18 +288,25 @@ class ExperimentBuilder(object):
         self.resolve_setting_conflicts()
 
         #
-        # Devices, sharding.
+        # Sharding, global-batch accounting.
         #
 
-        if self.device:
-            # Platform selection ('cpu', 'tpu') must happen before any
-            # backend is initialised; the hardened helper warns-and-continues
-            # here (interactive use) rather than failing the whole run.
-            from morgana_tpu import platform as _platform
-            got = _platform.select_platform(self.device, allow_fallback=True)
-            if got != str(self.device).split(':')[0].lower():
-                self.logger.warning('Could not switch platform to %s (backend already '
-                                    'initialised); continuing on %s', self.device, got)
+        if self.batch_size % self.process_count:
+            raise ValueError(
+                f'--batch_size {self.batch_size} (the GLOBAL batch) must be '
+                f'divisible by the number of hosts ({self.process_count})')
+        self.local_batch_size = self.batch_size // self.process_count
+        if self.multihost:
+            self.logger.info(
+                'Multi-host: process %d of %d; global batch %d = %d hosts x '
+                'local batch %d', self.process_index, self.process_count,
+                self.batch_size, self.process_count, self.local_batch_size)
+            if not self.data_parallel:
+                self.logger.warning(
+                    '--multihost without --data_parallel: hosts will train '
+                    'independently on disjoint data shards with NO gradient '
+                    'synchronisation — pass --data_parallel for synchronised '
+                    'training.')
 
         self.batch_sharding = None
         self.mesh = None
@@ -340,11 +383,12 @@ class ExperimentBuilder(object):
 
         self.log_initial_setup(experiment_name=experiment_name, **kwargs)
 
-        try:
-            from tensorboardX import SummaryWriter
-            self.model.tensorboard = SummaryWriter(self.experiment_dir)
-        except Exception:  # noqa: BLE001 - observability must not break training
-            self.logger.warning('tensorboardX unavailable; model.tensorboard is None')
+        if self.is_lead_host:
+            try:
+                from tensorboardX import SummaryWriter
+                self.model.tensorboard = SummaryWriter(self.experiment_dir)
+            except Exception:  # noqa: BLE001 - observability must not break training
+                self.logger.warning('tensorboardX unavailable; model.tensorboard is None')
 
         self.finalise_init()
 
@@ -357,7 +401,12 @@ class ExperimentBuilder(object):
             self.ema.model.finalise_init()
 
     def log_initial_setup(self, **kwargs):
-        r"""Copies the model definition on first run; logs model summary + config."""
+        r"""Copies the model definition on first run; logs model summary + config.
+
+        Only the lead host writes (shared-filesystem safety in multi-host runs).
+        """
+        if not self.is_lead_host:
+            return
         if self.experiment_is_new and hasattr(sys.modules['__main__'], '__file__'):
             model_class_file = sys.modules['__main__'].__file__
             os.makedirs(self.experiment_dir, exist_ok=True)
@@ -415,11 +464,23 @@ class ExperimentBuilder(object):
         return model
 
     def load_data(self, data_sources, data_dir, id_list, normalisers=None, name='', shuffle=True):
-        r"""Creates a dataset + prefetching loader for one split."""
+        r"""Creates a dataset + prefetching loader for one split.
+
+        Multi-host: each host keeps only its slice of the id list (per-host
+        sharded loading over DCN) and batches ``local_batch_size`` items; the
+        global batch is assembled device-side by the loader's sharding.
+        """
         self.logger.info('Loading %s data using %s from\n\t%s/%s',
                          name, id_list, self.data_root, data_dir)
         dataset = data.FilesDataset(data_sources, data_dir, id_list, normalisers, self.data_root)
-        return data.batch(dataset, batch_size=self.batch_size, shuffle=shuffle,
+        if self.process_count > 1:
+            from morgana_tpu import parallel
+            dataset.file_ids = parallel.shard_id_list(
+                dataset.file_ids, self.process_index, self.process_count)
+            self.logger.info('%s: host shard %d/%d holds %d utterances',
+                             name, self.process_index, self.process_count,
+                             len(dataset.file_ids))
+        return data.batch(dataset, batch_size=self.local_batch_size, shuffle=shuffle,
                           num_data_threads=self.num_data_threads,
                           sharding=self.batch_sharding, seed=self.seed,
                           drop_remainder=bool(self.batch_sharding),
@@ -476,7 +537,7 @@ class ExperimentBuilder(object):
         if gen_output:
             self.model.analysis_for_train_epoch(out_dir=out_dir, **self.analysis_kwargs)
 
-        if out_dir:
+        if out_dir and self.is_lead_host:
             file_io.save_json(self.model.metrics.results_as_json_dict('train'),
                               os.path.join(out_dir, 'metrics.json'))
         self._log_metrics_to_tensorboard('train')
@@ -528,7 +589,9 @@ class ExperimentBuilder(object):
                 self.logger.info('Profiler trace written to %s', self.profile_dir)
 
             # Save model (+ EMA model + training state for exact resume).
-            if self.epoch % self.model_checkpoint_interval == 0:
+            # Lead host only: parameters are replicated, so one copy suffices
+            # and hosts must not race on the shared checkpoint files.
+            if self.epoch % self.model_checkpoint_interval == 0 and self.is_lead_host:
                 self.logger.info(
                     'epoch %2d: loss %.3f: Saving model to\n\t%s/checkpoints/epoch_%d.npz',
                     self.epoch, train_loss, self.experiment_dir, self.epoch)
@@ -610,7 +673,7 @@ class ExperimentBuilder(object):
         if gen_output:
             model.analysis_for_valid_epoch(out_dir=out_dir, **self.analysis_kwargs)
 
-        if out_dir:
+        if out_dir and self.is_lead_host:
             file_io.save_json(self.model.metrics.results_as_json_dict('valid'),
                               os.path.join(out_dir, 'metrics.json'))
         self._log_metrics_to_tensorboard('valid')
@@ -668,7 +731,7 @@ class ExperimentBuilder(object):
 
         model.analysis_for_test_epoch(out_dir=out_dir, **self.analysis_kwargs)
 
-        if out_dir:
+        if out_dir and self.is_lead_host:
             file_io.save_json(self.model.metrics.results_as_json_dict('test'),
                               os.path.join(out_dir, 'metrics.json'))
 
@@ -691,13 +754,13 @@ class ExperimentBuilder(object):
             try:
                 self.run_train()
 
-                if self.valid:
+                if self.valid and self.is_lead_host:
                     metric_names = [name for name, metric in self.model.metrics['all'].items()
                                     if not metric.hidden]
                     viz.plotting.plot_experiment(self.experiment_name, metric_names,
                                                  self.experiments_base, save=True)
             except KeyboardInterrupt:
-                if self.valid:
+                if self.valid and self.is_lead_host:
                     metric_names = [name for name, metric in self.model.metrics['all'].items()
                                     if not metric.hidden]
                     viz.plotting.plot_experiment(self.experiment_name, metric_names,

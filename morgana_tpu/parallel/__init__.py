@@ -14,8 +14,10 @@ scaling is first-class and TPU-idiomatic:
   id-list sharding for the data pipeline.
 """
 from morgana_tpu.parallel.mesh import (
-    make_mesh, batch_sharding, replicated_sharding, shard_batch, shard_params,
-    param_shardings,
+    make_mesh, batch_sharding, replicated_sharding, put_global, shard_batch,
+    shard_params, param_shardings,
 )
-from morgana_tpu.parallel.distributed import initialize_distributed, shard_id_list
+from morgana_tpu.parallel.distributed import (
+    initialize_distributed, process_info, shard_id_list,
+)
 from morgana_tpu.parallel.shard_map_step import build_shard_map_train_step

@@ -1,7 +1,7 @@
 """Multi-host (DCN) initialisation and host-local data sharding."""
 import jax
 
-__all__ = ['initialize_distributed', 'shard_id_list']
+__all__ = ['initialize_distributed', 'process_info', 'shard_id_list']
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
@@ -18,6 +18,15 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
     except (ValueError, RuntimeError):
         # Single-host / already initialised: proceed without a cluster.
         pass
+    return jax.process_index(), jax.process_count()
+
+
+def process_info():
+    """``(process_index, process_count)`` for this host.
+
+    The single indirection the runtime reads its multi-host topology
+    through, so tests can fake an N-host cluster in one process.
+    """
     return jax.process_index(), jax.process_count()
 
 

@@ -18,8 +18,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
-    'make_mesh', 'batch_sharding', 'replicated_sharding', 'shard_batch',
-    'shard_params', 'param_shardings',
+    'make_mesh', 'batch_sharding', 'replicated_sharding', 'put_global',
+    'shard_batch', 'shard_params', 'param_shardings',
 ]
 
 
@@ -42,13 +42,27 @@ def replicated_sharding(mesh):
     return NamedSharding(mesh, P())
 
 
+def put_global(value, sharding):
+    """Places one array into a sharding, multi-host aware.
+
+    Single-host: a plain ``device_put``. Multi-host: ``value`` is this
+    host's slice of the global batch (per-host sharded loading), so the
+    global array is assembled with
+    ``jax.make_array_from_process_local_data`` — each host contributes its
+    local shard and no data crosses DCN.
+    """
+    if jax.process_count() > 1 and sharding is not None:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(value))
+    return jax.device_put(value, sharding)
+
+
 def shard_batch(batch, mesh):
     """Places a batch dict into the data-parallel layout."""
     sharding = batch_sharding(mesh)
     out = {}
     for key, value in batch.items():
         if isinstance(value, (np.ndarray, jax.Array)) and value.dtype.kind in 'fiub':
-            out[key] = jax.device_put(value, sharding)
+            out[key] = put_global(value, sharding)
         else:
             out[key] = value
     return out
