@@ -86,6 +86,10 @@ def create_logger(experiment_dir, process_index=0):
 
     logger = logging.getLogger(LOGGER_NAME)
     logger.setLevel(logging.DEBUG)
+    # The five channels below are the complete output contract; without this,
+    # libraries that configure the root logger (e.g. orbax/absl) would print
+    # every record a second time.
+    logger.propagate = False
     while logger.handlers:
         logger.removeHandler(logger.handlers[-1])
 

@@ -101,12 +101,22 @@ def orbax_save(directory, step, state, async_save=True):
     return directory
 
 
-def orbax_restore(directory, step=None):
-    """Restores a training-state pytree saved by :func:`orbax_save`."""
+def orbax_restore(directory, step=None, target=None):
+    """Restores a training-state pytree saved by :func:`orbax_save`.
+
+    Returns None when the directory holds no checkpoints. Pass ``target`` (a
+    pytree with the desired structure, e.g. the freshly-initialised training
+    state) to restore custom-node structures like optax states — without it,
+    Orbax returns plain nested containers.
+    """
     import orbax.checkpoint as ocp
     manager = _orbax_manager(directory)
     if step is None:
         step = manager.latest_step()
+        if step is None:
+            return None
+    if target is not None:
+        return manager.restore(step, args=ocp.args.StandardRestore(target))
     return manager.restore(step)
 
 

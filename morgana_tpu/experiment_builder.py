@@ -164,6 +164,13 @@ class ExperimentBuilder(object):
                             help='Seed for parameter init and training RNG streams.')
         parser.add_argument('--data_parallel', dest='data_parallel', action='store_true', default=False,
                             help='Shard batches over all local devices (data parallelism over the ICI mesh).')
+        parser.add_argument('--shard_map_step', dest='shard_map_step', action='store_true', default=False,
+                            help='With --data_parallel: use the explicit-collective shard_map train '
+                                 'step (hand-placed pmean over ICI) instead of relying on GSPMD.')
+        parser.add_argument('--orbax_dir', dest='orbax_dir', action='store', type=str, default=None,
+                            help='If set, also checkpoint full training state there via Orbax '
+                                 '(async, sharding-aware); resumes from its latest step when no '
+                                 '--checkpoint_path is given.')
         parser.add_argument('--multihost', dest='multihost', action='store_true', default=False,
                             help='Initialise jax.distributed over DCN for multi-host training: '
                                  'id lists are sharded per host, --batch_size is the GLOBAL batch, '
@@ -345,8 +352,44 @@ class ExperimentBuilder(object):
 
         optimizer = build_optimizer(weight_decay=self.weight_decay,
                                     grad_clip_norm=kwargs.get('grad_clip_norm', 0.))
+        self.shard_map_step = kwargs.get('shard_map_step', False)
+        if self.shard_map_step and self.mesh is None:
+            raise ValueError('--shard_map_step requires --data_parallel '
+                             '(it is the explicit-collective formulation of '
+                             'the data-parallel step).')
         self.loop = TrainLoop(self.model, optimizer, ema_decay=self.ema_decay,
-                              seed=self.seed, ema_model=self.ema.model if self.ema else None)
+                              seed=self.seed, ema_model=self.ema.model if self.ema else None,
+                              shard_map_mesh=self.mesh if self.shard_map_step else None)
+        if self.shard_map_step:
+            self.logger.info('Using explicit shard_map train step over mesh %s', self.mesh)
+
+        # Orbax: async full-state checkpoints; resume from the latest step
+        # when no explicit --checkpoint_path was given.
+        self.orbax_dir = kwargs.get('orbax_dir')
+        if self.orbax_dir and not self.checkpoint_path and self.train:
+            if checkpointing.orbax_available():
+                target = {'params': self.loop.params,
+                          'opt_state': self.loop.opt_state,
+                          'ema_params': self.loop.ema_params,
+                          'step': 0}
+                try:
+                    state = checkpointing.orbax_restore(self.orbax_dir, target=target)
+                except Exception as exc:  # noqa: BLE001 - resume is best-effort
+                    self.logger.warning('Orbax restore from %s failed (%s); '
+                                        'starting fresh', self.orbax_dir, exc)
+                    state = None
+                if state is not None:
+                    self.loop.params = state['params']
+                    self.loop.opt_state = state['opt_state']
+                    if self.ema_decay and state.get('ema_params') is not None:
+                        self.loop.ema_params = state['ema_params']
+                    self.loop.step_count = int(state.get('step', 0))
+                    self.loop.sync_model()
+                    self.logger.info('Restored training state from Orbax dir %s '
+                                     '(step %d)', self.orbax_dir, self.loop.step_count)
+            else:
+                self.logger.warning('--orbax_dir set but orbax is not importable; '
+                                    'continuing with .npz checkpoints only')
 
         # Exact resume: restore optimiser/EMA state saved alongside the checkpoint.
         self._restored_lr_state = None
@@ -611,6 +654,14 @@ class ExperimentBuilder(object):
                     self.loop.sync_ema_model()
                     self.ema.model.save_parameters(self.experiment_dir, f'{self.epoch}_ema')
 
+                if self.orbax_dir and checkpointing.orbax_available():
+                    # Async: the device->host transfer and write overlap with
+                    # the next epoch's compute.
+                    checkpointing.orbax_save(
+                        self.orbax_dir, self.epoch,
+                        {'params': self.loop.params, 'opt_state': self.loop.opt_state,
+                         'ema_params': self.loop.ema_params, 'step': self.loop.step_count})
+
             # Run validation.
             if self.valid:
                 gen_valid_output = self.epoch % self.valid_output_interval == 0
@@ -626,6 +677,9 @@ class ExperimentBuilder(object):
 
             if self.lr_schedule_name in lr_schedules.EPOCH_LR_SCHEDULES:
                 lr_schedule.step()
+
+        if self.orbax_dir and checkpointing.orbax_available():
+            checkpointing.orbax_wait(self.orbax_dir)
 
     # ----------------------------------------------------------------- valid
 

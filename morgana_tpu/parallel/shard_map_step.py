@@ -23,19 +23,26 @@ def build_shard_map_train_step(model, optimizer, mesh, axis='data', ema_decay=0.
     computes grads on its shard; ``pmean`` over ICI reduces them; all devices
     apply the identical optimiser update.
 
-    Returns ``step(params, opt_state, ema_params, batch, lr, rng)`` ->
-    ``(params, opt_state, ema_params, loss, staged)``.
+    Returns ``step(params, opt_state, ema_params, batch, lr, global_step,
+    rng)`` -> ``(params, opt_state, ema_params, loss, staged, outputs)`` —
+    the same signature as :meth:`morgana_tpu.training.TrainLoop`'s fused
+    step, so ``TrainLoop(shard_map_mesh=...)`` (the builder's
+    ``--shard_map_step`` flag) can swap it in unchanged. ``global_step``
+    travels outside the batch because it is replicated, not batch-sharded.
     """
 
-    def per_device_step(params, opt_state, ema_params, batch, lr, rng):
+    def per_device_step(params, opt_state, ema_params, batch, lr, global_step, rng):
+        batch = dict(batch, global_step=global_step)
+
         def loss_fn(p):
             with nn.bind(model, p, rng=rng, train=True):
                 model.metrics.begin_staging('train')
-                loss, _outputs = model(batch)
+                loss, outputs = model(batch)
                 staged = model.metrics.drain_staged_values()
-            return loss, staged
+            return loss, (outputs, staged)
 
-        (loss, staged), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (outputs, staged)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(params)
 
         # Explicit ICI collectives: mean-reduce loss and gradients.
         loss = jax.lax.pmean(loss, axis)
@@ -46,14 +53,15 @@ def build_shard_map_train_step(model, optimizer, mesh, axis='data', ema_decay=0.
         params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
         if ema_decay:
             ema_params = nn.ema_update(ema_params, params, ema_decay)
-        return params, opt_state, ema_params, loss, staged
+        return params, opt_state, ema_params, loss, staged, outputs
 
     # Pytree-prefix specs: a single P() / P(axis) broadcasts over each whole
-    # argument subtree — no per-leaf spec trees needed.
+    # argument subtree — no per-leaf spec trees needed. Outputs stay
+    # batch-sharded (each device's shard of the forward outputs).
     fn = jax.shard_map(
         per_device_step, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(), P()),
-        out_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(axis), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(axis)),
         check_vma=False)
 
     return jax.jit(fn, donate_argnums=(0, 1, 2))

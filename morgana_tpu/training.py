@@ -70,11 +70,14 @@ class TrainLoop(object):
     """
 
     def __init__(self, model, optimizer, ema_decay=0., seed=1234567890,
-                 ema_model=None):
+                 ema_model=None, shard_map_mesh=None):
         self.model = model
         self.optimizer = optimizer
         self.ema_decay = float(ema_decay)
         self.ema_model = ema_model
+        # When set, the train step uses the explicit-collective shard_map
+        # formulation over this mesh instead of relying on GSPMD.
+        self.shard_map_mesh = shard_map_mesh
 
         self.params = nn.parameters(model)
         self.opt_state = optimizer.init(self.params)
@@ -97,9 +100,17 @@ class TrainLoop(object):
     # -- step builders -------------------------------------------------------
 
     def _build_train_step(self):
+        if self.shard_map_mesh is not None:
+            from morgana_tpu.parallel.shard_map_step import build_shard_map_train_step
+            return build_shard_map_train_step(
+                self.model, self.optimizer, self.shard_map_mesh,
+                ema_decay=self.ema_decay)
+
         model, optimizer, ema_decay = self.model, self.optimizer, self.ema_decay
 
-        def train_step(params, opt_state, ema_params, batch, lr, rng):
+        def train_step(params, opt_state, ema_params, batch, lr, global_step, rng):
+            batch = dict(batch, global_step=global_step)
+
             def loss_fn(p):
                 with nn.bind(model, p, rng=rng, train=True):
                     model.metrics.begin_staging('train')
@@ -154,14 +165,15 @@ class TrainLoop(object):
         """One fused optimisation step. Returns (loss, staged, outputs) as
         device values (no host sync)."""
         batch = numeric_features(features)
-        # Traced global-step scalar: models can schedule (e.g. KL annealing)
-        # without retracing — `self.step` on the model is a trace-time python
-        # int and must not be used inside jitted code.
-        batch['global_step'] = jnp.asarray(self.step_count, jnp.float32)
+        # Traced global-step scalar (passed outside the batch-sharded dict —
+        # it is replicated): models can schedule (e.g. KL annealing) without
+        # retracing — `self.step` on the model is a trace-time python int and
+        # must not be used inside jitted code.
         (self.params, self.opt_state, self.ema_params,
          loss, staged, outputs) = self._train_step(
             self.params, self.opt_state, self.ema_params, batch,
-            jnp.asarray(lr, jnp.float32), self._next_rng())
+            jnp.asarray(lr, jnp.float32),
+            jnp.asarray(self.step_count, jnp.float32), self._next_rng())
         self.step_count += 1
         return loss, staged, outputs
 

@@ -1,0 +1,60 @@
+"""CLI-reachable runtime paths: --orbax_dir (async full-state checkpoints +
+resume) and --shard_map_step (explicit-collective DP step)."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from conftest import builder_args
+from tiny_models import TinyF0Model
+
+from morgana_tpu import checkpointing, nn
+from morgana_tpu.experiment_builder import ExperimentBuilder
+
+
+def _build(voice_data, tmp_path, name, **overrides):
+    args = builder_args(voice_data['data_root'], str(tmp_path / 'experiments'),
+                        **overrides)
+    nn.manual_seed(args['seed'])
+    return ExperimentBuilder(TinyF0Model, experiment_name=name, **args)
+
+
+@pytest.mark.skipif(not checkpointing.orbax_available(), reason='needs orbax')
+class TestOrbaxFlag:
+    def test_save_and_resume(self, voice_data, tmp_path):
+        orbax_dir = str(tmp_path / 'orbax')
+        exp1 = _build(voice_data, tmp_path, 'ob1', end_epoch=1, valid=False,
+                      orbax_dir=orbax_dir)
+        exp1.run_experiment()
+        final = {k: np.asarray(v) for k, v in exp1.loop.params.items()}
+        assert os.path.isdir(orbax_dir) and os.listdir(orbax_dir)
+
+        # A new builder with the same orbax dir resumes params + step.
+        exp2 = _build(voice_data, tmp_path, 'ob2', start_epoch=2, end_epoch=2,
+                      valid=False, orbax_dir=orbax_dir)
+        assert exp2.loop.step_count == exp1.loop.step_count
+        for k, v in exp2.loop.params.items():
+            np.testing.assert_allclose(np.asarray(v), final[k])
+
+    def test_empty_dir_starts_fresh(self, voice_data, tmp_path):
+        exp = _build(voice_data, tmp_path, 'ob_fresh', end_epoch=1, valid=False,
+                     orbax_dir=str(tmp_path / 'nonexistent_orbax'))
+        assert exp.loop.step_count == 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+class TestShardMapStepFlag:
+    def test_trains_end_to_end(self, voice_data, tmp_path):
+        exp = _build(voice_data, tmp_path, 'smap', end_epoch=2, valid=False,
+                     batch_size=8, data_parallel=True, shard_map_step=True)
+        assert exp.loop.shard_map_mesh is not None
+        exp.run_experiment()
+        import json
+        expdir = tmp_path / 'experiments' / 'smap'
+        m = json.load(open(expdir / 'train' / 'epoch_2' / 'metrics.json'))
+        assert np.isfinite(m['loss'])
+
+    def test_requires_data_parallel(self, voice_data, tmp_path):
+        with pytest.raises(ValueError, match='requires --data_parallel'):
+            _build(voice_data, tmp_path, 'smap_bad', shard_map_step=True)

@@ -1,5 +1,6 @@
 """Explicit shard_map DP step: numerically identical to the GSPMD jit path."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -24,40 +25,64 @@ def _make_model(seed):
     return model
 
 
+def _run_gspmd(mesh, batches, steps=3):
+    model = _make_model(3)
+    loop = TrainLoop(model, build_optimizer(), seed=0)
+    loop.params = parallel.shard_params(loop.params, mesh)
+    losses = []
+    for i in range(steps):
+        batch = parallel.shard_batch(batches[i % 2], mesh)
+        loss, _, _ = loop.train_step(batch, lr=0.01)
+        losses.append(float(loss))
+    return losses, {k: np.asarray(v) for k, v in loop.params.items()}
+
+
 def test_shard_map_matches_gspmd(rng):
     mesh = parallel.make_mesh()
     batches = [_synthetic_batch(rng) for _ in range(2)]
+    losses_a, params_a = _run_gspmd(mesh, batches)
 
-    # GSPMD path (TrainLoop with sharded inputs).
-    model_a = _make_model(3)
-    loop = TrainLoop(model_a, build_optimizer(), seed=0)
-    loop.params = parallel.shard_params(loop.params, mesh)
-    losses_a = []
-    for i in range(3):
-        batch = parallel.shard_batch(batches[i % 2], mesh)
-        loss, _, _ = loop.train_step(batch, lr=0.01)
-        losses_a.append(float(loss))
-    params_a = {k: np.asarray(v) for k, v in loop.params.items()}
-
-    # Explicit shard_map path.
+    # Explicit shard_map path (raw step function).
     model_b = _make_model(3)
     optimizer = build_optimizer()
     params = parallel.shard_params(nn.parameters(model_b), mesh)
     opt_state = optimizer.init(params)
     step = build_shard_map_train_step(model_b, optimizer, mesh)
-    import jax.numpy as jnp
     losses_b = []
     rng_key = jax.random.PRNGKey(0)
     for i in range(3):
         rng_key, key = jax.random.split(rng_key)
-        batch = parallel.shard_batch(
-            dict(numeric_features(batches[i % 2]),
-                 global_step=np.zeros((8,), np.float32)), mesh)
-        params, opt_state, _, loss, staged = step(
-            params, opt_state, None, batch, jnp.float32(0.01), key)
+        batch = parallel.shard_batch(numeric_features(batches[i % 2]), mesh)
+        params, opt_state, _, loss, staged, outputs = step(
+            params, opt_state, None, batch, jnp.float32(0.01),
+            jnp.float32(i), key)
         losses_b.append(float(loss))
     params_b = {k: np.asarray(v) for k, v in params.items()}
 
     np.testing.assert_allclose(losses_b, losses_a, rtol=2e-4)
     for k in params_a:
         np.testing.assert_allclose(params_b[k], params_a[k], atol=3e-5)
+    # Forward outputs come back batch-sharded but globally correct.
+    assert all(np.asarray(v).shape[0] == 8 for v in outputs.values()
+               if hasattr(v, 'shape') and np.asarray(v).ndim)
+
+
+def test_trainloop_shard_map_mesh_matches_gspmd(rng):
+    """TrainLoop(shard_map_mesh=...) — the builder's --shard_map_step path —
+    is numerically identical to the GSPMD TrainLoop."""
+    mesh = parallel.make_mesh()
+    batches = [_synthetic_batch(rng) for _ in range(2)]
+    losses_a, params_a = _run_gspmd(mesh, batches)
+
+    model = _make_model(3)
+    loop = TrainLoop(model, build_optimizer(), seed=0, shard_map_mesh=mesh)
+    loop.params = parallel.shard_params(loop.params, mesh)
+    losses_b = []
+    for i in range(3):
+        batch = parallel.shard_batch(batches[i % 2], mesh)
+        loss, _, _ = loop.train_step(batch, lr=0.01)
+        losses_b.append(float(loss))
+
+    np.testing.assert_allclose(losses_b, losses_a, rtol=2e-4)
+    for k, v in loop.params.items():
+        np.testing.assert_allclose(np.asarray(v), params_a[k], atol=3e-5)
