@@ -56,6 +56,11 @@ class FilesDataset(object):
         return len(self.file_ids)
 
     def __getitem__(self, index):
+        return self.build_item(index, None)
+
+    def build_item(self, index, preloaded=None):
+        """Assembles one utterance's feature dict; features already read by
+        :meth:`preload_batch` are taken from ``preloaded`` instead of disk."""
         def _normalise_feature(name, feature, is_deltas=False):
             normaliser = self.normalisers[name]
             if isinstance(normaliser, _SpeakerDependentNormaliser):
@@ -74,7 +79,10 @@ class FilesDataset(object):
             if name == 'speaker_id':
                 continue
 
-            data_source_features = data_source(base_name, self.data_dir)
+            if preloaded and name in preloaded:
+                data_source_features = data_source.package(preloaded[name])
+            else:
+                data_source_features = data_source(base_name, self.data_dir)
 
             if name in self.normalisers:
                 data_source_features[f'normalised_{name}'] = \
@@ -86,6 +94,31 @@ class FilesDataset(object):
             features.update(data_source_features)
 
         return features
+
+    def preload_batch(self, indices):
+        """Reads the batch's ``.npy`` features through the GIL-free native
+        batch reader (``csrc/batch_io.cpp``: one C++ thread pool over all
+        files). Returns ``{source_name: [per-item array]}`` — empty when the
+        native library is unavailable or no source qualifies. The remaining
+        per-item work (text sources, deltas, normalisation) still runs in
+        :meth:`build_item`.
+        """
+        from morgana_tpu.data import native_io
+        from morgana_tpu.data.sources import NumpyBinarySource
+
+        if not native_io.native_available():
+            return {}
+        indices = list(indices)
+        out = {}
+        for name, src in self.data_sources.items():
+            # Exactly NumpyBinarySource: subclasses may override load_file.
+            if type(src) is not NumpyBinarySource or src.sentence_level:
+                continue
+            paths = [src.file_path(self.file_ids[i], self.data_dir)
+                     for i in indices]
+            batch_arr, lens = native_io.load_npy_batch(paths)
+            out[name] = [batch_arr[j, :lens[j]] for j in range(len(indices))]
+        return out
 
     @staticmethod
     def collate_fn(batch, bucket=True):

@@ -92,6 +92,26 @@ class DataLoader(object):
                     max_len = max(max_len, value.shape[0])
             self._lengths[int(idx)] = max_len
 
+    def _load_items(self, idxs):
+        """Loads one batch of items. When the dataset supports native batch
+        preloading (GIL-free C++ .npy reads), the heavy file I/O happens in
+        one call; the per-item assembly (deltas, normalisation) then runs in
+        the thread pool or inline."""
+        preload = getattr(self.dataset, 'preload_batch', None)
+        preloaded = preload(idxs) if preload is not None else None
+        if preloaded:
+            def build(j_i):
+                j, i = j_i
+                return self.dataset.build_item(
+                    i, {name: arrs[j] for name, arrs in preloaded.items()})
+            pairs = list(enumerate(idxs))
+            if self._pool is not None:
+                return list(self._pool.map(build, pairs))
+            return [build(pair) for pair in pairs]
+        if self._pool is not None:
+            return list(self._pool.map(self.dataset.__getitem__, idxs))
+        return [self.dataset[i] for i in idxs]
+
     def __iter__(self):
         order = self._order()
         self.epoch += 1
@@ -101,10 +121,7 @@ class DataLoader(object):
             idxs = order[start:start + self.batch_size]
             if self.drop_remainder and len(idxs) < self.batch_size:
                 break
-            if self._pool is not None:
-                items = list(self._pool.map(self.dataset.__getitem__, idxs))
-            else:
-                items = [self.dataset[i] for i in idxs]
+            items = self._load_items(idxs)
             if self.length_sort_window:
                 self._record_lengths(idxs, items)
             if collate is not None:

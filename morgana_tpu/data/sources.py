@@ -53,8 +53,13 @@ class _DataSource(object):
         raise NotImplementedError
 
     def __call__(self, base_name, data_dir):
-        feature = self.load_file(base_name, data_dir)
+        return self.package(self.load_file(base_name, data_dir))
 
+    def package(self, feature):
+        """Turns one loaded feature into the emitted feature dict (applies
+        sentence-level squeezing and delta-window expansion). Split from
+        ``__call__`` so batch preloaders (``FilesDataset.preload_batch``) can
+        inject features read by the native batch reader."""
         features = {self.name: feature}
 
         if self.sentence_level and isinstance(feature, np.ndarray):

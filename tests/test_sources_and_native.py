@@ -99,6 +99,62 @@ class TestNativeIO:
             np.testing.assert_array_equal(out[i, a.shape[0]:], 0)
 
 
+class TestPreloadBatch:
+    """Native batch preloading must be invisible: identical items to the
+    per-file path, through both FilesDataset and the DataLoader."""
+
+    @pytest.fixture()
+    def voice(self, tmp_path, rng):
+        d = tmp_path / 'data' / 'train'
+        for feat, dim in (('mcep', 5), ('lf0', 1)):
+            (d / feat).mkdir(parents=True)
+        ids = [f'utt_{i}' for i in range(6)]
+        for i, utt in enumerate(ids):
+            n = 10 + 3 * i
+            np.save(d / 'mcep' / f'{utt}.npy', rng.normal(size=(n, 5)).astype(np.float32))
+            np.save(d / 'lf0' / f'{utt}.npy', rng.normal(size=(n, 1)).astype(np.float32))
+        (d / 'ids.scp').write_text('\n'.join(ids) + '\n')
+        return str(tmp_path / 'data')
+
+    def _dataset(self, voice):
+        from morgana_tpu.data.dataset import FilesDataset
+        sources = {'mcep': NumpyBinarySource('mcep'),
+                   'lf0': NumpyBinarySource('lf0', use_deltas=True)}
+        return FilesDataset(sources, 'train', 'train/ids.scp', {}, voice)
+
+    def test_preload_matches_per_item(self, voice):
+        ds = self._dataset(voice)
+        idxs = [0, 3, 5]
+        preloaded = ds.preload_batch(idxs)
+        if native_io.native_available():
+            assert set(preloaded) == {'mcep', 'lf0'}
+        for j, i in enumerate(idxs):
+            fast = ds.build_item(i, {k: v[j] for k, v in preloaded.items()})
+            slow = ds[i]
+            assert set(fast) == set(slow)
+            for key in slow:
+                if isinstance(slow[key], np.ndarray):
+                    np.testing.assert_array_equal(fast[key], slow[key])
+                else:
+                    assert fast[key] == slow[key]
+
+    @pytest.mark.parametrize('threads', [0, 2])
+    def test_loader_uses_preload(self, voice, threads):
+        from morgana_tpu.data.loader import DataLoader
+        ds = self._dataset(voice)
+        loader = DataLoader(ds, batch_size=3, shuffle=False,
+                            num_data_threads=threads)
+        batches = list(loader)
+        assert len(batches) == 2
+        ref = [ds[i] for i in range(3)]
+        max_len = max(r['mcep'].shape[0] for r in ref)
+        from morgana_tpu.data.dataset import bucket_size
+        assert batches[0]['mcep'].shape == (3, bucket_size(max_len), 5)
+        np.testing.assert_array_equal(
+            batches[0]['lf0_deltas'][1, :ref[1]['lf0'].shape[0]],
+            ref[1]['lf0_deltas'])
+
+
 class TestPrepareVoice:
     def test_prepare_from_wavs(self, tmp_path, rng):
         from morgana_tpu import vocoder
