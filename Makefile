@@ -14,7 +14,10 @@ morgana_tpu/data/libbatch_io.so: morgana_tpu/data/csrc/batch_io.cpp
 test:
 	python -m pytest tests/ -q
 
+docs:
+	python docs/build_docs.py
+
 bench:
 	python bench.py
 
-.PHONY: native test bench
+.PHONY: native test bench docs
