@@ -21,6 +21,7 @@ import json
 import os
 import shutil
 import sys
+import time
 
 import jax
 import numpy as np
@@ -164,6 +165,11 @@ class ExperimentBuilder(object):
                             help='Seed for parameter init and training RNG streams.')
         parser.add_argument('--data_parallel', dest='data_parallel', action='store_true', default=False,
                             help='Shard batches over all local devices (data parallelism over the ICI mesh).')
+        parser.add_argument('--keep_checkpoints', dest='keep_checkpoints', action='store',
+                            type=int, default=0,
+                            help='If > 0, keep only the newest N epoch checkpoints '
+                                 '(+EMA/training-state sidecars); 0 keeps all. '
+                                 "--checkpoint_path accepts 'latest' for one-command resume.")
         parser.add_argument('--shard_map_step', dest='shard_map_step', action='store_true', default=False,
                             help='With --data_parallel: use the explicit-collective shard_map train '
                                  'step (hand-placed pmean over ICI) instead of relying on GSPMD.')
@@ -236,6 +242,7 @@ class ExperimentBuilder(object):
         self.experiments_base = kwargs['experiments_base']
         self.analysis_kwargs = kwargs.get('analysis_kwargs', {})
 
+        self.keep_checkpoints = kwargs.get('keep_checkpoints', 0)
         self.seed = kwargs.get('seed', 1234567890)
         self.data_parallel = kwargs.get('data_parallel', False)
         self.log_interval = kwargs.get('log_interval', 1)
@@ -286,6 +293,8 @@ class ExperimentBuilder(object):
 
         self._lr_schedule = lr_schedules.init_lr_schedule(
             self.lr_schedule_name, **self.lr_schedule_kwargs)
+
+        self.resolve_latest_checkpoints()
 
         if self.ema_checkpoint_path is None:
             self.ema_checkpoint_path = self.checkpoint_path
@@ -467,6 +476,58 @@ class ExperimentBuilder(object):
         with open(os.path.join(self.experiment_dir, 'config.json'), 'w') as f:
             json.dump(kwargs, f, indent=4, default=str)
 
+    def _latest_checkpoint(self, ema=False):
+        """Newest ``epoch_{N}{_ema}.npz`` in this experiment's checkpoint dir,
+        or None."""
+        ckpt_dir = os.path.join(self.experiment_dir, 'checkpoints')
+        if not os.path.isdir(ckpt_dir):
+            return None
+        import re
+        pattern = re.compile(r'epoch_(\d+)_ema\.npz$' if ema else r'epoch_(\d+)\.npz$')
+        found = [(int(m.group(1)), f) for f in os.listdir(ckpt_dir)
+                 for m in [pattern.fullmatch(f)] if m]
+        if not found:
+            return None
+        return os.path.join(ckpt_dir, max(found)[1])
+
+    def resolve_latest_checkpoints(self):
+        r"""``--checkpoint_path latest``: one-command resume. Resolves to the
+        newest checkpoint in the experiment directory (fresh start when there
+        is none — the same command is safe on first launch and on relaunch
+        after a failure), and bumps ``start_epoch`` past the resumed epoch."""
+        if self.checkpoint_path != 'latest' and self.ema_checkpoint_path != 'latest':
+            return
+        if self.checkpoint_path == 'latest':
+            self.checkpoint_path = self._latest_checkpoint()
+            self.logger.info('Resolved --checkpoint_path latest -> %s',
+                             self.checkpoint_path or '(none; fresh start)')
+        if self.ema_checkpoint_path == 'latest':
+            self.ema_checkpoint_path = self._latest_checkpoint(ema=True)
+        if self.checkpoint_path and self.train:
+            ckpt_epoch = utils.get_epoch_from_checkpoint_path(self.checkpoint_path)
+            if self.start_epoch <= ckpt_epoch:
+                self.start_epoch = ckpt_epoch + 1
+                self.logger.info('Resuming: start_epoch -> %d', self.start_epoch)
+
+    def _prune_checkpoints(self, keep):
+        """Retention: deletes all but the newest ``keep`` epochs' checkpoint
+        files (params, EMA, training-state sidecars)."""
+        import re
+        ckpt_dir = os.path.join(self.experiment_dir, 'checkpoints')
+        if not os.path.isdir(ckpt_dir):
+            return
+        by_epoch = {}
+        for fname in os.listdir(ckpt_dir):
+            match = re.match(r'epoch_(\d+)', fname)
+            if match:
+                by_epoch.setdefault(int(match.group(1)), []).append(fname)
+        for epoch in sorted(by_epoch)[:-keep]:
+            for fname in by_epoch[epoch]:
+                try:
+                    os.remove(os.path.join(ckpt_dir, fname))
+                except OSError:
+                    pass
+
     def resolve_setting_conflicts(self):
         r"""Checks and reconciles settings (reference
         ``morgana/experiment_builder.py:337-384``)."""
@@ -553,10 +614,15 @@ class ExperimentBuilder(object):
             os.makedirs(out_dir, exist_ok=True)
 
         losses = []
+        frames_seen = []
         num_batches = len(data_loader)
         pbar = _logging.ProgressBar(num_batches, print_interval=self.log_interval)
+        epoch_start = time.perf_counter()
         for i, features in zip(pbar, data_loader):
             self.model.step = (self.epoch - 1) * num_batches + i + 1
+            if 'n_frames' in features:
+                # Device arrays: summed lazily at epoch end (no per-batch sync).
+                frames_seen.append(features['n_frames'])
 
             lr = lr_schedule.lr if lr_schedule is not None else self.learning_rate
             batch_loss, staged, output_features = self.loop.train_step(features, lr)
@@ -581,8 +647,16 @@ class ExperimentBuilder(object):
             self.model.analysis_for_train_epoch(out_dir=out_dir, **self.analysis_kwargs)
 
         if out_dir and self.is_lead_host:
-            file_io.save_json(self.model.metrics.results_as_json_dict('train'),
-                              os.path.join(out_dir, 'metrics.json'))
+            # Per-epoch step-time observability alongside the model metrics.
+            epoch_metrics = dict(self.model.metrics.results_as_json_dict('train'))
+            duration = time.perf_counter() - epoch_start
+            epoch_metrics['epoch_duration_s'] = round(duration, 3)
+            if num_batches:
+                epoch_metrics['ms_per_step'] = round(1e3 * duration / num_batches, 3)
+            if frames_seen:
+                total = float(np.sum([np.asarray(f).sum() for f in frames_seen]))
+                epoch_metrics['frames_per_sec'] = round(total / duration, 1)
+            file_io.save_json(epoch_metrics, os.path.join(out_dir, 'metrics.json'))
         self._log_metrics_to_tensorboard('train')
 
         self.model.mode = ''
@@ -661,6 +735,9 @@ class ExperimentBuilder(object):
                         self.orbax_dir, self.epoch,
                         {'params': self.loop.params, 'opt_state': self.loop.opt_state,
                          'ema_params': self.loop.ema_params, 'step': self.loop.step_count})
+
+                if self.keep_checkpoints > 0:
+                    self._prune_checkpoints(self.keep_checkpoints)
 
             # Run validation.
             if self.valid:

@@ -43,6 +43,47 @@ class TestOrbaxFlag:
         assert exp.loop.step_count == 0
 
 
+class TestLatestResume:
+    def test_latest_resolves_and_bumps_start_epoch(self, voice_data, tmp_path):
+        exp1 = _build(voice_data, tmp_path, 'lat', end_epoch=2, valid=False)
+        exp1.run_experiment()
+
+        exp2 = _build(voice_data, tmp_path, 'lat', end_epoch=3, valid=False,
+                      checkpoint_path='latest')
+        assert exp2.checkpoint_path.endswith('epoch_2.npz')
+        assert exp2.start_epoch == 3
+        exp2.run_experiment()
+        ckpts = os.listdir(tmp_path / 'experiments' / 'lat' / 'checkpoints')
+        assert 'epoch_3.npz' in ckpts
+
+    def test_latest_with_no_checkpoints_starts_fresh(self, voice_data, tmp_path):
+        exp = _build(voice_data, tmp_path, 'lat_fresh', end_epoch=1, valid=False,
+                     checkpoint_path='latest')
+        assert exp.checkpoint_path is None
+        assert exp.start_epoch == 1
+
+    def test_epoch_metrics_carry_timing(self, voice_data, tmp_path):
+        import json
+        exp = _build(voice_data, tmp_path, 'timing', end_epoch=1, valid=False)
+        exp.run_experiment()
+        m = json.load(open(tmp_path / 'experiments' / 'timing' / 'train' /
+                           'epoch_1' / 'metrics.json'))
+        assert m['epoch_duration_s'] > 0
+        assert m['ms_per_step'] > 0
+        assert m['frames_per_sec'] > 0
+
+
+class TestCheckpointRetention:
+    def test_keep_last_n(self, voice_data, tmp_path):
+        exp = _build(voice_data, tmp_path, 'keep', end_epoch=4, valid=False,
+                     ema_decay=0.9, keep_checkpoints=2)
+        exp.run_experiment()
+        ckpts = sorted(os.listdir(tmp_path / 'experiments' / 'keep' / 'checkpoints'))
+        epochs = sorted({int(f.split('_')[1].split('.')[0]) for f in ckpts})
+        assert epochs == [3, 4]
+        assert 'epoch_4_ema.npz' in ckpts and 'epoch_3.train.pkl' in ckpts
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
 class TestShardMapStepFlag:
     def test_trains_end_to_end(self, voice_data, tmp_path):
