@@ -96,3 +96,22 @@ class TestMultiSpeaker:
         m1 = json.load(open(os.path.join(expdir, 'train', 'epoch_1', 'metrics.json')))
         m2 = json.load(open(os.path.join(expdir, 'train', 'epoch_2', 'metrics.json')))
         assert m2['loss'] < m1['loss']
+
+    def test_multispeaker_example_model(self, speaker_voice_data, tmp_path):
+        """The shipped models/multispeaker_f0.py example trains end-to-end."""
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'models'))
+        from multispeaker_f0 import MultiSpeakerF0Model
+
+        args = builder_args(speaker_voice_data, str(tmp_path / 'experiments'),
+                            end_epoch=2, valid=False,
+                            model_kwargs={'hidden': 8})
+        nn.manual_seed(args['seed'])
+        exp = ExperimentBuilder(MultiSpeakerF0Model, experiment_name='msf0', **args)
+        exp.run_experiment()
+
+        expdir = os.path.join(str(tmp_path / 'experiments'), 'msf0')
+        m1 = json.load(open(os.path.join(expdir, 'train', 'epoch_1', 'metrics.json')))
+        m2 = json.load(open(os.path.join(expdir, 'train', 'epoch_2', 'metrics.json')))
+        assert m2['loss'] < m1['loss']
+        assert 'RMSE_norm' in m1
