@@ -625,7 +625,10 @@ class ExperimentBuilder(object):
                 frames_seen.append(features['n_frames'])
 
             lr = lr_schedule.lr if lr_schedule is not None else self.learning_rate
-            batch_loss, staged, output_features = self.loop.train_step(features, lr)
+            # StepTraceAnnotation groups each step's ops in profiler traces
+            # (--profile_dir); free when no trace is active.
+            with jax.profiler.StepTraceAnnotation('train', step_num=self.model.step):
+                batch_loss, staged, output_features = self.loop.train_step(features, lr)
 
             if lr_schedule is not None and self.lr_schedule_name in lr_schedules.BATCH_LR_SCHEDULES:
                 lr_schedule.step()
