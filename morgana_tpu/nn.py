@@ -391,10 +391,13 @@ class Recurrent(Module):
         mode = mode.lower()
         if mode not in ('lstm', 'gru'):
             raise ValueError(f'Unsupported recurrent mode {mode!r}')
-        if backend not in ('scan', 'pallas'):
+        if backend not in ('scan', 'pallas', 'wavefront'):
             raise ValueError(f'Unsupported backend {backend!r}')
-        if bidirectional and backend == 'pallas':
+        if bidirectional and backend != 'scan':
             raise ValueError('bidirectional currently uses the scan backend')
+        if backend == 'wavefront' and (mode != 'lstm' or dropout):
+            raise ValueError("backend='wavefront' supports LSTM stacks "
+                             'without inter-layer dropout')
         self.mode = mode
         self.input_size = input_size
         self.hidden_size = hidden_size
@@ -459,6 +462,29 @@ class Recurrent(Module):
             backend = 'scan'
 
         remat = self.remat if self.remat is not None else _DEFAULT_REMAT
+
+        if backend == 'wavefront':
+            # Whole stack as one diagonal-wavefront scan (~num_layers x fewer
+            # sequential rounds; see ops.rnn.lstm_stack).
+            weights = [(l['w_ih'].value, l['w_hh'].value,
+                        l['b_ih'].value, l['b_hh'].value) for l in self.layers]
+            h0s = hidden if all(h is not None for h in hidden) else None
+
+            def stack_fn(x, *flat_weights):
+                layer_w = [tuple(flat_weights[4 * i:4 * i + 4])
+                           for i in range(self.num_layers)]
+                return rnn_ops.lstm_stack(x, layer_w, seq_len=seq_len, h0s=h0s,
+                                          unroll=self.unroll,
+                                          compute_dtype=compute_dtype)
+
+            if remat:
+                stack_fn = jax.checkpoint(stack_fn)
+            x, new_hidden = stack_fn(inputs, *[w for lw in weights for w in lw])
+            if squeeze_time:
+                x = x[:, 0, :]
+            if self.num_layers == 1:
+                new_hidden = new_hidden[0]
+            return x, new_hidden
 
         x = inputs
         new_hidden = []

@@ -19,7 +19,7 @@ load torch-trained weights directly.
 import jax
 import jax.numpy as jnp
 
-__all__ = ['lstm', 'gru', 'reverse_sequences']
+__all__ = ['lstm', 'gru', 'lstm_stack', 'reverse_sequences']
 
 
 def _time_major(x):
@@ -110,6 +110,117 @@ def lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None, unroll=8,
 
     (h, c), ys = jax.lax.scan(body, (h, c), (xg, mask), unroll=unroll)
     return _time_major(ys), (h, c)
+
+
+def lstm_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None):
+    r"""Multi-layer LSTM as a diagonal WAVEFRONT scan — semantically identical
+    to applying :func:`lstm` layer by layer, much less sequential.
+
+    Applying L layers as L separate scans serialises ``L * T`` dependent
+    small-M recurrent matmuls. But layer ``l`` at time ``t`` only needs layer
+    ``l-1``'s output at the SAME ``t`` — so along the diagonal ``d = t + l``
+    all L layers are independent. One scan over ``T + L - 1`` diagonals
+    performs every layer's cell update for its own timestep as a single
+    BATCHED matmul (cuDNN's multi-layer wavefront): ~L x fewer sequential
+    rounds, each with L x more parallel MXU work, and no per-layer (B, T, H)
+    intermediates materialised to HBM between layers.
+
+    Exactness: the per-layer/per-time masking (outputs zeroed at padding,
+    carry frozen at ``seq_len``) is applied per diagonal element, so outputs,
+    final states AND gradients match the sequential stack bit-for-bit up to
+    reduction order.
+
+    Parameters
+    ----------
+    x : jnp.ndarray (batch, time, input_dim)
+    layers : sequence of (w_ih, w_hh, b_ih, b_hh)
+        Layer 0's ``w_ih`` is (input_dim, 4H); all later layers must be
+        (H, 4H) with the SAME hidden size H (uniform stacks only).
+    seq_len, unroll, compute_dtype : as in :func:`lstm`.
+    h0s : optional list of (h0, c0) per layer.
+
+    Returns ``(y, [(h, c) per layer])`` with :func:`lstm` semantics.
+    """
+    num_layers = len(layers)
+    if num_layers == 1:
+        w_ih, w_hh, b_ih, b_hh = layers[0]
+        h0, c0 = h0s[0] if h0s else (None, None)
+        y, hc = lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len, h0=h0, c0=c0,
+                     unroll=unroll, compute_dtype=compute_dtype)
+        return y, [hc]
+
+    batch, time, _ = x.shape
+    hidden = layers[0][1].shape[0]
+    dtype = x.dtype
+    ct = compute_dtype
+
+    # Layer 0's input projection over the whole sequence: one big MXU matmul.
+    w_ih0, _w_hh0, b_ih0, b_hh0 = layers[0]
+    x_c, w_ih0_c = _cast_for_matmul(x, w_ih0, ct)
+    xg0 = jnp.dot(x_c, w_ih0_c, preferred_element_type=dtype) + (b_ih0 + b_hh0)
+    xg0 = _time_major(xg0)                                     # (T, B, 4H)
+    num_diags = time + num_layers - 1
+    xg0 = jnp.concatenate(
+        [xg0, jnp.zeros((num_layers - 1, batch, 4 * hidden), dtype)], axis=0)
+
+    # Stacked weights: inner layers' input projections and all hh projections.
+    w_in = jnp.stack([l[0] for l in layers[1:]])               # (L-1, H, 4H)
+    b_in = jnp.stack([l[2] + l[3] for l in layers[1:]])[:, None, :]
+    w_hh = jnp.stack([l[1] for l in layers])                   # (L, H, 4H)
+    if ct is not None:
+        w_in, w_hh = w_in.astype(ct), w_hh.astype(ct)
+
+    seq = (jnp.full((batch,), time, jnp.int32) if seq_len is None
+           else jnp.asarray(seq_len).reshape(batch).astype(jnp.int32))
+    layer_off = jnp.arange(num_layers, dtype=jnp.int32)
+
+    if h0s:
+        h_all = jnp.stack([hc[0].astype(dtype) for hc in h0s])
+        c_all = jnp.stack([hc[1].astype(dtype) for hc in h0s])
+    else:
+        h_all = jnp.zeros((num_layers, batch, hidden), dtype)
+        c_all = jnp.zeros_like(h_all)
+    out_all = jnp.zeros((num_layers, batch, hidden), dtype)
+
+    batched = (((2,), (1,)), ((0,), (0,)))  # (L,B,H) @ (L,H,4H) -> (L,B,4H)
+
+    def body(carry, inp):
+        h_all, c_all, out_all = carry
+        xg_d, d = inp
+        t_l = d - layer_off                                    # (L,)
+
+        h_in = out_all[:-1] if ct is None else out_all[:-1].astype(ct)
+        gates_in = jax.lax.dot_general(h_in, w_in, dimension_numbers=batched,
+                                       preferred_element_type=dtype) + b_in
+        gates_in = jnp.concatenate([xg_d[None], gates_in], axis=0)
+
+        h_c = h_all if ct is None else h_all.astype(ct)
+        gates = gates_in + jax.lax.dot_general(
+            h_c, w_hh, dimension_numbers=batched, preferred_element_type=dtype)
+
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c_all + i * g
+        h_new = o * jnp.tanh(c_new)
+
+        # Per-diagonal-element validity: layer l is live at time d - l while
+        # that time is inside its sequence (this is exactly the per-layer
+        # step mask of the sequential stack).
+        m = (t_l[:, None] >= 0) & (t_l[:, None] < seq[None, :])
+        m = m[:, :, None]
+        h_out = h_new * m.astype(dtype)
+        h_keep = jnp.where(m, h_new, h_all)
+        c_keep = jnp.where(m, c_new, c_all)
+        return (h_keep, c_keep, h_out), h_out[-1]
+
+    diag_idx = jnp.arange(num_diags, dtype=jnp.int32)
+    (h_all, c_all, _), ys = jax.lax.scan(
+        body, (h_all, c_all, out_all), (xg0, diag_idx), unroll=unroll)
+
+    # Top layer emits time t at diagonal t + (L-1).
+    y = _time_major(ys[num_layers - 1:])
+    return y, [(h_all[l], c_all[l]) for l in range(num_layers)]
 
 
 def gru(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, unroll=8,

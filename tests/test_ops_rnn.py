@@ -173,3 +173,101 @@ def test_reverse_sequences(rng):
     np.testing.assert_allclose(out[0], np.asarray(x)[0, ::-1])
     np.testing.assert_allclose(out[1, :2], np.asarray(x)[1, 1::-1])
     np.testing.assert_allclose(out[1, 2:], np.asarray(x)[1, 2:])  # padding in place
+
+
+class TestWavefrontStack:
+    """lstm_stack (diagonal wavefront) must match the sequential per-layer
+    scan exactly: outputs, final states, and gradients, on ragged batches."""
+
+    def _random_layers(self, rng, in_dim, hidden, num_layers):
+        layers = []
+        dims = [in_dim] + [hidden] * (num_layers - 1)
+        for d in dims:
+            layers.append(tuple(
+                jnp.array(rng.normal(size=s).astype(np.float32)) * 0.1
+                for s in ((d, 4 * hidden), (hidden, 4 * hidden),
+                          (4 * hidden,), (4 * hidden,))))
+        return layers
+
+    def _sequential(self, x, layers, seq_len):
+        finals = []
+        for w_ih, w_hh, b_ih, b_hh in layers:
+            x, hc = rnn_ops.lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len)
+            finals.append(hc)
+        return x, finals
+
+    @pytest.mark.parametrize('num_layers', [2, 4])
+    def test_matches_sequential(self, num_layers, rng):
+        B, T, I, H = 3, 17, 5, 8
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        seq_len = jnp.array([17, 9, 1])
+        layers = self._random_layers(rng, I, H, num_layers)
+
+        y_ref, fin_ref = self._sequential(x, layers, seq_len)
+        y_wf, fin_wf = rnn_ops.lstm_stack(x, layers, seq_len=seq_len)
+
+        np.testing.assert_allclose(np.asarray(y_wf), np.asarray(y_ref), atol=1e-6)
+        for (h_r, c_r), (h_w, c_w) in zip(fin_ref, fin_wf):
+            np.testing.assert_allclose(np.asarray(h_w), np.asarray(h_r), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(c_w), np.asarray(c_r), atol=1e-6)
+
+    def test_no_seq_len(self, rng):
+        B, T, I, H = 2, 9, 4, 8
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        layers = self._random_layers(rng, I, H, 3)
+        y_ref, _ = self._sequential(x, layers, None)
+        y_wf, _ = rnn_ops.lstm_stack(x, layers)
+        np.testing.assert_allclose(np.asarray(y_wf), np.asarray(y_ref), atol=1e-6)
+
+    def test_initial_states(self, rng):
+        B, T, I, H = 2, 7, 4, 8
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        layers = self._random_layers(rng, I, H, 2)
+        h0s = [(jnp.array(rng.normal(size=(B, H)).astype(np.float32)),
+                jnp.array(rng.normal(size=(B, H)).astype(np.float32)))
+               for _ in range(2)]
+        seq_len = jnp.array([7, 3])
+
+        x_ref, fin_ref = x, []
+        for (w_ih, w_hh, b_ih, b_hh), (h0, c0) in zip(layers, h0s):
+            x_ref, hc = rnn_ops.lstm(x_ref, w_ih, w_hh, b_ih, b_hh,
+                                     seq_len=seq_len, h0=h0, c0=c0)
+            fin_ref.append(hc)
+        y_wf, fin_wf = rnn_ops.lstm_stack(x, layers, seq_len=seq_len, h0s=h0s)
+        np.testing.assert_allclose(np.asarray(y_wf), np.asarray(x_ref), atol=1e-6)
+        for (h_r, c_r), (h_w, c_w) in zip(fin_ref, fin_wf):
+            np.testing.assert_allclose(np.asarray(h_w), np.asarray(h_r), atol=1e-6)
+
+    def test_gradients_match_sequential(self, rng):
+        import jax
+        B, T, I, H = 2, 11, 4, 8
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        seq_len = jnp.array([11, 6])
+        layers = self._random_layers(rng, I, H, 3)
+
+        def loss_seq(layers, x):
+            y, finals = self._sequential(x, layers, seq_len)
+            return jnp.sum(y ** 2) + sum(jnp.sum(h) + 0.5 * jnp.sum(c)
+                                         for h, c in finals)
+
+        def loss_wf(layers, x):
+            y, finals = rnn_ops.lstm_stack(x, layers, seq_len=seq_len)
+            return jnp.sum(y ** 2) + sum(jnp.sum(h) + 0.5 * jnp.sum(c)
+                                         for h, c in finals)
+
+        g_ref = jax.grad(loss_seq, argnums=(0, 1))(layers, x)
+        g_wf = jax.grad(loss_wf, argnums=(0, 1))(layers, x)
+        flat_ref = jax.tree_util.tree_leaves(g_ref)
+        flat_wf = jax.tree_util.tree_leaves(g_wf)
+        for a, b in zip(flat_ref, flat_wf):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-5, rtol=1e-4)
+
+    def test_single_layer_falls_back(self, rng):
+        B, T, I, H = 2, 6, 4, 8
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        layers = self._random_layers(rng, I, H, 1)
+        y_ref, _ = self._sequential(x, layers, None)
+        y_wf, finals = rnn_ops.lstm_stack(x, layers)
+        np.testing.assert_allclose(np.asarray(y_wf), np.asarray(y_ref), atol=1e-6)
+        assert len(finals) == 1

@@ -196,3 +196,27 @@ class TestOddShapes:
         y_ref, _ = rnn_ops.lstm(x, w_ih, w_hh, b, b)
         y_pl, _ = lstm_layer(x, w_ih, w_hh, b, b, interpret=True)
         np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), atol=1e-5)
+
+
+class TestRecurrentWavefrontBackend:
+    def test_backend_matches_scan(self, rng):
+        from morgana_tpu import nn
+        nn.manual_seed(0)
+        wf = nn.Recurrent('lstm', 8, 128, num_layers=3, backend='wavefront')
+        nn.manual_seed(0)
+        ref = nn.Recurrent('lstm', 8, 128, num_layers=3)
+        x = jnp.array(rng.normal(size=(2, 16, 8)).astype(np.float32))
+        seq_len = jnp.array([16, 9])
+        y_wf, h_wf = wf(x, seq_len=seq_len)
+        y_ref, h_ref = ref(x, seq_len=seq_len)
+        np.testing.assert_allclose(np.asarray(y_wf), np.asarray(y_ref), atol=1e-6)
+        for (hw, cw), (hr, cr) in zip(h_wf, h_ref):
+            np.testing.assert_allclose(np.asarray(hw), np.asarray(hr), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(cw), np.asarray(cr), atol=1e-6)
+
+    def test_rejects_gru_and_dropout(self):
+        from morgana_tpu import nn
+        with pytest.raises(ValueError, match='wavefront'):
+            nn.Recurrent('gru', 8, 16, backend='wavefront')
+        with pytest.raises(ValueError, match='wavefront'):
+            nn.Recurrent('lstm', 8, 16, dropout=0.5, backend='wavefront')
