@@ -108,11 +108,12 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None):
     from morgana_tpu.training import TrainLoop, build_optimizer
     from __graft_entry__ import _make_model
 
-    if compute_dtype:
-        # bf16 MXU matmuls with f32 accumulation/state; measured ~15% faster
-        # on the scan backend with loss identical to 4 decimals.
-        from morgana_tpu import nn
-        nn.set_default_compute_dtype(compute_dtype)
+    # Set unconditionally: the in-process fallback in main() runs several
+    # configs in one interpreter, so a previous config's bf16 must not leak.
+    # (bf16 = bf16 MXU matmuls with f32 accumulation/state; measured ~15%
+    # faster on the scan backend with loss identical to 4 decimals.)
+    from morgana_tpu import nn
+    nn.set_default_compute_dtype(compute_dtype)
 
     model = _make_model(num_layers=8, hidden_size=512, rnn_backend=rnn_backend)
     model.mode = 'train'

@@ -59,13 +59,14 @@ def _errors_only(record):
     return not _is_progress(record) and record.levelno >= logging.ERROR
 
 
-# (sink, format, predicate). sink: a file suffix (str) under log/, or a
-# stream. One handler is built per row by create_logger.
+# (sink, format, predicate). sink: a file suffix (str starting with '.')
+# under log/, or a sys stream attribute name — resolved at create_logger time
+# so later stream redirection (pytest capture, redirect_stdout) is honoured.
 _CHANNELS = (
     ('.tqdm', _BARE_FMT, _progress_only),
-    (sys.stdout, _DETAIL_FMT, _console_out),
+    ('stdout', _DETAIL_FMT, _console_out),
     ('.stdout', _DETAIL_FMT, _everything_else),
-    (sys.stderr, _DETAIL_FMT, _errors_only),
+    ('stderr', _DETAIL_FMT, _errors_only),
     ('.stderr', _DETAIL_FMT, _errors_only),
 )
 
@@ -94,10 +95,10 @@ def create_logger(experiment_dir, process_index=0):
         logger.removeHandler(logger.handlers[-1])
 
     for sink, fmt, predicate in _CHANNELS:
-        if isinstance(sink, str):
+        if sink.startswith('.'):
             handler = logging.FileHandler(os.path.join(log_dir, run_stamp + sink))
         else:
-            handler = logging.StreamHandler(sink)
+            handler = logging.StreamHandler(getattr(sys, sink))
         handler.setFormatter(logging.Formatter(fmt, style='{'))
         handler.addFilter(_Route(predicate))
         logger.addHandler(handler)

@@ -101,6 +101,11 @@ def orbax_save(directory, step, state, async_save=True):
     return directory
 
 
+def orbax_latest_step(directory):
+    """The newest step saved under ``directory`` (None when empty)."""
+    return _orbax_manager(directory).latest_step()
+
+
 def orbax_restore(directory, step=None, target=None):
     """Restores a training-state pytree saved by :func:`orbax_save`.
 

@@ -150,7 +150,39 @@ class ToDeviceWrapper(object):
     def __getattr__(self, attr):
         return getattr(self.data_loader, attr)
 
+    @staticmethod
+    def _harmonise_shapes(features):
+        """Multi-host only: re-pads each host's (locally bucketed) sequence
+        features to the cross-host maximum length.
+
+        Each host collates its OWN utterance shard, so per-host padded
+        lengths generally land in different buckets; assembling a global
+        array requires every host to agree on the shape. One small allgather
+        of the per-key lengths (hosts iterate batches in lockstep, so the
+        collective always matches up) establishes the common pad."""
+        if jax.process_count() == 1:
+            return features
+        from jax.experimental import multihost_utils
+        keys = sorted(k for k, v in features.items()
+                      if isinstance(v, np.ndarray) and v.ndim >= 2
+                      and v.dtype.kind in 'fiub')
+        if not keys:
+            return features
+        local = np.array([features[k].shape[1] for k in keys], np.int32)
+        lens = np.max(np.asarray(multihost_utils.process_allgather(local)),
+                      axis=0)
+        out = dict(features)
+        for key, target in zip(keys, lens):
+            value = features[key]
+            if value.shape[1] < target:
+                pad = [(0, 0)] * value.ndim
+                pad[1] = (0, int(target) - value.shape[1])
+                out[key] = np.pad(value, pad)
+        return out
+
     def _put(self, features):
+        if self.sharding is not None:
+            features = self._harmonise_shapes(features)
         out = {}
         for key, value in features.items():
             if isinstance(value, np.ndarray) and value.dtype.kind in 'fiub':

@@ -268,10 +268,11 @@ class ExperimentBuilder(object):
 
         self.multihost = kwargs.get('multihost', False)
         self.process_index, self.process_count = 0, 1
-        if self.multihost:
-            from morgana_tpu import parallel
-            parallel.initialize_distributed()
 
+        # Platform selection first: it only sets env/config (no backend is
+        # created), whereas initialize_distributed ends by querying the
+        # process index, which initialises the backend and freezes the
+        # platform — the reverse order would make --device a silent no-op.
         platform_warning = None
         if self.device:
             from morgana_tpu import platform as _platform
@@ -283,6 +284,7 @@ class ExperimentBuilder(object):
 
         if self.multihost:
             from morgana_tpu import parallel
+            parallel.initialize_distributed()
             self.process_index, self.process_count = parallel.process_info()
         self.is_lead_host = self.process_index == 0
 
@@ -394,8 +396,15 @@ class ExperimentBuilder(object):
                         self.loop.ema_params = state['ema_params']
                     self.loop.step_count = int(state.get('step', 0))
                     self.loop.sync_model()
+                    # The Orbax step key is the epoch; resume AFTER it (else
+                    # the run would retrain from epoch 1 on restored params).
+                    restored_epoch = checkpointing.orbax_latest_step(self.orbax_dir)
+                    if restored_epoch is not None:
+                        self.start_epoch = max(self.start_epoch, restored_epoch + 1)
                     self.logger.info('Restored training state from Orbax dir %s '
-                                     '(step %d)', self.orbax_dir, self.loop.step_count)
+                                     '(epoch %s, step %d); start_epoch=%d',
+                                     self.orbax_dir, restored_epoch,
+                                     self.loop.step_count, self.start_epoch)
             else:
                 self.logger.warning('--orbax_dir set but orbax is not importable; '
                                     'continuing with .npz checkpoints only')
@@ -656,7 +665,10 @@ class ExperimentBuilder(object):
             epoch_metrics['epoch_duration_s'] = round(duration, 3)
             if num_batches:
                 epoch_metrics['ms_per_step'] = round(1e3 * duration / num_batches, 3)
-            if frames_seen:
+            # Multi-host global arrays span non-addressable devices and can't
+            # be fetched with np.asarray; skip the frames rate there.
+            if frames_seen and all(getattr(f, 'is_fully_addressable', True)
+                                   for f in frames_seen):
                 total = float(np.sum([np.asarray(f).sum() for f in frames_seen]))
                 epoch_metrics['frames_per_sec'] = round(total / duration, 1)
             file_io.save_json(epoch_metrics, os.path.join(out_dir, 'metrics.json'))

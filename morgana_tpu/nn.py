@@ -468,7 +468,13 @@ class Recurrent(Module):
             # sequential rounds; see ops.rnn.lstm_stack).
             weights = [(l['w_ih'].value, l['w_hh'].value,
                         l['b_ih'].value, l['b_hh'].value) for l in self.layers]
-            h0s = hidden if all(h is not None for h in hidden) else None
+            if any(h is not None for h in hidden):
+                # Match the scan backend exactly: zeros for absent layers.
+                zero = lambda: (jnp.zeros((inputs.shape[0], self.hidden_size),
+                                          inputs.dtype),) * 2
+                h0s = [hc if hc is not None else zero() for hc in hidden]
+            else:
+                h0s = None
 
             def stack_fn(x, *flat_weights):
                 layer_w = [tuple(flat_weights[4 * i:4 * i + 4])

@@ -30,12 +30,29 @@ def process_info():
     return jax.process_index(), jax.process_count()
 
 
-def shard_id_list(file_ids, process_index=None, process_count=None):
+def shard_id_list(file_ids, process_index=None, process_count=None,
+                  equal_shards=True):
     """Host-local shard of an utterance id list: each host reads only its own
     slice, so the global batch is assembled without any cross-host data
-    movement (per-host sharded loading)."""
+    movement (per-host sharded loading).
+
+    ``equal_shards`` truncates every shard to ``len(file_ids) // count`` items
+    (dropping at most ``count - 1`` utterances). This is REQUIRED for lockstep
+    multi-host training: hosts with unequal shards would run different numbers
+    of collective steps and deadlock on the first step one host skips. The
+    truncation is deterministic from the global list length, so no cross-host
+    communication is needed to agree on it.
+    """
     if process_index is None:
         process_index = jax.process_index()
     if process_count is None:
         process_count = jax.process_count()
-    return file_ids[process_index::process_count]
+    shard = file_ids[process_index::process_count]
+    if equal_shards and process_count > 1:
+        per_host = len(file_ids) // process_count
+        if per_host == 0:
+            raise ValueError(
+                f'id list has {len(file_ids)} items for {process_count} hosts '
+                f'— every host needs at least one utterance')
+        shard = shard[:per_host]
+    return shard

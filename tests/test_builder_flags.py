@@ -42,6 +42,17 @@ class TestOrbaxFlag:
                      orbax_dir=str(tmp_path / 'nonexistent_orbax'))
         assert exp.loop.step_count == 0
 
+    def test_resume_bumps_start_epoch(self, voice_data, tmp_path):
+        """Relaunching the SAME command resumes after the saved epoch instead
+        of retraining from epoch 1 on restored params."""
+        orbax_dir = str(tmp_path / 'orbax')
+        exp1 = _build(voice_data, tmp_path, 'ob_bump', end_epoch=2, valid=False,
+                      orbax_dir=orbax_dir)
+        exp1.run_experiment()
+        exp2 = _build(voice_data, tmp_path, 'ob_bump2', end_epoch=3, valid=False,
+                      orbax_dir=orbax_dir)
+        assert exp2.start_epoch == 3
+
 
 class TestLatestResume:
     def test_latest_resolves_and_bumps_start_epoch(self, voice_data, tmp_path):

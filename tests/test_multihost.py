@@ -18,13 +18,31 @@ from morgana_tpu.parallel import distributed
 
 
 class TestShardIdList:
-    def test_disjoint_cover(self):
+    def test_equal_disjoint_shards(self):
+        """Shards are disjoint and EQUAL-SIZED (hosts must run the same
+        number of collective steps or they deadlock); at most count-1
+        utterances are dropped."""
         ids = [f'utt_{i:03d}' for i in range(11)]
         shards = [distributed.shard_id_list(ids, p, 3) for p in range(3)]
+        assert [len(s) for s in shards] == [3, 3, 3]
+        union = sum(shards, [])
+        assert len(set(union)) == len(union)  # disjoint
+        assert set(union) <= set(ids)
+
+    def test_divisible_covers_everything(self):
+        ids = [f'utt_{i}' for i in range(12)]
+        shards = [distributed.shard_id_list(ids, p, 3) for p in range(3)]
         assert sorted(sum(shards, [])) == sorted(ids)
-        for a in range(3):
-            for b in range(a + 1, 3):
-                assert not set(shards[a]) & set(shards[b])
+
+    def test_unequal_opt_out(self):
+        ids = [f'utt_{i}' for i in range(11)]
+        shards = [distributed.shard_id_list(ids, p, 3, equal_shards=False)
+                  for p in range(3)]
+        assert sorted(sum(shards, [])) == sorted(ids)
+
+    def test_too_few_ids_raises(self):
+        with pytest.raises(ValueError, match='at least one utterance'):
+            distributed.shard_id_list(['a'], 0, 2)
 
     def test_default_single_process(self):
         ids = ['a', 'b', 'c']
@@ -97,6 +115,38 @@ class TestMultihostBuilder:
         exp.run_experiment()
         lead = tmp_path / 'experiments' / 'mh_lead'
         assert (lead / 'train' / 'epoch_1' / 'metrics.json').is_file()
+
+
+class TestHarmoniseShapes:
+    def test_repads_to_cross_host_max(self, monkeypatch):
+        """Each host's locally-bucketed batch is re-padded to the allgathered
+        per-key maximum so every process builds the same global shape."""
+        import jax
+        from morgana_tpu.data.loader import ToDeviceWrapper
+        monkeypatch.setattr(jax, 'process_count', lambda: 2)
+
+        import jax.experimental.multihost_utils as mhu
+        # Fake the other host reporting longer sequences.
+        monkeypatch.setattr(mhu, 'process_allgather',
+                            lambda local: np.stack([np.asarray(local),
+                                                    np.asarray(local) + 16]))
+        features = {
+            'mcep': np.ones((2, 32, 5), np.float32),
+            'dur': np.ones((2, 8, 1), np.int64),
+            'n_frames': np.array([32., 20.], np.float32),
+            'name': ['a', 'b'],
+        }
+        out = ToDeviceWrapper._harmonise_shapes(features)
+        assert out['mcep'].shape == (2, 48, 5)
+        assert out['dur'].shape == (2, 24, 1)
+        np.testing.assert_array_equal(out['mcep'][:, 32:], 0.)
+        assert out['n_frames'].shape == (2,)
+        assert out['name'] == ['a', 'b']
+
+    def test_single_process_passthrough(self):
+        from morgana_tpu.data.loader import ToDeviceWrapper
+        features = {'mcep': np.ones((2, 32, 5), np.float32)}
+        assert ToDeviceWrapper._harmonise_shapes(features) is features
 
 
 class TestPutGlobal:

@@ -220,3 +220,19 @@ class TestRecurrentWavefrontBackend:
             nn.Recurrent('gru', 8, 16, backend='wavefront')
         with pytest.raises(ValueError, match='wavefront'):
             nn.Recurrent('lstm', 8, 16, dropout=0.5, backend='wavefront')
+
+    def test_partial_hidden_matches_scan(self, rng):
+        """A partially-provided hidden list uses zeros for absent layers,
+        exactly like the scan backend."""
+        from morgana_tpu import nn
+        nn.manual_seed(0)
+        wf = nn.Recurrent('lstm', 8, 128, num_layers=2, backend='wavefront')
+        nn.manual_seed(0)
+        ref = nn.Recurrent('lstm', 8, 128, num_layers=2)
+        x = jnp.array(rng.normal(size=(2, 8, 8)).astype(np.float32))
+        h0 = (jnp.array(rng.normal(size=(2, 128)).astype(np.float32)),
+              jnp.array(rng.normal(size=(2, 128)).astype(np.float32)))
+        hidden = [h0, None]
+        y_wf, _ = wf(x, hidden=list(hidden))
+        y_ref, _ = ref(x, hidden=list(hidden))
+        np.testing.assert_allclose(np.asarray(y_wf), np.asarray(y_ref), atol=1e-6)
