@@ -395,9 +395,9 @@ class Recurrent(Module):
             raise ValueError(f'Unsupported backend {backend!r}')
         if bidirectional and backend != 'scan':
             raise ValueError('bidirectional currently uses the scan backend')
-        if backend == 'wavefront' and (mode != 'lstm' or dropout):
-            raise ValueError("backend='wavefront' supports LSTM stacks "
-                             'without inter-layer dropout')
+        if backend == 'wavefront' and dropout:
+            raise ValueError("backend='wavefront' does not support "
+                             'inter-layer dropout')
         self.mode = mode
         self.input_size = input_size
         self.hidden_size = hidden_size
@@ -465,23 +465,28 @@ class Recurrent(Module):
 
         if backend == 'wavefront':
             # Whole stack as one diagonal-wavefront scan (~num_layers x fewer
-            # sequential rounds; see ops.rnn.lstm_stack).
+            # sequential rounds; see ops.rnn.lstm_stack / gru_stack).
             weights = [(l['w_ih'].value, l['w_hh'].value,
                         l['b_ih'].value, l['b_hh'].value) for l in self.layers]
             if any(h is not None for h in hidden):
                 # Match the scan backend exactly: zeros for absent layers.
-                zero = lambda: (jnp.zeros((inputs.shape[0], self.hidden_size),
-                                          inputs.dtype),) * 2
-                h0s = [hc if hc is not None else zero() for hc in hidden]
+                zero_state = lambda: jnp.zeros(
+                    (inputs.shape[0], self.hidden_size), inputs.dtype)
+                if self.mode == 'lstm':
+                    h0s = [hc if hc is not None else (zero_state(), zero_state())
+                           for hc in hidden]
+                else:
+                    h0s = [hc if hc is not None else zero_state()
+                           for hc in hidden]
             else:
                 h0s = None
+            stack = rnn_ops.lstm_stack if self.mode == 'lstm' else rnn_ops.gru_stack
 
             def stack_fn(x, *flat_weights):
                 layer_w = [tuple(flat_weights[4 * i:4 * i + 4])
                            for i in range(self.num_layers)]
-                return rnn_ops.lstm_stack(x, layer_w, seq_len=seq_len, h0s=h0s,
-                                          unroll=self.unroll,
-                                          compute_dtype=compute_dtype)
+                return stack(x, layer_w, seq_len=seq_len, h0s=h0s,
+                             unroll=self.unroll, compute_dtype=compute_dtype)
 
             if remat:
                 stack_fn = jax.checkpoint(stack_fn)

@@ -19,7 +19,7 @@ load torch-trained weights directly.
 import jax
 import jax.numpy as jnp
 
-__all__ = ['lstm', 'gru', 'lstm_stack', 'reverse_sequences']
+__all__ = ['lstm', 'gru', 'lstm_stack', 'gru_stack', 'reverse_sequences']
 
 
 def _time_major(x):
@@ -221,6 +221,85 @@ def lstm_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None):
     # Top layer emits time t at diagonal t + (L-1).
     y = _time_major(ys[num_layers - 1:])
     return y, [(h_all[l], c_all[l]) for l in range(num_layers)]
+
+
+def gru_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None):
+    r"""Multi-layer GRU as a diagonal wavefront scan — the GRU analogue of
+    :func:`lstm_stack` (same exactness guarantees vs the sequential stack).
+
+    Note the GRU's hidden-side bias sits INSIDE the reset gate's product
+    (torch formulation), so ``b_ih`` and ``b_hh`` are folded separately.
+    """
+    num_layers = len(layers)
+    if num_layers == 1:
+        w_ih, w_hh, b_ih, b_hh = layers[0]
+        h0 = h0s[0] if h0s else None
+        y, h = gru(x, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len, h0=h0,
+                   unroll=unroll, compute_dtype=compute_dtype)
+        return y, [h]
+
+    batch, time, _ = x.shape
+    hidden = layers[0][1].shape[0]
+    dtype = x.dtype
+    ct = compute_dtype
+
+    w_ih0, _w_hh0, b_ih0, _b_hh0 = layers[0]
+    x_c, w_ih0_c = _cast_for_matmul(x, w_ih0, ct)
+    xg0 = jnp.dot(x_c, w_ih0_c, preferred_element_type=dtype) + b_ih0
+    xg0 = _time_major(xg0)                                     # (T, B, 3H)
+    num_diags = time + num_layers - 1
+    xg0 = jnp.concatenate(
+        [xg0, jnp.zeros((num_layers - 1, batch, 3 * hidden), dtype)], axis=0)
+
+    w_in = jnp.stack([l[0] for l in layers[1:]])               # (L-1, H, 3H)
+    b_in = jnp.stack([l[2] for l in layers[1:]])[:, None, :]
+    w_hh = jnp.stack([l[1] for l in layers])                   # (L, H, 3H)
+    b_hh = jnp.stack([l[3] for l in layers])[:, None, :]       # (L, 1, 3H)
+    if ct is not None:
+        w_in, w_hh = w_in.astype(ct), w_hh.astype(ct)
+
+    seq = (jnp.full((batch,), time, jnp.int32) if seq_len is None
+           else jnp.asarray(seq_len).reshape(batch).astype(jnp.int32))
+    layer_off = jnp.arange(num_layers, dtype=jnp.int32)
+
+    h_all = (jnp.stack([h.astype(dtype) for h in h0s]) if h0s
+             else jnp.zeros((num_layers, batch, hidden), dtype))
+    out_all = jnp.zeros((num_layers, batch, hidden), dtype)
+
+    batched = (((2,), (1,)), ((0,), (0,)))
+
+    def body(carry, inp):
+        h_all, out_all = carry
+        xg_d, d = inp
+        t_l = d - layer_off
+
+        h_in = out_all[:-1] if ct is None else out_all[:-1].astype(ct)
+        gates_in = jax.lax.dot_general(h_in, w_in, dimension_numbers=batched,
+                                       preferred_element_type=dtype) + b_in
+        gates_in = jnp.concatenate([xg_d[None], gates_in], axis=0)
+
+        h_c = h_all if ct is None else h_all.astype(ct)
+        hg = jax.lax.dot_general(h_c, w_hh, dimension_numbers=batched,
+                                 preferred_element_type=dtype) + b_hh
+
+        xr, xz, xn = jnp.split(gates_in, 3, axis=-1)
+        hr, hz, hn = jnp.split(hg, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1. - z) * n + z * h_all
+
+        m = (t_l[:, None] >= 0) & (t_l[:, None] < seq[None, :])
+        m = m[:, :, None]
+        h_out = h_new * m.astype(dtype)
+        h_keep = jnp.where(m, h_new, h_all)
+        return (h_keep, h_out), h_out[-1]
+
+    diag_idx = jnp.arange(num_diags, dtype=jnp.int32)
+    (h_all, _), ys = jax.lax.scan(body, (h_all, out_all), (xg0, diag_idx),
+                                  unroll=unroll)
+    y = _time_major(ys[num_layers - 1:])
+    return y, [h_all[l] for l in range(num_layers)]
 
 
 def gru(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, unroll=8,

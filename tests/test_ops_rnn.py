@@ -271,3 +271,71 @@ class TestWavefrontStack:
         y_wf, finals = rnn_ops.lstm_stack(x, layers)
         np.testing.assert_allclose(np.asarray(y_wf), np.asarray(y_ref), atol=1e-6)
         assert len(finals) == 1
+
+
+class TestGRUWavefrontStack:
+    def _random_layers(self, rng, in_dim, hidden, num_layers):
+        layers = []
+        dims = [in_dim] + [hidden] * (num_layers - 1)
+        for d in dims:
+            layers.append(tuple(
+                jnp.array(rng.normal(size=s).astype(np.float32)) * 0.1
+                for s in ((d, 3 * hidden), (hidden, 3 * hidden),
+                          (3 * hidden,), (3 * hidden,))))
+        return layers
+
+    def _sequential(self, x, layers, seq_len, h0s=None):
+        finals = []
+        for i, (w_ih, w_hh, b_ih, b_hh) in enumerate(layers):
+            h0 = h0s[i] if h0s else None
+            x, h = rnn_ops.gru(x, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len, h0=h0)
+            finals.append(h)
+        return x, finals
+
+    @pytest.mark.parametrize('num_layers', [2, 3])
+    def test_matches_sequential(self, num_layers, rng):
+        B, T, I, H = 3, 13, 5, 8
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        seq_len = jnp.array([13, 7, 1])
+        layers = self._random_layers(rng, I, H, num_layers)
+
+        y_ref, fin_ref = self._sequential(x, layers, seq_len)
+        y_wf, fin_wf = rnn_ops.gru_stack(x, layers, seq_len=seq_len)
+        np.testing.assert_allclose(np.asarray(y_wf), np.asarray(y_ref), atol=1e-6)
+        for h_r, h_w in zip(fin_ref, fin_wf):
+            np.testing.assert_allclose(np.asarray(h_w), np.asarray(h_r), atol=1e-6)
+
+    def test_gradients_and_h0(self, rng):
+        import jax
+        B, T, I, H = 2, 9, 4, 8
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        seq_len = jnp.array([9, 4])
+        layers = self._random_layers(rng, I, H, 2)
+        h0s = [jnp.array(rng.normal(size=(B, H)).astype(np.float32))
+               for _ in range(2)]
+
+        def loss(stack_fn, layers, x):
+            y, finals = stack_fn(layers, x)
+            return jnp.sum(y ** 2) + sum(jnp.sum(h) for h in finals)
+
+        seq_fn = lambda layers, x: self._sequential(x, layers, seq_len, h0s)
+        wf_fn = lambda layers, x: rnn_ops.gru_stack(x, layers, seq_len=seq_len, h0s=h0s)
+        g_ref = jax.grad(loss, argnums=(1, 2))(seq_fn, layers, x)
+        g_wf = jax.grad(loss, argnums=(1, 2))(wf_fn, layers, x)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_wf)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-5, rtol=1e-4)
+
+    def test_recurrent_module_gru_wavefront(self, rng):
+        nn.manual_seed(0)
+        wf = nn.Recurrent('gru', 6, 16, num_layers=3, backend='wavefront')
+        nn.manual_seed(0)
+        ref = nn.Recurrent('gru', 6, 16, num_layers=3)
+        x = jnp.array(rng.normal(size=(2, 12, 6)).astype(np.float32))
+        seq_len = jnp.array([12, 5])
+        y_wf, h_wf = wf(x, seq_len=seq_len)
+        y_ref, h_ref = ref(x, seq_len=seq_len)
+        np.testing.assert_allclose(np.asarray(y_wf), np.asarray(y_ref), atol=1e-6)
+        for hw, hr in zip(h_wf, h_ref):
+            np.testing.assert_allclose(np.asarray(hw), np.asarray(hr), atol=1e-6)
