@@ -906,6 +906,25 @@ class ExperimentBuilder(object):
                     viz.plotting.plot_experiment(self.experiment_name, metric_names,
                                                  self.experiments_base, save=True)
             except KeyboardInterrupt:
+                # Fault tolerance beyond the reference (which only flushed the
+                # plot): preserve the interrupted run's parameters so work is
+                # never lost. The _interrupted suffix keeps the file out of
+                # `--checkpoint_path latest` resolution (resume from it
+                # explicitly; its epoch counter may be mid-epoch).
+                if self.is_lead_host:
+                    try:
+                        self.loop.sync_model()
+                        path = self.model.save_parameters(
+                            self.experiment_dir, f'{max(self.epoch, 1)}_interrupted')
+                        checkpointing.save_training_state(
+                            checkpointing.training_state_path_for(path),
+                            params=self.loop.params, opt_state=self.loop.opt_state,
+                            ema_params=self.loop.ema_params,
+                            step=self.loop.step_count)
+                        self.logger.info('Interrupted: emergency checkpoint '
+                                         'saved to %s', path)
+                    except Exception:  # noqa: BLE001 - shutdown must proceed
+                        self.logger.exception('Emergency checkpoint failed')
                 if self.valid and self.is_lead_host:
                     metric_names = [name for name, metric in self.model.metrics['all'].items()
                                     if not metric.hidden]

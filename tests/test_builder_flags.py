@@ -84,6 +84,33 @@ class TestLatestResume:
         assert m['frames_per_sec'] > 0
 
 
+class TestEmergencyCheckpoint:
+    def test_keyboard_interrupt_saves_state(self, voice_data, tmp_path,
+                                            monkeypatch):
+        exp = _build(voice_data, tmp_path, 'intr', end_epoch=3, valid=False)
+
+        calls = {'n': 0}
+        original = exp.train_epoch
+
+        def interrupt_on_second(*args, **kwargs):
+            calls['n'] += 1
+            if calls['n'] == 2:
+                raise KeyboardInterrupt
+            return original(*args, **kwargs)
+
+        monkeypatch.setattr(exp, 'train_epoch', interrupt_on_second)
+        with pytest.raises(KeyboardInterrupt):
+            exp.run_experiment()
+
+        ckpts = os.listdir(tmp_path / 'experiments' / 'intr' / 'checkpoints')
+        assert any('_interrupted' in f and f.endswith('.npz') for f in ckpts)
+        assert any('_interrupted' in f and f.endswith('.train.pkl') for f in ckpts)
+        # `latest` resolution ignores the interrupted file.
+        exp2 = _build(voice_data, tmp_path, 'intr', end_epoch=3, valid=False,
+                      checkpoint_path='latest')
+        assert '_interrupted' not in (exp2.checkpoint_path or '')
+
+
 class TestCheckpointRetention:
     def test_keep_last_n(self, voice_data, tmp_path):
         exp = _build(voice_data, tmp_path, 'keep', end_epoch=4, valid=False,
