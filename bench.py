@@ -153,6 +153,7 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None):
         'achieved_tflops': flops / step_time / 1e12,
         'mfu': mfu,
         'peak_tflops': peak,
+        'device_kind': str(getattr(jax.devices()[0], 'device_kind', '')),
         'loss': float(loss),
     }
 
@@ -294,6 +295,7 @@ def main():
         'achieved_tflops': round(result['achieved_tflops'], 1),
         'mfu': round(result['mfu'], 3),
         'peak_tflops': result['peak_tflops'],
+        'device_kind': result.get('device_kind', ''),
     }
     for backend, res in results.items():
         if backend != best_backend:
