@@ -339,3 +339,39 @@ class TestGRUWavefrontStack:
         np.testing.assert_allclose(np.asarray(y_wf), np.asarray(y_ref), atol=1e-6)
         for hw, hr in zip(h_wf, h_ref):
             np.testing.assert_allclose(np.asarray(hw), np.asarray(hr), atol=1e-6)
+
+
+class TestWavefrontEdgeCases:
+    def test_eight_layers_bf16_compute(self, rng):
+        """Bench-like depth with the bf16 compute path: wavefront stays close
+        to the sequential stack (bf16 matmul rounding differs slightly)."""
+        B, T, I, H = 2, 12, 8, 16
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        seq_len = jnp.array([12, 5])
+        layers = []
+        dims = [I] + [H] * 7
+        for d in dims:
+            layers.append(tuple(
+                jnp.array(rng.normal(size=s).astype(np.float32)) * 0.1
+                for s in ((d, 4 * H), (H, 4 * H), (4 * H,), (4 * H,))))
+
+        x_ref = x
+        for w_ih, w_hh, b_ih, b_hh in layers:
+            x_ref, _ = rnn_ops.lstm(x_ref, w_ih, w_hh, b_ih, b_hh,
+                                    seq_len=seq_len, compute_dtype='bfloat16')
+        y_wf, _ = rnn_ops.lstm_stack(x, layers, seq_len=seq_len,
+                                     compute_dtype='bfloat16')
+        np.testing.assert_allclose(np.asarray(y_wf), np.asarray(x_ref),
+                                   atol=5e-3)
+
+    def test_time_one(self, rng):
+        B, T, I, H = 2, 1, 4, 8
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        layers = [tuple(jnp.array(rng.normal(size=s).astype(np.float32)) * 0.1
+                        for s in ((d, 4 * H), (H, 4 * H), (4 * H,), (4 * H,)))
+                  for d in (I, H, H)]
+        x_ref = x
+        for w_ih, w_hh, b_ih, b_hh in layers:
+            x_ref, _ = rnn_ops.lstm(x_ref, w_ih, w_hh, b_ih, b_hh)
+        y_wf, _ = rnn_ops.lstm_stack(x, layers)
+        np.testing.assert_allclose(np.asarray(y_wf), np.asarray(x_ref), atol=1e-6)
