@@ -214,12 +214,12 @@ class TestRecurrentWavefrontBackend:
             np.testing.assert_allclose(np.asarray(hw), np.asarray(hr), atol=1e-6)
             np.testing.assert_allclose(np.asarray(cw), np.asarray(cr), atol=1e-6)
 
-    def test_rejects_gru_and_dropout(self):
+    def test_rejects_dropout(self):
         from morgana_tpu import nn
         with pytest.raises(ValueError, match='wavefront'):
-            nn.Recurrent('gru', 8, 16, backend='wavefront')
-        with pytest.raises(ValueError, match='wavefront'):
             nn.Recurrent('lstm', 8, 16, dropout=0.5, backend='wavefront')
+        # GRU wavefront is supported (see TestGRUWavefrontStack).
+        nn.Recurrent('gru', 8, 16, backend='wavefront')
 
     def test_partial_hidden_matches_scan(self, rng):
         """A partially-provided hidden list uses zeros for absent layers,
