@@ -1,4 +1,6 @@
 """Multi-host (DCN) initialisation and host-local data sharding."""
+import os
+
 import jax
 
 __all__ = ['initialize_distributed', 'process_info', 'shard_id_list']
@@ -7,10 +9,20 @@ __all__ = ['initialize_distributed', 'process_info', 'shard_id_list']
 def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
     """Initialises jax.distributed for multi-host training over DCN.
 
-    On TPU pods with standard env configuration all arguments are inferred;
-    they may be passed explicitly for other setups. Safe to call on a single
-    host (no-op on failure to infer a cluster).
+    On TPU pods with standard env configuration all arguments are inferred.
+    For generic launchers (including multi-process CPU testing), configure
+    via environment variables on every host::
+
+        MORGANA_COORDINATOR=host:port MORGANA_NUM_PROCESSES=N \\
+        MORGANA_PROCESS_ID=i  python models/<model>.py --multihost ...
+
+    Safe to call on a single host (no-op on failure to infer a cluster).
     """
+    coordinator_address = coordinator_address or os.environ.get('MORGANA_COORDINATOR')
+    if num_processes is None and 'MORGANA_NUM_PROCESSES' in os.environ:
+        num_processes = int(os.environ['MORGANA_NUM_PROCESSES'])
+    if process_id is None and 'MORGANA_PROCESS_ID' in os.environ:
+        process_id = int(os.environ['MORGANA_PROCESS_ID'])
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
