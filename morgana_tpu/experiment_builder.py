@@ -613,6 +613,17 @@ class ExperimentBuilder(object):
                 except Exception:  # noqa: BLE001 - observability must not break training
                     pass
 
+    def _for_analysis(self, tree):
+        """Host-local numpy view of a batch for host-side analysis hooks.
+
+        Multi-host: global arrays are sliced back to the rows THIS host
+        loaded, so they pair with the host-local 'name' lists and every host
+        analyses its own utterances."""
+        if self.process_count > 1:
+            from morgana_tpu import parallel
+            return parallel.host_local_batch(tree)
+        return tree
+
     def train_epoch(self, data_loader, lr_schedule=None, gen_output=False, out_dir=None):
         r"""Trains once over all batches: fused jit steps, EMA, batch-level LR
         schedule updates, metric accumulation, per-epoch metrics.json."""
@@ -652,8 +663,9 @@ class ExperimentBuilder(object):
 
             if gen_output:
                 self.loop.sync_model()
-                self.model.analysis_for_train_batch(features, output_features,
-                                                    out_dir=out_dir, **self.analysis_kwargs)
+                self.model.analysis_for_train_batch(
+                    self._for_analysis(features), self._for_analysis(output_features),
+                    out_dir=out_dir, **self.analysis_kwargs)
 
         if gen_output:
             self.model.analysis_for_train_epoch(out_dir=out_dir, **self.analysis_kwargs)
@@ -813,8 +825,9 @@ class ExperimentBuilder(object):
                     self.loop.sync_model()
                     self.loop.sync_ema_model()
                     synced = True
-                model.analysis_for_valid_batch(features, output_features,
-                                               out_dir=out_dir, **self.analysis_kwargs)
+                model.analysis_for_valid_batch(
+                    self._for_analysis(features), self._for_analysis(output_features),
+                    out_dir=out_dir, **self.analysis_kwargs)
 
         if gen_output:
             model.analysis_for_valid_epoch(out_dir=out_dir, **self.analysis_kwargs)
@@ -869,8 +882,9 @@ class ExperimentBuilder(object):
             staged, output_features = self.loop.predict_step(features, use_ema=use_ema)
             self.model.metrics.apply_staged(staged, tag='predict')
 
-            model.analysis_for_test_batch(features, output_features,
-                                          out_dir=out_dir, **self.analysis_kwargs)
+            model.analysis_for_test_batch(
+                self._for_analysis(features), self._for_analysis(output_features),
+                out_dir=out_dir, **self.analysis_kwargs)
 
             pbar.maybe_print('test', self.epoch,
                              lambda: self.model.metrics.results_as_str_dict('test'))

@@ -14,8 +14,8 @@ scaling is first-class and TPU-idiomatic:
   id-list sharding for the data pipeline.
 """
 from morgana_tpu.parallel.mesh import (
-    make_mesh, batch_sharding, replicated_sharding, put_global, shard_batch,
-    shard_params, param_shardings,
+    make_mesh, batch_sharding, replicated_sharding, put_global,
+    host_local_batch, shard_batch, shard_params, param_shardings,
 )
 from morgana_tpu.parallel.distributed import (
     initialize_distributed, process_info, shard_id_list,

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     'make_mesh', 'batch_sharding', 'replicated_sharding', 'put_global',
-    'shard_batch', 'shard_params', 'param_shardings',
+    'host_local_batch', 'shard_batch', 'shard_params', 'param_shardings',
 ]
 
 
@@ -54,6 +54,34 @@ def put_global(value, sharding):
     if jax.process_count() > 1 and sharding is not None:
         return jax.make_array_from_process_local_data(sharding, np.asarray(value))
     return jax.device_put(value, sharding)
+
+
+def host_local_batch(tree):
+    """Converts a pytree of (possibly multi-host global) batch arrays to this
+    host's local slice as numpy, for host-side analysis hooks.
+
+    Each global array's addressable shards are reassembled in index order —
+    exactly the rows this host contributed via :func:`put_global` — so they
+    pair correctly with the host-local ``name`` lists from the loader.
+    Fully-addressable arrays (single host) pass through as numpy unchanged;
+    non-arrays (strings, lists) pass through untouched.
+    """
+    def convert(value):
+        if not isinstance(value, jax.Array):
+            return value
+        if getattr(value, 'is_fully_addressable', True) or value.is_fully_replicated:
+            return np.asarray(value)
+        # One shard per distinct batch-row range (drops replicas from any
+        # replicated mesh axes), in row order.
+        unique = {}
+        for shard in value.addressable_shards:
+            start = shard.index[0].start or 0
+            unique.setdefault(start, shard)
+        return np.concatenate(
+            [np.asarray(unique[s].data) for s in sorted(unique)], axis=0)
+
+    return jax.tree_util.tree_map(
+        convert, tree, is_leaf=lambda x: isinstance(x, (jax.Array, list, str)))
 
 
 def shard_batch(batch, mesh):

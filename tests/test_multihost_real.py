@@ -48,7 +48,7 @@ def test_two_process_training_end_to_end(tmp_path):
              '--valid_id_list', 'valid/valid_file_id_list.scp',
              '--test_id_list', 'test/test_file_id_list.scp',
              '--batch_size', '4', '--end_epoch', '2', '--device', 'cpu',
-             '--multihost', '--data_parallel'],
+             '--multihost', '--data_parallel', '--valid_output_interval', '2'],
             cwd=str(tmp_path), env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
 
@@ -76,6 +76,13 @@ def test_two_process_training_end_to_end(tmp_path):
     # The saved checkpoint is a replicated global state fetched cleanly.
     params = np.load(expdir / 'checkpoints' / 'epoch_2.npz')
     assert all(np.isfinite(params[k]).all() for k in params.files)
+
+    # Generation hooks: every rank synthesised ITS OWN utterance shard
+    # (host-local slices of the global outputs paired with local names),
+    # so the shared synth dir holds ALL validation utterances.
+    synth = expdir / 'valid' / 'epoch_2' / 'synth'
+    wavs = sorted(f for f in os.listdir(synth) if f.endswith('.wav'))
+    assert len(wavs) == 4, wavs
 
 
 def _clean_env(repo):
