@@ -733,27 +733,33 @@ class ExperimentBuilder(object):
                 self.logger.info('Profiler trace written to %s', self.profile_dir)
 
             # Save model (+ EMA model + training state for exact resume).
-            # Lead host only: parameters are replicated, so one copy suffices
-            # and hosts must not race on the shared checkpoint files.
-            if self.epoch % self.model_checkpoint_interval == 0 and self.is_lead_host:
-                self.logger.info(
-                    'epoch %2d: loss %.3f: Saving model to\n\t%s/checkpoints/epoch_%d.npz',
-                    self.epoch, train_loss, self.experiment_dir, self.epoch)
-                self.loop.sync_model()
-                ckpt_path = self.model.save_parameters(self.experiment_dir, self.epoch)
-                checkpointing.save_training_state(
-                    checkpointing.training_state_path_for(ckpt_path),
-                    params=self.loop.params, opt_state=self.loop.opt_state,
-                    ema_params=self.loop.ema_params, step=self.loop.step_count,
-                    extra={'lr_schedule': lr_schedule.state_dict()
-                           if hasattr(lr_schedule, 'state_dict') else None})
-
-                if self.ema_decay:
+            # The .npz/.pkl writes are lead-host-only (parameters are
+            # replicated; hosts must not race on shared files). The Orbax
+            # save is a COLLECTIVE: every process must call it (Orbax
+            # coordinates who writes what), so it sits outside the gate.
+            if self.epoch % self.model_checkpoint_interval == 0:
+                if self.is_lead_host:
                     self.logger.info(
-                        'epoch %2d: Saving EMA model to\n\t%s/checkpoints/epoch_%d_ema.npz',
-                        self.epoch, self.experiment_dir, self.epoch)
-                    self.loop.sync_ema_model()
-                    self.ema.model.save_parameters(self.experiment_dir, f'{self.epoch}_ema')
+                        'epoch %2d: loss %.3f: Saving model to\n\t%s/checkpoints/epoch_%d.npz',
+                        self.epoch, train_loss, self.experiment_dir, self.epoch)
+                    self.loop.sync_model()
+                    ckpt_path = self.model.save_parameters(self.experiment_dir, self.epoch)
+                    checkpointing.save_training_state(
+                        checkpointing.training_state_path_for(ckpt_path),
+                        params=self.loop.params, opt_state=self.loop.opt_state,
+                        ema_params=self.loop.ema_params, step=self.loop.step_count,
+                        extra={'lr_schedule': lr_schedule.state_dict()
+                               if hasattr(lr_schedule, 'state_dict') else None})
+
+                    if self.ema_decay:
+                        self.logger.info(
+                            'epoch %2d: Saving EMA model to\n\t%s/checkpoints/epoch_%d_ema.npz',
+                            self.epoch, self.experiment_dir, self.epoch)
+                        self.loop.sync_ema_model()
+                        self.ema.model.save_parameters(self.experiment_dir, f'{self.epoch}_ema')
+
+                    if self.keep_checkpoints > 0:
+                        self._prune_checkpoints(self.keep_checkpoints)
 
                 if self.orbax_dir and checkpointing.orbax_available():
                     # Async: the device->host transfer and write overlap with
@@ -762,9 +768,6 @@ class ExperimentBuilder(object):
                         self.orbax_dir, self.epoch,
                         {'params': self.loop.params, 'opt_state': self.loop.opt_state,
                          'ema_params': self.loop.ema_params, 'step': self.loop.step_count})
-
-                if self.keep_checkpoints > 0:
-                    self._prune_checkpoints(self.keep_checkpoints)
 
             # Run validation.
             if self.valid:

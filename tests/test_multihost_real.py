@@ -20,7 +20,11 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_training_end_to_end(tmp_path):
+@pytest.mark.parametrize('extra_flags', [
+    pytest.param([], id='gspmd'),
+    pytest.param(['--shard_map_step'], id='shard_map'),
+])
+def test_two_process_training_end_to_end(tmp_path, extra_flags):
     repo = os.path.abspath(os.path.join(os.path.dirname(__file__), '..'))
     data_root = str(tmp_path / 'data')
     subprocess.run(
@@ -48,7 +52,8 @@ def test_two_process_training_end_to_end(tmp_path):
              '--valid_id_list', 'valid/valid_file_id_list.scp',
              '--test_id_list', 'test/test_file_id_list.scp',
              '--batch_size', '4', '--end_epoch', '2', '--device', 'cpu',
-             '--multihost', '--data_parallel', '--valid_output_interval', '2'],
+             '--multihost', '--data_parallel', '--valid_output_interval', '2']
+            + extra_flags,
             cwd=str(tmp_path), env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
 
