@@ -252,8 +252,12 @@ def _bench_subprocess(backend, compute_dtype=None):
     import subprocess
     code = (f'import bench, json; print("BENCH_JSON:" + json.dumps('
             f'bench.bench_tpu({backend!r}, compute_dtype={compute_dtype!r})))')
+    # Generous timeout: cold compiles through the AOT service take minutes
+    # (results are cached server-side, so only the FIRST run pays it); a
+    # killed subprocess would silently fall back to the ~30x-slow in-process
+    # path for the remaining configs.
     proc = subprocess.run([sys.executable, '-c', code], capture_output=True,
-                          text=True, timeout=600,
+                          text=True, timeout=1200,
                           cwd=os.path.dirname(os.path.abspath(__file__)))
     for line in proc.stdout.splitlines():
         if line.startswith('BENCH_JSON:'):

@@ -202,10 +202,18 @@ class ToDeviceWrapper(object):
         sentinel = object()
         error = []
 
+        # Multi-host: _put issues a cross-host collective (the pad-harmonising
+        # allgather). Collectives MUST all be enqueued from one thread in one
+        # global order, or hosts can interleave batch-collectives with step-
+        # collectives differently and deadlock — so the producer thread only
+        # loads/collates (host-local work) and _put runs on the consumer
+        # (main) thread, totally ordered with the train steps it feeds.
+        put_in_producer = jax.process_count() == 1
+
         def producer():
             try:
                 for features in self.data_loader:
-                    q.put(self._put(features))
+                    q.put(self._put(features) if put_in_producer else features)
             except BaseException as e:  # noqa: BLE001 - must surface in consumer
                 error.append(e)
             finally:
@@ -219,7 +227,7 @@ class ToDeviceWrapper(object):
                 if error:
                     raise error[0]
                 return
-            yield item
+            yield item if put_in_producer else self._put(item)
 
 
 def batch(data_generator, batch_size=32, shuffle=True, num_data_threads=0,

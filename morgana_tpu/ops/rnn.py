@@ -112,6 +112,86 @@ def lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None, unroll=8,
     return _time_major(ys), (h, c)
 
 
+
+def _wavefront(x, layers, num_gates, bias0, bias_inner, hh_bias, state0,
+               cell_step, seq_len, unroll, ct):
+    """Shared wavefront-scan scaffolding for stacked RNNs.
+
+    Runs L layers as one scan over ``T + L - 1`` diagonals ``d = t + layer``:
+    every layer's cell update for its own timestep happens as a single
+    batched matmul per diagonal. ``cell_step(gates_in, hg, state)`` supplies
+    the cell math and returns ``(h_new, new_state)`` where ``state`` is a
+    tuple of (L, B, H) arrays whose first element is the hidden state.
+
+    Exactness contract (tested per cell type): per-diagonal-element masking
+    reproduces the sequential stack's output zeroing and carry freezing, so
+    outputs, final states and gradients match bit-for-bit up to reduction
+    order.
+    """
+    num_layers = len(layers)
+    batch, time, _ = x.shape
+    hidden = layers[0][1].shape[0]
+    dtype = x.dtype
+
+    # Layer 0's input projection over the whole sequence: one big MXU matmul.
+    x_c, w_ih0_c = _cast_for_matmul(x, layers[0][0], ct)
+    xg0 = jnp.dot(x_c, w_ih0_c, preferred_element_type=dtype) + bias0
+    xg0 = _time_major(xg0)                                     # (T, B, G*H)
+    num_diags = time + num_layers - 1
+    xg0 = jnp.concatenate(
+        [xg0, jnp.zeros((num_layers - 1, batch, num_gates * hidden), dtype)],
+        axis=0)
+
+    # Stacked weights: inner layers' input projections and all hh projections.
+    w_in = jnp.stack([l[0] for l in layers[1:]])               # (L-1, H, G*H)
+    b_in = jnp.stack(bias_inner)[:, None, :]                   # (L-1, 1, G*H)
+    w_hh = jnp.stack([l[1] for l in layers])                   # (L, H, G*H)
+    b_hh = None if hh_bias is None else jnp.stack(hh_bias)[:, None, :]
+    if ct is not None:
+        w_in, w_hh = w_in.astype(ct), w_hh.astype(ct)
+
+    seq = (jnp.full((batch,), time, jnp.int32) if seq_len is None
+           else jnp.asarray(seq_len).reshape(batch).astype(jnp.int32))
+    layer_off = jnp.arange(num_layers, dtype=jnp.int32)
+    out_all = jnp.zeros((num_layers, batch, hidden), dtype)
+
+    batched = (((2,), (1,)), ((0,), (0,)))  # (L,B,H) @ (L,H,G*H) -> (L,B,G*H)
+
+    def body(carry, inp):
+        state, out_all = carry
+        xg_d, d = inp
+        t_l = d - layer_off                                    # (L,)
+
+        h_in = out_all[:-1] if ct is None else out_all[:-1].astype(ct)
+        gates_in = jax.lax.dot_general(h_in, w_in, dimension_numbers=batched,
+                                       preferred_element_type=dtype) + b_in
+        gates_in = jnp.concatenate([xg_d[None], gates_in], axis=0)
+
+        h_c = state[0] if ct is None else state[0].astype(ct)
+        hg = jax.lax.dot_general(h_c, w_hh, dimension_numbers=batched,
+                                 preferred_element_type=dtype)
+        if b_hh is not None:
+            hg = hg + b_hh
+
+        h_new, new_state = cell_step(gates_in, hg, state)
+
+        # Per-diagonal-element validity: layer l is live at time d - l while
+        # that time is inside its sequence (exactly the per-layer step mask
+        # of the sequential stack).
+        m = (t_l[:, None] >= 0) & (t_l[:, None] < seq[None, :])
+        m = m[:, :, None]
+        h_out = h_new * m.astype(dtype)
+        kept = tuple(jnp.where(m, new, old)
+                     for new, old in zip(new_state, state))
+        return (kept, h_out), h_out[-1]
+
+    diag_idx = jnp.arange(num_diags, dtype=jnp.int32)
+    (state, _), ys = jax.lax.scan(body, (state0, out_all), (xg0, diag_idx),
+                                  unroll=unroll)
+    # Top layer emits time t at diagonal t + (L-1).
+    return _time_major(ys[num_layers - 1:]), state
+
+
 def lstm_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None):
     r"""Multi-layer LSTM as a diagonal WAVEFRONT scan — semantically identical
     to applying :func:`lstm` layer by layer, much less sequential.
@@ -119,16 +199,9 @@ def lstm_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None):
     Applying L layers as L separate scans serialises ``L * T`` dependent
     small-M recurrent matmuls. But layer ``l`` at time ``t`` only needs layer
     ``l-1``'s output at the SAME ``t`` — so along the diagonal ``d = t + l``
-    all L layers are independent. One scan over ``T + L - 1`` diagonals
-    performs every layer's cell update for its own timestep as a single
-    BATCHED matmul (cuDNN's multi-layer wavefront): ~L x fewer sequential
-    rounds, each with L x more parallel MXU work, and no per-layer (B, T, H)
-    intermediates materialised to HBM between layers.
-
-    Exactness: the per-layer/per-time masking (outputs zeroed at padding,
-    carry frozen at ``seq_len``) is applied per diagonal element, so outputs,
-    final states AND gradients match the sequential stack bit-for-bit up to
-    reduction order.
+    all L layers are independent and run as one BATCHED matmul (cuDNN's
+    multi-layer wavefront): ~L x fewer sequential rounds, no per-layer
+    (B, T, H) intermediates materialised to HBM between layers.
 
     Parameters
     ----------
@@ -149,77 +222,30 @@ def lstm_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None):
                      unroll=unroll, compute_dtype=compute_dtype)
         return y, [hc]
 
-    batch, time, _ = x.shape
-    hidden = layers[0][1].shape[0]
-    dtype = x.dtype
-    ct = compute_dtype
-
-    # Layer 0's input projection over the whole sequence: one big MXU matmul.
-    w_ih0, _w_hh0, b_ih0, b_hh0 = layers[0]
-    x_c, w_ih0_c = _cast_for_matmul(x, w_ih0, ct)
-    xg0 = jnp.dot(x_c, w_ih0_c, preferred_element_type=dtype) + (b_ih0 + b_hh0)
-    xg0 = _time_major(xg0)                                     # (T, B, 4H)
-    num_diags = time + num_layers - 1
-    xg0 = jnp.concatenate(
-        [xg0, jnp.zeros((num_layers - 1, batch, 4 * hidden), dtype)], axis=0)
-
-    # Stacked weights: inner layers' input projections and all hh projections.
-    w_in = jnp.stack([l[0] for l in layers[1:]])               # (L-1, H, 4H)
-    b_in = jnp.stack([l[2] + l[3] for l in layers[1:]])[:, None, :]
-    w_hh = jnp.stack([l[1] for l in layers])                   # (L, H, 4H)
-    if ct is not None:
-        w_in, w_hh = w_in.astype(ct), w_hh.astype(ct)
-
-    seq = (jnp.full((batch,), time, jnp.int32) if seq_len is None
-           else jnp.asarray(seq_len).reshape(batch).astype(jnp.int32))
-    layer_off = jnp.arange(num_layers, dtype=jnp.int32)
-
+    batch, hidden, dtype = x.shape[0], layers[0][1].shape[0], x.dtype
     if h0s:
-        h_all = jnp.stack([hc[0].astype(dtype) for hc in h0s])
-        c_all = jnp.stack([hc[1].astype(dtype) for hc in h0s])
+        state0 = (jnp.stack([hc[0].astype(dtype) for hc in h0s]),
+                  jnp.stack([hc[1].astype(dtype) for hc in h0s]))
     else:
-        h_all = jnp.zeros((num_layers, batch, hidden), dtype)
-        c_all = jnp.zeros_like(h_all)
-    out_all = jnp.zeros((num_layers, batch, hidden), dtype)
+        zeros = jnp.zeros((num_layers, batch, hidden), dtype)
+        state0 = (zeros, jnp.zeros_like(zeros))
 
-    batched = (((2,), (1,)), ((0,), (0,)))  # (L,B,H) @ (L,H,4H) -> (L,B,4H)
-
-    def body(carry, inp):
-        h_all, c_all, out_all = carry
-        xg_d, d = inp
-        t_l = d - layer_off                                    # (L,)
-
-        h_in = out_all[:-1] if ct is None else out_all[:-1].astype(ct)
-        gates_in = jax.lax.dot_general(h_in, w_in, dimension_numbers=batched,
-                                       preferred_element_type=dtype) + b_in
-        gates_in = jnp.concatenate([xg_d[None], gates_in], axis=0)
-
-        h_c = h_all if ct is None else h_all.astype(ct)
-        gates = gates_in + jax.lax.dot_general(
-            h_c, w_hh, dimension_numbers=batched, preferred_element_type=dtype)
-
+    def cell_step(gates_in, hg, state):
+        _h, c = state
+        gates = gates_in + hg
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
-        c_new = f * c_all + i * g
+        c_new = f * c + i * g
         h_new = o * jnp.tanh(c_new)
+        return h_new, (h_new, c_new)
 
-        # Per-diagonal-element validity: layer l is live at time d - l while
-        # that time is inside its sequence (this is exactly the per-layer
-        # step mask of the sequential stack).
-        m = (t_l[:, None] >= 0) & (t_l[:, None] < seq[None, :])
-        m = m[:, :, None]
-        h_out = h_new * m.astype(dtype)
-        h_keep = jnp.where(m, h_new, h_all)
-        c_keep = jnp.where(m, c_new, c_all)
-        return (h_keep, c_keep, h_out), h_out[-1]
-
-    diag_idx = jnp.arange(num_diags, dtype=jnp.int32)
-    (h_all, c_all, _), ys = jax.lax.scan(
-        body, (h_all, c_all, out_all), (xg0, diag_idx), unroll=unroll)
-
-    # Top layer emits time t at diagonal t + (L-1).
-    y = _time_major(ys[num_layers - 1:])
+    # LSTM: both biases fold into the input-side gate projections.
+    y, (h_all, c_all) = _wavefront(
+        x, layers, num_gates=4, bias0=layers[0][2] + layers[0][3],
+        bias_inner=[l[2] + l[3] for l in layers[1:]], hh_bias=None,
+        state0=state0, cell_step=cell_step, seq_len=seq_len, unroll=unroll,
+        ct=compute_dtype)
     return y, [(h_all[l], c_all[l]) for l in range(num_layers)]
 
 
@@ -238,69 +264,26 @@ def gru_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None):
                    unroll=unroll, compute_dtype=compute_dtype)
         return y, [h]
 
-    batch, time, _ = x.shape
-    hidden = layers[0][1].shape[0]
-    dtype = x.dtype
-    ct = compute_dtype
+    batch, hidden, dtype = x.shape[0], layers[0][1].shape[0], x.dtype
+    state0 = (jnp.stack([h.astype(dtype) for h in h0s]) if h0s
+              else jnp.zeros((num_layers, batch, hidden), dtype),)
 
-    w_ih0, _w_hh0, b_ih0, _b_hh0 = layers[0]
-    x_c, w_ih0_c = _cast_for_matmul(x, w_ih0, ct)
-    xg0 = jnp.dot(x_c, w_ih0_c, preferred_element_type=dtype) + b_ih0
-    xg0 = _time_major(xg0)                                     # (T, B, 3H)
-    num_diags = time + num_layers - 1
-    xg0 = jnp.concatenate(
-        [xg0, jnp.zeros((num_layers - 1, batch, 3 * hidden), dtype)], axis=0)
-
-    w_in = jnp.stack([l[0] for l in layers[1:]])               # (L-1, H, 3H)
-    b_in = jnp.stack([l[2] for l in layers[1:]])[:, None, :]
-    w_hh = jnp.stack([l[1] for l in layers])                   # (L, H, 3H)
-    b_hh = jnp.stack([l[3] for l in layers])[:, None, :]       # (L, 1, 3H)
-    if ct is not None:
-        w_in, w_hh = w_in.astype(ct), w_hh.astype(ct)
-
-    seq = (jnp.full((batch,), time, jnp.int32) if seq_len is None
-           else jnp.asarray(seq_len).reshape(batch).astype(jnp.int32))
-    layer_off = jnp.arange(num_layers, dtype=jnp.int32)
-
-    h_all = (jnp.stack([h.astype(dtype) for h in h0s]) if h0s
-             else jnp.zeros((num_layers, batch, hidden), dtype))
-    out_all = jnp.zeros((num_layers, batch, hidden), dtype)
-
-    batched = (((2,), (1,)), ((0,), (0,)))
-
-    def body(carry, inp):
-        h_all, out_all = carry
-        xg_d, d = inp
-        t_l = d - layer_off
-
-        h_in = out_all[:-1] if ct is None else out_all[:-1].astype(ct)
-        gates_in = jax.lax.dot_general(h_in, w_in, dimension_numbers=batched,
-                                       preferred_element_type=dtype) + b_in
-        gates_in = jnp.concatenate([xg_d[None], gates_in], axis=0)
-
-        h_c = h_all if ct is None else h_all.astype(ct)
-        hg = jax.lax.dot_general(h_c, w_hh, dimension_numbers=batched,
-                                 preferred_element_type=dtype) + b_hh
-
+    def cell_step(gates_in, hg, state):
+        (h,) = state
         xr, xz, xn = jnp.split(gates_in, 3, axis=-1)
         hr, hz, hn = jnp.split(hg, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
         z = jax.nn.sigmoid(xz + hz)
         n = jnp.tanh(xn + r * hn)
-        h_new = (1. - z) * n + z * h_all
+        h_new = (1. - z) * n + z * h
+        return h_new, (h_new,)
 
-        m = (t_l[:, None] >= 0) & (t_l[:, None] < seq[None, :])
-        m = m[:, :, None]
-        h_out = h_new * m.astype(dtype)
-        h_keep = jnp.where(m, h_new, h_all)
-        return (h_keep, h_out), h_out[-1]
-
-    diag_idx = jnp.arange(num_diags, dtype=jnp.int32)
-    (h_all, _), ys = jax.lax.scan(body, (h_all, out_all), (xg0, diag_idx),
-                                  unroll=unroll)
-    y = _time_major(ys[num_layers - 1:])
+    y, (h_all,) = _wavefront(
+        x, layers, num_gates=3, bias0=layers[0][2],
+        bias_inner=[l[2] for l in layers[1:]], hh_bias=[l[3] for l in layers],
+        state0=state0, cell_step=cell_step, seq_len=seq_len, unroll=unroll,
+        ct=compute_dtype)
     return y, [h_all[l] for l in range(num_layers)]
-
 
 def gru(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, unroll=8,
         compute_dtype=None):

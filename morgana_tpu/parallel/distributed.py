@@ -23,13 +23,19 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
         num_processes = int(os.environ['MORGANA_NUM_PROCESSES'])
     if process_id is None and 'MORGANA_PROCESS_ID' in os.environ:
         process_id = int(os.environ['MORGANA_PROCESS_ID'])
+    explicit = any(v is not None for v in
+                   (coordinator_address, num_processes, process_id))
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except (ValueError, RuntimeError):
-        # Single-host / already initialised: proceed without a cluster.
-        pass
+        if explicit:
+            # A partially/incorrectly configured cluster must FAIL, not
+            # silently degrade to N independent single-host runs that all
+            # believe they are rank 0 and race on shared files.
+            raise
+        # No cluster configured/inferable: single-host run.
     return jax.process_index(), jax.process_count()
 
 
@@ -48,23 +54,26 @@ def shard_id_list(file_ids, process_index=None, process_count=None,
     slice, so the global batch is assembled without any cross-host data
     movement (per-host sharded loading).
 
-    ``equal_shards`` truncates every shard to ``len(file_ids) // count`` items
-    (dropping at most ``count - 1`` utterances). This is REQUIRED for lockstep
-    multi-host training: hosts with unequal shards would run different numbers
-    of collective steps and deadlock on the first step one host skips. The
-    truncation is deterministic from the global list length, so no cross-host
-    communication is needed to agree on it.
+    ``equal_shards`` PADS every shard to ``ceil(len(file_ids) / count)`` items
+    by cycling the shard's own ids. Equal shard sizes are REQUIRED for
+    lockstep multi-host training (hosts with unequal shards run different
+    numbers of collective steps and deadlock); padding — rather than
+    truncating — keeps every utterance covered (at most ``count - 1`` ids are
+    seen twice per pass). The padding is deterministic from the global list
+    length, so no cross-host communication is needed to agree on it.
     """
     if process_index is None:
         process_index = jax.process_index()
     if process_count is None:
         process_count = jax.process_count()
-    shard = file_ids[process_index::process_count]
+    shard = list(file_ids[process_index::process_count])
     if equal_shards and process_count > 1:
-        per_host = len(file_ids) // process_count
-        if per_host == 0:
+        if len(file_ids) < process_count:
             raise ValueError(
                 f'id list has {len(file_ids)} items for {process_count} hosts '
                 f'— every host needs at least one utterance')
-        shard = shard[:per_host]
+        target = -(-len(file_ids) // process_count)
+        base = len(shard)
+        for i in range(target - base):
+            shard.append(shard[i % base])
     return shard

@@ -71,14 +71,25 @@ def host_local_batch(tree):
             return value
         if getattr(value, 'is_fully_addressable', True) or value.is_fully_replicated:
             return np.asarray(value)
-        # One shard per distinct batch-row range (drops replicas from any
-        # replicated mesh axes), in row order.
-        unique = {}
-        for shard in value.addressable_shards:
+        # General assembly: place every addressable shard at its global index
+        # with the batch axis rebased to this host's rows. Handles sharding
+        # along non-batch axes too (e.g. tensor-parallel outputs); replicas
+        # overwrite with identical data.
+        shards = value.addressable_shards
+        row_starts = sorted({s.index[0].start or 0 for s in shards})
+        row_extent = {}
+        for shard in shards:
+            row_extent[shard.index[0].start or 0] = shard.data.shape[0]
+        offsets, total = {}, 0
+        for start in row_starts:
+            offsets[start] = total
+            total += row_extent[start]
+        out = np.empty((total,) + value.shape[1:], value.dtype)
+        for shard in shards:
             start = shard.index[0].start or 0
-            unique.setdefault(start, shard)
-        return np.concatenate(
-            [np.asarray(unique[s].data) for s in sorted(unique)], axis=0)
+            rows = slice(offsets[start], offsets[start] + shard.data.shape[0])
+            out[(rows,) + tuple(shard.index[1:])] = np.asarray(shard.data)
+        return out
 
     return jax.tree_util.tree_map(
         convert, tree, is_leaf=lambda x: isinstance(x, (jax.Array, list, str)))

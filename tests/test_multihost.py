@@ -18,18 +18,19 @@ from morgana_tpu.parallel import distributed
 
 
 class TestShardIdList:
-    def test_equal_disjoint_shards(self):
-        """Shards are disjoint and EQUAL-SIZED (hosts must run the same
-        number of collective steps or they deadlock); at most count-1
-        utterances are dropped."""
+    def test_equal_shards_cover_everything(self):
+        """Shards are EQUAL-SIZED (hosts must run the same number of
+        collective steps or they deadlock) with FULL coverage: short shards
+        pad by repeating their own ids rather than dropping utterances."""
         ids = [f'utt_{i:03d}' for i in range(11)]
         shards = [distributed.shard_id_list(ids, p, 3) for p in range(3)]
-        assert [len(s) for s in shards] == [3, 3, 3]
-        union = sum(shards, [])
-        assert len(set(union)) == len(union)  # disjoint
-        assert set(union) <= set(ids)
+        assert [len(s) for s in shards] == [4, 4, 4]
+        assert set(sum(shards, [])) == set(ids)          # nothing dropped
+        for a in range(3):
+            for b in range(a + 1, 3):
+                assert not set(shards[a]) & set(shards[b])  # cross-host disjoint
 
-    def test_divisible_covers_everything(self):
+    def test_divisible_covers_everything_exactly(self):
         ids = [f'utt_{i}' for i in range(12)]
         shards = [distributed.shard_id_list(ids, p, 3) for p in range(3)]
         assert sorted(sum(shards, [])) == sorted(ids)
@@ -39,6 +40,7 @@ class TestShardIdList:
         shards = [distributed.shard_id_list(ids, p, 3, equal_shards=False)
                   for p in range(3)]
         assert sorted(sum(shards, [])) == sorted(ids)
+        assert [len(s) for s in shards] == [4, 4, 3]
 
     def test_too_few_ids_raises(self):
         with pytest.raises(ValueError, match='at least one utterance'):

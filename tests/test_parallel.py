@@ -156,14 +156,16 @@ class TestBuilderDataParallel:
 class TestDistributed:
     def test_shard_id_list(self):
         ids = [f'utt{i}' for i in range(10)]
-        # Default: equal-sized shards (10 // 4 = 2 per host; lockstep-safe).
+        # Default: equal-sized shards (ceil(10/4) = 3 per host, short shards
+        # padded by repeating their own ids; lockstep-safe, full coverage).
         a = parallel.shard_id_list(ids, 0, 4)
-        b = parallel.shard_id_list(ids, 1, 4)
-        assert a == ['utt0', 'utt4']
-        assert b == ['utt1', 'utt5']
+        c = parallel.shard_id_list(ids, 2, 4)
+        assert a == ['utt0', 'utt4', 'utt8']
+        assert c == ['utt2', 'utt6', 'utt2']
         all_shards = [parallel.shard_id_list(ids, p, 4) for p in range(4)]
-        assert len(sum(all_shards, [])) == 8
-        # Full cover available when equal sizing is opted out.
+        assert set(sum(all_shards, [])) == set(ids)
+        assert all(len(s) == 3 for s in all_shards)
+        # Exact (unpadded) cover when equal sizing is opted out.
         all_shards = [parallel.shard_id_list(ids, p, 4, equal_shards=False)
                       for p in range(4)]
         assert sorted(sum(all_shards, [])) == sorted(ids)
