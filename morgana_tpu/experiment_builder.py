@@ -189,6 +189,12 @@ class ExperimentBuilder(object):
         parser.add_argument('--grad_clip_norm', dest='grad_clip_norm', action='store',
                             type=float, default=0.,
                             help='If > 0, clip the global gradient norm before Adam.')
+        parser.add_argument('--grad_accum_steps', dest='grad_accum_steps', action='store',
+                            type=int, default=1,
+                            help='If > 1, sum gradients over N batches on device and apply '
+                                 'the optimiser/EMA update once per cycle (effective batch '
+                                 '= N * --batch_size without N x the activation memory). '
+                                 'Batch-level LR schedules step once per applied update.')
         parser.add_argument('--remat', dest='remat', action='store_true', default=False,
                             help='Rematerialise recurrent layers in the backward pass '
                                  '(O(1) activation memory per layer; enables longer sequences).')
@@ -368,9 +374,16 @@ class ExperimentBuilder(object):
             raise ValueError('--shard_map_step requires --data_parallel '
                              '(it is the explicit-collective formulation of '
                              'the data-parallel step).')
+        self.grad_accum_steps = max(1, int(kwargs.get('grad_accum_steps', 1) or 1))
+        if self.grad_accum_steps > 1 and self.shard_map_step:
+            raise ValueError('--grad_accum_steps > 1 is not supported with '
+                             '--shard_map_step; drop --shard_map_step (the '
+                             'default GSPMD data-parallel path supports '
+                             'accumulation).')
         self.loop = TrainLoop(self.model, optimizer, ema_decay=self.ema_decay,
                               seed=self.seed, ema_model=self.ema.model if self.ema else None,
-                              shard_map_mesh=self.mesh if self.shard_map_step else None)
+                              shard_map_mesh=self.mesh if self.shard_map_step else None,
+                              grad_accum_steps=self.grad_accum_steps)
         if self.shard_map_step:
             self.logger.info('Using explicit shard_map train step over mesh %s', self.mesh)
 
@@ -648,9 +661,14 @@ class ExperimentBuilder(object):
             # StepTraceAnnotation groups each step's ops in profiler traces
             # (--profile_dir); free when no trace is active.
             with jax.profiler.StepTraceAnnotation('train', step_num=self.model.step):
-                batch_loss, staged, output_features = self.loop.train_step(features, lr)
+                # The last batch closes any open gradient-accumulation cycle
+                # so every epoch ends with fully-applied parameters (eval,
+                # checkpointing and exact resume never see a half cycle).
+                batch_loss, staged, output_features = self.loop.train_step(
+                    features, lr, force_apply=(i == num_batches - 1))
 
-            if lr_schedule is not None and self.lr_schedule_name in lr_schedules.BATCH_LR_SCHEDULES:
+            if lr_schedule is not None and self.loop.last_step_applied and \
+                    self.lr_schedule_name in lr_schedules.BATCH_LR_SCHEDULES:
                 lr_schedule.step()
 
             losses.append(batch_loss)

@@ -70,7 +70,7 @@ class TrainLoop(object):
     """
 
     def __init__(self, model, optimizer, ema_decay=0., seed=1234567890,
-                 ema_model=None, shard_map_mesh=None):
+                 ema_model=None, shard_map_mesh=None, grad_accum_steps=1):
         self.model = model
         self.optimizer = optimizer
         self.ema_decay = float(ema_decay)
@@ -78,6 +78,17 @@ class TrainLoop(object):
         # When set, the train step uses the explicit-collective shard_map
         # formulation over this mesh instead of relying on GSPMD.
         self.shard_map_mesh = shard_map_mesh
+        # Gradient accumulation: micro-batch gradients are summed on device
+        # and the optimiser (and EMA) applies once every N calls, averaging —
+        # numerically identical to one step on the N-batch concatenation
+        # (sequence_loss is a mean over batch items). The effective batch is
+        # N * batch_size without N x the activation memory.
+        self.grad_accum_steps = int(grad_accum_steps) if grad_accum_steps else 1
+        if self.grad_accum_steps > 1 and shard_map_mesh is not None:
+            raise ValueError('grad_accum_steps > 1 is not supported with the '
+                             'explicit shard_map step; use the GSPMD '
+                             '(--data_parallel) path, which shards the '
+                             'accumulated gradients automatically.')
 
         self.params = nn.parameters(model)
         self.opt_state = optimizer.init(self.params)
@@ -92,10 +103,20 @@ class TrainLoop(object):
 
         self.rng = jax.random.PRNGKey(seed)
         self.step_count = 0
+        # Accumulation-cycle state: gradients summed so far and their count.
+        self._acc_grads = None
+        self._micro_count = 0
+        # True when the last train_step call applied an optimiser update
+        # (always true without accumulation); batch-level LR schedules step
+        # only on applied steps.
+        self.last_step_applied = True
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self._predict_step = self._build_predict_step()
+        if self.grad_accum_steps > 1:
+            self._accum_step = self._build_accum_step()
+            self._apply_step = self._build_apply_step()
 
     # -- step builders -------------------------------------------------------
 
@@ -131,6 +152,63 @@ class TrainLoop(object):
 
         return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
+    def _build_accum_step(self):
+        """Micro-batch step of a gradient-accumulation cycle: computes loss,
+        metrics and gradients and sums the gradients into the (donated)
+        accumulator — no parameter, optimiser or EMA update."""
+        model = self.model
+
+        def accum_step(params, acc_grads, batch, global_step, rng):
+            batch = dict(batch, global_step=global_step)
+
+            def loss_fn(p):
+                with nn.bind(model, p, rng=rng, train=True):
+                    model.metrics.begin_staging('train')
+                    loss, outputs = model(batch)
+                    staged = model.metrics.drain_staged_values()
+                return loss, (outputs, staged)
+
+            (loss, (outputs, staged)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            acc_grads = jax.tree_util.tree_map(lambda a, g: a + g, acc_grads, grads)
+            return acc_grads, loss, staged, outputs
+
+        return jax.jit(accum_step, donate_argnums=(1,))
+
+    def _build_apply_step(self):
+        """Final micro-batch of an accumulation cycle: adds this batch's
+        gradients to the accumulator, averages over the cycle (``inv_count``),
+        and runs the optimiser + EMA update. Returns a zeroed accumulator for
+        the next cycle (device-side, no host transfer)."""
+        model, optimizer, ema_decay = self.model, self.optimizer, self.ema_decay
+
+        def apply_step(params, opt_state, ema_params, acc_grads, batch, lr,
+                       inv_count, global_step, rng):
+            batch = dict(batch, global_step=global_step)
+
+            def loss_fn(p):
+                with nn.bind(model, p, rng=rng, train=True):
+                    model.metrics.begin_staging('train')
+                    loss, outputs = model(batch)
+                    staged = model.metrics.drain_staged_values()
+                return loss, (outputs, staged)
+
+            (loss, (outputs, staged)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = jax.tree_util.tree_map(
+                lambda a, g: (a + g) * inv_count, acc_grads, grads)
+
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+
+            if ema_decay:
+                ema_params = nn.ema_update(ema_params, params, ema_decay)
+
+            acc_grads = jax.tree_util.tree_map(jnp.zeros_like, grads)
+            return params, opt_state, ema_params, acc_grads, loss, staged, outputs
+
+        return jax.jit(apply_step, donate_argnums=(0, 1, 2, 3))
+
     def _build_eval_step(self):
         model = self.model
 
@@ -161,19 +239,48 @@ class TrainLoop(object):
 
     # -- public steps ---------------------------------------------------------
 
-    def train_step(self, features, lr):
-        """One fused optimisation step. Returns (loss, staged, outputs) as
-        device values (no host sync)."""
+    def train_step(self, features, lr, force_apply=False):
+        """One fused training step. Returns (loss, staged, outputs) as
+        device values (no host sync).
+
+        With ``grad_accum_steps=N > 1`` only every Nth call applies the
+        optimiser/EMA update (averaging the summed micro-batch gradients);
+        ``force_apply=True`` closes a cycle early (e.g. at the last batch of
+        an epoch), averaging over however many micro-batches accumulated.
+        ``self.last_step_applied`` reports which kind this call was.
+        """
         batch = numeric_features(features)
         # Traced global-step scalar (passed outside the batch-sharded dict —
         # it is replicated): models can schedule (e.g. KL annealing) without
         # retracing — `self.step` on the model is a trace-time python int and
         # must not be used inside jitted code.
-        (self.params, self.opt_state, self.ema_params,
-         loss, staged, outputs) = self._train_step(
-            self.params, self.opt_state, self.ema_params, batch,
-            jnp.asarray(lr, jnp.float32),
-            jnp.asarray(self.step_count, jnp.float32), self._next_rng())
+        global_step = jnp.asarray(self.step_count, jnp.float32)
+        if self.grad_accum_steps > 1:
+            if self._acc_grads is None:
+                # zeros_like preserves each leaf's sharding under dp/tp.
+                self._acc_grads = jax.tree_util.tree_map(
+                    jnp.zeros_like, self.params)
+            if self._micro_count + 1 < self.grad_accum_steps and not force_apply:
+                self._acc_grads, loss, staged, outputs = self._accum_step(
+                    self.params, self._acc_grads, batch, global_step,
+                    self._next_rng())
+                self._micro_count += 1
+                self.last_step_applied = False
+            else:
+                inv_count = jnp.float32(1.0 / (self._micro_count + 1))
+                (self.params, self.opt_state, self.ema_params, self._acc_grads,
+                 loss, staged, outputs) = self._apply_step(
+                    self.params, self.opt_state, self.ema_params,
+                    self._acc_grads, batch, jnp.asarray(lr, jnp.float32),
+                    inv_count, global_step, self._next_rng())
+                self._micro_count = 0
+                self.last_step_applied = True
+        else:
+            (self.params, self.opt_state, self.ema_params,
+             loss, staged, outputs) = self._train_step(
+                self.params, self.opt_state, self.ema_params, batch,
+                jnp.asarray(lr, jnp.float32), global_step, self._next_rng())
+            self.last_step_applied = True
         self.step_count += 1
         return loss, staged, outputs
 
