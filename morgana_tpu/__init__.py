@@ -33,6 +33,7 @@ def __getattr__(name):
         'parallel': 'morgana_tpu.parallel',
         'vocoder': 'morgana_tpu.vocoder',
         'checkpointing': 'morgana_tpu.checkpointing',
+        'serve': 'morgana_tpu.serve',
     }
     if name in lazy:
         return importlib.import_module(lazy[name])

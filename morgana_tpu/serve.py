@@ -1,0 +1,273 @@
+"""Deployment inference: serve a trained checkpoint without the experiment
+scaffolding.
+
+The reference's only generation path is a full ``ExperimentBuilder`` test run
+(``morgana/experiment_builder.py:682-693``): it needs the ``experiments/<name>``
+directory layout, the whole flag surface and three data loaders. In production
+you have a checkpoint and a directory of utterances. :class:`InferenceEngine`
+is the serving-shaped surface for that: build once (model + normalisers +
+checkpoint + a compiled predict program), then call it repeatedly —
+
+    engine = InferenceEngine(LSTMAcousticModel, 'epoch_50.npz', data_root='data')
+    outputs = engine.predict_ids(['utt_001', 'utt_002'])   # unpadded feature dicts
+    stats = engine.generate('out')                          # wav synthesis + stats
+
+Batches are padded to the same length buckets the training loader uses
+(``data/dataset.py::bucket_size``), so the engine compiles a handful of
+programs total and reuses them across calls — steady-state latency is one
+device dispatch per batch.
+
+CLI (one command from checkpoint to synthesised outputs)::
+
+    python -m morgana_tpu.serve --model models/rnn_spss.py:LSTMAcousticModel \
+        --checkpoint_path experiments/voice/checkpoints/epoch_50.npz \
+        --data_root data --data_dir test --id_list test/test_file_id_list.scp \
+        --out_dir generated
+"""
+import argparse
+import importlib
+import importlib.util
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+from morgana_tpu import nn
+from morgana_tpu import platform as _platform
+
+__all__ = ['InferenceEngine', 'load_model_class', 'main']
+
+
+def load_model_class(spec):
+    """Resolves ``'pkg.module:ClassName'`` or ``'path/to/file.py:ClassName'``."""
+    if ':' not in spec:
+        raise ValueError(f"--model must be 'module:Class' or 'file.py:Class', got {spec!r}")
+    target, class_name = spec.rsplit(':', 1)
+    if target.endswith('.py'):
+        name = os.path.splitext(os.path.basename(target))[0]
+        module_spec = importlib.util.spec_from_file_location(name, target)
+        module = importlib.util.module_from_spec(module_spec)
+        module_spec.loader.exec_module(module)
+    else:
+        module = importlib.import_module(target)
+    return getattr(module, class_name)
+
+
+class InferenceEngine(object):
+    r"""Persistent predict/synthesis engine for one trained model.
+
+    Parameters
+    ----------
+    model_class : type
+        A :class:`~morgana_tpu.base_models.BaseModel` subclass.
+    checkpoint_path : str
+        ``epoch_{N}.npz`` checkpoint (an EMA twin works the same).
+    data_root : str
+        Root containing the normalisation parameter files and data dirs.
+    normalisation_dir : str
+        Sub-directory of ``data_root`` with the ``{name}_mvn/_minmax.json``
+        files (same contract as training).
+    model_kwargs : dict, optional
+    device : str, optional
+        Platform to serve on ('tpu', 'cpu', ...); decided before any JAX
+        backend initialises, failing loudly otherwise.
+    compute_dtype : str, optional
+        E.g. ``'bfloat16'`` for bf16 MXU matmuls at inference.
+    batch_size, num_data_threads : int
+        Loader settings for the file-driven entry points.
+    analysis_kwargs : dict, optional
+        Extra kwargs for the model's analysis hooks (e.g. ``sample_rate``).
+    """
+
+    def __init__(self, model_class, checkpoint_path, data_root='.',
+                 normalisation_dir='train', model_kwargs=None, device=None,
+                 compute_dtype=None, batch_size=8, num_data_threads=0,
+                 analysis_kwargs=None, seed=0):
+        if device:
+            _platform.select_platform(device)
+        if compute_dtype:
+            nn.set_default_compute_dtype(compute_dtype)
+
+        import jax  # after platform selection
+
+        self.data_root = data_root
+        self.batch_size = int(batch_size)
+        self.num_data_threads = int(num_data_threads)
+        self.analysis_kwargs = dict(analysis_kwargs or {})
+
+        nn.manual_seed(seed)
+        self.model = model_class(**(model_kwargs or {}))
+        normalisers = self.model.normaliser_sources()
+        for name in normalisers:
+            normalisers[name].load_params(normalisation_dir, data_root)
+        self.model.normalisers = normalisers
+        self.model.load_parameters(checkpoint_path)
+
+        self._params = nn.parameters(self.model)
+        self._rng = jax.random.PRNGKey(seed)
+        model = self.model
+
+        def predict_step(params, batch, rng):
+            with nn.bind(model, params, rng=rng, train=False):
+                model.metrics.begin_staging('predict')
+                outputs = model.predict(batch)
+                staged = model.metrics.drain_staged_values()
+            return staged, outputs
+
+        self._predict_step = jax.jit(predict_step)
+
+    # ----------------------------------------------------------------- core
+
+    def _next_rng(self):
+        import jax
+        self._rng, key = jax.random.split(self._rng)
+        return key
+
+    def predict_batch(self, features):
+        """Runs the compiled predict program on one collated (padded) batch.
+        Returns ``(staged_metrics, output_features)`` as device values."""
+        from morgana_tpu.training import numeric_features
+        return self._predict_step(self._params, numeric_features(features),
+                                  self._next_rng())
+
+    def _unpad(self, features, outputs):
+        """Strips batch padding from frame-level outputs: every (B, T_pad, D)
+        array becomes a list of (t_i, D) arrays cut at each utterance's
+        ``n_frames``; everything else converts to numpy unchanged."""
+        seq_len = features.get('n_frames')
+        if seq_len is not None:
+            seq_len = np.asarray(seq_len).astype(np.int64).reshape(-1)
+        out = {}
+        for key, value in outputs.items():
+            arr = np.asarray(value)
+            if seq_len is not None and arr.ndim >= 2 and arr.shape[0] == len(seq_len) \
+                    and arr.shape[1] >= seq_len.max():
+                out[key] = [arr[b, :seq_len[b]] for b in range(arr.shape[0])]
+            else:
+                out[key] = arr
+        return out
+
+    # --------------------------------------------------------- file-driven
+
+    def _loader(self, data_dir, id_list=None, file_ids=None, sources=None):
+        from morgana_tpu import data
+
+        tmp = None
+        if id_list is None:
+            if not file_ids:
+                raise ValueError('pass id_list or a non-empty file_ids list')
+            tmp = tempfile.NamedTemporaryFile('w', suffix='.scp', delete=False,
+                                              dir=self.data_root,
+                                              prefix='.serve_ids_')
+            tmp.write('\n'.join(file_ids))
+            tmp.close()
+            id_list = os.path.basename(tmp.name)
+        dataset = data.FilesDataset(
+            sources or self.model.test_data_sources(), data_dir, id_list,
+            self.model.normalisers, self.data_root)
+        loader = data.batch(dataset, batch_size=self.batch_size, shuffle=False,
+                            num_data_threads=self.num_data_threads)
+        return loader, (tmp.name if tmp else None)
+
+    def predict_ids(self, file_ids, data_dir='test'):
+        """Predicts the given utterance ids; returns ``{id: outputs}`` with
+        frame-level outputs unpadded to each utterance's true length."""
+        loader, tmp = self._loader(data_dir, file_ids=file_ids)
+        try:
+            results = {}
+            for features in loader:
+                _, outputs = self.predict_batch(features)
+                unpadded = self._unpad(features, outputs)
+                names = features.get('name', [str(i) for i in range(len(file_ids))])
+                for b, name in enumerate(names):
+                    results[name] = {
+                        k: (v[b] if isinstance(v, list) else np.asarray(v)[b])
+                        for k, v in unpadded.items()}
+            return results
+        finally:
+            if tmp:
+                os.unlink(tmp)
+
+    def generate(self, out_dir, data_dir='test', id_list=None, file_ids=None):
+        """Predicts a whole split and runs the model's test analysis hooks
+        (e.g. WORLD synthesis to ``.wav``) — the serving equivalent of the
+        reference's ``run_test`` (``morgana/experiment_builder.py:682-693``).
+        Returns throughput stats."""
+        import jax
+
+        loader, tmp = self._loader(data_dir, id_list=id_list, file_ids=file_ids)
+        os.makedirs(out_dir, exist_ok=True)
+        self.model.mode = 'test'
+        self.model.metrics.reset_state('test')
+        utterances = 0
+        frames = 0.0
+        outputs = None
+        start = time.perf_counter()
+        try:
+            for features in loader:
+                staged, outputs = self.predict_batch(features)
+                self.model.metrics.apply_staged(staged, tag='predict')
+                self.model.analysis_for_test_batch(features, outputs, out_dir,
+                                                   **self.analysis_kwargs)
+                if 'n_frames' in features:
+                    frames += float(np.asarray(features['n_frames']).sum())
+                utterances += len(features.get('name', [])) or \
+                    int(np.asarray(features['n_frames']).shape[0])
+            self.model.analysis_for_test_epoch(out_dir, **self.analysis_kwargs)
+            if outputs is not None:
+                jax.block_until_ready(outputs)
+        finally:
+            self.model.mode = ''
+            if tmp:
+                os.unlink(tmp)
+        elapsed = time.perf_counter() - start
+        stats = {'utterances': utterances, 'frames': int(frames),
+                 'seconds': round(elapsed, 3),
+                 'frames_per_sec': round(frames / elapsed, 1) if elapsed else 0.0,
+                 'out_dir': out_dir}
+        metrics = self.model.metrics.results_as_json_dict('test')
+        if metrics:
+            stats['metrics'] = metrics
+        return stats
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description='Serve a trained morgana_tpu checkpoint: batch prediction '
+                    'and synthesis without the experiment scaffolding.')
+    parser.add_argument('--model', required=True,
+                        help="Model class: 'pkg.module:Class' or 'file.py:Class'.")
+    parser.add_argument('--checkpoint_path', required=True)
+    parser.add_argument('--data_root', default='.')
+    parser.add_argument('--normalisation_dir', default='train')
+    parser.add_argument('--data_dir', default='test')
+    parser.add_argument('--id_list', default=None,
+                        help='Id-list file (relative to --data_root).')
+    parser.add_argument('--out_dir', default='generated')
+    parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--num_data_threads', type=int, default=0)
+    parser.add_argument('--device', default=None)
+    parser.add_argument('--compute_dtype', default=None)
+    parser.add_argument('--model_kwargs', default='{}',
+                        help='Python-dict string of model constructor kwargs.')
+    parser.add_argument('--analysis_kwargs', default='{}',
+                        help='Python-dict string of analysis-hook kwargs.')
+    args = parser.parse_args(argv)
+
+    import ast
+    engine = InferenceEngine(
+        load_model_class(args.model), args.checkpoint_path,
+        data_root=args.data_root, normalisation_dir=args.normalisation_dir,
+        model_kwargs=ast.literal_eval(args.model_kwargs), device=args.device,
+        compute_dtype=args.compute_dtype, batch_size=args.batch_size,
+        num_data_threads=args.num_data_threads,
+        analysis_kwargs=ast.literal_eval(args.analysis_kwargs))
+    stats = engine.generate(args.out_dir, data_dir=args.data_dir,
+                            id_list=args.id_list)
+    print(json.dumps(stats))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,119 @@
+"""InferenceEngine: serving a checkpoint without the experiment scaffolding
+(predict + unpadding + analysis-hook synthesis + the CLI)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import builder_args
+from tiny_models import TinyF0Model
+
+from morgana_tpu import nn
+from morgana_tpu.experiment_builder import ExperimentBuilder
+from morgana_tpu.serve import InferenceEngine, load_model_class
+
+
+@pytest.fixture(scope='module')
+def trained(voice_data, tmp_path_factory):
+    """One quickly-trained TinyF0Model checkpoint shared by the tests."""
+    exp_base = str(tmp_path_factory.mktemp('serve') / 'experiments')
+    args = builder_args(voice_data['data_root'], exp_base,
+                        end_epoch=1, valid=False)
+    nn.manual_seed(args['seed'])
+    exp = ExperimentBuilder(TinyF0Model, experiment_name='srv', **args)
+    exp.run_experiment()
+    ckpt = os.path.join(exp_base, 'srv', 'checkpoints', 'epoch_1.npz')
+    assert os.path.exists(ckpt)
+    return {'checkpoint': ckpt, 'builder': exp}
+
+
+class TestInferenceEngine:
+    def test_predict_ids_unpadded_and_matches_training_params(self, voice_data, trained):
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'], batch_size=2)
+        # The engine serves exactly the trained parameters.
+        trained['builder'].loop.sync_model()
+        for k, v in nn.parameters(engine.model).items():
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(nn.parameters(trained['builder'].model)[k]))
+
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            ids = [l.strip() for l in f if l.strip()]
+        results = engine.predict_ids(ids, data_dir='test')
+        assert set(results) == set(ids)
+        for name in ids:
+            pred = results[name]['normalised_lf0_deltas']
+            n_frames = int(np.loadtxt(os.path.join(
+                voice_data['data_root'], 'test', 'n_frames', f'{name}.txt')))
+            assert pred.shape == (n_frames, 3)
+            assert np.isfinite(pred).all()
+        # No stray temp id-list files left in data_root.
+        assert not [f for f in os.listdir(voice_data['data_root'])
+                    if f.startswith('.serve_ids_')]
+
+    def test_generate_reports_stats(self, voice_data, trained, tmp_path):
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'], batch_size=2)
+        out_dir = str(tmp_path / 'gen')
+        stats = engine.generate(out_dir, data_dir='test',
+                                id_list='test/test_file_id_list.scp')
+        assert stats['utterances'] == 2
+        assert stats['frames'] > 0 and stats['frames_per_sec'] > 0
+        assert os.path.isdir(out_dir)
+
+    def test_generate_synthesises_wavs_with_real_hooks(self, voice_data, tmp_path):
+        """F0Model's analysis hooks run WORLD synthesis through the engine."""
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'models'))
+        try:
+            from f0_test_model import F0Model
+        finally:
+            sys.path.pop(0)
+        exp_base = str(tmp_path / 'experiments')
+        args = builder_args(voice_data['data_root'], exp_base,
+                            end_epoch=1, valid=False)
+        nn.manual_seed(args['seed'])
+        ExperimentBuilder(F0Model, experiment_name='srv_f0', **args).run_experiment()
+
+        engine = InferenceEngine(
+            F0Model, os.path.join(exp_base, 'srv_f0', 'checkpoints', 'epoch_1.npz'),
+            data_root=voice_data['data_root'], batch_size=2,
+            analysis_kwargs={'sample_rate': 16000})
+        out_dir = str(tmp_path / 'gen_f0')
+        stats = engine.generate(out_dir, data_dir='test',
+                                id_list='test/test_file_id_list.scp')
+        wavs = [f for f in os.listdir(os.path.join(out_dir, 'synth'))
+                if f.endswith('.wav')]
+        assert len(wavs) == stats['utterances'] == 2
+
+    def test_load_model_class_forms(self):
+        cls = load_model_class(
+            os.path.join(os.path.dirname(__file__), 'tiny_models.py') + ':TinyF0Model')
+        assert cls.__name__ == 'TinyF0Model'
+        with pytest.raises(ValueError):
+            load_model_class('no_colon_here')
+
+
+class TestServeCLI:
+    def test_cli_end_to_end(self, voice_data, trained, tmp_path):
+        out_dir = str(tmp_path / 'cli_gen')
+        model_spec = os.path.join(os.path.dirname(__file__), 'tiny_models.py') \
+            + ':TinyF0Model'
+        env = dict(os.environ)
+        env['PYTHONPATH'] = os.pathsep.join(
+            [os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             os.path.dirname(__file__), env.get('PYTHONPATH', '')])
+        proc = subprocess.run(
+            [sys.executable, '-m', 'morgana_tpu.serve',
+             '--model', model_spec,
+             '--checkpoint_path', trained['checkpoint'],
+             '--data_root', voice_data['data_root'],
+             '--data_dir', 'test', '--id_list', 'test/test_file_id_list.scp',
+             '--out_dir', out_dir, '--batch_size', '2', '--device', 'cpu'],
+            capture_output=True, text=True, timeout=240, env=env)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        stats = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert stats['utterances'] == 2
