@@ -6,7 +6,7 @@ Reference-parity surface of ``morgana/data.py`` plus the external
 from morgana_tpu.data import file_io
 from morgana_tpu.data import sources as data_sources
 
-from morgana_tpu.data.dataset import FilesDataset, bucket_size, collate
+from morgana_tpu.data.dataset import FilesDataset, assemble_item, bucket_size, collate
 from morgana_tpu.data.loader import DataLoader, ToDeviceWrapper, batch
 from morgana_tpu.data.normalisers import (
     Normalisers, _FeatureNormaliser, _SpeakerDependentNormaliser,

@@ -16,7 +16,7 @@ import numpy as np
 
 from morgana_tpu.data.normalisers import _SpeakerDependentNormaliser
 
-__all__ = ['FilesDataset', 'bucket_size', 'collate']
+__all__ = ['FilesDataset', 'assemble_item', 'bucket_size', 'collate']
 
 
 def bucket_size(n, minimum=16):
@@ -61,39 +61,15 @@ class FilesDataset(object):
     def build_item(self, index, preloaded=None):
         """Assembles one utterance's feature dict; features already read by
         :meth:`preload_batch` are taken from ``preloaded`` instead of disk."""
-        def _normalise_feature(name, feature, is_deltas=False):
-            normaliser = self.normalisers[name]
-            if isinstance(normaliser, _SpeakerDependentNormaliser):
-                out = normaliser.normalise(feature, features['speaker_id'], deltas=is_deltas)
-            else:
-                out = normaliser.normalise(feature, deltas=is_deltas)
-            return np.asarray(out, np.float32)
-
         base_name = self.file_ids[index]
-        features = {'name': base_name}
 
-        if 'speaker_id' in self.data_sources:
-            features.update(self.data_sources['speaker_id'](base_name, self.data_dir))
-
-        for name, data_source in self.data_sources.items():
-            if name == 'speaker_id':
-                continue
-
+        def get_packaged(name, data_source):
             if preloaded and name in preloaded:
-                data_source_features = data_source.package(preloaded[name])
-            else:
-                data_source_features = data_source(base_name, self.data_dir)
+                return data_source.package(preloaded[name])
+            return data_source(base_name, self.data_dir)
 
-            if name in self.normalisers:
-                data_source_features[f'normalised_{name}'] = \
-                    _normalise_feature(name, data_source_features[name])
-                if self.normalisers[name].use_deltas:
-                    data_source_features[f'normalised_{name}_deltas'] = \
-                        _normalise_feature(name, data_source_features[f'{name}_deltas'], is_deltas=True)
-
-            features.update(data_source_features)
-
-        return features
+        return assemble_item(self.data_sources, self.normalisers,
+                             get_packaged, base_name)
 
     def preload_batch(self, indices):
         """Reads the batch's ``.npy`` features through the GIL-free native
@@ -123,6 +99,46 @@ class FilesDataset(object):
     @staticmethod
     def collate_fn(batch, bucket=True):
         return collate(batch, bucket=bucket)
+
+
+def assemble_item(data_sources, normalisers, get_packaged, base_name):
+    """Builds one utterance's feature dict from packaged source features:
+    adds ``normalised_{name}`` (+``_deltas``) keys exactly as the reference's
+    ``FilesDataset.__getitem__`` (``morgana/data.py:106-154``).
+
+    ``get_packaged(name, data_source)`` supplies each source's packaged dict —
+    from disk (:class:`FilesDataset`), a native batch preload, or in-memory
+    raw features (``serve.InferenceEngine.predict_items``).
+    """
+    features = {'name': base_name}
+
+    if 'speaker_id' in data_sources:
+        features.update(get_packaged('speaker_id', data_sources['speaker_id']))
+
+    def _normalise_feature(name, feature, is_deltas=False):
+        normaliser = normalisers[name]
+        if isinstance(normaliser, _SpeakerDependentNormaliser):
+            out = normaliser.normalise(feature, features['speaker_id'], deltas=is_deltas)
+        else:
+            out = normaliser.normalise(feature, deltas=is_deltas)
+        return np.asarray(out, np.float32)
+
+    for name, data_source in data_sources.items():
+        if name == 'speaker_id':
+            continue
+
+        data_source_features = get_packaged(name, data_source)
+
+        if name in normalisers:
+            data_source_features[f'normalised_{name}'] = \
+                _normalise_feature(name, data_source_features[name])
+            if normalisers[name].use_deltas:
+                data_source_features[f'normalised_{name}_deltas'] = \
+                    _normalise_feature(name, data_source_features[f'{name}_deltas'], is_deltas=True)
+
+        features.update(data_source_features)
+
+    return features
 
 
 def collate(batch, bucket=True):

@@ -171,6 +171,31 @@ class InferenceEngine(object):
                             num_data_threads=self.num_data_threads)
         return loader, (tmp.name if tmp else None)
 
+    def predict_items(self, items):
+        """In-memory serving: no files needed. ``items`` is a list of
+        per-utterance dicts mapping each test data-source name to its raw
+        loaded feature (what that source's ``load_file`` returns, e.g. a
+        ``(seq_len, dim)`` array for a ``NumpyBinarySource``); an optional
+        ``'name'`` key labels the utterance. Delta expansion, normalisation
+        and bucketed collation run exactly as the file pipeline, then one
+        compiled predict. Returns ``{name: outputs}`` with frame-level
+        outputs unpadded."""
+        from morgana_tpu.data import assemble_item, collate
+
+        sources = self.model.test_data_sources()
+        built = []
+        for i, item in enumerate(items):
+            built.append(assemble_item(
+                sources, self.model.normalisers,
+                lambda name, source: source.package(item[name]),
+                str(item.get('name', i))))
+        features = collate(built)
+        _, outputs = self.predict_batch(features)
+        unpadded = self._unpad(features, outputs)
+        return {name: {k: (v[b] if isinstance(v, list) else np.asarray(v)[b])
+                       for k, v in unpadded.items()}
+                for b, name in enumerate(features['name'])}
+
     def predict_ids(self, file_ids, data_dir='test'):
         """Predicts the given utterance ids; returns ``{id: outputs}`` with
         frame-level outputs unpadded to each utterance's true length."""

@@ -55,6 +55,29 @@ class TestInferenceEngine:
         assert not [f for f in os.listdir(voice_data['data_root'])
                     if f.startswith('.serve_ids_')]
 
+    def test_predict_items_matches_file_path(self, voice_data, trained):
+        """The in-memory API (raw features, no files) produces exactly the
+        file pipeline's outputs."""
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'], batch_size=2)
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            ids = [l.strip() for l in f if l.strip()]
+        from_files = engine.predict_ids(ids, data_dir='test')
+
+        data_dir = os.path.join(voice_data['data_root'], 'test')
+        sources = engine.model.test_data_sources()
+        items = [dict({name: src.load_file(utt, data_dir)
+                       for name, src in sources.items()}, name=utt)
+                 for utt in ids]
+        from_memory = engine.predict_items(items)
+
+        assert set(from_memory) == set(ids)
+        for utt in ids:
+            np.testing.assert_array_equal(
+                from_memory[utt]['normalised_lf0_deltas'],
+                from_files[utt]['normalised_lf0_deltas'])
+
     def test_generate_reports_stats(self, voice_data, trained, tmp_path):
         engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
                                  data_root=voice_data['data_root'], batch_size=2)
