@@ -26,6 +26,15 @@ python "$REPO/models/f0_test_model.py" \
   --batch_size 4 --end_epoch 4 --learning_rate 0.01 \
   --ema_decay 0.99 --valid_output_interval 2 --num_data_threads 2
 
+# 3. Serve the trained checkpoint (no experiment scaffolding needed):
+#    batch synthesis of the test set with throughput stats.
+python -m morgana_tpu.serve \
+  --model "$REPO/models/f0_test_model.py:F0Model" \
+  --checkpoint_path experiments/quickstart/checkpoints/epoch_4.npz \
+  --data_root data --data_dir test --id_list test/test_file_id_list.scp \
+  --out_dir served --analysis_kwargs "{'sample_rate': 16000}"
+
 echo
 echo "Artifacts:"
 find experiments/quickstart -maxdepth 2 | sort | head -20
+find served -type f | sort | head -5
