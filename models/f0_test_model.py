@@ -28,7 +28,7 @@ from morgana_tpu.data import file_io
 
 class F0Model(BaseSPSS):
     def __init__(self, dropout_prob=0., input_dim=600 + 9, output_dim=1 * 3,
-                 rnn_backend='scan'):
+                 rnn_backend='scan', rnn_unroll=8):
         r"""Initialises acoustic model parameters and settings
         (reference architecture: ``models/f0_test_model.py:22-45``)."""
         super(F0Model, self).__init__()
@@ -39,11 +39,11 @@ class F0Model(BaseSPSS):
             nn.Linear(self.input_dim, 256),
             nn.Sigmoid(),
             nn.Dropout(p=dropout_prob),
-            nn.Recurrent('gru', 256, 64, backend=rnn_backend),
+            nn.Recurrent('gru', 256, 64, backend=rnn_backend, unroll=rnn_unroll),
             nn.Dropout(p=dropout_prob),
-            nn.Recurrent('gru', 64, 64, backend=rnn_backend),
+            nn.Recurrent('gru', 64, 64, backend=rnn_backend, unroll=rnn_unroll),
             nn.Dropout(p=dropout_prob),
-            nn.Recurrent('gru', 64, 64, backend=rnn_backend),
+            nn.Recurrent('gru', 64, 64, backend=rnn_backend, unroll=rnn_unroll),
             nn.Dropout(p=dropout_prob),
             nn.Linear(64, 64),
             nn.Sigmoid(),

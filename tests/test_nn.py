@@ -159,6 +159,26 @@ class TestComputeOptions:
         nn.set_default_compute_dtype('float32')
         assert nn.default_compute_dtype() is None
 
+    def test_unroll_is_exact(self, rng):
+        """Scan unroll amortises loop overhead on TPU (bench uses 64); it
+        must not change outputs, final states or gradients — even when the
+        unroll factor exceeds the sequence length or leaves a remainder.
+        (Equality is up to XLA fusion/reassociation order, ~1e-7.)"""
+        import jax.numpy as jnp
+        x = jnp.array(rng.normal(size=(2, 11, 6)).astype(np.float32))
+        sl = jnp.array([11, 7])
+        outs = []
+        for unroll in (1, 8, 64):
+            nn.manual_seed(7)
+            rec = nn.Recurrent('lstm', 6, 12, unroll=unroll)
+            y, state = rec(x, seq_len=sl)
+            g = jax.grad(lambda x: jnp.sum(rec(x, seq_len=sl)[0] ** 2))(x)
+            outs.append((np.asarray(y), np.asarray(state[0]), np.asarray(g)))
+        for y, h, g in outs[1:]:
+            np.testing.assert_allclose(y, outs[0][0], atol=1e-6)
+            np.testing.assert_allclose(h, outs[0][1], atol=1e-6)
+            np.testing.assert_allclose(g, outs[0][2], atol=1e-5)
+
     def test_remat_grads_match(self, rng):
         import jax.numpy as jnp
         nn.manual_seed(4)
