@@ -389,6 +389,7 @@ class ExperimentBuilder(object):
 
         # Orbax: async full-state checkpoints; resume from the latest step
         # when no explicit --checkpoint_path was given.
+        self._restored_lr_state = None
         self.orbax_dir = kwargs.get('orbax_dir')
         if self.orbax_dir and not self.checkpoint_path and self.train:
             if checkpointing.orbax_available():
@@ -414,6 +415,16 @@ class ExperimentBuilder(object):
                     restored_epoch = checkpointing.orbax_latest_step(self.orbax_dir)
                     if restored_epoch is not None:
                         self.start_epoch = max(self.start_epoch, restored_epoch + 1)
+                        # LR-schedule state rides in a pickle sidecar (its
+                        # heterogeneous scalars are not an Orbax pytree);
+                        # without it a resumed batch-level schedule (noam,
+                        # cyclic, ...) would restart from schedule-step 0.
+                        lr_path = os.path.join(self.orbax_dir,
+                                               f'lr_state_{restored_epoch}.pkl')
+                        if os.path.exists(lr_path):
+                            import pickle
+                            with open(lr_path, 'rb') as f:
+                                self._restored_lr_state = pickle.load(f)
                     self.logger.info('Restored training state from Orbax dir %s '
                                      '(epoch %s, step %d); start_epoch=%d',
                                      self.orbax_dir, restored_epoch,
@@ -422,8 +433,9 @@ class ExperimentBuilder(object):
                 self.logger.warning('--orbax_dir set but orbax is not importable; '
                                     'continuing with .npz checkpoints only')
 
-        # Exact resume: restore optimiser/EMA state saved alongside the checkpoint.
-        self._restored_lr_state = None
+        # Exact resume: restore optimiser/EMA state saved alongside the
+        # checkpoint (mutually exclusive with the Orbax auto-resume above,
+        # which only runs when no --checkpoint_path was given).
         if self.checkpoint_path and self.train:
             train_state_path = checkpointing.training_state_path_for(self.checkpoint_path)
             if os.path.exists(train_state_path):
@@ -540,6 +552,11 @@ class ExperimentBuilder(object):
             return
         by_epoch = {}
         for fname in os.listdir(ckpt_dir):
+            # Emergency saves (epoch_{N}_interrupted.npz) are exempt from
+            # retention: they exist precisely because the run did not reach
+            # a clean later checkpoint.
+            if '_interrupted' in fname:
+                continue
             match = re.match(r'epoch_(\d+)', fname)
             if match:
                 by_epoch.setdefault(int(match.group(1)), []).append(fname)
@@ -786,6 +803,15 @@ class ExperimentBuilder(object):
                         self.orbax_dir, self.epoch,
                         {'params': self.loop.params, 'opt_state': self.loop.opt_state,
                          'ema_params': self.loop.ema_params, 'step': self.loop.step_count})
+                    if self.is_lead_host and hasattr(lr_schedule, 'state_dict'):
+                        # LR-schedule sidecar for exact Orbax resume (see the
+                        # restore path in __init__).
+                        import pickle
+                        os.makedirs(self.orbax_dir, exist_ok=True)
+                        lr_path = os.path.join(self.orbax_dir,
+                                               f'lr_state_{self.epoch}.pkl')
+                        with open(lr_path, 'wb') as f:
+                            pickle.dump(lr_schedule.state_dict(), f)
 
             # Run validation.
             if self.valid:

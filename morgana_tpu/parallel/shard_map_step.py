@@ -11,8 +11,6 @@ reduction, and the canonical pattern for multi-host DP).
 import jax
 from jax.sharding import PartitionSpec as P
 
-from morgana_tpu import nn
-
 __all__ = ['build_shard_map_train_step']
 
 
@@ -32,27 +30,19 @@ def build_shard_map_train_step(model, optimizer, mesh, axis='data', ema_decay=0.
     """
 
     def per_device_step(params, opt_state, ema_params, batch, lr, global_step, rng):
+        from morgana_tpu import training
+
         batch = dict(batch, global_step=global_step)
-
-        def loss_fn(p):
-            with nn.bind(model, p, rng=rng, train=True):
-                model.metrics.begin_staging('train')
-                loss, outputs = model(batch)
-                staged = model.metrics.drain_staged_values()
-            return loss, (outputs, staged)
-
-        (loss, (outputs, staged)), grads = \
-            jax.value_and_grad(loss_fn, has_aux=True)(params)
+        loss, staged, outputs, grads = training.staged_value_and_grad(
+            model, params, batch, rng)
 
         # Explicit ICI collectives: mean-reduce loss and gradients.
         loss = jax.lax.pmean(loss, axis)
         grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, axis), grads)
         staged = jax.tree_util.tree_map(lambda s: jax.lax.psum(s, axis), staged)
 
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
-        if ema_decay:
-            ema_params = nn.ema_update(ema_params, params, ema_decay)
+        params, opt_state, ema_params = training.apply_updates(
+            optimizer, ema_decay, params, opt_state, ema_params, grads, lr)
         return params, opt_state, ema_params, loss, staged, outputs
 
     # Pytree-prefix specs: a single P() / P(axis) broadcasts over each whole

@@ -142,7 +142,10 @@ class InferenceEngine(object):
         out = {}
         for key, value in outputs.items():
             arr = np.asarray(value)
-            if seq_len is not None and arr.ndim >= 2 and arr.shape[0] == len(seq_len) \
+            # Only (B, T_pad, D...) arrays are unpadded: requiring ndim >= 3
+            # keeps utterance-level (B, D) outputs (e.g. embeddings) intact
+            # rather than misreading D as a padded time axis.
+            if seq_len is not None and arr.ndim >= 3 and arr.shape[0] == len(seq_len) \
                     and arr.shape[1] >= seq_len.max():
                 out[key] = [arr[b, :seq_len[b]] for b in range(arr.shape[0])]
             else:
@@ -269,7 +272,9 @@ def main(argv=None):
     parser.add_argument('--normalisation_dir', default='train')
     parser.add_argument('--data_dir', default='test')
     parser.add_argument('--id_list', default=None,
-                        help='Id-list file (relative to --data_root).')
+                        help='Id-list file (relative to --data_root). Defaults '
+                             'to the conventional '
+                             '{data_dir}/{data_dir}_file_id_list.scp.')
     parser.add_argument('--out_dir', default='generated')
     parser.add_argument('--batch_size', type=int, default=8)
     parser.add_argument('--num_data_threads', type=int, default=0)
@@ -280,6 +285,15 @@ def main(argv=None):
     parser.add_argument('--analysis_kwargs', default='{}',
                         help='Python-dict string of analysis-hook kwargs.')
     args = parser.parse_args(argv)
+
+    if args.id_list is None:
+        base = os.path.basename(os.path.normpath(args.data_dir))
+        candidate = os.path.join(args.data_dir, f'{base}_file_id_list.scp')
+        if os.path.exists(os.path.join(args.data_root, candidate)):
+            args.id_list = candidate
+        else:
+            parser.error(f'--id_list is required (no conventional id list at '
+                         f'{os.path.join(args.data_root, candidate)})')
 
     import ast
     engine = InferenceEngine(

@@ -21,7 +21,35 @@ import optax
 
 from morgana_tpu import nn
 
-__all__ = ['build_optimizer', 'TrainLoop', 'numeric_features', 'host_features']
+__all__ = ['build_optimizer', 'TrainLoop', 'numeric_features', 'host_features',
+           'staged_value_and_grad', 'apply_updates']
+
+
+def staged_value_and_grad(model, params, batch, rng):
+    """Loss + staged-metric forward and its gradients — the shared core of
+    the fused, accumulation and shard_map train steps. Returns
+    ``(loss, staged, outputs, grads)``."""
+    def loss_fn(p):
+        with nn.bind(model, p, rng=rng, train=True):
+            model.metrics.begin_staging('train')
+            loss, outputs = model(batch)
+            staged = model.metrics.drain_staged_values()
+        return loss, (outputs, staged)
+
+    (loss, (outputs, staged)), grads = \
+        jax.value_and_grad(loss_fn, has_aux=True)(params)
+    return loss, staged, outputs, grads
+
+
+def apply_updates(optimizer, ema_decay, params, opt_state, ema_params,
+                  grads, lr):
+    """Optimiser + EMA tail shared by every step that updates parameters.
+    ``lr`` is a traced scalar so schedules never retrace."""
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
+    if ema_decay:
+        ema_params = nn.ema_update(ema_params, params, ema_decay)
+    return params, opt_state, ema_params
 
 
 def build_optimizer(weight_decay=0., b1=0.9, b2=0.999, eps=1e-8,
@@ -131,23 +159,10 @@ class TrainLoop(object):
 
         def train_step(params, opt_state, ema_params, batch, lr, global_step, rng):
             batch = dict(batch, global_step=global_step)
-
-            def loss_fn(p):
-                with nn.bind(model, p, rng=rng, train=True):
-                    model.metrics.begin_staging('train')
-                    loss, outputs = model(batch)
-                    staged = model.metrics.drain_staged_values()
-                return loss, (outputs, staged)
-
-            (loss, (outputs, staged)), grads = \
-                jax.value_and_grad(loss_fn, has_aux=True)(params)
-
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
-
-            if ema_decay:
-                ema_params = nn.ema_update(ema_params, params, ema_decay)
-
+            loss, staged, outputs, grads = staged_value_and_grad(
+                model, params, batch, rng)
+            params, opt_state, ema_params = apply_updates(
+                optimizer, ema_decay, params, opt_state, ema_params, grads, lr)
             return params, opt_state, ema_params, loss, staged, outputs
 
         return jax.jit(train_step, donate_argnums=(0, 1, 2))
@@ -160,16 +175,8 @@ class TrainLoop(object):
 
         def accum_step(params, acc_grads, batch, global_step, rng):
             batch = dict(batch, global_step=global_step)
-
-            def loss_fn(p):
-                with nn.bind(model, p, rng=rng, train=True):
-                    model.metrics.begin_staging('train')
-                    loss, outputs = model(batch)
-                    staged = model.metrics.drain_staged_values()
-                return loss, (outputs, staged)
-
-            (loss, (outputs, staged)), grads = \
-                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            loss, staged, outputs, grads = staged_value_and_grad(
+                model, params, batch, rng)
             acc_grads = jax.tree_util.tree_map(lambda a, g: a + g, acc_grads, grads)
             return acc_grads, loss, staged, outputs
 
@@ -185,25 +192,12 @@ class TrainLoop(object):
         def apply_step(params, opt_state, ema_params, acc_grads, batch, lr,
                        inv_count, global_step, rng):
             batch = dict(batch, global_step=global_step)
-
-            def loss_fn(p):
-                with nn.bind(model, p, rng=rng, train=True):
-                    model.metrics.begin_staging('train')
-                    loss, outputs = model(batch)
-                    staged = model.metrics.drain_staged_values()
-                return loss, (outputs, staged)
-
-            (loss, (outputs, staged)), grads = \
-                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            loss, staged, outputs, grads = staged_value_and_grad(
+                model, params, batch, rng)
             grads = jax.tree_util.tree_map(
                 lambda a, g: (a + g) * inv_count, acc_grads, grads)
-
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
-
-            if ema_decay:
-                ema_params = nn.ema_update(ema_params, params, ema_decay)
-
+            params, opt_state, ema_params = apply_updates(
+                optimizer, ema_decay, params, opt_state, ema_params, grads, lr)
             acc_grads = jax.tree_util.tree_map(jnp.zeros_like, grads)
             return params, opt_state, ema_params, acc_grads, loss, staged, outputs
 

@@ -53,6 +53,20 @@ class TestOrbaxFlag:
                       orbax_dir=orbax_dir)
         assert exp2.start_epoch == 3
 
+    def test_resume_restores_lr_schedule_state(self, voice_data, tmp_path):
+        """A batch-level schedule (noam) must continue from its saved step
+        after an Orbax resume, not re-enter warmup at schedule-step 0."""
+        orbax_dir = str(tmp_path / 'orbax')
+        exp1 = _build(voice_data, tmp_path, 'ob_lr', end_epoch=2, valid=False,
+                      orbax_dir=orbax_dir, lr_schedule_name='noam',
+                      lr_schedule_kwargs={'warmup_steps': 10})
+        exp1.run_experiment()
+        exp2 = _build(voice_data, tmp_path, 'ob_lr2', end_epoch=3, valid=False,
+                      orbax_dir=orbax_dir, lr_schedule_name='noam',
+                      lr_schedule_kwargs={'warmup_steps': 10})
+        assert exp2._restored_lr_state is not None
+        assert exp2._restored_lr_state['last_epoch'] > 0
+
 
 class TestLatestResume:
     def test_latest_resolves_and_bumps_start_epoch(self, voice_data, tmp_path):
@@ -120,6 +134,21 @@ class TestCheckpointRetention:
         epochs = sorted({int(f.split('_')[1].split('.')[0]) for f in ckpts})
         assert epochs == [3, 4]
         assert 'epoch_4_ema.npz' in ckpts and 'epoch_3.train.pkl' in ckpts
+
+    def test_retention_preserves_emergency_checkpoints(self, voice_data,
+                                                       tmp_path):
+        """An old epoch's `_interrupted` emergency save must survive pruning
+        — it exists precisely because that run never reached a clean later
+        checkpoint."""
+        exp = _build(voice_data, tmp_path, 'keep_intr', end_epoch=4,
+                     valid=False, keep_checkpoints=2)
+        ckpt_dir = tmp_path / 'experiments' / 'keep_intr' / 'checkpoints'
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        (ckpt_dir / 'epoch_1_interrupted.npz').write_bytes(b'x')
+        exp.run_experiment()
+        ckpts = sorted(os.listdir(ckpt_dir))
+        assert 'epoch_1_interrupted.npz' in ckpts
+        assert 'epoch_1.npz' not in ckpts and 'epoch_4.npz' in ckpts
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')

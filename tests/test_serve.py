@@ -119,8 +119,59 @@ class TestInferenceEngine:
         with pytest.raises(ValueError):
             load_model_class('no_colon_here')
 
+    def test_unpad_keeps_utterance_level_outputs(self):
+        """(B, D) outputs (e.g. embeddings) must pass through intact: only
+        (B, T_pad, D) arrays are cut at each utterance's n_frames."""
+        import numpy as np
+        features = {'n_frames': np.array([3., 2.])}
+        outputs = {
+            'frames': np.arange(2 * 4 * 1, dtype=np.float32).reshape(2, 4, 1),
+            'embedding': np.arange(2 * 16, dtype=np.float32).reshape(2, 16),
+        }
+        out = InferenceEngine._unpad(None, features, outputs)
+        assert [a.shape for a in out['frames']] == [(3, 1), (2, 1)]
+        assert out['embedding'].shape == (2, 16)
+
 
 class TestServeCLI:
+    def test_missing_id_list_fails_cleanly(self, tmp_path):
+        """Without --id_list and without the conventional
+        {data_dir}/{data_dir}_file_id_list.scp, the CLI errors at parse time
+        (not with an API-internal message mid-run)."""
+        from morgana_tpu import serve
+        with pytest.raises(SystemExit):
+            serve.main(['--model', 'x.py:M', '--checkpoint_path', 'c.npz',
+                        '--data_root', str(tmp_path), '--data_dir', 'test'])
+
+    def test_default_id_list_resolution(self, voice_data, trained, tmp_path):
+        """--id_list defaults to the conventional id list when present."""
+        engine_kwargs = {}
+
+        from morgana_tpu import serve
+
+        class FakeEngine:
+            def __init__(self, *a, **kw):
+                pass
+
+            def generate(self, out_dir, data_dir='test', id_list=None):
+                engine_kwargs['id_list'] = id_list
+                return {'utterances': 0}
+
+        orig = serve.InferenceEngine
+        serve.InferenceEngine = FakeEngine
+        try:
+            model_spec = os.path.join(os.path.dirname(__file__),
+                                      'tiny_models.py') + ':TinyF0Model'
+            serve.main(['--model', model_spec,
+                        '--checkpoint_path', trained['checkpoint'],
+                        '--data_root', voice_data['data_root'],
+                        '--data_dir', 'test',
+                        '--out_dir', str(tmp_path / 'g')])
+        finally:
+            serve.InferenceEngine = orig
+        assert engine_kwargs['id_list'] == os.path.join(
+            'test', 'test_file_id_list.scp')
+
     def test_cli_end_to_end(self, voice_data, trained, tmp_path):
         out_dir = str(tmp_path / 'cli_gen')
         model_spec = os.path.join(os.path.dirname(__file__), 'tiny_models.py') \
