@@ -17,6 +17,7 @@ framework wraps it in ``stop_gradient`` inside train steps, matching the
 reference's ``.detach()``).
 """
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,13 @@ import jax.numpy as jnp
 from morgana_tpu.ops.deltas import DEFAULT_WINDOWS
 
 __all__ = ['mlpg', 'DEFAULT_WINDOWS']
+
+# Scan-body unroll knob for the three per-frame solves (numerics unchanged).
+# Unlike nn.Recurrent's unroll (a ~3x win), A/B on TPU measured this neutral
+# to slightly negative at default shapes — the wide vmapped lanes already
+# amortise per-iteration overhead — so the default stays 1; env-overridable
+# for site tuning (MORGANA_MLPG_UNROLL).
+_SCAN_UNROLL = int(os.environ.get('MORGANA_MLPG_UNROLL', '1'))
 
 
 def _build_banded_poe(b_frames, tau_frames, windows, bandwidth):
@@ -128,7 +136,8 @@ def _banded_cholesky_solve(b, p_band, bandwidth):
         new_prev = jnp.concatenate([row[None], prev[:-1]], axis=0)
         return new_prev, row
 
-    _, l_rows = jax.lax.scan(chol_body, init_prev, row_p)  # (T, bw+1)
+    _, l_rows = jax.lax.scan(chol_body, init_prev, row_p,
+                             unroll=_SCAN_UNROLL)  # (T, bw+1)
 
     # --- Forward substitution: L y = b ---------------------------------------
     def fwd_body(prev_y, inp):
@@ -140,7 +149,8 @@ def _banded_cholesky_solve(b, p_band, bandwidth):
         new_prev = jnp.concatenate([y_i[None], prev_y[:-1]])
         return new_prev, y_i
 
-    _, y = jax.lax.scan(fwd_body, jnp.zeros((bw,), dtype), (l_rows, b))
+    _, y = jax.lax.scan(fwd_body, jnp.zeros((bw,), dtype), (l_rows, b),
+                        unroll=_SCAN_UNROLL)
 
     # --- Back substitution: L^T x = y ----------------------------------------
     # x[i] = (y[i] - sum_p L[i+p, i] x[i+p]) / L[i, i];  L[i+p, i] = l_rows[i+p, bw-p]
@@ -159,7 +169,8 @@ def _banded_cholesky_solve(b, p_band, bandwidth):
         return new_next, x_i
 
     _, x = jax.lax.scan(back_body, jnp.zeros((bw,), dtype),
-                        (l_rows[:, bw], fut, y), reverse=True)
+                        (l_rows[:, bw], fut, y), reverse=True,
+                        unroll=_SCAN_UNROLL)
     return x
 
 
