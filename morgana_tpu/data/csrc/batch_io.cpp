@@ -15,6 +15,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -std=c++17 batch_io.cpp
 //        -o ../libbatch_io.so -pthread
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -69,9 +70,10 @@ bool ParseNpyHeader(FILE* f, NpyInfo* info) {
   long long dims[2] = {1, 1};
   int ndim = 0;
   const char* p = shape.c_str();
-  while (*p && ndim < 2) {
+  while (*p) {
     while (*p == ' ' || *p == ',') ++p;
     if (*p < '0' || *p > '9') break;
+    if (ndim >= 2) return false;  // >2-d: refuse rather than misread
     dims[ndim++] = strtoll(p, const_cast<char**>(&p), 10);
   }
   if (ndim == 0) return false;
@@ -95,7 +97,7 @@ extern "C" {
 // Fills rows/cols per file. Returns 0 on success, -(index+1) of first bad file.
 long long npy_batch_shapes(const char** paths, long long n,
                            long long* rows, long long* cols) {
-  long long status = 0;
+  std::atomic<long long> status{0};
   int num_threads = NumThreads(n);
   std::vector<std::thread> ts;
   for (int tid = 0; tid < num_threads; ++tid) {
@@ -106,7 +108,9 @@ long long npy_batch_shapes(const char** paths, long long n,
         bool ok = f && ParseNpyHeader(f, &info);
         if (f) fclose(f);
         if (!ok) {
-          status = -(i + 1);
+          long long mine = -(i + 1), cur = status.load();
+          while ((cur == 0 || mine > cur) &&
+                 !status.compare_exchange_weak(cur, mine)) {}
           rows[i] = -1;
           cols[i] = -1;
         } else {
@@ -125,7 +129,7 @@ long long npy_batch_shapes(const char** paths, long long n,
 // Returns 0 on success, -(index+1) of first bad file.
 long long npy_batch_fill(const char** paths, long long n, float* out,
                          long long max_len, long long feat_dim) {
-  long long status = 0;
+  std::atomic<long long> status{0};
   int num_threads = NumThreads(n);
   std::vector<std::thread> ts;
   for (int tid = 0; tid < num_threads; ++tid) {
@@ -143,7 +147,11 @@ long long npy_batch_fill(const char** paths, long long n, float* out,
                (size_t)(rows * feat_dim);
         }
         if (f) fclose(f);
-        if (!ok) status = -(i + 1);
+        if (!ok) {
+          long long mine = -(i + 1), cur = status.load();
+          while ((cur == 0 || mine > cur) &&
+                 !status.compare_exchange_weak(cur, mine)) {}
+        }
       }
     });
   }

@@ -20,11 +20,14 @@ __all__ = ['FilesDataset', 'assemble_item', 'bucket_size', 'collate']
 
 
 def bucket_size(n, minimum=16):
-    """Rounds ``n`` up to the next bucket boundary (multiples of 1/8 octave)."""
+    """Rounds ``n`` up to the next bucket boundary: multiples of 1/8 of the
+    PREVIOUS power of two, i.e. at most 8 buckets per octave and worst-case
+    padding waste of ~12.4%. (``bit_length() - 3`` here would step by 1/8 of
+    the *next* power of two — 4 buckets per octave, up to ~24% waste.)"""
     n = int(n)
     if n <= minimum:
         return minimum
-    step = max(minimum, (1 << max(0, (n - 1).bit_length() - 3)))
+    step = max(minimum // 8, 1 << max(0, (n - 1).bit_length() - 4))
     return -(-n // step) * step
 
 

@@ -93,10 +93,16 @@ def save_wav(wav, file_path, sample_rate=16000):
     os.makedirs(os.path.dirname(os.path.abspath(file_path)), exist_ok=True)
     wav = np.asarray(wav)
     if wav.dtype in (np.float32, np.float64):
-        wav = np.clip(wav, -1.0 if wav.min() >= -1.5 and wav.max() <= 1.5 else -32768,
-                      1.0 if wav.min() >= -1.5 and wav.max() <= 1.5 else 32767)
-        if wav.max() <= 1.5:
-            wav = (wav * 32767.0)
+        # One dtype decision for both clip and scale: floats within ~[-1, 1]
+        # are normalised audio (scale to int16); anything wider is already
+        # int16-scale (clip only) — previously the scale check looked at
+        # max() alone, so a wide-range signal with a small positive peak was
+        # scaled a second time and wrapped in the int16 cast.
+        normalised = wav.min() >= -1.5 and wav.max() <= 1.5
+        if normalised:
+            wav = np.clip(wav, -1.0, 1.0) * 32767.0
+        else:
+            wav = np.clip(wav, -32768, 32767)
     pcm = wav.astype(np.int16)
     data = pcm.tobytes()
     with open(file_path, 'wb') as f:
@@ -116,15 +122,24 @@ def load_wav(file_path):
     assert raw[:4] == b'RIFF' and raw[8:12] == b'WAVE', 'not a RIFF/WAVE file'
     pos = 12
     sample_rate = None
-    data = None
+    data_body = None
+    audio_format = bits = None
     while pos + 8 <= len(raw):
         chunk_id = raw[pos:pos + 4]
         size = struct.unpack('<I', raw[pos + 4:pos + 8])[0]
         body = raw[pos + 8:pos + 8 + size]
         if chunk_id == b'fmt ':
-            _fmt, channels, sample_rate = struct.unpack('<HHI', body[:8])
+            audio_format, channels, sample_rate = struct.unpack('<HHI', body[:8])
+            bits = struct.unpack('<H', body[14:16])[0] if size >= 16 else None
             assert channels == 1, 'only mono wav supported'
         elif chunk_id == b'data':
-            data = np.frombuffer(body, dtype=np.int16)
+            data_body = body  # decode after fmt is known (chunk order varies)
         pos += 8 + size + (size % 2)
-    return data, sample_rate
+    if data_body is None:
+        raise ValueError(f'{file_path}: no data chunk found')
+    if audio_format != 1 or bits != 16:
+        # Decoding anything else as int16 would silently produce noise.
+        raise ValueError(f'{file_path}: only 16-bit PCM wavs are supported '
+                         f'(format tag {audio_format}, {bits} bits); '
+                         f'convert first, e.g. sox in.wav -b 16 -e signed out.wav')
+    return np.frombuffer(data_body, dtype=np.int16), sample_rate

@@ -79,9 +79,16 @@ class DataLoader(object):
                 sorted(perm[s:s + window], key=self._lengths.__getitem__)
                 for s in range(0, n, window)])
             # Re-shuffle batch order so batches aren't presented short->long.
+            # Only FULL batches shuffle; the partial batch (if any) stays
+            # last so __iter__'s fixed-stride slicing keeps every batch
+            # aligned with one sorted group.
             starts = np.arange(0, n, self.batch_size)
-            rng.shuffle(starts)
-            perm = np.concatenate([sorted_perm[s:s + self.batch_size] for s in starts])
+            num_full = n // self.batch_size
+            full_starts = starts[:num_full].copy()
+            rng.shuffle(full_starts)
+            ordered = np.concatenate([full_starts, starts[num_full:]])
+            perm = np.concatenate(
+                [sorted_perm[s:s + self.batch_size] for s in ordered.astype(int)])
         return perm
 
     def _record_lengths(self, idxs, items):
@@ -139,9 +146,10 @@ class ToDeviceWrapper(object):
     device compute.
     """
 
-    def __init__(self, data_loader, sharding=None, prefetch=2):
+    def __init__(self, data_loader, sharding=None, prefetch=2, device=None):
         self.data_loader = data_loader
         self.sharding = sharding
+        self.device = device  # explicit placement when no sharding is given
         self.prefetch = max(1, prefetch)
 
     def __len__(self):
@@ -192,7 +200,7 @@ class ToDeviceWrapper(object):
                     from morgana_tpu.parallel.mesh import put_global
                     out[key] = put_global(value, self.sharding)
                 else:
-                    out[key] = jax.device_put(value, self.sharding)
+                    out[key] = jax.device_put(value, self.device)
             else:
                 out[key] = value
         return out
@@ -201,6 +209,7 @@ class ToDeviceWrapper(object):
         q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error = []
+        stop = threading.Event()
 
         # Multi-host: _put issues a cross-host collective (the pad-harmonising
         # allgather). Collectives MUST all be enqueued from one thread in one
@@ -210,24 +219,48 @@ class ToDeviceWrapper(object):
         # (main) thread, totally ordered with the train steps it feeds.
         put_in_producer = jax.process_count() == 1
 
+        def put_or_stop(item):
+            # Interruptible put: if the consumer abandons iteration (early
+            # stop, exception), the producer must not block forever on a
+            # full queue holding device-resident batches.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for features in self.data_loader:
-                    q.put(self._put(features) if put_in_producer else features)
+                    staged = self._put(features) if put_in_producer else features
+                    if not put_or_stop(staged):
+                        return
             except BaseException as e:  # noqa: BLE001 - must surface in consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                put_or_stop(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item if put_in_producer else self._put(item)
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item if put_in_producer else self._put(item)
+        finally:
+            # Runs on generator close/GC as well as normal exit: release the
+            # producer and drop any staged batches.
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def batch(data_generator, batch_size=32, shuffle=True, num_data_threads=0,
@@ -239,4 +272,5 @@ def batch(data_generator, batch_size=32, shuffle=True, num_data_threads=0,
                         num_data_threads=num_data_threads, seed=seed,
                         drop_remainder=drop_remainder,
                         length_sort_window=length_sort_window)
-    return ToDeviceWrapper(loader, sharding=sharding, prefetch=prefetch)
+    return ToDeviceWrapper(loader, sharding=sharding, prefetch=prefetch,
+                           device=device)

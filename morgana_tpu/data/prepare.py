@@ -21,7 +21,30 @@ from morgana_tpu.data import file_io
 from morgana_tpu.data.normalisers import fit_mvn_params, fit_minmax_params
 from morgana_tpu.ops.deltas import compute_deltas
 
-__all__ = ['prepare_voice', 'main']
+__all__ = ['prepare_voice', 'fit_durations', 'main']
+
+
+def fit_durations(dur, n_frames, utt_id=''):
+    """Clips/pads phone durations so they sum EXACTLY to the analysed frame
+    count. Excess frames are trimmed from the last phones backwards, keeping
+    every phone >= 1 frame, so the invariant holds even when the excess
+    exceeds the final phone's duration; a shortfall pads the final phone."""
+    dur = np.asarray(dur, np.int64).copy()
+    total = int(dur.sum())
+    if total > n_frames:
+        excess = total - n_frames
+        for i in range(len(dur) - 1, -1, -1):
+            take = min(excess, int(dur[i]) - 1)
+            dur[i] -= take
+            excess -= take
+            if excess == 0:
+                break
+        if excess:
+            raise ValueError(f'{utt_id}: label has more phones ({len(dur)}) '
+                             f'than analysed frames ({n_frames})')
+    elif total < n_frames:
+        dur[-1] += n_frames - total
+    return dur
 
 
 def _frame_counters(n_frames, dur=None):
@@ -97,13 +120,7 @@ def prepare_voice(wav_dir, out_dir, lab_dir=None, sample_rate=None,
                     norm_feats.setdefault('lab', []).append(lab)
             if os.path.exists(dur_path):
                 dur = np.loadtxt(dur_path, dtype=np.int64).reshape(-1)
-                # Clip/pad durations so they sum to the analysed frame count.
-                total = dur.sum()
-                if total > n_frames:
-                    excess = total - n_frames
-                    dur[-1] = max(1, dur[-1] - excess)
-                elif total < n_frames:
-                    dur[-1] += n_frames - total
+                dur = fit_durations(dur, n_frames, utt_id)
                 file_io.save_txt(dur[:, None], os.path.join(split_dir, 'dur', f'{utt_id}.txt'))
                 file_io.save_txt(np.array([[len(dur)]]),
                                  os.path.join(split_dir, 'n_phones', f'{utt_id}.txt'))

@@ -154,7 +154,11 @@ class SyntheticSource(_DataSource):
         self.seq_len_range = seq_len_range
 
     def load_file(self, base_name, data_dir):
-        seed = abs(hash((base_name, self.name))) % (2 ** 32)
+        # Stable across processes: Python's str hash is randomised per
+        # interpreter (PYTHONHASHSEED), which would silently change the
+        # "deterministic" features between runs and between hosts.
+        import zlib
+        seed = zlib.crc32(f'{base_name}\x00{self.name}'.encode())
         rng = np.random.default_rng(seed)
         lo, hi = self.seq_len_range
         n = int(rng.integers(lo, hi))

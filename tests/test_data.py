@@ -29,6 +29,29 @@ class TestFileIO:
         file_io.save_lines(['a', ' b ', '', 'c'], path)
         assert file_io.get_file_ids(path) == ['a', 'b', 'c']
 
+    def test_save_wav_int16_scale_float_not_rescaled(self, tmp_path):
+        """A float signal already at int16 scale (wide range, small positive
+        peak) must be clipped only — re-scaling by 32767 would wrap in the
+        int16 cast and write full-scale garbage."""
+        path = str(tmp_path / 'wide.wav')
+        wav = np.array([-30000.0, -2.0, 1.2], np.float32)
+        file_io.save_wav(wav, path)
+        loaded, _ = file_io.load_wav(path)
+        np.testing.assert_array_equal(loaded, np.array([-30000, -2, 1], np.int16))
+
+    def test_load_wav_rejects_non_pcm16(self, tmp_path):
+        """IEEE-float / non-16-bit wavs must error, not silently decode the
+        byte stream as int16 noise."""
+        import struct
+        path = str(tmp_path / 'float.wav')
+        data = np.zeros(16, np.float32).tobytes()
+        with open(path, 'wb') as f:
+            f.write(b'RIFF' + struct.pack('<I', 36 + len(data)) + b'WAVEfmt ')
+            f.write(struct.pack('<IHHIIHH', 16, 3, 1, 16000, 64000, 4, 32))
+            f.write(b'data' + struct.pack('<I', len(data)) + data)
+        with pytest.raises(ValueError, match='16-bit PCM'):
+            file_io.load_wav(path)
+
 
 class TestNormalisers:
     def test_mvn_roundtrip(self, tmp_path, rng):
@@ -88,18 +111,20 @@ class TestBucketing:
     def test_bucket_sizes_bounded(self):
         assert bucket_size(1) == 16
         assert bucket_size(16) == 16
-        assert bucket_size(17) == 32
-        assert bucket_size(100) == 112
+        assert bucket_size(17) == 18
+        assert bucket_size(100) == 104
+        assert bucket_size(129) == 144
         assert bucket_size(1000) == 1024
-        # At most 8 buckets per octave.
+        # At most 8 buckets per octave, and padding waste is bounded ~12.4%.
         buckets = sorted({bucket_size(n) for n in range(1, 2049)})
         per_octave = [b for b in buckets if 512 < b <= 1024]
         assert len(per_octave) <= 8
+        assert max(bucket_size(n) / n for n in range(17, 4097)) < 1.125
 
     def test_collate_pads_to_bucket(self, rng):
         items = [{'x': rng.normal(size=(n, 2)).astype(np.float32)} for n in (5, 9, 17)]
         out = data.collate(items)
-        assert out['x'].shape == (3, 32, 2)
+        assert out['x'].shape == (3, bucket_size(17), 2)
         np.testing.assert_allclose(out['x'][0, 5:], 0.)
 
     def test_collate_passthrough_and_scalars(self):
@@ -190,6 +215,72 @@ class TestLengthSortedBatching:
         lengths = sorted(loader._lengths.values())
         optimal = max(b - a for a, b in zip(lengths[::2], lengths[1::2]))
         assert max(spreads2) <= optimal + 1
+
+
+    def test_partial_batch_stays_aligned(self, voice_data):
+        """With n % batch_size != 0, the short chunk must stay LAST so the
+        fixed-stride batch slicing still matches the sorted length groups."""
+        from f0_model_fixture import make_f0_sources
+        ds = data.FilesDataset(make_f0_sources(), 'train',
+                               'train/train_file_id_list.scp',
+                               {}, voice_data['data_root'])
+        loader = data.DataLoader(ds, batch_size=3, shuffle=True, seed=0,
+                                 length_sort_window=8)
+        list(loader)  # epoch 1 learns lengths
+        for epoch in range(3):
+            batches = [b['name'] for b in loader]
+            sizes = [len(names) for names in batches]
+            assert sizes[:-1] == [3, 3] and sizes[-1] == 2
+            assert sorted(n for b in batches for n in b) == sorted(ds.file_ids)
+
+
+class TestLoaderShutdown:
+    def test_abandoned_iteration_releases_producer(self):
+        """Breaking out of iteration early must unblock the prefetch thread
+        (it would otherwise sit in q.put forever holding staged batches)."""
+        import threading
+        import time
+
+        class Dataset:
+            def __len__(self):
+                return 64
+
+            def __getitem__(self, i):
+                return {'x': np.ones((4, 2), np.float32)}
+
+            @staticmethod
+            def collate_fn(items, bucket=True):
+                return data.collate(items, bucket=bucket)
+
+        before = threading.active_count()
+        loader = data.batch(Dataset(), batch_size=2, shuffle=False, prefetch=1)
+        it = iter(loader)
+        next(it)
+        it.close()  # what an early `break` does on GC
+        deadline = time.time() + 5
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
+    def test_device_param_places_batches(self):
+        import jax
+
+        class Dataset:
+            def __len__(self):
+                return 2
+
+            def __getitem__(self, i):
+                return {'x': np.ones((4, 2), np.float32)}
+
+            @staticmethod
+            def collate_fn(items, bucket=True):
+                return data.collate(items, bucket=bucket)
+
+        device = jax.devices('cpu')[-1]
+        loader = data.batch(Dataset(), batch_size=2, shuffle=False,
+                            device=device)
+        batch_out = next(iter(loader))
+        assert batch_out['x'].devices() == {device}
 
 
 class TestLoaderErrorPropagation:

@@ -68,6 +68,26 @@ class TestSources:
         c = src('utt2', '.')['feat']
         assert a.shape != c.shape or not np.array_equal(a, c)
 
+    def test_synthetic_source_stable_across_processes(self):
+        """Seeds must not depend on Python's per-process randomised str hash
+        (PYTHONHASHSEED), or 'deterministic' features differ between runs,
+        hosts, and any normalisation params fitted in an earlier process."""
+        import subprocess
+        import sys
+        code = ("from morgana_tpu.data.sources import SyntheticSource;"
+                "import numpy as np;"
+                "print(float(SyntheticSource('feat', feat_dim=4)"
+                "('utt1', '.')['feat'].sum()))")
+        sums = []
+        for hashseed in ('1', '2'):
+            env = dict(os.environ, PYTHONHASHSEED=hashseed,
+                       JAX_PLATFORMS='cpu')
+            proc = subprocess.run([sys.executable, '-c', code], env=env,
+                                  capture_output=True, text=True, timeout=120)
+            assert proc.returncode == 0, proc.stderr[-500:]
+            sums.append(float(proc.stdout.strip().splitlines()[-1]))
+        assert sums[0] == sums[1]
+
 
 class TestNativeIO:
     def test_native_available(self):
@@ -89,6 +109,18 @@ class TestNativeIO:
             assert lens[i] == a.shape[0]
             np.testing.assert_array_equal(out[i, :a.shape[0]], a)
             np.testing.assert_array_equal(out[i, a.shape[0]:], 0)
+
+    def test_3d_npy_rejected_not_misread(self, tmp_path, rng):
+        """A (T, A, B) file must error, not be silently read as (T, A): the
+        native header parser refuses ndim > 2 (falling back to np.load,
+        which then fails the 2-d pad) instead of truncating the data."""
+        good = rng.normal(size=(8, 4)).astype(np.float32)
+        bad = rng.normal(size=(8, 4, 3)).astype(np.float32)
+        p_good, p_bad = str(tmp_path / 'g.npy'), str(tmp_path / 'b.npy')
+        np.save(p_good, good)
+        np.save(p_bad, bad)
+        with pytest.raises(ValueError):
+            native_io.load_npy_batch([p_good, p_bad])
 
     def test_pad_collate_matches_numpy(self, rng):
         items = [rng.normal(size=(n, 3)).astype(np.float32) for n in (4, 9, 1)]
@@ -153,6 +185,22 @@ class TestPreloadBatch:
         np.testing.assert_array_equal(
             batches[0]['lf0_deltas'][1, :ref[1]['lf0'].shape[0]],
             ref[1]['lf0_deltas'])
+
+
+class TestFitDurations:
+    def test_pad_and_trim_exact(self):
+        from morgana_tpu.data.prepare import fit_durations
+        np.testing.assert_array_equal(
+            fit_durations([10, 10, 10], 35), [10, 10, 15])   # pad last
+        np.testing.assert_array_equal(
+            fit_durations([10, 10, 10], 25), [10, 10, 5])    # trim last
+        # Excess beyond the last phone trims backwards, each phone >= 1.
+        out = fit_durations([10, 10, 10], 15)
+        assert out.sum() == 15 and (out >= 1).all()
+        out = fit_durations([10, 10, 10], 3)
+        np.testing.assert_array_equal(out, [1, 1, 1])
+        with pytest.raises(ValueError, match='more phones'):
+            fit_durations([10, 10, 10], 2)
 
 
 class TestPrepareVoice:
