@@ -243,6 +243,13 @@ def bind(module, params=None, rng=None, train=False):
     saved = None
     if params is not None:
         slots = named_parameters(module)
+        unknown = [name for name in params if name not in slots]
+        if unknown:
+            # Validate BEFORE installing anything: a KeyError mid-install
+            # would leave the module with a half-overwritten parameter set
+            # (the finally below only restores what was saved).
+            raise KeyError(f'unknown parameter(s) {unknown}; module has '
+                           f'{sorted(slots)}')
         saved = {name: p.value for name, p in slots.items()}
         for name, value in params.items():
             slots[name].value = value
@@ -502,7 +509,9 @@ class Recurrent(Module):
         for i, layer in enumerate(self.layers):
             h0 = hidden[i]
             if self.bidirectional:
-                x, h_pair = self._bidirectional_layer(i, x, seq_len, remat)
+                x, h_pair = self._bidirectional_layer(i, x, seq_len, remat,
+                                                      h0=h0,
+                                                      compute_dtype=compute_dtype)
                 new_hidden.append(h_pair)
                 if self.dropout is not None and i < self.num_layers - 1:
                     x = self.dropout(x)
@@ -550,25 +559,35 @@ class Recurrent(Module):
             new_hidden = new_hidden[0]
         return x, new_hidden
 
-    def _bidirectional_layer(self, i, x, seq_len, remat):
+    def _bidirectional_layer(self, i, x, seq_len, remat, h0=None,
+                             compute_dtype=None):
         """Runs one bidirectional layer: the backward direction consumes the
         within-length-reversed sequence so its recurrence starts at each
         sequence's last valid frame (pack/unpack semantics), then its outputs
-        are reversed back and concatenated with the forward direction."""
+        are reversed back and concatenated with the forward direction.
+        ``h0`` is the per-direction initial-state pair (state_f, state_b),
+        matching the (h_f, h_b) this layer returns."""
         fwd_w, bwd_w = self.layers[i], self.layers_reverse[i]
         cell = rnn_ops.lstm if self.mode == 'lstm' else rnn_ops.gru
+        h0_f, h0_b = (None, None) if h0 is None else h0
 
-        def run(weights, seq):
+        def run(weights, seq, init):
+            if self.mode == 'lstm':
+                init_kw = {'h0': None if init is None else init[0],
+                           'c0': None if init is None else init[1]}
+            else:
+                init_kw = {'h0': init}
             fn = lambda seq, w_ih, w_hh, b_ih, b_hh: cell(
-                seq, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len, unroll=self.unroll)
+                seq, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len,
+                unroll=self.unroll, compute_dtype=compute_dtype, **init_kw)
             if remat:
                 fn = jax.checkpoint(fn)
             return fn(seq, weights['w_ih'].value, weights['w_hh'].value,
                       weights['b_ih'].value, weights['b_hh'].value)
 
-        y_f, h_f = run(fwd_w, x)
+        y_f, h_f = run(fwd_w, x, h0_f)
         x_rev = rnn_ops.reverse_sequences(x, seq_len)
-        y_b, h_b = run(bwd_w, x_rev)
+        y_b, h_b = run(bwd_w, x_rev, h0_b)
         y_b = rnn_ops.reverse_sequences(y_b, seq_len)
         return jnp.concatenate([y_f, y_b], axis=-1), (h_f, h_b)
 

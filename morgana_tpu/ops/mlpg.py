@@ -174,9 +174,26 @@ def _banded_cholesky_solve(b, p_band, bandwidth):
     return x
 
 
-def _solve_single(means_tw, taus_tw, windows, bandwidth):
-    """means/taus of shape (T, W) for one (batch, feat) lane -> trajectory (T,)."""
+def _solve_single(means_tw, taus_tw, windows, bandwidth, valid_len=None):
+    """means/taus of shape (T, W) for one (batch, feat) lane -> trajectory (T,).
+
+    ``valid_len`` (scalar) bounds the item's solve domain inside the fixed
+    buffer: trajectory rows >= valid_len become decoupled identity rows
+    (P[i,i]=1, off-band 0, b=0), and band entries crossing the boundary are
+    zeroed, so rows < valid_len solve EXACTLY the reference's
+    crop-to-length system — without it, the edge-replicated experts beyond
+    the boundary would keep full precision and drag the last ~bandwidth
+    valid frames away from the reference solution.
+    """
     b, p_band = _build_banded_poe(means_tw * taus_tw, taus_tw, windows, bandwidth)
+    if valid_len is not None:
+        i = jnp.arange(b.shape[0])
+        inside = i < valid_len
+        b = jnp.where(inside, b, 0.)
+        bands = [jnp.where(inside, p_band[:, 0], 1.)]
+        for m in range(1, bandwidth + 1):
+            bands.append(jnp.where(i + m < valid_len, p_band[:, m], 0.))
+        p_band = jnp.stack(bands, axis=-1)
     return _banded_cholesky_solve(b, p_band, bandwidth)
 
 
@@ -239,8 +256,18 @@ def mlpg(means, variances, windows=DEFAULT_WINDOWS, padding_size=0, seq_len=None
     means_l = to_lanes(means_p)
     taus_l = 1.0 / to_lanes(vars_p)
 
-    solve = jax.vmap(lambda m, t: _solve_single(m, t, windows, bandwidth))
-    traj = solve(means_l, taus_l)                                # (B*D, T')
+    # Per-item solve boundary in buffer coordinates: seq_len real frames plus
+    # pad replicas on each side. Experts at positions beyond it must carry NO
+    # precision (the clamped gather otherwise replicates frame seq_len-1 with
+    # full precision into every remaining buffer slot, over-constraining the
+    # sequence tail).
+    valid = jnp.repeat(seq_len + 2 * pad, feat_dim)              # (B*D,)
+    pos_t = jnp.arange(tp)
+    taus_l = jnp.where(pos_t[None, :, None] < valid[:, None, None], taus_l, 0.)
+
+    solve = jax.vmap(
+        lambda m, t, v: _solve_single(m, t, windows, bandwidth, v))
+    traj = solve(means_l, taus_l, valid)                         # (B*D, T')
     traj = traj.reshape(batch, feat_dim, tp)[:, :, pad:pad + num_frames]
     traj = jnp.transpose(traj, (0, 2, 1))                        # (B, T, D)
 

@@ -101,8 +101,12 @@ def plot_experiment(experiment_name, metric_names='loss',
     if save:
         target = os.path.join(experiments_base, experiment_name, 'metrics.pdf')
         logging.getLogger('morgana_tpu').info('Saving plot of metrics to %s', target)
-        plt.savefig(target, bbox_inches='tight')
-        plt.close('all')
+        # Save/close the figure that owns the axes we drew on — plt.savefig
+        # would target whatever figure happens to be current, and
+        # plt.close('all') would destroy the caller's other figures.
+        fig = axs[0].figure
+        fig.savefig(target, bbox_inches='tight')
+        plt.close(fig)
 
     return axs
 

@@ -41,6 +41,9 @@ def MLPG(means, variances, windows=None, padding_size=0, seq_len=None, backend='
     """
     windows = _canonical_windows(windows)
 
+    if backend not in ('jax', 'numpy'):
+        raise ValueError(f"backend must be 'jax' or 'numpy', got {backend!r}")
+
     is_jax_in = isinstance(means, jnp.ndarray) and not isinstance(means, np.ndarray)
     using_batches = np.ndim(means) == 3
 

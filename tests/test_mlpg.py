@@ -42,6 +42,25 @@ class TestKernelVsExact:
         np.testing.assert_allclose(got[1, 30:], 0.)
         np.testing.assert_allclose(got[2, 17:], 0.)
 
+    @pytest.mark.parametrize('pad', [0, 2, 10])
+    def test_short_sequence_tails_exact(self, rng, pad):
+        """Shorter-than-buffer sequences must match the reference's
+        crop-to-length solve at their TAILS: the buffer slots beyond
+        seq_len + pad carry no precision (regression: they used to keep
+        full-precision replicas of the last frame, dragging the final
+        ~bandwidth valid frames by O(0.1-1) absolute error)."""
+        means, variances = _random_problem(rng, batch=2, time=40)
+        seq_len = np.array([40, 20])
+        ref = mlpg_numpy(means, variances, padding_size=pad, seq_len=seq_len)
+        got = MLPG(means, variances, padding_size=pad, seq_len=seq_len)
+        np.testing.assert_allclose(got[1, :20], ref[1, :20], atol=5e-5)
+        np.testing.assert_allclose(got[0], ref[0], atol=5e-5)
+
+    def test_unknown_backend_raises(self, rng):
+        means, variances = _random_problem(rng)
+        with pytest.raises(ValueError, match='backend'):
+            MLPG(means, variances, backend='np')
+
     def test_per_frame_variances(self, rng):
         means, _ = _random_problem(rng, batch=2, time=20, dim=2)
         variances = (0.5 + rng.random(means.shape)).astype(np.float32)

@@ -71,6 +71,21 @@ class TestBind:
         np.testing.assert_allclose(np.asarray(m(x)), np.asarray(
             m.fc2(m.act(m.fc1(x)))), atol=1e-7)
 
+    def test_bind_unknown_param_leaves_module_intact(self):
+        """An unknown name must error BEFORE any install: a mid-install
+        KeyError used to leave the module half-overwritten (and the saved
+        values unrestored)."""
+        nn.manual_seed(0)
+        m = TwoLayer()
+        before = {k: np.asarray(v) for k, v in nn.parameters(m).items()}
+        bad = {'fc1.weight': jnp.zeros_like(nn.parameters(m)['fc1.weight']),
+               'oops': jnp.zeros(())}
+        with pytest.raises(KeyError, match='oops'):
+            with nn.bind(m, bad):
+                pass
+        for k, v in nn.parameters(m).items():
+            np.testing.assert_array_equal(np.asarray(v), before[k])
+
     def test_grad_through_bind(self):
         nn.manual_seed(0)
         m = TwoLayer()
@@ -158,6 +173,19 @@ class TestComputeOptions:
         assert nn.default_compute_dtype() == jnp.bfloat16
         nn.set_default_compute_dtype('float32')
         assert nn.default_compute_dtype() is None
+
+    def test_bf16_applies_to_bidirectional(self, rng):
+        """compute_dtype must reach BOTH directions of a bidirectional layer
+        (regression: it was silently dropped, leaving f32 matmuls)."""
+        import jax.numpy as jnp
+        nn.manual_seed(11)
+        rec = nn.Recurrent('gru', 6, 8, bidirectional=True)
+        x = jnp.array(rng.normal(size=(2, 12, 6)).astype(np.float32))
+        y32, _ = rec(x)
+        rec.compute_dtype = jnp.bfloat16
+        y16, _ = rec(x)
+        assert np.abs(np.asarray(y16) - np.asarray(y32)).max() > 0  # applied
+        np.testing.assert_allclose(np.asarray(y16), np.asarray(y32), atol=2e-2)
 
     def test_unroll_is_exact(self, rng):
         """Scan unroll amortises loop overhead on TPU (bench uses 64); it

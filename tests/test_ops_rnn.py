@@ -163,6 +163,27 @@ def test_bidirectional_matches_torch_packed(mode, rng):
 
     y_ours, hidden = rec(jnp.array(x), seq_len=jnp.array(seq_len))
     np.testing.assert_allclose(np.asarray(y_ours), y_ref.numpy(), atol=3e-5)
+
+    # A user-supplied initial state must be honoured per direction
+    # (regression: it used to be silently ignored).
+    rng2 = np.random.default_rng(7)
+    h0 = rng2.normal(size=(2, B, H)).astype(np.float32)  # (fwd/bwd, B, H)
+    if mode == 'lstm':
+        c0 = rng2.normal(size=(2, B, H)).astype(np.float32)
+        t_init = (torch.tensor(h0), torch.tensor(c0))
+        ours_init = [((jnp.array(h0[0]), jnp.array(c0[0])),
+                      (jnp.array(h0[1]), jnp.array(c0[1])))]
+    else:
+        t_init = torch.tensor(h0)
+        ours_init = [(jnp.array(h0[0]), jnp.array(h0[1]))]
+    with torch.no_grad():
+        po, _ = t_rnn(packed, t_init)
+    y_ref2, _ = torch.nn.utils.rnn.pad_packed_sequence(
+        po, batch_first=True, total_length=T)
+    y_ours2, _ = rec(jnp.array(x), seq_len=jnp.array(seq_len),
+                     hidden=ours_init)
+    assert np.abs(np.asarray(y_ours2) - np.asarray(y_ours)).max() > 1e-4
+    np.testing.assert_allclose(np.asarray(y_ours2), y_ref2.numpy(), atol=3e-5)
     assert y_ours.shape == (B, T, 2 * H)
 
 
