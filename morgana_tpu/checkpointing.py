@@ -94,10 +94,17 @@ def _orbax_manager(directory, async_save=True):
 def orbax_save(directory, step, state, async_save=True):
     """Asynchronously saves a (possibly sharded) training-state pytree under
     ``directory/<step>``. Non-blocking when ``async_save``: the transfer and
-    write overlap with subsequent training steps."""
+    write overlap with subsequent training steps.
+
+    An existing step is overwritten (deleted first) — same semantics as the
+    ``epoch_{N}.npz`` saves. Without it, a run that failed to restore and
+    "started fresh" would crash with StepAlreadyExistsError at its first
+    save over a stale step."""
     import orbax.checkpoint as ocp
     manager = _orbax_manager(directory, async_save)
-    manager.save(step, args=ocp.args.StandardSave(state))
+    if step in manager.all_steps():
+        manager.delete(step)
+    manager.save(step, args=ocp.args.StandardSave(state), force=True)
     return directory
 
 

@@ -198,7 +198,15 @@ class ToDeviceWrapper(object):
                     # Multi-host aware: assembles the global batch from this
                     # host's local shard when running over DCN.
                     from morgana_tpu.parallel.mesh import put_global
-                    out[key] = put_global(value, self.sharding)
+                    try:
+                        out[key] = put_global(value, self.sharding)
+                    except ValueError:
+                        if jax.process_count() > 1:
+                            raise  # lockstep hazard: never place unevenly
+                        # Final partial batch the data axis can't divide
+                        # (single-host eval): place unsharded; GSPMD
+                        # reshards inside the step as needed.
+                        out[key] = jax.device_put(value)
                 else:
                     out[key] = jax.device_put(value, self.device)
             else:

@@ -442,9 +442,8 @@ class ExperimentBuilder(object):
                 state = checkpointing.load_training_state(train_state_path)
                 extra = state.get('extra') or {}
                 self._restored_lr_state = extra.get('lr_schedule')
-                self.loop.opt_state = jax.tree_util.tree_map(
-                    lambda x: x, state['opt_state']) if state['opt_state'] is not None \
-                    else self.loop.opt_state
+                if state['opt_state'] is not None:
+                    self.loop.opt_state = state['opt_state']
                 if state.get('ema_params') is not None and self.ema_decay:
                     self.loop.ema_params = state['ema_params']
                 self.loop.step_count = state.get('step', 0)
@@ -531,13 +530,18 @@ class ExperimentBuilder(object):
         after a failure), and bumps ``start_epoch`` past the resumed epoch."""
         if self.checkpoint_path != 'latest' and self.ema_checkpoint_path != 'latest':
             return
-        if self.checkpoint_path == 'latest':
+        resolved_main = self.checkpoint_path == 'latest'
+        if resolved_main:
             self.checkpoint_path = self._latest_checkpoint()
             self.logger.info('Resolved --checkpoint_path latest -> %s',
                              self.checkpoint_path or '(none; fresh start)')
         if self.ema_checkpoint_path == 'latest':
             self.ema_checkpoint_path = self._latest_checkpoint(ema=True)
-        if self.checkpoint_path and self.train:
+        # Bump start_epoch only for a checkpoint WE resolved: an explicit
+        # --checkpoint_path must keep the overwrite-protection check in
+        # resolve_setting_conflicts (passing --ema_checkpoint_path latest
+        # alongside it must not silently change start_epoch).
+        if resolved_main and self.checkpoint_path and self.train:
             ckpt_epoch = utils.get_epoch_from_checkpoint_path(self.checkpoint_path)
             if self.start_epoch <= ckpt_epoch:
                 self.start_epoch = ckpt_epoch + 1
@@ -623,10 +627,25 @@ class ExperimentBuilder(object):
             self.logger.info('%s: host shard %d/%d holds %d utterances',
                              name, self.process_index, self.process_count,
                              len(dataset.file_ids))
+        # Sharded batches must be full-size on the TRAIN loader (a partial
+        # batch would recompile the fused step and skew batch statistics) and
+        # on every multi-host loader (hosts iterate in lockstep). Single-host
+        # eval loaders keep the tail: the loader falls back to unsharded
+        # placement for a final batch the data axis cannot divide, so no
+        # utterance silently misses validation/synthesis.
+        drop_remainder = bool(self.batch_sharding) and \
+            (shuffle or self.process_count > 1)
+        if drop_remainder:
+            dropped = len(dataset.file_ids) % self.local_batch_size
+            if dropped:
+                self.logger.info(
+                    '%s: final partial batch of %d utterance(s) is dropped '
+                    '(sharded %s batches must be full-size)',
+                    name, dropped, name)
         return data.batch(dataset, batch_size=self.local_batch_size, shuffle=shuffle,
                           num_data_threads=self.num_data_threads,
                           sharding=self.batch_sharding, seed=self.seed,
-                          drop_remainder=bool(self.batch_sharding),
+                          drop_remainder=drop_remainder,
                           length_sort_window=self.length_sort_window if shuffle else 0)
 
     # ----------------------------------------------------------------- train
@@ -735,12 +754,27 @@ class ExperimentBuilder(object):
             self.logger.info('Restored LR-schedule state (last_epoch=%s)',
                              getattr(lr_schedule, 'last_epoch', '?'))
 
-        profiling = False
+        self._profiling = False
         if self.profile_dir:
             os.makedirs(self.profile_dir, exist_ok=True)
             jax.profiler.start_trace(self.profile_dir)
-            profiling = True
+            self._profiling = True
 
+        try:
+            self._train_epochs(lr_schedule)
+        finally:
+            # Divergence, KeyboardInterrupt, or a resume that skips every
+            # epoch must still finalise the trace — an unstopped trace is
+            # lost/corrupt. (No-op when the epoch loop already stopped it.)
+            self._stop_profiling()
+
+    def _stop_profiling(self):
+        if getattr(self, '_profiling', False):
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self.logger.info('Profiler trace written to %s', self.profile_dir)
+
+    def _train_epochs(self, lr_schedule):
         for self.epoch in range(self.start_epoch, self.end_epoch + 1):
             gen_train_output = self.epoch % self.train_output_interval == 0
             epoch_train_dir = os.path.join(self.experiment_dir, 'train', f'epoch_{self.epoch}')
@@ -762,10 +796,9 @@ class ExperimentBuilder(object):
                 raise FloatingPointError(
                     f'Training diverged: epoch {self.epoch} loss {train_loss}')
 
-            if profiling:
-                jax.profiler.stop_trace()
-                profiling = False
-                self.logger.info('Profiler trace written to %s', self.profile_dir)
+            # The trace covers epoch 1 only (enough to see the steady-state
+            # step without an unboundedly large trace file).
+            self._stop_profiling()
 
             # Save model (+ EMA model + training state for exact resume).
             # The .npz/.pkl writes are lead-host-only (parameters are

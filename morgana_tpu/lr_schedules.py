@@ -51,7 +51,19 @@ class _LRSchedule(object):
         return {k: v for k, v in vars(self).items() if not callable(v)}
 
     def load_state_dict(self, state):
+        """Restores PROGRESS state only: ``base_lr`` is construction-time
+        config, so a resume launched with a different ``--learning_rate``
+        keeps the new rate. The saved lr is rescaled by the base-lr ratio —
+        for deterministic schedules this equals ``compute(last_epoch)`` at
+        the new base, and it carries plateau-style multiplicative reductions
+        across the base change."""
+        state = dict(state)
+        old_base = float(state.pop('base_lr', self.base_lr))
+        saved_lr = state.pop('lr', None)
         vars(self).update(state)
+        if saved_lr is not None:
+            self.lr = float(saved_lr) * (self.base_lr / old_base if old_base
+                                         else 1.0)
 
 
 class DummyLR(_LRSchedule):

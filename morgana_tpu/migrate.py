@@ -24,9 +24,31 @@ def _is_transposed_matrix(name):
     return leaf == 'weight' or leaf.startswith('w_ih_l') or leaf.startswith('w_hh_l')
 
 
+def _child(module, part):
+    """Descends one name segment, mirroring ``nn.Module.named_parameters``'s
+    traversal (attribute, indexed container, or plain list/tuple/dict)."""
+    if isinstance(module, (nn.SequentialWithRecurrent, nn.ModuleList)):
+        return module.items[int(part)]
+    if isinstance(module, (list, tuple)):
+        return module[int(part)]
+    if isinstance(module, dict):
+        return module[part]
+    return getattr(module, part)
+
+
+def _owning_module(model, name):
+    """The module that owns parameter ``name``."""
+    module = model
+    for part in name.split('.')[:-1]:
+        module = _child(module, part)
+    return module
+
+
 def torch_name_map(model):
     r"""Builds {our_name: torch_name} for a model built from
-    ``nn.Linear``/``nn.Recurrent``/``nn.SequentialWithRecurrent`` modules.
+    ``nn.Linear``/``nn.Recurrent``/``nn.SequentialWithRecurrent`` modules
+    (submodules held in plain list/tuple/dict attributes are supported, as
+    in ``nn.Module.named_parameters``).
 
     The reference wrapped each ``nn.LSTM``/``nn.GRU`` in
     ``RecurrentCuDNNWrapper`` whose submodule is called ``layer``
@@ -38,13 +60,8 @@ def torch_name_map(model):
         parts = name.split('.')
         torch_parts = []
         module = model
-        for i, part in enumerate(parts[:-1]):
-            if isinstance(module, nn.SequentialWithRecurrent):
-                sub = module.items[int(part)]
-            elif isinstance(module, nn.ModuleList):
-                sub = module.items[int(part)]
-            else:
-                sub = getattr(module, part)
+        for part in parts[:-1]:
+            sub = _child(module, part)
             torch_parts.append(part)
             if isinstance(sub, nn.Recurrent):
                 torch_parts.append('layer')
@@ -59,13 +76,17 @@ def torch_name_map(model):
     return mapping
 
 
-def convert_torch_state_dict(model, torch_sd):
+def convert_torch_state_dict(model, torch_sd, strict=True):
     r"""Converts a torch state dict into this model's layout.
 
     Parameters
     ----------
     model : nn.Module
     torch_sd : dict[str, tensor-like]
+    strict : bool
+        When False, torch-side missing parameters are skipped (with a
+        warning) instead of raising — enabling partial migration of models
+        that gained new layers.
 
     Returns
     -------
@@ -85,18 +106,25 @@ def convert_torch_state_dict(model, torch_sd):
                            else value, np.float32)
         # Transposition is shape-driven: torch stores Linear/RNN matrices
         # (out, in); ours are (in, out). Square matrices (ambiguous) fall back
-        # to the name heuristic, and already-matching shapes (Embedding) copy
-        # through untouched.
+        # to the name heuristic — except Embeddings, whose (num_embeddings,
+        # dim) orientation matches torch and must copy through untouched.
         target = target_shapes[our_name]
-        if value.ndim == 2 and value.shape != target and value.T.shape == target:
+        owner = _owning_module(model, our_name)
+        transposable = value.ndim == 2 and not isinstance(owner, nn.Embedding)
+        if transposable and value.shape != target and value.T.shape == target:
             value = value.T
-        elif value.ndim == 2 and value.shape == target and value.shape[0] == value.shape[1] \
+        elif transposable and value.shape == target \
+                and value.shape[0] == value.shape[1] \
                 and _is_transposed_matrix(our_name):
             value = value.T
         out[our_name] = value
     if missing:
-        raise KeyError(f'torch state dict is missing parameters: {missing[:5]}'
-                       f'{"..." if len(missing) > 5 else ""}')
+        msg = (f'torch state dict is missing parameters: {missing[:5]}'
+               f'{"..." if len(missing) > 5 else ""}')
+        if strict:
+            raise KeyError(msg)
+        import logging
+        logging.getLogger('morgana_tpu').warning('%s (skipped: strict=False)', msg)
     return out
 
 
@@ -105,6 +133,6 @@ def load_torch_state_dict(model, state_dict_or_path, strict=True):
     if isinstance(state_dict_or_path, (str, bytes)):
         import torch
         state_dict_or_path = torch.load(state_dict_or_path, map_location='cpu')
-    converted = convert_torch_state_dict(model, state_dict_or_path)
+    converted = convert_torch_state_dict(model, state_dict_or_path, strict=strict)
     nn.load_state_dict(model, converted, strict=strict)
     return converted

@@ -33,6 +33,10 @@ def build_shard_map_train_step(model, optimizer, mesh, axis='data', ema_decay=0.
         from morgana_tpu import training
 
         batch = dict(batch, global_step=global_step)
+        # Decorrelate stochastic layers across data shards: the key arrives
+        # replicated (in_specs P()), so without the fold-in every device
+        # would draw IDENTICAL dropout masks / VAE noise for its shard.
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         loss, staged, outputs, grads = training.staged_value_and_grad(
             model, params, batch, rng)
 

@@ -166,3 +166,52 @@ class TestShardMapStepFlag:
     def test_requires_data_parallel(self, voice_data, tmp_path):
         with pytest.raises(ValueError, match='requires --data_parallel'):
             _build(voice_data, tmp_path, 'smap_bad', shard_map_step=True)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+class TestShardedEvalTail:
+    def test_partial_eval_batch_not_dropped(self, voice_data, tmp_path):
+        """Under --data_parallel, valid/test utterances that do not fill a
+        full sharded batch must still be evaluated (regression: they were
+        silently dropped, skewing valid loss and skipping synthesis)."""
+        exp = _build(voice_data, tmp_path, 'dp_tail', end_epoch=1,
+                     batch_size=8, data_parallel=True)
+        # 4 valid utterances < global batch 8: drop_remainder would make the
+        # loader empty.
+        assert len(exp.valid_loader) == 1
+        exp.run_experiment()
+        import json
+        m = json.load(open(tmp_path / 'experiments' / 'dp_tail' / 'valid' /
+                           'epoch_1' / 'metrics.json'))
+        assert np.isfinite(m['loss'])
+
+
+class TestExplicitCheckpointProtection:
+    def test_ema_latest_does_not_bypass_overwrite_guard(self, voice_data,
+                                                        tmp_path):
+        """--ema_checkpoint_path latest next to an EXPLICIT --checkpoint_path
+        must not silently bump start_epoch past the overwrite guard."""
+        exp1 = _build(voice_data, tmp_path, 'guard', end_epoch=2, valid=False,
+                      ema_decay=0.9)
+        exp1.run_experiment()
+        ckpt = str(tmp_path / 'experiments' / 'guard' / 'checkpoints' /
+                   'epoch_2.npz')
+        with pytest.raises(ValueError, match='start_epoch'):
+            _build(voice_data, tmp_path, 'guard', end_epoch=3, valid=False,
+                   ema_decay=0.9, checkpoint_path=ckpt,
+                   ema_checkpoint_path='latest')
+
+
+@pytest.mark.skipif(not checkpointing.orbax_available(), reason='needs orbax')
+class TestOrbaxOverwrite:
+    def test_saving_over_stale_step_succeeds(self, voice_data, tmp_path):
+        """After a failed restore 'starts fresh', re-saving an epoch that
+        already exists in the orbax dir must overwrite, not crash."""
+        orbax_dir = str(tmp_path / 'orbax')
+        exp1 = _build(voice_data, tmp_path, 'ob_over', end_epoch=1,
+                      valid=False, orbax_dir=orbax_dir)
+        exp1.run_experiment()
+        from morgana_tpu import checkpointing as ck
+        ck.orbax_save(orbax_dir, 1, {'params': exp1.loop.params, 'step': 9})
+        ck.orbax_wait(orbax_dir)
+        assert ck.orbax_restore(orbax_dir, step=1)['step'] == 9

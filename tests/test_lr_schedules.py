@@ -92,3 +92,33 @@ def test_cyclic_triangular():
     assert abs(lrs[10] - 1.0) < 1e-9
     assert abs(lrs[20] - 0.1) < 1e-9
     np.testing.assert_allclose(lrs[:20], lrs[20:40], rtol=1e-9)
+
+
+def test_resume_honours_new_base_lr():
+    """Resuming with a different --learning_rate must keep the NEW base:
+    load_state_dict restores progress (step position, plateau reductions),
+    not construction-time config."""
+    old = lr_schedules.NoamLR(0.01, warmup_steps=10)
+    for _ in range(25):
+        old.step()
+    state = old.state_dict()
+
+    new = lr_schedules.NoamLR(0.001, warmup_steps=10)
+    new.load_state_dict(state)
+    assert new.base_lr == 0.001
+    assert new.last_epoch == old.last_epoch
+    np.testing.assert_allclose(new.lr, old.lr * 0.1, rtol=1e-9)
+    # Deterministic consistency: equals a fresh schedule stepped as far.
+    fresh = lr_schedules.NoamLR(0.001, warmup_steps=10)
+    for _ in range(25):
+        fresh.step()
+    np.testing.assert_allclose(new.lr, fresh.lr, rtol=1e-9)
+
+    # Plateau: multiplicative reductions carry across the base change.
+    plat = lr_schedules.ReduceLROnPlateau(1.0, factor=0.5, patience=0)
+    plat.step(metrics=1.0)
+    plat.step(metrics=2.0)  # worse -> reduce
+    state = plat.state_dict()
+    resumed = lr_schedules.ReduceLROnPlateau(0.1, factor=0.5, patience=0)
+    resumed.load_state_dict(state)
+    np.testing.assert_allclose(resumed.lr, plat.lr * 0.1, rtol=1e-9)

@@ -179,3 +179,68 @@ class TestTorchMigration:
         mask[1, :45] = 1
         rmse = np.sqrt((((lf0_ours - lf0_ref) ** 2) * mask).sum() / mask.sum())
         assert rmse <= 1e-3, f'lf0 RMSE parity {rmse} exceeds 1e-3'
+
+
+class TestMigrationEdgeCases:
+    def test_square_embedding_not_transposed(self):
+        """Embeddings share torch's (num_embeddings, dim) orientation; the
+        square-matrix name heuristic must not transpose them."""
+        class Emb(nn.Module):
+            def __init__(self):
+                self.table = nn.Embedding(8, 8)
+                self.head = nn.Linear(8, 8)
+
+            def forward(self, ids):
+                return self.head(self.table(ids))
+
+        nn.manual_seed(0)
+        model = Emb()
+        table = np.arange(64, dtype=np.float32).reshape(8, 8)
+        head_w = np.arange(64, dtype=np.float32).reshape(8, 8) * 2
+        sd = {'table.weight': table, 'head.weight': head_w,
+              'head.bias': np.zeros(8, np.float32)}
+        out = migrate.convert_torch_state_dict(model, sd)
+        np.testing.assert_array_equal(out['table.weight'], table)   # untouched
+        np.testing.assert_array_equal(out['head.weight'], head_w.T)  # Linear: transposed
+
+    def test_plain_list_submodules(self):
+        """Submodules held in a plain list attribute (supported by
+        named_parameters) must migrate too."""
+        class Listy(nn.Module):
+            def __init__(self):
+                self.blocks = [nn.Linear(4, 4), nn.Linear(4, 4)]
+
+            def forward(self, x):
+                for b in self.blocks:
+                    x = b(x)
+                return x
+
+        nn.manual_seed(0)
+        model = Listy()
+        mapping = migrate.torch_name_map(model)
+        assert mapping['blocks.0.weight'] == 'blocks.0.weight'
+        sd = {f'blocks.{i}.{leaf}': np.zeros((4, 4) if leaf == 'weight' else 4,
+                                             np.float32)
+              for i in range(2) for leaf in ('weight', 'bias')}
+        out = migrate.convert_torch_state_dict(model, sd)
+        assert set(out) == set(mapping)
+
+    def test_strict_false_allows_missing(self):
+        from f0_test_model import F0Model
+        nn.manual_seed(0)
+        model = F0Model()
+        mapping = migrate.torch_name_map(model)
+        full = {tname: np.zeros(model_shape(model, name), np.float32)
+                for name, tname in mapping.items()}
+        partial = dict(full)
+        partial.pop(mapping['layers.0.weight'])
+        with pytest.raises(KeyError):
+            migrate.convert_torch_state_dict(model, partial)  # strict default
+        out = migrate.convert_torch_state_dict(model, partial, strict=False)
+        assert 'layers.0.weight' not in out and len(out) == len(full) - 1
+
+
+def model_shape(model, name):
+    shape = tuple(dict(model.named_parameters())[name].value.shape)
+    # Produce the torch-side orientation for 2-d matrices.
+    return shape[::-1] if len(shape) == 2 else shape

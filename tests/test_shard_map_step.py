@@ -86,3 +86,31 @@ def test_trainloop_shard_map_mesh_matches_gspmd(rng):
     np.testing.assert_allclose(losses_b, losses_a, rtol=2e-4)
     for k, v in loop.params.items():
         np.testing.assert_allclose(np.asarray(v), params_a[k], atol=3e-5)
+
+
+def test_dropout_decorrelated_across_shards(rng):
+    """Stochastic layers must draw DIFFERENT noise per data shard: the rng
+    arrives replicated, so without an axis-index fold-in every device would
+    apply identical dropout masks to its shard."""
+    mesh = parallel.make_mesh()
+    nn.manual_seed(3)
+    model = TinyF0Model(dropout_prob=0.5)
+    norm = model.normaliser_sources()['lf0']
+    norm.params = {'mean': np.zeros(1, np.float32), 'std_dev': np.ones(1, np.float32)}
+    norm.delta_params = {'mean': np.zeros(3, np.float32),
+                         'std_dev': np.ones(3, np.float32)}
+    model.normalisers = {'lf0': norm}
+    model.mode = 'train'
+
+    # Identical rows: any cross-shard output difference must come from rng.
+    batch = _synthetic_batch(rng)
+    one = {k: np.repeat(v[:1], v.shape[0], axis=0) for k, v in batch.items()}
+
+    loop = TrainLoop(model, build_optimizer(), seed=0, shard_map_mesh=mesh)
+    loop.params = parallel.shard_params(loop.params, mesh)
+    _, _, outputs = loop.train_step(parallel.shard_batch(one, mesh), lr=0.0)
+    pred = np.asarray(outputs['normalised_lf0_deltas'])
+    num_data = mesh.shape['data']
+    per_shard = pred.reshape(num_data, -1, *pred.shape[1:])
+    assert np.abs(per_shard[0] - per_shard[1]).max() > 1e-6, \
+        'shards drew identical dropout masks'
