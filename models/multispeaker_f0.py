@@ -82,10 +82,10 @@ class MultiSpeakerF0Model(BaseSPSS):
 
 def main():
     args = ExperimentBuilder.get_experiment_args()
+    nn.manual_seed(args.get('seed', 1234567890))
     experiment = ExperimentBuilder(MultiSpeakerF0Model, **args)
     experiment.run_experiment()
 
 
 if __name__ == '__main__':
-    nn.manual_seed(1234567890)
     main()

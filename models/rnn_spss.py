@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from morgana_tpu.base_models import BaseSPSS
 from morgana_tpu.experiment_builder import ExperimentBuilder
-from morgana_tpu.viz.synthesis import MLPG, MLPG_streams
+from morgana_tpu.viz.synthesis import MLPG_streams
 from morgana_tpu import data
 from morgana_tpu import losses
 from morgana_tpu import metrics
@@ -129,15 +129,6 @@ class LSTMAcousticModel(BaseSPSS):
             'mcep': pred_mcep,
             'bap': pred_bap,
         }
-
-    def _prepare_output(self, name, pred_norm_deltas, seq_len=None):
-        """Denormalise deltas and run on-device MLPG (stop-gradient: the
-        trajectory feeds metrics/synthesis only, matching the reference's
-        ``.detach()``, ``models/RNN_SPSS.py:111``)."""
-        pred_deltas = self.normalisers[name].denormalise(pred_norm_deltas, deltas=True)
-        return MLPG(means=jax.lax.stop_gradient(pred_deltas),
-                    variances=self.normalisers[name].delta_params['std_dev'] ** 2,
-                    padding_size=100, seq_len=seq_len)
 
     def loss(self, features, output_features):
         n_frames = features['n_frames']

@@ -104,6 +104,11 @@ class InferenceEngine(object):
             normalisers[name].load_params(normalisation_dir, data_root)
         self.model.normalisers = normalisers
         self.model.load_parameters(checkpoint_path)
+        # One consistent mode for EVERY compiled predict program: predict()
+        # bodies read self.mode at trace time (e.g. metric accumulation into
+        # self.metrics[self.mode]), so tracing some programs with mode '' and
+        # others with 'test' would poison whichever traces first.
+        self.model.mode = 'test'
 
         self._params = nn.parameters(self.model)
         self._rng = jax.random.PRNGKey(seed)
@@ -155,24 +160,29 @@ class InferenceEngine(object):
     # --------------------------------------------------------- file-driven
 
     def _loader(self, data_dir, id_list=None, file_ids=None, sources=None):
+        # An explicit file_ids list needs no id-list file on disk at all:
+        # FilesDataset accepts a path, so write one to the SYSTEM temp dir
+        # (never into data_root — it may be a read-only mount) and remove it
+        # before returning; the dataset reads it eagerly in its constructor.
         from morgana_tpu import data
 
         tmp = None
-        if id_list is None:
-            if not file_ids:
-                raise ValueError('pass id_list or a non-empty file_ids list')
-            tmp = tempfile.NamedTemporaryFile('w', suffix='.scp', delete=False,
-                                              dir=self.data_root,
-                                              prefix='.serve_ids_')
-            tmp.write('\n'.join(file_ids))
-            tmp.close()
-            id_list = os.path.basename(tmp.name)
-        dataset = data.FilesDataset(
-            sources or self.model.test_data_sources(), data_dir, id_list,
-            self.model.normalisers, self.data_root)
-        loader = data.batch(dataset, batch_size=self.batch_size, shuffle=False,
-                            num_data_threads=self.num_data_threads)
-        return loader, (tmp.name if tmp else None)
+        try:
+            if id_list is None:
+                if not file_ids:
+                    raise ValueError('pass id_list or a non-empty file_ids list')
+                fd, tmp = tempfile.mkstemp(suffix='.scp', prefix='serve_ids_')
+                with os.fdopen(fd, 'w') as f:
+                    f.write('\n'.join(file_ids))
+                id_list = tmp
+            dataset = data.FilesDataset(
+                sources or self.model.test_data_sources(), data_dir, id_list,
+                self.model.normalisers, self.data_root)
+        finally:
+            if tmp:
+                os.unlink(tmp)
+        return data.batch(dataset, batch_size=self.batch_size, shuffle=False,
+                          num_data_threads=self.num_data_threads)
 
     def predict_items(self, items):
         """In-memory serving: no files needed. ``items`` is a list of
@@ -192,31 +202,39 @@ class InferenceEngine(object):
                 sources, self.model.normalisers,
                 lambda name, source: source.package(item[name]),
                 str(item.get('name', i))))
-        features = collate(built)
-        _, outputs = self.predict_batch(features)
-        unpadded = self._unpad(features, outputs)
-        return {name: {k: (v[b] if isinstance(v, list) else np.asarray(v)[b])
-                       for k, v in unpadded.items()}
-                for b, name in enumerate(features['name'])}
+        results = {}
+        # Chunk like the file-driven loader: one giant batch would pad every
+        # item to the longest utterance's bucket and compile a fresh program
+        # per unseen (N, bucket) shape.
+        for start in range(0, len(built), self.batch_size):
+            features = collate(built[start:start + self.batch_size])
+            _, outputs = self.predict_batch(features)
+            unpadded = self._unpad(features, outputs)
+            for b, name in enumerate(features['name']):
+                results[name] = {
+                    k: (v[b] if isinstance(v, list) else np.asarray(v)[b])
+                    for k, v in unpadded.items()}
+        return results
 
     def predict_ids(self, file_ids, data_dir='test'):
         """Predicts the given utterance ids; returns ``{id: outputs}`` with
         frame-level outputs unpadded to each utterance's true length."""
-        loader, tmp = self._loader(data_dir, file_ids=file_ids)
-        try:
-            results = {}
-            for features in loader:
-                _, outputs = self.predict_batch(features)
-                unpadded = self._unpad(features, outputs)
-                names = features.get('name', [str(i) for i in range(len(file_ids))])
-                for b, name in enumerate(names):
-                    results[name] = {
-                        k: (v[b] if isinstance(v, list) else np.asarray(v)[b])
-                        for k, v in unpadded.items()}
-            return results
-        finally:
-            if tmp:
-                os.unlink(tmp)
+        loader = self._loader(data_dir, file_ids=file_ids)
+        results = {}
+        done = 0
+        for features in loader:
+            _, outputs = self.predict_batch(features)
+            unpadded = self._unpad(features, outputs)
+            # collate always emits 'name'; the slice of the request is the
+            # fallback (a per-batch str(i) would collide across batches).
+            names = features.get('name') or \
+                file_ids[done:done + len(next(iter(unpadded.values())))]
+            for b, name in enumerate(names):
+                results[name] = {
+                    k: (v[b] if isinstance(v, list) else np.asarray(v)[b])
+                    for k, v in unpadded.items()}
+            done += len(names)
+        return results
 
     def generate(self, out_dir, data_dir='test', id_list=None, file_ids=None):
         """Predicts a whole split and runs the model's test analysis hooks
@@ -225,31 +243,25 @@ class InferenceEngine(object):
         Returns throughput stats."""
         import jax
 
-        loader, tmp = self._loader(data_dir, id_list=id_list, file_ids=file_ids)
+        loader = self._loader(data_dir, id_list=id_list, file_ids=file_ids)
         os.makedirs(out_dir, exist_ok=True)
-        self.model.mode = 'test'
         self.model.metrics.reset_state('test')
         utterances = 0
         frames = 0.0
         outputs = None
         start = time.perf_counter()
-        try:
-            for features in loader:
-                staged, outputs = self.predict_batch(features)
-                self.model.metrics.apply_staged(staged, tag='predict')
-                self.model.analysis_for_test_batch(features, outputs, out_dir,
-                                                   **self.analysis_kwargs)
-                if 'n_frames' in features:
-                    frames += float(np.asarray(features['n_frames']).sum())
-                utterances += len(features.get('name', [])) or \
-                    int(np.asarray(features['n_frames']).shape[0])
-            self.model.analysis_for_test_epoch(out_dir, **self.analysis_kwargs)
-            if outputs is not None:
-                jax.block_until_ready(outputs)
-        finally:
-            self.model.mode = ''
-            if tmp:
-                os.unlink(tmp)
+        for features in loader:
+            staged, outputs = self.predict_batch(features)
+            self.model.metrics.apply_staged(staged, tag='predict')
+            self.model.analysis_for_test_batch(features, outputs, out_dir,
+                                               **self.analysis_kwargs)
+            if 'n_frames' in features:
+                frames += float(np.asarray(features['n_frames']).sum())
+            utterances += len(features.get('name', [])) or \
+                int(np.asarray(features['n_frames']).shape[0])
+        self.model.analysis_for_test_epoch(out_dir, **self.analysis_kwargs)
+        if outputs is not None:
+            jax.block_until_ready(outputs)
         elapsed = time.perf_counter() - start
         stats = {'utterances': utterances, 'frames': int(frames),
                  'seconds': round(elapsed, 3),

@@ -70,15 +70,16 @@ def build_optimizer(weight_decay=0., b1=0.9, b2=0.999, eps=1e-8,
 
 
 def numeric_features(features):
-    """The jit-able subset of a batch (numeric arrays only)."""
+    """The jit-able subset of a batch (numeric/bool arrays only).
+
+    Uses jnp.issubdtype: numpy's treats extension dtypes like bfloat16 as
+    non-numeric, which would silently drop bf16 features from the batch."""
     out = {}
     for key, value in features.items():
-        if isinstance(value, (np.ndarray, jax.Array)) and \
-                np.issubdtype(np.asarray(value).dtype if isinstance(value, np.ndarray) else value.dtype, np.number):
+        if isinstance(value, (np.ndarray, jax.Array)) and (
+                jnp.issubdtype(value.dtype, jnp.number)
+                or value.dtype == np.bool_):
             out[key] = value
-        elif isinstance(value, (np.ndarray, jax.Array)):
-            if value.dtype == np.bool_:
-                out[key] = value
     return out
 
 
@@ -206,7 +207,11 @@ class TrainLoop(object):
     def _build_eval_step(self):
         model = self.model
 
-        def eval_step(params, batch, rng):
+        def eval_step(params, batch, global_step, rng):
+            # global_step rides along for step-scheduled losses (e.g. VAE KL
+            # annealing): validation must weight the loss exactly as the
+            # current training step does, not at the fully-annealed value.
+            batch = dict(batch, global_step=global_step)
             with nn.bind(model, params, rng=rng, train=False):
                 model.metrics.begin_staging('eval')
                 loss, outputs = model(batch)
@@ -281,7 +286,8 @@ class TrainLoop(object):
     def eval_step(self, features, use_ema=False):
         batch = numeric_features(features)
         params = self.ema_params if (use_ema and self.ema_params is not None) else self.params
-        return self._eval_step(params, batch, self._next_rng())
+        global_step = jnp.asarray(self.step_count, jnp.float32)
+        return self._eval_step(params, batch, global_step, self._next_rng())
 
     def predict_step(self, features, use_ema=False):
         batch = numeric_features(features)

@@ -140,7 +140,7 @@ extern "C" {
 // unsupported input (caller falls back to the NumPy path).
 long long world_synthesize(const double* f0, const double* sp, const double* ap,
                            long long num_frames, long long num_bins,
-                           long long fs, double frame_period,
+                           long long fs, double frame_period, long long seed,
                            double* out, long long out_capacity) {
   const int fft_size = (int)(num_bins - 1) * 2;
   if (fft_size <= 0 || (fft_size & (fft_size - 1)) != 0) return -1;  // need pow2
@@ -153,7 +153,7 @@ long long world_synthesize(const double* f0, const double* sp, const double* ap,
   // --- excitation ---------------------------------------------------------
   std::vector<double> periodic_exc(num_samples, 0.0);
   std::vector<double> noise_exc(num_samples);
-  XorShift rng(12345);
+  XorShift rng((uint64_t)seed + 12345ULL);
   for (long long i = 0; i < num_samples; ++i) noise_exc[i] = rng.normal();
 
   double phase = 0.0;

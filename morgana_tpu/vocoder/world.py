@@ -48,6 +48,7 @@ def _load_native():
                 ctypes.c_longlong,                # K
                 ctypes.c_longlong,                # fs
                 ctypes.c_double,                  # frame_period ms
+                ctypes.c_longlong,                # noise seed
                 ctypes.POINTER(ctypes.c_double),  # out wav
                 ctypes.c_longlong,                # out capacity
             ]
@@ -196,7 +197,7 @@ def synthesize(f0, sp, ap, fs, frame_period=5.0, seed=0):
             f0_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             sp_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             ap_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            num_frames, num_bins, fs, float(frame_period),
+            num_frames, num_bins, fs, float(frame_period), int(seed),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), out.shape[0])
         if n >= 0:
             return out[:num_samples]

@@ -191,3 +191,38 @@ class TestServeCLI:
         assert proc.returncode == 0, proc.stderr[-2000:]
         stats = json.loads(proc.stdout.strip().splitlines()[-1])
         assert stats['utterances'] == 2
+
+
+class TestServeRobustness:
+    def test_predict_ids_leaves_no_tempfiles_in_data_root(self, voice_data,
+                                                          trained):
+        engine = InferenceEngine(
+            TinyF0Model, trained['checkpoint'],
+            data_root=voice_data['data_root'], batch_size=2)
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            file_ids = [l.strip() for l in f if l.strip()]
+        ids = list(engine.predict_ids(file_ids))
+        assert len(ids) == 2
+        leftovers = [f for f in os.listdir(voice_data['data_root'])
+                     if 'serve_ids' in f]
+        assert leftovers == []
+
+    def test_predict_items_chunks_by_batch_size(self, voice_data, trained):
+        """More items than batch_size must chunk (one giant padded batch
+        would OOM/pad everything to the longest utterance)."""
+        import numpy as np
+        engine = InferenceEngine(
+            TinyF0Model, trained['checkpoint'],
+            data_root=voice_data['data_root'], batch_size=2)
+        rng = np.random.default_rng(0)
+        items = [{'name': f'u{i}',
+                  'lab': rng.random((8 + i, 600)).astype(np.float32),
+                  'counters': rng.random((20 + i, 9)).astype(np.float32),
+                  'lf0': rng.normal(size=(20 + i, 1)).astype(np.float32),
+                  'vuv': (rng.random((20 + i, 1)) > 0.3).astype(np.float32),
+                  'dur': np.full((8 + i, 1), (20 + i) // (8 + i), np.int64),
+                  'n_frames': np.array([20. + i], np.float32)}
+                 for i in range(5)]
+        out = engine.predict_items(items)
+        assert set(out) == {f'u{i}' for i in range(5)}
