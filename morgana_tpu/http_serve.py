@@ -1,0 +1,110 @@
+"""HTTP serving: a dependency-free REST endpoint over :class:`InferenceEngine`.
+
+The reference had no serving story at all (generation required a full
+``ExperimentBuilder`` test run); ``morgana_tpu.serve`` added the engine and
+batch CLI, and this module puts a network front on it — stdlib
+``http.server`` only, no web framework:
+
+    python -m morgana_tpu.serve --model models/rnn_spss.py:LSTMAcousticModel \
+        --checkpoint_path ckpt.npz --data_root data --http_port 8080
+
+Endpoints
+---------
+``GET /healthz``
+    ``{"status": "ok", "model": <class>, "checkpoint": <path>}`` — liveness
+    probe for load balancers.
+``POST /predict``
+    Body ``{"items": [{"name": ..., "<source>": <nested lists>, ...}]}``
+    with one entry per test data source (what that source's ``load_file``
+    returns). Runs the compiled bucketed predict (chunked by the engine's
+    ``batch_size``) and returns ``{"results": {name: {key: nested lists}}}``
+    with frame-level outputs unpadded to each utterance's true length.
+
+Requests are served one at a time (the device runs one program at a time
+anyway); the engine's compiled-program cache makes steady-state latency one
+dispatch per batch.
+"""
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+__all__ = ['make_server', 'serve_forever']
+
+
+def _to_arrays(item):
+    """JSON item -> feature dict: numeric lists become arrays (ints stay
+    integral for duration-style features, floats become float32)."""
+    out = {}
+    for key, value in item.items():
+        if key == 'name':
+            out[key] = str(value)
+            continue
+        arr = np.asarray(value)
+        if arr.dtype.kind == 'f':
+            arr = arr.astype(np.float32)
+        out[key] = arr
+    return out
+
+
+def _to_lists(outputs):
+    return {key: np.asarray(value).tolist() for key, value in outputs.items()}
+
+
+def make_server(engine, host='127.0.0.1', port=0):
+    """Builds a ``ThreadingHTTPServer`` wrapping ``engine``. Returns the
+    server; call ``.serve_forever()`` (or :func:`serve_forever`) to run it.
+    ``port=0`` binds an ephemeral port (``server.server_address[1]``)."""
+    lock = threading.Lock()  # one device, one request at a time
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == '/healthz':
+                self._reply(200, {'status': 'ok',
+                                  'model': type(engine.model).__name__,
+                                  'checkpoint': engine.checkpoint_path})
+            else:
+                self._reply(404, {'error': f'unknown path {self.path}'})
+
+        def do_POST(self):
+            if self.path != '/predict':
+                self._reply(404, {'error': f'unknown path {self.path}'})
+                return
+            try:
+                length = int(self.headers.get('Content-Length', 0))
+                request = json.loads(self.rfile.read(length))
+                items = [_to_arrays(item) for item in request['items']]
+                with lock:
+                    results = engine.predict_items(items)
+                self._reply(200, {'results': {
+                    name: _to_lists(outputs)
+                    for name, outputs in results.items()}})
+            except Exception as exc:  # noqa: BLE001 - a server must not die per-request
+                self._reply(400, {'error': f'{type(exc).__name__}: {exc}'})
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(engine, host='127.0.0.1', port=8080):
+    server = make_server(engine, host, port)
+    print(f'serving {type(engine.model).__name__} on '
+          f'http://{host}:{server.server_address[1]} '
+          f'(GET /healthz, POST /predict)')
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()

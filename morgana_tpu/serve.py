@@ -93,6 +93,7 @@ class InferenceEngine(object):
         import jax  # after platform selection
 
         self.data_root = data_root
+        self.checkpoint_path = checkpoint_path
         self.batch_size = int(batch_size)
         self.num_data_threads = int(num_data_threads)
         self.analysis_kwargs = dict(analysis_kwargs or {})
@@ -296,9 +297,13 @@ def main(argv=None):
                         help='Python-dict string of model constructor kwargs.')
     parser.add_argument('--analysis_kwargs', default='{}',
                         help='Python-dict string of analysis-hook kwargs.')
+    parser.add_argument('--http_port', type=int, default=None,
+                        help='Serve over HTTP on this port instead of batch '
+                             'generation (GET /healthz, POST /predict).')
+    parser.add_argument('--http_host', default='127.0.0.1')
     args = parser.parse_args(argv)
 
-    if args.id_list is None:
+    if args.id_list is None and args.http_port is None:
         base = os.path.basename(os.path.normpath(args.data_dir))
         candidate = os.path.join(args.data_dir, f'{base}_file_id_list.scp')
         if os.path.exists(os.path.join(args.data_root, candidate)):
@@ -315,6 +320,10 @@ def main(argv=None):
         compute_dtype=args.compute_dtype, batch_size=args.batch_size,
         num_data_threads=args.num_data_threads,
         analysis_kwargs=ast.literal_eval(args.analysis_kwargs))
+    if args.http_port is not None:
+        from morgana_tpu.http_serve import serve_forever
+        serve_forever(engine, host=args.http_host, port=args.http_port)
+        return
     stats = engine.generate(args.out_dir, data_dir=args.data_dir,
                             id_list=args.id_list)
     print(json.dumps(stats))

@@ -226,3 +226,57 @@ class TestServeRobustness:
                  for i in range(5)]
         out = engine.predict_items(items)
         assert set(out) == {f'u{i}' for i in range(5)}
+
+
+class TestHTTPServing:
+    def test_healthz_and_predict_roundtrip(self, voice_data, trained):
+        """The HTTP front end serves the same results as predict_items."""
+        import threading
+        import urllib.request
+
+        from morgana_tpu.http_serve import make_server
+
+        engine = InferenceEngine(
+            TinyF0Model, trained['checkpoint'],
+            data_root=voice_data['data_root'], batch_size=2)
+        server = make_server(engine, port=0)
+        port = server.server_address[1]
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            with urllib.request.urlopen(
+                    f'http://127.0.0.1:{port}/healthz', timeout=30) as r:
+                health = json.loads(r.read())
+            assert health['status'] == 'ok'
+            assert health['model'] == 'TinyF0Model'
+
+            rng = np.random.default_rng(0)
+            item = {'name': 'u0',
+                    'lab': rng.random((6, 600)).tolist(),
+                    'counters': rng.random((18, 9)).tolist(),
+                    'lf0': rng.normal(size=(18, 1)).tolist(),
+                    'vuv': (rng.random((18, 1)) > 0.3).astype(float).tolist(),
+                    'dur': np.full((6, 1), 3).tolist(),
+                    'n_frames': [18.0]}
+            body = json.dumps({'items': [item]}).encode()
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/predict', data=body,
+                headers={'Content-Type': 'application/json'})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                reply = json.loads(r.read())
+            pred = np.asarray(reply['results']['u0']['normalised_lf0_deltas'])
+            assert pred.shape == (18, 3) and np.isfinite(pred).all()
+
+            # Malformed request -> 400 with an error payload, server stays up.
+            bad = urllib.request.Request(
+                f'http://127.0.0.1:{port}/predict', data=b'{"items": [{}]}',
+                headers={'Content-Type': 'application/json'})
+            try:
+                urllib.request.urlopen(bad, timeout=60)
+                raise AssertionError('expected HTTP 400')
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert 'error' in json.loads(e.read())
+        finally:
+            server.shutdown()
+            server.server_close()
