@@ -33,26 +33,18 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'BENCH_
 
 
 def make_batch(rng, batch=BATCH, phones=PHONES, frames=FRAMES):
+    """Realistic ragged batch on the flagship schema (which lives in ONE
+    place: ``__graft_entry__.batch_from_durations``)."""
+    from __graft_entry__ import batch_from_durations
+
     reps = frames // phones
     dur = np.full((batch, phones, 1), reps, np.int64)
     # Vary lengths a little (80-100% of max) like real batches.
     lens = rng.integers(int(0.8 * phones), phones + 1, size=batch)
     for b in range(batch):
         dur[b, lens[b]:] = 0
-    n_frames = dur.sum(axis=(1, 2)).astype(np.float32)
-    return {
-        'normalised_lab': rng.random((batch, phones, 600)).astype(np.float32),
-        'normalised_counters': rng.random((batch, frames, 9)).astype(np.float32),
-        'dur': dur,
-        'n_frames': n_frames,
-        'lf0': rng.normal(size=(batch, frames, 1)).astype(np.float32),
-        'vuv': (rng.random((batch, frames, 1)) > 0.3).astype(np.float32),
-        'mcep': rng.normal(size=(batch, frames, 60)).astype(np.float32),
-        'bap': rng.normal(size=(batch, frames, 5)).astype(np.float32),
-        'normalised_lf0_deltas': rng.normal(size=(batch, frames, 3)).astype(np.float32),
-        'normalised_mcep_deltas': rng.normal(size=(batch, frames, 180)).astype(np.float32),
-        'normalised_bap_deltas': rng.normal(size=(batch, frames, 15)).astype(np.float32),
-    }, n_frames.sum()
+    features = batch_from_durations(rng, dur, frames)
+    return features, features['n_frames'].sum()
 
 
 # v5e (TPU v5 lite) bf16 MXU peak; JAX's DEFAULT matmul precision on TPU
@@ -103,10 +95,17 @@ def compiled_step_flops(loop, batch):
         return None
 
 
-def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8):
+def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
+              batch_size=None, frames=None):
     import jax
     from morgana_tpu.training import TrainLoop, build_optimizer
     from __graft_entry__ import _make_model
+
+    # Explicit shape args (bench_step's sweeps): module-level BATCH/FRAMES
+    # are only defaults — they were bound into make_batch's signature at
+    # import time, so mutating them after import has no effect.
+    batch_size = batch_size or BATCH
+    frames = frames or FRAMES
 
     # Set unconditionally: the in-process fallback in main() runs several
     # configs in one interpreter, so a previous config's bf16 must not leak.
@@ -122,7 +121,7 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8):
     loop = TrainLoop(model, build_optimizer(), ema_decay=0.99, seed=0)
 
     rng = np.random.default_rng(0)
-    batch, frames_per_batch = make_batch(rng)
+    batch, frames_per_batch = make_batch(rng, batch=batch_size, frames=frames)
 
     for _ in range(WARMUP_STEPS):
         loss, _, _ = loop.train_step(batch, lr=1e-3)
@@ -143,7 +142,7 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8):
     # useful model math / time / peak). XLA's cost_analysis cannot see inside
     # Pallas kernels, so it would misstate the pallas backend; it is reported
     # separately as xla_flops_per_step where available.
-    flops = analytical_train_flops()
+    flops = analytical_train_flops(batch=batch_size, frames=frames)
     xla_flops = compiled_step_flops(loop, batch)
     peak = _device_peak_tflops()
     mfu = flops / step_time / (peak * 1e12)
@@ -284,11 +283,15 @@ def main():
     baseline_fps = get_baseline()
     results = {}
     degraded = False
+    failed = []
     for name, backend, dtype, unroll in CONFIGS:
         try:
             results[name] = _bench_subprocess(backend, dtype, unroll)
         except Exception:
-            pass
+            # Report, don't hide: a missing config (subprocess crash or
+            # cold-compile timeout) silently shifting the headline to a
+            # slower backend would read as a perf regression.
+            failed.append(name)
     if not results:
         # In-process fallback, ONE config only: a second measurement in the
         # same interpreter reads ~30x slow (runtime contention), so running
@@ -320,6 +323,8 @@ def main():
     if degraded:
         line['degraded'] = 'subprocess isolation unavailable; single '\
                            'in-process measurement'
+    if failed:
+        line['failed_configs'] = failed
     if result['mfu'] > 1.05:
         # Analytical FLOPs are exact for this model, so mfu > 1 means the
         # nominal peak for the reported device_kind understates the actual

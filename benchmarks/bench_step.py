@@ -30,12 +30,13 @@ sys.path.insert(0, REPO)
 def measure(backend, dtype, unroll, batch, frames, steps, rounds):
     import bench
 
-    bench.BATCH = batch
-    bench.FRAMES = frames
+    # MEASURE_* are read at call time inside bench_tpu; shapes must be
+    # passed explicitly (module globals were bound into signature defaults
+    # at import time).
     bench.MEASURE_STEPS = steps
     bench.MEASURE_ROUNDS = rounds
     return bench.bench_tpu(backend, dtype if dtype != 'float32' else None,
-                           unroll=unroll)
+                           unroll=unroll, batch_size=batch, frames=frames)
 
 
 def main(argv=None):

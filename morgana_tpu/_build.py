@@ -16,15 +16,24 @@ _LOCK = threading.Lock()
 CXX_FLAGS = ['-O3', '-march=native', '-shared', '-fPIC', '-std=c++17', '-pthread']
 
 
+def _fresh(lib_path, source_path):
+    """True when ``lib_path`` exists and is no older than its source (a
+    missing source counts as fresh: build artefacts may outlive csrc/ in
+    a partial checkout, and failures here must stay non-fatal)."""
+    if not os.path.exists(lib_path):
+        return False
+    if not os.path.exists(source_path):
+        return True
+    return os.path.getmtime(lib_path) >= os.path.getmtime(source_path)
+
+
 def ensure_built(lib_path, source_path):
     """Builds ``lib_path`` from ``source_path`` if missing or stale.
     Returns True when the library exists afterwards."""
-    if os.path.exists(lib_path) and \
-            os.path.getmtime(lib_path) >= os.path.getmtime(source_path):
+    if _fresh(lib_path, source_path):
         return True
     with _LOCK:
-        if os.path.exists(lib_path) and \
-                os.path.getmtime(lib_path) >= os.path.getmtime(source_path):
+        if _fresh(lib_path, source_path):
             return True
         try:
             subprocess.run(

@@ -8,8 +8,8 @@ errors additionally to stderr and the ``.stderr`` file, and per-batch
 progress-bar descriptions ONLY to the ``.tqdm`` file (so console scrollback
 stays readable while the bar itself renders live).
 
-Routing is driven by the record tag ``{'is_tqdm': True}`` (passed as the
-log call's ``args``) and the record level; the five output channels are
+Routing is driven by an ``is_tqdm`` record attribute (passed via the log
+call's ``extra``) and the record level; the five output channels are
 declared in one spec table, :data:`_CHANNELS`.
 """
 import logging
@@ -28,8 +28,10 @@ _BARE_FMT = '{asctime} - {message}'
 
 
 def _is_progress(record):
-    """True for records tagged ``{'is_tqdm': True}`` via the args slot."""
-    return isinstance(record.args, dict) and bool(record.args.get('is_tqdm'))
+    """True for records tagged via ``extra={'is_tqdm': True}``. (The tag
+    must NOT ride in the args slot: truthy args trigger ``msg % args`` in
+    ``record.getMessage()``, so any '%' in a metric string would raise.)"""
+    return bool(getattr(record, 'is_tqdm', False))
 
 
 class _Route(logging.Filter):
@@ -92,7 +94,9 @@ def create_logger(experiment_dir, process_index=0):
     # every record a second time.
     logger.propagate = False
     while logger.handlers:
-        logger.removeHandler(logger.handlers[-1])
+        handler = logger.handlers[-1]
+        logger.removeHandler(handler)
+        handler.close()  # replaced FileHandlers must not leak descriptors
 
     for sink, fmt, predicate in _CHANNELS:
         if sink.startswith('.'):
@@ -138,7 +142,7 @@ class ProgressBar:
             parts.append(' | '.join(f'{name} = {value}'
                                     for name, value in metrics.items()))
         text = ''.join(parts)
-        logging.getLogger(LOGGER_NAME).debug(text, {'is_tqdm': True})
+        logging.getLogger(LOGGER_NAME).debug(text, extra={'is_tqdm': True})
         self._bar.set_description(text)
 
     def maybe_print(self, mode, epoch, metrics_fn):

@@ -60,7 +60,14 @@ def make_server(engine, host='127.0.0.1', port=0):
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code, payload):
-            body = json.dumps(payload).encode()
+            try:
+                # allow_nan=False: Python's default emits the NaN/Infinity
+                # tokens, which are not JSON and break strict clients.
+                body = json.dumps(payload, allow_nan=False).encode()
+            except ValueError:
+                code = 500
+                body = json.dumps({'error': 'model output contains '
+                                            'non-finite values'}).encode()
             self.send_response(code)
             self.send_header('Content-Type', 'application/json')
             self.send_header('Content-Length', str(len(body)))
@@ -83,13 +90,27 @@ def make_server(engine, host='127.0.0.1', port=0):
                 length = int(self.headers.get('Content-Length', 0))
                 request = json.loads(self.rfile.read(length))
                 items = [_to_arrays(item) for item in request['items']]
+                names = [item.get('name', str(i))
+                         for i, item in enumerate(items)]
+                if len(set(names)) != len(names):
+                    # Results key by name; duplicates would silently
+                    # overwrite each other.
+                    self._reply(400, {'error': 'duplicate item names'})
+                    return
+            except Exception as exc:  # noqa: BLE001 - malformed request
+                self._reply(400, {'error': f'{type(exc).__name__}: {exc}'})
+                return
+            try:
                 with lock:
                     results = engine.predict_items(items)
                 self._reply(200, {'results': {
                     name: _to_lists(outputs)
                     for name, outputs in results.items()}})
-            except Exception as exc:  # noqa: BLE001 - a server must not die per-request
-                self._reply(400, {'error': f'{type(exc).__name__}: {exc}'})
+            except KeyError as exc:
+                # A missing data-source key is a caller mistake.
+                self._reply(400, {'error': f'missing feature {exc}'})
+            except Exception as exc:  # noqa: BLE001 - server fault, not caller
+                self._reply(500, {'error': f'{type(exc).__name__}: {exc}'})
 
         def log_message(self, fmt, *args):  # quiet by default
             pass

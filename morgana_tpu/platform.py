@@ -54,7 +54,16 @@ def _ensure_host_device_flag(n_devices):
     """
     flags = os.environ.get('XLA_FLAGS', '')
     if _HOST_COUNT_FLAG in flags:
-        return
+        import re
+        match = re.search(_HOST_COUNT_FLAG + r'=(\d+)', flags)
+        have = int(match.group(1)) if match else None
+        if have is not None and have >= (n_devices or 0):
+            return
+        if backends_initialized():
+            # Too late to raise the count; the caller's device-count check
+            # (or the PlatformError below) reports it.
+            return
+        flags = re.sub(_HOST_COUNT_FLAG + r'=\d+', '', flags).strip()
     os.environ['XLA_FLAGS'] = (flags + f' {_HOST_COUNT_FLAG}={n_devices}').strip()
 
 
@@ -90,6 +99,15 @@ def select_platform(platform, n_devices=None, allow_fallback=False):
 
     current = _current_platform()
     if current == platform:
+        if platform == 'cpu' and n_devices and \
+                len(jax.devices('cpu')) < n_devices:
+            # Fail-loudly contract: "success" with too few virtual devices
+            # would just move the failure to an unrelated mesh error later.
+            raise PlatformError(
+                f'need {n_devices} CPU devices but the CPU backend already '
+                f'initialised with {len(jax.devices("cpu"))}. Set XLA_FLAGS='
+                f'{_HOST_COUNT_FLAG}={n_devices} at process start, or call '
+                f'select_platform before any JAX work.')
         return platform
     if allow_fallback:
         return current

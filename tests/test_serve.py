@@ -277,6 +277,18 @@ class TestHTTPServing:
             except urllib.error.HTTPError as e:
                 assert e.code == 400
                 assert 'error' in json.loads(e.read())
+
+            # Duplicate names would silently overwrite results -> 400.
+            dup = urllib.request.Request(
+                f'http://127.0.0.1:{port}/predict',
+                data=json.dumps({'items': [item, item]}).encode(),
+                headers={'Content-Type': 'application/json'})
+            try:
+                urllib.request.urlopen(dup, timeout=60)
+                raise AssertionError('expected HTTP 400')
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert 'duplicate' in json.loads(e.read())['error']
         finally:
             server.shutdown()
             server.server_close()
