@@ -142,6 +142,24 @@ class _SpeakerDependentNormaliser(_FeatureNormaliser):
     def denormalise(self, feature, speaker_ids, deltas=False):
         return self._denormalise(feature, **self.fetch_params(speaker_ids, deltas=deltas))
 
+    def save_params(self, params, data_dir, data_root='.', deltas=False,
+                    speaker_id=None):
+        """Per-speaker save: the base implementation would KeyError on the
+        ``{speaker_id}`` pattern slot and flatten the per-speaker params
+        dict; here the file and the in-memory entry are speaker-scoped."""
+        if speaker_id is None:
+            raise ValueError(f'{type(self).__name__}.save_params needs '
+                             f'speaker_id= (params are per-speaker)')
+        name = self.name + ('_deltas' if deltas else '')
+        path = os.path.join(data_root, data_dir,
+                            self.file_pattern.format(name=name,
+                                                     speaker_id=speaker_id))
+        file_io.save_json({k: np.asarray(v).tolist()
+                           for k, v in params.items()}, path)
+        target = self.delta_params if deltas else self.params
+        target[speaker_id] = {k: np.array(v, np.float32)
+                              for k, v in params.items()}
+
     def fetch_params(self, speaker_ids, deltas=False):
         speaker_ids = listify(speaker_ids)
         speaker_params = self.delta_params if deltas else self.params
@@ -226,7 +244,11 @@ class Normalisers(dict):
 
     def __init__(self, normaliser_sources, normalisation_dir, data_root='.', device=None):
         super().__init__()
-        self.normalisation_dir = os.path.join(data_root, normalisation_dir)
+        self.normalisation_dir = normalisation_dir
+        self.data_root = data_root
         for name, normaliser in normaliser_sources.items():
             self[name] = normaliser
-            self[name].load_params(self.normalisation_dir)
+            # data_root rides separately: speaker-dependent normalisers
+            # resolve their speaker_id_list against it, so baking it into
+            # the dir (the old behaviour) left them reading from the CWD.
+            self[name].load_params(normalisation_dir, data_root)

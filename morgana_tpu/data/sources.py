@@ -158,10 +158,15 @@ class SyntheticSource(_DataSource):
         # interpreter (PYTHONHASHSEED), which would silently change the
         # "deterministic" features between runs and between hosts.
         import zlib
-        seed = zlib.crc32(f'{base_name}\x00{self.name}'.encode())
-        rng = np.random.default_rng(seed)
+        # The LENGTH is seeded by base_name alone so all sources of one
+        # utterance (sharing a seq_len_range) agree on its frame count —
+        # per-feature lengths would misalign frame-level streams; only the
+        # CONTENT varies per (utterance, feature).
+        len_rng = np.random.default_rng(zlib.crc32(base_name.encode()))
         lo, hi = self.seq_len_range
-        n = int(rng.integers(lo, hi))
+        n = int(len_rng.integers(lo, hi))
+        rng = np.random.default_rng(
+            zlib.crc32(f'{base_name}\x00{self.name}'.encode()))
         if self.sentence_level:
             return np.asarray([n], dtype=np.float32)
         if self.kind == 'binary':

@@ -100,6 +100,14 @@ def generate_voice_data(data_root, num_train=8, num_valid=4, num_test=2, seed=24
                   / np.sqrt(lab_dim)).astype(np.float32)
 
     if speakers:
+        if splits.get('train', 0) < len(speakers):
+            # Every listed speaker needs at least one train utterance:
+            # per-speaker normalisation params are fitted from train data,
+            # and loading a speaker without params fails downstream.
+            raise ValueError(
+                f'num_train={splits.get("train", 0)} < {len(speakers)} '
+                f'speakers: every speaker in speakers.scp needs at least one '
+                f'train utterance to fit its normalisation params')
         file_io.save_lines(speakers, os.path.join(data_root, 'speakers.scp'))
 
     for split, count in splits.items():
@@ -115,9 +123,10 @@ def generate_voice_data(data_root, num_train=8, num_valid=4, num_test=2, seed=24
                                   voice_proj=voice_proj)
 
             if speakers:
-                speaker = speakers[utt_index % len(speakers)]
+                speaker_index = utt_index % len(speakers)
+                speaker = speakers[speaker_index]
                 # Speaker-dependent offset so per-speaker stats differ.
-                feats['lf0'] = feats['lf0'] + 0.2 * speakers.index(speaker)
+                feats['lf0'] = feats['lf0'] + 0.2 * speaker_index
                 spk_dir = os.path.join(split_dir, 'speaker_id')
                 os.makedirs(spk_dir, exist_ok=True)
                 with open(os.path.join(spk_dir, f'{utt_id}.txt'), 'w') as f:
@@ -139,9 +148,10 @@ def generate_voice_data(data_root, num_train=8, num_valid=4, num_test=2, seed=24
                                  os.path.join(split_dir, name, f'{utt_id}.npy'))
 
             if split == 'train':
+                # fit_mvn_params/fit_minmax_params reshape per feature
+                # themselves; append the raw arrays.
                 for name in ('dur', 'lab', 'counters', 'lf0', 'mcep', 'bap'):
-                    train_feats_for_norm.setdefault(name, []).append(
-                        np.asarray(feats[name], np.float32).reshape(-1, feats[name].shape[-1]))
+                    train_feats_for_norm.setdefault(name, []).append(feats[name])
                 for name in ('lf0', 'mcep', 'bap'):
                     train_feats_for_norm.setdefault(name + '_deltas', []).append(
                         compute_deltas(feats[name]))

@@ -138,6 +138,17 @@ class Handler(StatefulMetric):
     def apply_staged(self, values, tag='default'):
         """Merges concrete staged values (in the order they were staged)."""
         keys = self._keys_by_tag.get(tag, [])
+        if len(keys) != len(values):
+            # Each jit executable stages a fixed sequence; the key list
+            # records the LAST trace's sequence. A mismatch means another
+            # executable (conditional accumulation on a static batch
+            # property) is feeding this tag — zip would silently mispair
+            # values into the wrong accumulators.
+            raise ValueError(
+                f"staged-metric mismatch for tag {tag!r}: {len(values)} "
+                f"values vs {len(keys)} recorded keys. Accumulate the same "
+                f"metrics on every trace of a step (use zero-valued inputs "
+                f"instead of skipping the call).")
         for (collection, name), val in zip(keys, values):
             metric = self[collection][name]
             metric.hidden = metric._hidden
@@ -352,7 +363,10 @@ class Variance(StatefulMetric):
 
 class StandardDeviation(Variance):
     def result(self, *args):
-        return super().result(*args) ** 0.5
+        # Clamp: fp cancellation can drive the online variance a hair
+        # negative, and Python's ** 0.5 on a negative float returns a
+        # COMPLEX number, crashing printing/JSON export.
+        return max(0.0, super().result(*args)) ** 0.5
 
 
 class RMSE(Mean):

@@ -31,6 +31,10 @@ def save_batched_seqs(sequence_features, names, out_dir, seq_len=None, feat_name
     else:
         if feat_names is None:
             raise ValueError('If sequence features is not a dictionary, then feat_names must be provided.')
+        if not isinstance(sequence_features, (list, tuple)):
+            # A bare (batch, time, dim) array: wrap it so the star-splat
+            # below passes ONE feature, not one array per batch item.
+            sequence_features = [sequence_features]
 
     sequence_features = utils.detach_batched_seqs(*sequence_features, seq_len=seq_len)
     if not isinstance(sequence_features, list) or (

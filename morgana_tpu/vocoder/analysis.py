@@ -17,7 +17,7 @@ import numpy as np
 from morgana_tpu.vocoder.world import spectrum_to_mcep
 
 __all__ = ['estimate_f0', 'spectral_envelope', 'band_aperiodicity', 'analyze',
-           'features_from_wav']
+           'features_from_wav', 'default_fft_size']
 
 
 def _frame_signal(wav, frame_len, hop, num_frames, center=True):
@@ -90,10 +90,24 @@ def estimate_f0(wav, fs, frame_period=5.0, f0_min=60.0, f0_max=400.0,
     return np.where(vuv, f0, 0.0), vuv.astype(np.float64)
 
 
-def spectral_envelope(wav, fs, frame_period=5.0, fft_size=1024, lifter_quefrency=None):
+
+def default_fft_size(fs):
+    """Smallest power of two holding ~4 pitch periods at the 120 Hz f0
+    floor (WORLD's CheapTrick scales its FFT with fs the same way): 1024 at
+    16 kHz, 4096 at 96 kHz. A sample-rate-independent FFT would make the
+    cepstral envelope cutoff impossible to honour at high rates."""
+    n = 1
+    while n < 4 * fs / 120.0:
+        n *= 2
+    return n
+
+def spectral_envelope(wav, fs, frame_period=5.0, fft_size=None, lifter_quefrency=None):
     r"""STFT power spectrum smoothed by cepstral liftering -> envelope
-    (num_frames, fft_size//2 + 1)."""
+    (num_frames, fft_size//2 + 1). ``fft_size=None`` scales with ``fs``
+    (:func:`default_fft_size`)."""
     wav = np.asarray(wav, np.float64)
+    if fft_size is None:
+        fft_size = default_fft_size(fs)
     hop = int(fs * frame_period / 1000.0)
     num_frames = int(np.ceil(len(wav) / hop))
     frame_len = min(fft_size, 4 * hop)
@@ -102,9 +116,13 @@ def spectral_envelope(wav, fs, frame_period=5.0, fft_size=1024, lifter_quefrency
     power = np.abs(np.fft.rfft(frames, n=fft_size, axis=1)) ** 2 / frame_len
     power = np.maximum(power, 1e-12)
 
-    # Cepstral smoothing: keep quefrencies below ~1/f0_floor.
+    # Cepstral smoothing: keep quefrencies below ~1/f0_floor. Clamp to the
+    # fft window: at high sample rates int(fs/120) can exceed fft_size/2,
+    # which would zero NOTHING and silently return the raw harmonic
+    # spectrum instead of an envelope.
     if lifter_quefrency is None:
         lifter_quefrency = int(fs / 120.0)
+    lifter_quefrency = min(int(lifter_quefrency), (fft_size - 1) // 2)
     log_power = np.log(power)
     cep = np.fft.irfft(log_power, n=fft_size, axis=1)
     cep[:, lifter_quefrency:fft_size - lifter_quefrency] = 0.0
@@ -128,6 +146,14 @@ def band_aperiodicity(wav, f0, fs, frame_period=5.0, num_bands=5):
     freqs = np.fft.rfftfreq(len(wav), 1.0 / fs)
     edges = np.linspace(0, fs / 2, num_bands + 1)
 
+    # Band-independent quantities, hoisted out of the per-band loop (this
+    # runs per utterance over whole corpora in data prep).
+    nfft = 1
+    while nfft < 2 * frame_len:
+        nfft *= 2
+    lags = np.where(f0 > 0, np.clip(fs / np.maximum(f0, 1.0), 1,
+                                    frame_len - 1).astype(int), 1)
+
     bap = np.zeros((num_frames, num_bands))
     for b in range(num_bands):
         mask = (freqs >= edges[b]) & (freqs < edges[b + 1])
@@ -135,15 +161,10 @@ def band_aperiodicity(wav, f0, fs, frame_period=5.0, num_bands=5):
         frames = _frame_signal(band, frame_len, hop, num_frames)
         frames = frames - frames.mean(axis=1, keepdims=True)
 
-        nfft = 1
-        while nfft < 2 * frame_len:
-            nfft *= 2
         spec = np.fft.rfft(frames, n=nfft, axis=1)
         ac = np.fft.irfft(spec * np.conj(spec), n=nfft, axis=1)
         energy = ac[:, 0] + 1e-12
 
-        lags = np.where(f0 > 0, np.clip(fs / np.maximum(f0, 1.0), 1,
-                                        frame_len - 1).astype(int), 1)
         nac = ac[np.arange(num_frames), lags] / energy
         periodic_fraction = np.clip(nac, 0.0, 1.0 - 1e-6)
         ap2 = np.where(f0 > 0, 1.0 - periodic_fraction, 1.0 - 1e-6)
@@ -152,11 +173,13 @@ def band_aperiodicity(wav, f0, fs, frame_period=5.0, num_bands=5):
     return np.clip(bap, -20.0, 0.0)
 
 
-def analyze(wav, fs, frame_period=5.0, fft_size=1024):
+def analyze(wav, fs, frame_period=5.0, fft_size=None):
     r"""wav -> ``(f0, sp, ap)`` in WORLD conventions (power envelope,
     per-bin aperiodicity in (0, 1])."""
     from morgana_tpu.vocoder.world import bap_to_aperiodicity
 
+    if fft_size is None:
+        fft_size = default_fft_size(fs)
     f0, _vuv = estimate_f0(wav, fs, frame_period)
     sp = spectral_envelope(wav, fs, frame_period, fft_size)
     num_frames = min(len(f0), sp.shape[0])
@@ -166,10 +189,13 @@ def analyze(wav, fs, frame_period=5.0, fft_size=1024):
     return f0, sp, ap
 
 
-def features_from_wav(wav, fs, frame_period=5.0, fft_size=1024,
+def features_from_wav(wav, fs, frame_period=5.0, fft_size=None,
                       mcep_order=59, num_bands=5):
     r"""wav -> model-feature dict ``{lf0, vuv, mcep, bap, n_frames}`` in the
-    shapes/conventions the example models train on (``models/rnn_spss.py``)."""
+    shapes/conventions the example models train on (``models/rnn_spss.py``).
+    ``fft_size=None`` scales with ``fs`` (:func:`default_fft_size`)."""
+    if fft_size is None:
+        fft_size = default_fft_size(fs)
     f0, vuv = estimate_f0(wav, fs, frame_period)
     sp = spectral_envelope(wav, fs, frame_period, fft_size)
     num_frames = min(len(f0), sp.shape[0])

@@ -301,3 +301,36 @@ class TestLoaderErrorPropagation:
         loader = data.batch(BadDataset(), batch_size=2, shuffle=False)
         with pytest.raises(RuntimeError, match='boom'):
             list(loader)
+
+
+class TestNormalisersContainer:
+    def test_container_forwards_data_root(self, tmp_path, rng):
+        """The Normalisers dict container must forward data_root so
+        speaker-dependent normalisers resolve their speaker list against the
+        dataset root, not the CWD."""
+        root = tmp_path / 'voice'
+        (root / 'train' / 'spk1').mkdir(parents=True)
+        file_io.save_lines(['spk1'], str(root / 'speakers.scp'))
+        file_io.save_json({'mean': [0.0], 'std_dev': [1.0]},
+                          str(root / 'train' / 'spk1' / 'lf0_mvn.json'))
+        file_io.save_json({'mean': [0.0], 'std_dev': [1.0]},
+                          str(root / 'train' / 'dur_mvn.json'))
+        norms = data.Normalisers(
+            {'dur': data.MeanVarianceNormaliser('dur'),
+             'lf0': data.SpeakerDependentMeanVarianceNormaliser(
+                 'lf0', 'speakers.scp')},
+            'train', data_root=str(root))
+        assert norms['lf0'].speaker_ids == ['spk1']
+        assert 'mean' in norms['lf0'].params['spk1']
+
+    def test_sd_save_params_per_speaker(self, tmp_path):
+        (tmp_path / 'train').mkdir()
+        file_io.save_lines(['s1'], str(tmp_path / 'speakers.scp'))
+        norm = data.SpeakerDependentMeanVarianceNormaliser('lf0', 'speakers.scp')
+        with pytest.raises(ValueError, match='speaker_id'):
+            norm.save_params({'mean': [0.0], 'std_dev': [1.0]}, 'train',
+                             str(tmp_path))
+        norm.save_params({'mean': [0.5], 'std_dev': [2.0]}, 'train',
+                         str(tmp_path), speaker_id='s1')
+        assert os.path.isfile(tmp_path / 'train' / 's1' / 'lf0_mvn.json')
+        np.testing.assert_allclose(norm.params['s1']['mean'], [0.5])

@@ -3,6 +3,7 @@ and the jit staging path (partials out of a jitted function, merged on host)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from morgana_tpu import metrics
 
@@ -206,3 +207,30 @@ class TestHandler:
         h.apply_staged(s2, tag='eval')
         assert abs(h['train']['loss'].result() - 1.0) < 1e-6
         assert abs(h['valid']['vloss'].result() - 7.0) < 1e-6
+
+
+def test_std_near_constant_stays_real():
+    """FP cancellation can drive the online variance a hair negative; the
+    std must clamp at 0 instead of returning a COMPLEX number (which crashed
+    printing and the metrics.json write)."""
+    import jax.numpy as jnp
+    m = metrics.StandardDeviation()
+    m.reset_state()
+    for _ in range(13):
+        m.merge(m.partials(jnp.full((1, 7, 3), 0.1)))
+    out = m.result()
+    assert isinstance(out, float) and out >= 0.0
+
+
+def test_apply_staged_length_mismatch_raises():
+    """Conditionally-staged metrics across retraces would zip-mispair values
+    into the wrong accumulators; the handler must reject the mismatch."""
+    import jax.numpy as jnp
+    handler = metrics.Handler()
+    handler.add_metrics('train', a=metrics.Mean(), b=metrics.Mean())
+    handler.begin_staging('t')
+    handler.accumulate('train', a=(jnp.ones((1, 2, 1)),),
+                       b=(jnp.ones((1, 2, 1)),))
+    staged = handler.drain_staged_values()
+    with pytest.raises(ValueError, match='staged-metric mismatch'):
+        handler.apply_staged(staged[:1], tag='t')

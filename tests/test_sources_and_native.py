@@ -243,3 +243,24 @@ class TestPrepareVoice:
         assert item['counters'].shape[1] == 9
         assert 'normalised_lf0_deltas' in item
         assert item['lf0'].shape[0] == int(item['n_frames'])
+
+
+class TestSyntheticConsistency:
+    def test_lengths_agree_across_features(self):
+        """All sources of one utterance (same seq_len_range) must agree on
+        its frame count — per-feature lengths would misalign frame-level
+        streams that models concatenate."""
+        a = SyntheticSource('lf0', feat_dim=1)('utt1', '.')['lf0']
+        b = SyntheticSource('mcep', feat_dim=60)('utt1', '.')['mcep']
+        n = SyntheticSource('n_frames', feat_dim=1,
+                            sentence_level=True)('utt1', '.')['n_frames']
+        assert a.shape[0] == b.shape[0] == int(np.asarray(n).reshape(-1)[0])
+
+    def test_speakers_need_train_coverage(self, tmp_path):
+        """Every listed speaker needs a train utterance to fit per-speaker
+        normalisation params; otherwise loading fails far downstream."""
+        from morgana_tpu.data.synthetic import generate_voice_data
+        with pytest.raises(ValueError, match='speakers'):
+            generate_voice_data(str(tmp_path / 'v'), num_train=2,
+                                num_valid=1, num_test=1,
+                                speakers=['a', 'b', 'c'])

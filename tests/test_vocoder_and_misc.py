@@ -165,6 +165,17 @@ class TestVizIO:
         assert a.shape == (3, 4)
         assert os.path.isfile(tmp_path / 'feats' / 'lf0' / 'utt_a.npy')
 
+    def test_save_batched_seqs_bare_array(self, tmp_path, rng):
+        """A bare (batch, time, dim) array is ONE feature, not one feature
+        per batch item (the star-splat used to save corrupt slices)."""
+        arr = rng.normal(size=(2, 6, 4)).astype(np.float32)
+        viz.save_batched_seqs(arr, ['utt_a', 'utt_b'], str(tmp_path),
+                              seq_len=np.array([6, 3]), feat_names=['mcep'])
+        a = np.load(tmp_path / 'feats' / 'mcep' / 'utt_a.npy')
+        b = np.load(tmp_path / 'feats' / 'mcep' / 'utt_b.npy')
+        assert a.shape == (6, 4) and b.shape == (3, 4)
+        np.testing.assert_array_equal(b, arr[1, :3])
+
     def test_plot_experiment(self, tmp_path):
         from morgana_tpu.data import file_io
         base = tmp_path / 'experiments'
