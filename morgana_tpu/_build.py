@@ -3,7 +3,14 @@
 The shared objects are build artefacts (not checked in); ctypes loaders call
 :func:`ensure_built` which compiles the corresponding ``csrc/*.cpp`` with g++
 on first use. Failures are non-fatal — callers fall back to NumPy paths.
+
+Each library exports an ABI-version function (e.g. ``morgana_world_synth_abi``)
+that :func:`load_library` checks before handing the handle to callers: a stale
+prebuilt ``.so`` whose entry-point signatures predate the current bindings
+would otherwise be called with shifted pointer arguments (memory corruption
+instead of a clean NumPy fallback).
 """
+import ctypes
 import logging
 import os
 import subprocess
@@ -45,3 +52,42 @@ def ensure_built(lib_path, source_path):
             logger.warning('Could not build %s (%s); using NumPy fallback',
                            lib_path, e)
             return False
+
+
+def load_library(lib_path, source_path, abi_symbol, abi_version):
+    """Builds (if needed), loads and ABI-checks a native library.
+
+    Returns the ``ctypes.CDLL`` handle, or None when the library cannot be
+    built/loaded or its exported ``abi_symbol()`` does not return
+    ``abi_version`` (missing symbol counts as mismatch). On mismatch, one
+    rebuild from source is attempted — the usual cause is a stale prebuilt
+    ``.so`` older than the current bindings.
+    """
+    ensure_built(lib_path, source_path)
+    for attempt in range(2):
+        if not os.path.exists(lib_path):
+            return None
+        try:
+            lib = ctypes.CDLL(lib_path)
+        except OSError:
+            return None
+        try:
+            fn = getattr(lib, abi_symbol)
+            fn.restype = ctypes.c_longlong
+            fn.argtypes = []
+            found = int(fn())
+        except (AttributeError, OSError):
+            found = None
+        if found == abi_version:
+            return lib
+        logger.warning('%s: ABI %s != expected %s%s', lib_path, found,
+                       abi_version,
+                       '; rebuilding' if attempt == 0 else '; using NumPy fallback')
+        if attempt == 0:
+            try:
+                os.unlink(lib_path)
+            except OSError:
+                return None
+            if not ensure_built(lib_path, source_path):
+                return None
+    return None

@@ -132,6 +132,34 @@ def orbax_restore(directory, step=None, target=None):
     return manager.restore(step)
 
 
+def orbax_sidecar_path(directory, step):
+    """Path of the LR-schedule pickle sidecar for an Orbax step (the
+    schedule's heterogeneous scalars are not an Orbax pytree)."""
+    return os.path.join(directory, f'lr_state_{int(step)}.pkl')
+
+
+def orbax_prune_sidecars(directory):
+    """Deletes ``lr_state_{N}.pkl`` sidecars whose step Orbax no longer
+    retains, so sidecars cannot accumulate past the checkpoints they
+    belong to. Returns the steps removed."""
+    import re
+    kept = set(_orbax_manager(directory).all_steps())
+    removed = []
+    try:
+        entries = os.listdir(directory)
+    except OSError:
+        return removed
+    for entry in entries:
+        match = re.fullmatch(r'lr_state_(\d+)\.pkl', entry)
+        if match and int(match.group(1)) not in kept:
+            try:
+                os.unlink(os.path.join(directory, entry))
+                removed.append(int(match.group(1)))
+            except OSError:
+                pass
+    return removed
+
+
 def orbax_wait(directory):
     """Blocks until pending async saves for ``directory`` complete."""
     if os.path.abspath(directory) in _ORBAX_MANAGERS:

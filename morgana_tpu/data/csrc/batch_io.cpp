@@ -94,6 +94,10 @@ int NumThreads(long long n) {
 
 extern "C" {
 
+// ABI version of this library's entry points; the ctypes loader refuses a
+// library whose version does not match (stale .so protection).
+long long morgana_batch_io_abi() { return 1; }
+
 // Fills rows/cols per file. Returns 0 on success, -(index+1) of first bad file.
 long long npy_batch_shapes(const char** paths, long long n,
                            long long* rows, long long* cols) {

@@ -22,11 +22,10 @@ def _load():
     _LIB_TRIED = True
     path = os.path.join(os.path.dirname(__file__), 'libbatch_io.so')
     source = os.path.join(os.path.dirname(__file__), 'csrc', 'batch_io.cpp')
-    from morgana_tpu._build import ensure_built
-    ensure_built(path, source)
-    if os.path.exists(path):
+    from morgana_tpu._build import load_library
+    lib = load_library(path, source, 'morgana_batch_io_abi', 1)
+    if lib is not None:
         try:
-            lib = ctypes.CDLL(path)
             ll = ctypes.c_longlong
             lib.npy_batch_shapes.restype = ll
             lib.npy_batch_shapes.argtypes = [
@@ -42,7 +41,7 @@ def _load():
                 ctypes.POINTER(ll), ll, ll, ll,
                 ctypes.POINTER(ctypes.c_float)]
             _LIB = lib
-        except OSError:
+        except (AttributeError, OSError):
             _LIB = None
     return _LIB
 

@@ -419,12 +419,18 @@ class ExperimentBuilder(object):
                         # heterogeneous scalars are not an Orbax pytree);
                         # without it a resumed batch-level schedule (noam,
                         # cyclic, ...) would restart from schedule-step 0.
-                        lr_path = os.path.join(self.orbax_dir,
-                                               f'lr_state_{restored_epoch}.pkl')
+                        lr_path = checkpointing.orbax_sidecar_path(
+                            self.orbax_dir, restored_epoch)
                         if os.path.exists(lr_path):
                             import pickle
                             with open(lr_path, 'rb') as f:
                                 self._restored_lr_state = pickle.load(f)
+                        else:
+                            self.logger.warning(
+                                'Orbax step %s has no LR-schedule sidecar '
+                                '(%s); batch-level schedules (noam, cyclic, '
+                                '...) will restart from schedule step 0',
+                                restored_epoch, lr_path)
                     self.logger.info('Restored training state from Orbax dir %s '
                                      '(epoch %s, step %d); start_epoch=%d',
                                      self.orbax_dir, restored_epoch,
@@ -841,10 +847,12 @@ class ExperimentBuilder(object):
                         # restore path in __init__).
                         import pickle
                         os.makedirs(self.orbax_dir, exist_ok=True)
-                        lr_path = os.path.join(self.orbax_dir,
-                                               f'lr_state_{self.epoch}.pkl')
+                        lr_path = checkpointing.orbax_sidecar_path(
+                            self.orbax_dir, self.epoch)
                         with open(lr_path, 'wb') as f:
                             pickle.dump(lr_schedule.state_dict(), f)
+                        # Sidecars live and die with their Orbax step.
+                        checkpointing.orbax_prune_sidecars(self.orbax_dir)
 
             # Run validation.
             if self.valid:

@@ -55,6 +55,16 @@ def load_model_class(spec):
     return getattr(module, class_name)
 
 
+def _check_unique(names):
+    """Results are keyed by utterance name; duplicates would silently
+    overwrite each other's outputs (the HTTP layer replies 400 for the same
+    reason — the Python API raises)."""
+    seen = set()
+    dupes = sorted({str(n) for n in names if str(n) in seen or seen.add(str(n))})
+    if dupes:
+        raise ValueError(f'duplicate utterance names: {dupes}')
+
+
 class InferenceEngine(object):
     r"""Persistent predict/synthesis engine for one trained model.
 
@@ -196,6 +206,8 @@ class InferenceEngine(object):
         outputs unpadded."""
         from morgana_tpu.data import assemble_item, collate
 
+        names = [str(item.get('name', i)) for i, item in enumerate(items)]
+        _check_unique(names)
         sources = self.model.test_data_sources()
         built = []
         for i, item in enumerate(items):
@@ -220,6 +232,7 @@ class InferenceEngine(object):
     def predict_ids(self, file_ids, data_dir='test'):
         """Predicts the given utterance ids; returns ``{id: outputs}`` with
         frame-level outputs unpadded to each utterance's true length."""
+        _check_unique(file_ids)
         loader = self._loader(data_dir, file_ids=file_ids)
         results = {}
         done = 0

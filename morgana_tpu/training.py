@@ -69,6 +69,15 @@ def build_optimizer(weight_decay=0., b1=0.9, b2=0.999, eps=1e-8,
     return optax.chain(*transforms)
 
 
+def batch_items(batch):
+    """Number of items in a collated batch — the leading dim of the first
+    batched array (a trace-time constant under jit: shapes are static)."""
+    for value in batch.values():
+        if hasattr(value, 'shape') and len(value.shape) >= 1:
+            return int(value.shape[0])
+    return 1
+
+
 def numeric_features(features):
     """The jit-able subset of a batch (numeric/bool arrays only).
 
@@ -107,11 +116,14 @@ class TrainLoop(object):
         # When set, the train step uses the explicit-collective shard_map
         # formulation over this mesh instead of relying on GSPMD.
         self.shard_map_mesh = shard_map_mesh
-        # Gradient accumulation: micro-batch gradients are summed on device
-        # and the optimiser (and EMA) applies once every N calls, averaging —
-        # numerically identical to one step on the N-batch concatenation
-        # (sequence_loss is a mean over batch items). The effective batch is
-        # N * batch_size without N x the activation memory.
+        # Gradient accumulation: micro-batch gradients (each a mean over its
+        # batch items) are weighted by item count, summed on device, and the
+        # optimiser (and EMA) applies once every N calls after dividing by
+        # the total item count — numerically identical to one step on the
+        # N-batch concatenation (sequence_loss is a mean over batch items)
+        # even when the last micro-batch of a cycle is a smaller remainder
+        # batch. The effective batch is N * batch_size without N x the
+        # activation memory.
         self.grad_accum_steps = int(grad_accum_steps) if grad_accum_steps else 1
         if self.grad_accum_steps > 1 and shard_map_mesh is not None:
             raise ValueError('grad_accum_steps > 1 is not supported with the '
@@ -132,9 +144,11 @@ class TrainLoop(object):
 
         self.rng = jax.random.PRNGKey(seed)
         self.step_count = 0
-        # Accumulation-cycle state: gradients summed so far and their count.
+        # Accumulation-cycle state: weighted gradients summed so far, plus
+        # the micro-batch count and total item count of the open cycle.
         self._acc_grads = None
         self._micro_count = 0
+        self._acc_items = 0
         # True when the last train_step call applied an optimiser update
         # (always true without accumulation); batch-level LR schedules step
         # only on applied steps.
@@ -170,33 +184,40 @@ class TrainLoop(object):
 
     def _build_accum_step(self):
         """Micro-batch step of a gradient-accumulation cycle: computes loss,
-        metrics and gradients and sums the gradients into the (donated)
-        accumulator — no parameter, optimiser or EMA update."""
+        metrics and gradients and sums the item-count-weighted gradients into
+        the (donated) accumulator — no parameter, optimiser or EMA update."""
         model = self.model
 
         def accum_step(params, acc_grads, batch, global_step, rng):
+            # Per-item weighting: each micro-gradient is a mean over its
+            # (static) item count n, so acc accumulates n * grad and the
+            # apply step divides by the cycle's total item count.
+            weight = jnp.float32(batch_items(batch))
             batch = dict(batch, global_step=global_step)
             loss, staged, outputs, grads = staged_value_and_grad(
                 model, params, batch, rng)
-            acc_grads = jax.tree_util.tree_map(lambda a, g: a + g, acc_grads, grads)
+            acc_grads = jax.tree_util.tree_map(
+                lambda a, g: a + weight * g, acc_grads, grads)
             return acc_grads, loss, staged, outputs
 
         return jax.jit(accum_step, donate_argnums=(1,))
 
     def _build_apply_step(self):
         """Final micro-batch of an accumulation cycle: adds this batch's
-        gradients to the accumulator, averages over the cycle (``inv_count``),
-        and runs the optimiser + EMA update. Returns a zeroed accumulator for
-        the next cycle (device-side, no host transfer)."""
+        item-count-weighted gradients to the accumulator, divides by the
+        cycle's total item count (``inv_items``), and runs the optimiser +
+        EMA update. Returns a zeroed accumulator for the next cycle
+        (device-side, no host transfer)."""
         model, optimizer, ema_decay = self.model, self.optimizer, self.ema_decay
 
         def apply_step(params, opt_state, ema_params, acc_grads, batch, lr,
-                       inv_count, global_step, rng):
+                       inv_items, global_step, rng):
+            weight = jnp.float32(batch_items(batch))
             batch = dict(batch, global_step=global_step)
             loss, staged, outputs, grads = staged_value_and_grad(
                 model, params, batch, rng)
             grads = jax.tree_util.tree_map(
-                lambda a, g: (a + g) * inv_count, acc_grads, grads)
+                lambda a, g: (a + weight * g) * inv_items, acc_grads, grads)
             params, opt_state, ema_params = apply_updates(
                 optimizer, ema_decay, params, opt_state, ema_params, grads, lr)
             acc_grads = jax.tree_util.tree_map(jnp.zeros_like, grads)
@@ -264,15 +285,22 @@ class TrainLoop(object):
                     self.params, self._acc_grads, batch, global_step,
                     self._next_rng())
                 self._micro_count += 1
+                self._acc_items += batch_items(batch)
                 self.last_step_applied = False
             else:
-                inv_count = jnp.float32(1.0 / (self._micro_count + 1))
+                # Divide by the cycle's total ITEM count (not micro-batch
+                # count): micro-gradients were weighted by their item counts,
+                # so unequal-size batches (e.g. an epoch-final remainder)
+                # still contribute per-sample, matching one big-batch step.
+                inv_items = jnp.float32(
+                    1.0 / (self._acc_items + batch_items(batch)))
                 (self.params, self.opt_state, self.ema_params, self._acc_grads,
                  loss, staged, outputs) = self._apply_step(
                     self.params, self.opt_state, self.ema_params,
                     self._acc_grads, batch, jnp.asarray(lr, jnp.float32),
-                    inv_count, global_step, self._next_rng())
+                    inv_items, global_step, self._next_rng())
                 self._micro_count = 0
+                self._acc_items = 0
                 self.last_step_applied = True
         else:
             (self.params, self.opt_state, self.ema_params,

@@ -136,6 +136,13 @@ void MinimumPhase(const double* power, int num_bins, const FFTPlan& plan,
 
 extern "C" {
 
+// ABI version of this library's entry points. Bump whenever a signature
+// changes; the ctypes loader refuses to use a library whose version does not
+// match (a stale prebuilt .so called through a newer signature would read
+// shifted pointer arguments). Version 2 = world_synthesize with the noise
+// seed before out/out_capacity.
+long long morgana_world_synth_abi() { return 2; }
+
 // Synthesises a waveform. Returns the number of output samples, or -1 on
 // unsupported input (caller falls back to the NumPy path).
 long long world_synthesize(const double* f0, const double* sp, const double* ap,

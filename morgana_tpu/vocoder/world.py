@@ -34,11 +34,13 @@ def _load_native():
     _LIB_TRIED = True
     lib_path = os.path.join(os.path.dirname(__file__), 'libworld_synth.so')
     source = os.path.join(os.path.dirname(__file__), 'csrc', 'world_synth.cpp')
-    from morgana_tpu._build import ensure_built
-    ensure_built(lib_path, source)
-    if os.path.exists(lib_path):
+    from morgana_tpu._build import load_library
+    # ABI 2 = seed argument before out/out_capacity; load_library falls back
+    # to None (NumPy path) on a stale library rather than calling it with
+    # shifted pointer arguments.
+    lib = load_library(lib_path, source, 'morgana_world_synth_abi', 2)
+    if lib is not None:
         try:
-            lib = ctypes.CDLL(lib_path)
             lib.world_synthesize.restype = ctypes.c_longlong
             lib.world_synthesize.argtypes = [
                 ctypes.POINTER(ctypes.c_double),  # f0 (T)
@@ -53,7 +55,7 @@ def _load_native():
                 ctypes.c_longlong,                # out capacity
             ]
             _LIB = lib
-        except OSError:
+        except (AttributeError, OSError):
             _LIB = None
     return _LIB
 

@@ -53,6 +53,24 @@ class TestCycleEquivalence:
             np.testing.assert_allclose(np.asarray(v),
                                        np.asarray(loop_b.ema_params[k]), atol=1e-6)
 
+    def test_unequal_micro_batches_match_concatenated(self, rng):
+        """A remainder-size final micro-batch contributes per-SAMPLE, not
+        per-batch: gradients are weighted by item count, so the cycle matches
+        one step on the 4+2=6-item concatenation exactly."""
+        micro = [_synthetic_batch(rng, batch=4), _synthetic_batch(rng, batch=2)]
+
+        loop_a = _make_loop(grad_accum_steps=2)
+        for b in micro:
+            loop_a.train_step(b, lr=0.01)
+        assert loop_a.last_step_applied
+
+        loop_b = _make_loop()
+        loss_big, _, _ = loop_b.train_step(_concat(micro), lr=0.01)
+
+        for k, v in loop_a.params.items():
+            np.testing.assert_allclose(np.asarray(v), np.asarray(loop_b.params[k]),
+                                       atol=1e-6)
+
     def test_accum_steps_do_not_touch_params(self, rng):
         loop = _make_loop(grad_accum_steps=3)
         before = {k: np.asarray(v) for k, v in loop.params.items()}

@@ -227,6 +227,25 @@ class TestServeRobustness:
         out = engine.predict_items(items)
         assert set(out) == {f'u{i}' for i in range(5)}
 
+    def test_duplicate_ids_raise(self, voice_data, trained):
+        """Results key by utterance name; the Python API refuses duplicates
+        (mirroring the HTTP layer's 400) instead of silently overwriting."""
+        engine = InferenceEngine(
+            TinyF0Model, trained['checkpoint'],
+            data_root=voice_data['data_root'], batch_size=2)
+        with pytest.raises(ValueError, match='duplicate'):
+            engine.predict_ids(['utt_a', 'utt_a'])
+        rng = np.random.default_rng(0)
+        item = {'name': 'same',
+                'lab': rng.random((6, 600)).astype(np.float32),
+                'counters': rng.random((18, 9)).astype(np.float32),
+                'lf0': rng.normal(size=(18, 1)).astype(np.float32),
+                'vuv': (rng.random((18, 1)) > 0.3).astype(np.float32),
+                'dur': np.full((6, 1), 3, np.int64),
+                'n_frames': np.array([18.0], np.float32)}
+        with pytest.raises(ValueError, match='duplicate'):
+            engine.predict_items([item, dict(item)])
+
 
 class TestHTTPServing:
     def test_healthz_and_predict_roundtrip(self, voice_data, trained):
@@ -289,6 +308,67 @@ class TestHTTPServing:
             except urllib.error.HTTPError as e:
                 assert e.code == 400
                 assert 'duplicate' in json.loads(e.read())['error']
+        finally:
+            server.shutdown()
+            server.server_close()
+
+    def test_concurrent_requests_are_safe(self, voice_data, trained):
+        """Simultaneous POSTs from many client threads all succeed with each
+        client's own results: the ThreadingHTTPServer handles connections
+        concurrently and the engine lock serialises device dispatches."""
+        import threading
+        import urllib.request
+
+        from morgana_tpu.http_serve import make_server
+
+        engine = InferenceEngine(
+            TinyF0Model, trained['checkpoint'],
+            data_root=voice_data['data_root'], batch_size=2)
+        server = make_server(engine, port=0)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        rng = np.random.default_rng(1)
+
+        def make_item(name, frames):
+            phones = max(2, frames // 3)
+            return {'name': name,
+                    'lab': rng.random((phones, 600)).tolist(),
+                    'counters': rng.random((frames, 9)).tolist(),
+                    'lf0': rng.normal(size=(frames, 1)).tolist(),
+                    'vuv': (rng.random((frames, 1)) > 0.3).astype(float).tolist(),
+                    'dur': np.full((phones, 1), frames // phones).tolist(),
+                    'n_frames': [float(frames)]}
+
+        results = {}
+        errors = []
+
+        def client(i):
+            frames = 12 + 3 * i
+            body = json.dumps({'items': [make_item(f'c{i}', frames)]}).encode()
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/predict', data=body,
+                headers={'Content-Type': 'application/json'})
+            try:
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    reply = json.loads(r.read())
+                results[i] = np.asarray(
+                    reply['results'][f'c{i}']['normalised_lf0_deltas'])
+            except Exception as exc:  # noqa: BLE001 - collected for assert
+                errors.append((i, exc))
+
+        try:
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+            assert not errors, errors
+            assert set(results) == set(range(6))
+            for i, pred in results.items():
+                assert pred.shape == (12 + 3 * i, 3)
+                assert np.isfinite(pred).all()
         finally:
             server.shutdown()
             server.server_close()
