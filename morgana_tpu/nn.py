@@ -402,9 +402,6 @@ class Recurrent(Module):
             raise ValueError(f'Unsupported backend {backend!r}')
         if bidirectional and backend != 'scan':
             raise ValueError('bidirectional currently uses the scan backend')
-        if backend == 'wavefront' and dropout:
-            raise ValueError("backend='wavefront' does not support "
-                             'inter-layer dropout')
         self.mode = mode
         self.input_size = input_size
         self.hidden_size = hidden_size
@@ -489,11 +486,27 @@ class Recurrent(Module):
                 h0s = None
             stack = rnn_ops.lstm_stack if self.mode == 'lstm' else rnn_ops.gru_stack
 
+            # Inter-layer dropout: draw the L-1 scale masks here, in the SAME
+            # order and shapes the sequential backend's per-boundary
+            # ``dropout(x)`` calls would (dropout applied to ones IS the
+            # scale mask), so the two backends stay numerically identical
+            # under a shared rng. The stack applies mask j where layer j's
+            # output feeds layer j+1 inside the diagonal scan.
+            dropout_masks = None
+            if (self.dropout is not None and self.num_layers > 1
+                    and is_training()):
+                ones = jnp.ones(
+                    (inputs.shape[0], inputs.shape[1], self.hidden_size),
+                    inputs.dtype)
+                dropout_masks = [self.dropout(ones)
+                                 for _ in range(self.num_layers - 1)]
+
             def stack_fn(x, *flat_weights):
                 layer_w = [tuple(flat_weights[4 * i:4 * i + 4])
                            for i in range(self.num_layers)]
                 return stack(x, layer_w, seq_len=seq_len, h0s=h0s,
-                             unroll=self.unroll, compute_dtype=compute_dtype)
+                             unroll=self.unroll, compute_dtype=compute_dtype,
+                             dropout_masks=dropout_masks)
 
             if remat:
                 stack_fn = jax.checkpoint(stack_fn)

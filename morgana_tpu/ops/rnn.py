@@ -114,7 +114,7 @@ def lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None, unroll=8,
 
 
 def _wavefront(x, layers, num_gates, bias0, bias_inner, hh_bias, state0,
-               cell_step, seq_len, unroll, ct):
+               cell_step, seq_len, unroll, ct, dropout_masks=None):
     """Shared wavefront-scan scaffolding for stacked RNNs.
 
     Runs L layers as one scan over ``T + L - 1`` diagonals ``d = t + layer``:
@@ -122,6 +122,12 @@ def _wavefront(x, layers, num_gates, bias0, bias_inner, hh_bias, state0,
     batched matmul per diagonal. ``cell_step(gates_in, hg, state)`` supplies
     the cell math and returns ``(h_new, new_state)`` where ``state`` is a
     tuple of (L, B, H) arrays whose first element is the hidden state.
+
+    ``dropout_masks`` (optional): L-1 arrays of shape (B, T, H), the
+    inter-layer dropout SCALE masks (bernoulli/keep, i.e. dropout applied to
+    ones). Mask j multiplies layer j's output where it feeds layer j+1 —
+    exactly the sequential stack's ``x = dropout(x)`` between layers; carried
+    hidden states and the top layer's output stay unmasked, as there.
 
     Exactness contract (tested per cell type): per-diagonal-element masking
     reproduces the sequential stack's output zeroing and carry freezing, so
@@ -155,14 +161,34 @@ def _wavefront(x, layers, num_gates, bias0, bias_inner, hh_bias, state0,
     layer_off = jnp.arange(num_layers, dtype=jnp.int32)
     out_all = jnp.zeros((num_layers, batch, hidden), dtype)
 
+    # Rearrange the (L-1, B, T, H) inter-layer dropout masks into diagonals:
+    # at diagonal d, boundary j masks layer j's output from time d-1-j (the
+    # value feeding layer j+1 this diagonal). Out-of-range times get 1.0 —
+    # those positions are dead (zeroed by the validity mask) anyway.
+    dm_diag = None
+    if dropout_masks is not None:
+        dm = jnp.stack(list(dropout_masks))                    # (L-1, B, T, H)
+        j_idx = jnp.arange(num_layers - 1, dtype=jnp.int32)
+        d_idx = jnp.arange(time + num_layers - 1, dtype=jnp.int32)
+        t_idx = d_idx[:, None] - 1 - j_idx[None, :]            # (D, L-1)
+        valid = (t_idx >= 0) & (t_idx < time)
+        dm_diag = dm[j_idx[None, :], :, jnp.clip(t_idx, 0, time - 1), :]
+        dm_diag = jnp.where(valid[:, :, None, None], dm_diag,
+                            jnp.ones((), dtype))               # (D, L-1, B, H)
+
     batched = (((2,), (1,)), ((0,), (0,)))  # (L,B,H) @ (L,H,G*H) -> (L,B,G*H)
 
     def body(carry, inp):
         state, out_all = carry
-        xg_d, d = inp
+        if dm_diag is None:
+            xg_d, d = inp
+            h_in = out_all[:-1]
+        else:
+            xg_d, d, dm_d = inp
+            h_in = out_all[:-1] * dm_d
         t_l = d - layer_off                                    # (L,)
 
-        h_in = out_all[:-1] if ct is None else out_all[:-1].astype(ct)
+        h_in = h_in if ct is None else h_in.astype(ct)
         gates_in = jax.lax.dot_general(h_in, w_in, dimension_numbers=batched,
                                        preferred_element_type=dtype) + b_in
         gates_in = jnp.concatenate([xg_d[None], gates_in], axis=0)
@@ -186,13 +212,15 @@ def _wavefront(x, layers, num_gates, bias0, bias_inner, hh_bias, state0,
         return (kept, h_out), h_out[-1]
 
     diag_idx = jnp.arange(num_diags, dtype=jnp.int32)
-    (state, _), ys = jax.lax.scan(body, (state0, out_all), (xg0, diag_idx),
+    scan_inputs = (xg0, diag_idx) if dm_diag is None else (xg0, diag_idx, dm_diag)
+    (state, _), ys = jax.lax.scan(body, (state0, out_all), scan_inputs,
                                   unroll=unroll)
     # Top layer emits time t at diagonal t + (L-1).
     return _time_major(ys[num_layers - 1:]), state
 
 
-def lstm_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None):
+def lstm_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None,
+               dropout_masks=None):
     r"""Multi-layer LSTM as a diagonal WAVEFRONT scan — semantically identical
     to applying :func:`lstm` layer by layer, much less sequential.
 
@@ -245,11 +273,12 @@ def lstm_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None):
         x, layers, num_gates=4, bias0=layers[0][2] + layers[0][3],
         bias_inner=[l[2] + l[3] for l in layers[1:]], hh_bias=None,
         state0=state0, cell_step=cell_step, seq_len=seq_len, unroll=unroll,
-        ct=compute_dtype)
+        ct=compute_dtype, dropout_masks=dropout_masks)
     return y, [(h_all[l], c_all[l]) for l in range(num_layers)]
 
 
-def gru_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None):
+def gru_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None,
+              dropout_masks=None):
     r"""Multi-layer GRU as a diagonal wavefront scan — the GRU analogue of
     :func:`lstm_stack` (same exactness guarantees vs the sequential stack).
 
@@ -282,7 +311,7 @@ def gru_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None):
         x, layers, num_gates=3, bias0=layers[0][2],
         bias_inner=[l[2] for l in layers[1:]], hh_bias=[l[3] for l in layers],
         state0=state0, cell_step=cell_step, seq_len=seq_len, unroll=unroll,
-        ct=compute_dtype)
+        ct=compute_dtype, dropout_masks=dropout_masks)
     return y, [h_all[l] for l in range(num_layers)]
 
 def gru(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, unroll=8,

@@ -362,6 +362,76 @@ class TestGRUWavefrontStack:
             np.testing.assert_allclose(np.asarray(hw), np.asarray(hr), atol=1e-6)
 
 
+class TestWavefrontDropout:
+    """Inter-layer dropout under the wavefront backend: masks applied inside
+    the diagonal scan must equal masking between sequential layers."""
+
+    def test_ops_masks_match_sequential(self, rng):
+        B, T, I, H, L = 3, 11, 5, 8, 3
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        seq_len = jnp.array([11, 6, 2])
+        layers = TestWavefrontStack()._random_layers(rng, I, H, L)
+        keep = 0.6
+        masks = [jnp.array((rng.random((B, T, H)) < keep).astype(np.float32)) / keep
+                 for _ in range(L - 1)]
+
+        x_ref, fin_ref = x, []
+        for i, (w_ih, w_hh, b_ih, b_hh) in enumerate(layers):
+            x_ref, hc = rnn_ops.lstm(x_ref, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len)
+            fin_ref.append(hc)
+            if i < L - 1:
+                x_ref = x_ref * masks[i]
+        y_wf, fin_wf = rnn_ops.lstm_stack(x, layers, seq_len=seq_len,
+                                          dropout_masks=masks)
+        np.testing.assert_allclose(np.asarray(y_wf), np.asarray(x_ref), atol=1e-6)
+        for (h_r, c_r), (h_w, c_w) in zip(fin_ref, fin_wf):
+            np.testing.assert_allclose(np.asarray(h_w), np.asarray(h_r), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(c_w), np.asarray(c_r), atol=1e-6)
+
+    def test_module_training_matches_scan_backend(self, rng):
+        """Same bound rng => identical mask draws => identical training-mode
+        outputs from the wavefront and sequential backends (the flagship
+        config has dropout > 0, so this is the config that must work)."""
+        import jax
+        nn.manual_seed(0)
+        wf = nn.Recurrent('lstm', 6, 16, num_layers=3, dropout=0.4,
+                          backend='wavefront')
+        nn.manual_seed(0)
+        ref = nn.Recurrent('lstm', 6, 16, num_layers=3, dropout=0.4)
+        x = jnp.array(rng.normal(size=(3, 12, 6)).astype(np.float32))
+        seq_len = jnp.array([12, 7, 3])
+        key = jax.random.PRNGKey(42)
+
+        with nn.bind(wf, nn.parameters(wf), rng=key, train=True):
+            y_wf, h_wf = wf(x, seq_len=seq_len)
+        with nn.bind(ref, nn.parameters(ref), rng=key, train=True):
+            y_ref, h_ref = ref(x, seq_len=seq_len)
+        with nn.bind(ref, nn.parameters(ref), rng=key, train=False):
+            y_eval, _ = ref(x, seq_len=seq_len)
+
+        # Dropout was actually live (train != eval), and the backends agree.
+        assert not np.allclose(np.asarray(y_ref), np.asarray(y_eval))
+        np.testing.assert_allclose(np.asarray(y_wf), np.asarray(y_ref), atol=1e-6)
+        for (h_w, c_w), (h_r, c_r) in zip(h_wf, h_ref):
+            np.testing.assert_allclose(np.asarray(h_w), np.asarray(h_r), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(c_w), np.asarray(c_r), atol=1e-6)
+
+    def test_eval_mode_draws_no_masks(self, rng):
+        """Outside training, the wavefront backend must not consume rng or
+        apply masks — identical to the no-dropout stack."""
+        nn.manual_seed(0)
+        wf = nn.Recurrent('gru', 6, 16, num_layers=2, dropout=0.5,
+                          backend='wavefront')
+        nn.manual_seed(0)
+        plain = nn.Recurrent('gru', 6, 16, num_layers=2, backend='wavefront')
+        x = jnp.array(rng.normal(size=(2, 9, 6)).astype(np.float32))
+        with nn.bind(wf, nn.parameters(wf), train=False):
+            y_do, _ = wf(x)
+        with nn.bind(plain, nn.parameters(plain), train=False):
+            y_plain, _ = plain(x)
+        np.testing.assert_allclose(np.asarray(y_do), np.asarray(y_plain), atol=0)
+
+
 class TestWavefrontEdgeCases:
     def test_eight_layers_bf16_compute(self, rng):
         """Bench-like depth with the bf16 compute path: wavefront stays close
