@@ -20,10 +20,14 @@ def built(tmp_path_factory):
 
 def test_all_pages_build(built):
     out_dir, n_pages = built
+    # Every reference/*.rst page plus the top-level guide pages builds.
     expected = len([f for f in os.listdir(os.path.join(DOCS, 'reference'))
                     if f.endswith('.rst')])
-    assert n_pages == expected  # every reference/*.rst page builds
+    expected += len([f for f in os.listdir(DOCS)
+                     if f.endswith('.rst') and f != 'index.rst'])
+    assert n_pages == expected
     assert os.path.isfile(os.path.join(out_dir, 'index.html'))
+    assert os.path.isfile(os.path.join(out_dir, 'porting_guide.html'))
 
 
 def test_cli_page_renders_live_parser(built):
