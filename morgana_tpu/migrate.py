@@ -102,8 +102,11 @@ def convert_torch_state_dict(model, torch_sd, strict=True):
             missing.append(torch_name)
             continue
         value = torch_sd[torch_name]
-        value = np.asarray(value.detach().cpu().numpy() if hasattr(value, 'detach')
-                           else value, np.float32)
+        # np.array (not asarray): an f32 tensor's .numpy() is a VIEW of the
+        # torch storage, and migrated params must not alias it — a later
+        # torch-side optimiser step would silently mutate our model.
+        value = np.array(value.detach().cpu().numpy() if hasattr(value, 'detach')
+                         else value, np.float32)
         # Transposition is shape-driven: torch stores Linear/RNN matrices
         # (out, in); ours are (in, out). Square matrices (ambiguous) fall back
         # to the name heuristic — except Embeddings, whose (num_embeddings,
