@@ -95,8 +95,41 @@ def compiled_step_flops(loop, batch):
         return None
 
 
+def measure_peak_tflops(size=8192, rounds=6, iters=4):
+    """Empirical roofline probe: best-of-rounds timing of a large bf16
+    matmul chain (size^3, f32 accumulation — the MXU's native mode). This is
+    the *measured* speed of light for the silicon actually behind the device
+    tunnel, making MFU well-defined even when the nominal peak for the
+    reported device_kind mislabels the hardware (round-2 verdict: analytical
+    MFU 1.78 vs the nominal 197 TF/s — physically impossible)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (size, size), jnp.bfloat16)
+    b = jax.random.normal(key, (size, size), jnp.bfloat16)
+
+    @jax.jit
+    def chain(a, b):
+        # iters dependent matmuls per dispatch amortise dispatch overhead;
+        # tanh keeps XLA from collapsing the chain algebraically.
+        for _ in range(iters):
+            a = jnp.tanh(jnp.dot(a, b, preferred_element_type=jnp.float32)
+                         / size).astype(jnp.bfloat16)
+        return a
+
+    chain(a, b).block_until_ready()  # compile + warmup
+    best = float('inf')
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        chain(a, b).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    flops = iters * 2.0 * size ** 3
+    return flops / best / 1e12
+
+
 def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
-              batch_size=None, frames=None):
+              batch_size=None, frames=None, sustained_steps=0):
     import jax
     from morgana_tpu.training import TrainLoop, build_optimizer
     from __graft_entry__ import _make_model
@@ -127,16 +160,35 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
         loss, _, _ = loop.train_step(batch, lr=1e-3)
     jax.block_until_ready(loss)
 
-    best = float('inf')
+    round_times = []
     for _ in range(MEASURE_ROUNDS):
         t0 = time.perf_counter()
         for _ in range(MEASURE_STEPS):
             loss, _, _ = loop.train_step(batch, lr=1e-3)
         jax.block_until_ready(loss)
-        best = min(best, time.perf_counter() - t0)
+        round_times.append(time.perf_counter() - t0)
+    best = min(round_times)
+    # Throttle transparency: best-of-rounds vs the median round. ~1.0 means
+    # the window was healthy and the burst number is representative; >>1
+    # means the shared chip was throttling and only the burst is meaningful.
+    throttle_ratio = float(np.median(round_times) / best)
 
     step_time = best / MEASURE_STEPS
     fps = float(frames_per_batch / step_time)
+
+    # Sustained measurement: one continuous run of >= sustained_steps with a
+    # single trailing sync — the number a long training job would actually
+    # see on this chip, reported NEXT TO the burst number, never instead.
+    sustained = None
+    if sustained_steps:
+        t0 = time.perf_counter()
+        for _ in range(sustained_steps):
+            loss, _, _ = loop.train_step(batch, lr=1e-3)
+        jax.block_until_ready(loss)
+        s_time = (time.perf_counter() - t0) / sustained_steps
+        sustained = {'sustained_ms_per_step': s_time * 1e3,
+                     'sustained_frames_per_sec': float(frames_per_batch / s_time),
+                     'sustained_steps': sustained_steps}
 
     # MFU uses the ANALYTICAL model-FLOP count (the standard definition:
     # useful model math / time / peak). XLA's cost_analysis cannot see inside
@@ -145,18 +197,21 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
     flops = analytical_train_flops(batch=batch_size, frames=frames)
     xla_flops = compiled_step_flops(loop, batch)
     peak = _device_peak_tflops()
-    mfu = flops / step_time / (peak * 1e12)
-    return {
+    out = {
         'frames_per_sec': fps,
         'ms_per_step': step_time * 1e3,
+        'throttle_ratio': round(throttle_ratio, 2),
         'flops_per_step': flops,
         'xla_flops_per_step': xla_flops,
         'achieved_tflops': flops / step_time / 1e12,
-        'mfu': mfu,
-        'peak_tflops': peak,
+        'mfu_vs_nominal': flops / step_time / (peak * 1e12),
+        'nominal_peak_tflops': peak,
         'device_kind': str(getattr(jax.devices()[0], 'device_kind', '')),
         'loss': float(loss),
     }
+    if sustained:
+        out.update(sustained)
+    return out
 
 
 def bench_torch_baseline(measure_steps=5):
@@ -246,14 +301,33 @@ def get_baseline():
     return fps
 
 
-def _bench_subprocess(backend, compute_dtype=None, unroll=8):
+def _run_bench_code(code):
+    import subprocess
+    proc = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                          text=True, timeout=1200,
+                          cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in proc.stdout.splitlines():
+        if line.startswith('BENCH_JSON:'):
+            return json.loads(line[len('BENCH_JSON:'):])
+    raise RuntimeError(f'bench subprocess failed: {proc.stderr[-1000:]}')
+
+
+def _probe_subprocess():
+    """Roofline probe in its own clean process (same contention rule as the
+    config benches)."""
+    return _run_bench_code(
+        'import bench, json; print("BENCH_JSON:" + '
+        'json.dumps({"peak": bench.measure_peak_tflops()}))')['peak']
+
+
+def _bench_subprocess(backend, compute_dtype=None, unroll=8, sustained_steps=0):
     """One config per process: a second measurement in the same process
     reads ~30x slow on the shared TPU (runtime contention with the first
     program's buffers), so each config gets a clean process."""
     import subprocess
     code = (f'import bench, json; print("BENCH_JSON:" + json.dumps('
             f'bench.bench_tpu({backend!r}, compute_dtype={compute_dtype!r}, '
-            f'unroll={unroll})))')
+            f'unroll={unroll}, sustained_steps={sustained_steps})))')
     # Generous timeout: cold compiles through the AOT service take minutes
     # (results are cached server-side, so only the FIRST run pays it); a
     # killed subprocess would silently fall back to the ~30x-slow in-process
@@ -266,6 +340,72 @@ def _bench_subprocess(backend, compute_dtype=None, unroll=8):
             return json.loads(line[len('BENCH_JSON:'):])
     raise RuntimeError(f'bench subprocess failed ({backend}): '
                        f'{proc.stderr[-1000:]}')
+
+
+def bench_e2e(num_utts=512, epochs=4, num_data_threads=8):
+    """End-to-end disk->device training throughput: a REAL epoch over an
+    on-disk synthetic corpus at bench shapes through the actual user path
+    (ExperimentBuilder: FilesDataset + threaded/native reads + prefetch +
+    fused step). Reports the best post-compile epoch's frames/sec — the
+    number a user training on real data sees, next to the compute-only
+    headline (VERDICT r2 item 2).
+    """
+    import shutil
+    import tempfile
+
+    from morgana_tpu import nn
+    from morgana_tpu.data.synthetic import generate_voice_data
+    from morgana_tpu.experiment_builder import ExperimentBuilder
+    from rnn_spss import LSTMAcousticModel
+
+    tmp = tempfile.mkdtemp(prefix='bench_e2e_')
+    try:
+        data_root = os.path.join(tmp, 'data')
+        # ~640-frame utterances like the compute bench; sp_bins=2 keeps the
+        # (unused-by-training) sp/ap files from dominating the corpus size.
+        generate_voice_data(data_root, num_train=num_utts, num_valid=1,
+                            num_test=1, seed=0, n_phones_range=(52, 64),
+                            dur_range=(8, 12), sp_bins=2)
+        nn.manual_seed(0)
+        # Full flag surface from the live parser defaults (the real CLI path).
+        import argparse
+        parser = argparse.ArgumentParser()
+        ExperimentBuilder.add_args(parser)
+        args = vars(parser.parse_args(['--experiment_name', 'bench_e2e']))
+        args.update(
+            experiments_base=os.path.join(tmp, 'experiments'),
+            data_root=data_root,
+            train_id_list='train/train_file_id_list.scp',
+            valid_id_list='valid/valid_file_id_list.scp',
+            test_id_list='test/test_file_id_list.scp',
+            model_kwargs={'rnn_backend': 'scan', 'rnn_unroll': 64},
+            compute_dtype='bfloat16', batch_size=BATCH,
+            num_data_threads=num_data_threads, end_epoch=epochs,
+            valid=False, test=False, model_checkpoint_interval=10 ** 6,
+            ema_decay=0.)
+        name = args.pop('experiment_name')
+        exp = ExperimentBuilder(LSTMAcousticModel, experiment_name=name, **args)
+        exp.run_experiment()
+
+        best = None
+        for epoch in range(2, epochs + 1):  # epoch 1 pays the compile
+            path = os.path.join(tmp, 'experiments', 'bench_e2e', 'train',
+                                f'epoch_{epoch}', 'metrics.json')
+            with open(path) as f:
+                metrics = json.load(f)
+            fps = metrics.get('frames_per_sec')
+            if fps and (best is None or fps > best):
+                best = fps
+        return {'e2e_frames_per_sec': float(best),
+                'e2e_utts': num_utts, 'e2e_epochs_measured': epochs - 1,
+                'e2e_num_data_threads': num_data_threads}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _e2e_subprocess():
+    return _run_bench_code(
+        'import bench, json; print("BENCH_JSON:" + json.dumps(bench.bench_e2e()))')
 
 
 # (name, rnn_backend, compute_dtype, scan unroll). Scan unroll 64 amortises
@@ -286,7 +426,11 @@ def main():
     failed = []
     for name, backend, dtype, unroll in CONFIGS:
         try:
-            results[name] = _bench_subprocess(backend, dtype, unroll)
+            # The winning config (first in CONFIGS) also carries the
+            # sustained-load measurement: >= 50 consecutive steps, one sync.
+            sustained = 50 if name == CONFIGS[0][0] else 0
+            results[name] = _bench_subprocess(backend, dtype, unroll,
+                                              sustained_steps=sustained)
         except Exception:
             # Report, don't hide: a missing config (subprocess crash or
             # cold-compile timeout) silently shifting the headline to a
@@ -299,12 +443,28 @@ def main():
         name, backend, dtype, unroll = CONFIGS[0]
         try:
             results[name] = bench_tpu(rnn_backend=backend, compute_dtype=dtype,
-                                      unroll=unroll)
+                                      unroll=unroll, sustained_steps=50)
             degraded = True
         except Exception:
             pass
     if not results:
         raise SystemExit('no backend could be benchmarked')
+
+    # Empirical roofline: the measured peak makes MFU well-defined (<= 1 by
+    # construction when probe and bench hit comparable chip windows).
+    try:
+        measured_peak = _probe_subprocess() if not degraded \
+            else measure_peak_tflops()
+    except Exception:
+        measured_peak = None
+
+    # End-to-end disk->device epoch throughput (loader + prefetch + device).
+    e2e = None
+    if not degraded:
+        try:
+            e2e = _e2e_subprocess()
+        except Exception:
+            pass
 
     best_backend = max(results, key=lambda b: results[b]['frames_per_sec'])
     result = results[best_backend]
@@ -316,22 +476,37 @@ def main():
         'backend': best_backend,
         'ms_per_step': round(result['ms_per_step'], 2),
         'achieved_tflops': round(result['achieved_tflops'], 1),
-        'mfu': round(result['mfu'], 3),
-        'peak_tflops': result['peak_tflops'],
+        'throttle_ratio': result.get('throttle_ratio'),
+        'nominal_peak_tflops': result['nominal_peak_tflops'],
+        'mfu_vs_nominal': round(result['mfu_vs_nominal'], 3),
         'device_kind': result.get('device_kind', ''),
     }
+    if measured_peak is not None:
+        line['measured_peak_tflops'] = round(measured_peak, 1)
+        line['mfu'] = round(result['achieved_tflops'] / measured_peak, 3)
+    sus = results.get(CONFIGS[0][0], {})
+    if 'sustained_frames_per_sec' in sus:
+        line['sustained_frames_per_sec'] = round(sus['sustained_frames_per_sec'], 1)
+        line['sustained_ms_per_step'] = round(sus['sustained_ms_per_step'], 2)
+        line['sustained_steps'] = sus['sustained_steps']
+        if measured_peak is not None:
+            line['sustained_mfu'] = round(
+                sus['flops_per_step'] / (sus['sustained_ms_per_step'] / 1e3)
+                / 1e12 / measured_peak, 3)
+    if e2e:
+        line.update({k: (round(v, 1) if isinstance(v, float) else v)
+                     for k, v in e2e.items()})
+        line['e2e_of_compute'] = round(
+            e2e['e2e_frames_per_sec'] / result['frames_per_sec'], 3)
     if degraded:
         line['degraded'] = 'subprocess isolation unavailable; single '\
                            'in-process measurement'
     if failed:
         line['failed_configs'] = failed
-    if result['mfu'] > 1.05:
-        # Analytical FLOPs are exact for this model, so mfu > 1 means the
-        # nominal peak for the reported device_kind understates the actual
-        # silicon behind the device tunnel; flag rather than hide it.
-        line['mfu_note'] = ('mfu is vs the nominal peak of device_kind; '
-                            '>1 indicates the tunnelled device is faster '
-                            'than its label')
+    if measured_peak is not None and line.get('mfu', 0) > 1.0:
+        line['mfu_note'] = ('mfu > 1 vs the measured peak: the probe and '
+                            'the bench hit different chip windows (see '
+                            'throttle_ratio); rerun for a comparable pair')
     for backend, res in results.items():
         if backend != best_backend:
             line[f'{backend}_frames_per_sec'] = round(res['frames_per_sec'], 1)

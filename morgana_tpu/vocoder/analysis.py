@@ -62,11 +62,44 @@ def estimate_f0(wav, fs, frame_period=5.0, f0_min=60.0, f0_max=400.0,
     ac = np.fft.irfft(spec * np.conj(spec), n=nfft, axis=1)[:, :lag_max + 1]
 
     energy = ac[:, 0] + 1e-12
-    nac = ac / energy[:, None]
+    # PROPER normalisation nac(l) = ac(l) / sqrt(E[x_0:N-l] * E[x_l:N]):
+    # the ac(l)/ac(0) shortcut caps a pure tone's peak at (N-l)/N (~0.8 at
+    # speech lags), squashing the voiced/unvoiced confidence margin the
+    # threshold below depends on. With it, periodic peaks sit at ~1.0.
+    cum = np.cumsum(frames ** 2, axis=1)
+    total = cum[:, -1:]
+    l_idx = np.arange(lag_max + 1)
+    e_head = cum[:, frame_len - 1 - l_idx]
+    e_tail = np.concatenate(
+        [total, total - cum[:, :lag_max]], axis=1)
+    nac = ac / (np.sqrt(e_head * e_tail) + 1e-12)
 
     window = nac[:, lag_min:lag_max + 1]
     best = np.argmax(window, axis=1)
     peak = window[np.arange(num_frames), best]
+
+    # Octave-error guard: a periodic signal's nac is ~equally high at every
+    # multiple of the true period (the biased ac(0) normalisation used to
+    # hide this by penalising long lags), so the global argmax can land on
+    # 2x/3x/4x the period. RAPT-style fix: if a SUB-multiple of the chosen
+    # lag is nearly as periodic (within 0.15, searched over a +/-2-sample
+    # neighbourhood for the fractional true lag), prefer the shortest one.
+    frame_idx = np.arange(num_frames)
+    abs_lag = best + lag_min
+    resolved = np.zeros(num_frames, dtype=bool)
+    for k in (4, 3, 2):
+        sub = np.round(abs_lag / k).astype(int)
+        offs = np.stack([nac[frame_idx, np.clip(sub + d, 0, lag_max)]
+                         for d in range(-2, 3)])                  # (5, F)
+        j = np.argmax(offs, axis=0)
+        val = offs[j, frame_idx]
+        cand_lag = sub + j - 2
+        accept = (~resolved & (sub >= lag_min + 1)
+                  & (cand_lag >= lag_min) & (cand_lag <= lag_max)
+                  & (val >= peak - 0.15))
+        best = np.where(accept, cand_lag - lag_min, best)
+        peak = np.where(accept, val, peak)
+        resolved |= accept
 
     # Parabolic interpolation around the peak for sub-sample lag precision.
     lags = (best + lag_min).astype(np.float64)
@@ -140,19 +173,15 @@ def band_aperiodicity(wav, f0, fs, frame_period=5.0, num_bands=5):
     wav = np.asarray(wav, np.float64)
     hop = int(fs * frame_period / 1000.0)
     num_frames = len(f0)
-    frame_len = min(int(2.5 * fs / 60.0), 2048)
+    frame_len = min(int(4.0 * fs / 60.0), 4096)
 
     spectrum = np.fft.rfft(wav)
     freqs = np.fft.rfftfreq(len(wav), 1.0 / fs)
     edges = np.linspace(0, fs / 2, num_bands + 1)
 
-    # Band-independent quantities, hoisted out of the per-band loop (this
-    # runs per utterance over whole corpora in data prep).
-    nfft = 1
-    while nfft < 2 * frame_len:
-        nfft *= 2
     lags = np.where(f0 > 0, np.clip(fs / np.maximum(f0, 1.0), 1,
-                                    frame_len - 1).astype(int), 1)
+                                    frame_len // 2).astype(int), 1)
+    voiced = np.flatnonzero(f0 > 0)
 
     bap = np.zeros((num_frames, num_bands))
     for b in range(num_bands):
@@ -161,11 +190,44 @@ def band_aperiodicity(wav, f0, fs, frame_period=5.0, num_bands=5):
         frames = _frame_signal(band, frame_len, hop, num_frames)
         frames = frames - frames.mean(axis=1, keepdims=True)
 
-        spec = np.fft.rfft(frames, n=nfft, axis=1)
-        ac = np.fft.irfft(spec * np.conj(spec), n=nfft, axis=1)
-        energy = ac[:, 0] + 1e-12
+        # Per voiced frame: normalised cross-correlation of the first ~3.5
+        # periods against themselves one period later, maximised over a small
+        # lag neighbourhood with parabolic refinement. Three deliberate
+        # choices, each worth ~0.3-0.5 of spurious aperiodicity:
+        # * PROPER normalisation ac(l)/sqrt(E_head * E_tail) — the classic
+        #   ac(l)/ac(0) shortcut caps nac at (N-l)/N, i.e. reads a pure tone
+        #   as ~40% noise at speech lags;
+        # * a PITCH-ADAPTIVE window (~3.5 periods, not a fixed 40 ms) — over
+        #   a long window natural f0 drift decoheres the high bands;
+        # * lag-neighbourhood max + parabolic peak — the true lag is
+        #   fractional, and one sample of lag error at 6 kHz is a ~2 rad
+        #   phase error.
+        nac = np.zeros(num_frames)
+        for i in voiced:
+            lag = lags[i]
+            seg_len = min(int(3.5 * lag), frame_len - lag - 3)
+            if seg_len < lag:
+                seg_len = min(lag, frame_len - lag - 3)
+            if seg_len <= 4:
+                continue
+            x = frames[i]
+            head = x[:seg_len]
+            e_head = head @ head
+            vals = np.empty(5)
+            for j, d in enumerate(range(-2, 3)):
+                l = min(max(lag + d, 1), frame_len - seg_len - 1)
+                tail = x[l:l + seg_len]
+                vals[j] = (head @ tail) / (np.sqrt(e_head * (tail @ tail)) + 1e-12)
+            k = int(np.argmax(vals))
+            peak = vals[k]
+            if 0 < k < 4:
+                denom = vals[k - 1] - 2.0 * vals[k] + vals[k + 1]
+                if denom < -1e-12:
+                    refined = vals[k] - 0.125 * (vals[k + 1] - vals[k - 1]) ** 2 / denom
+                    if np.isfinite(refined):
+                        peak = max(peak, refined)
+            nac[i] = peak
 
-        nac = ac[np.arange(num_frames), lags] / energy
         periodic_fraction = np.clip(nac, 0.0, 1.0 - 1e-6)
         ap2 = np.where(f0 > 0, 1.0 - periodic_fraction, 1.0 - 1e-6)
         bap[:, b] = 0.5 * np.log(np.maximum(ap2, 1e-12))

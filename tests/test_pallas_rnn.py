@@ -214,11 +214,12 @@ class TestRecurrentWavefrontBackend:
             np.testing.assert_allclose(np.asarray(hw), np.asarray(hr), atol=1e-6)
             np.testing.assert_allclose(np.asarray(cw), np.asarray(cr), atol=1e-6)
 
-    def test_rejects_dropout(self):
+    def test_accepts_dropout(self):
+        """Inter-layer dropout is supported since round 3 (exact parity with
+        the scan backend: tests/test_ops_rnn.py::TestWavefrontDropout)."""
         from morgana_tpu import nn
-        with pytest.raises(ValueError, match='wavefront'):
-            nn.Recurrent('lstm', 8, 16, dropout=0.5, backend='wavefront')
-        # GRU wavefront is supported (see TestGRUWavefrontStack).
+        nn.Recurrent('lstm', 8, 16, num_layers=2, dropout=0.5,
+                     backend='wavefront')
         nn.Recurrent('gru', 8, 16, backend='wavefront')
 
     def test_partial_hidden_matches_scan(self, rng):
