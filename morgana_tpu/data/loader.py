@@ -3,8 +3,9 @@
 Replaces the reference's torch ``DataLoader`` + ``ToDeviceWrapper``
 (``morgana/data.py:29-57, 648-663``). The pipeline is:
 
-    item load+normalise (thread pool) -> collate to bucketed padded numpy
-    -> background device_put (double buffered) -> jitted step
+    batch build (load+normalise+collate, pipelined across a thread pool,
+    native C++ batch reads inside) -> background device_put (double
+    buffered) -> jitted step
 
 so host I/O and the host->device transfer overlap with TPU compute, and the
 train loop never blocks on disk. With a ``jax.sharding.Sharding``, batches are
@@ -13,6 +14,7 @@ shard, no host gather).
 """
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
@@ -100,41 +102,62 @@ class DataLoader(object):
             self._lengths[int(idx)] = max_len
 
     def _load_items(self, idxs):
-        """Loads one batch of items. When the dataset supports native batch
-        preloading (GIL-free C++ .npy reads), the heavy file I/O happens in
-        one call; the per-item assembly (deltas, normalisation) then runs in
-        the thread pool or inline."""
+        """Loads one batch of items inline. When the dataset supports native
+        batch preloading (GIL-free C++ .npy reads), the heavy file I/O
+        happens in one parallel call; per-item assembly (deltas,
+        normalisation) follows."""
         preload = getattr(self.dataset, 'preload_batch', None)
         preloaded = preload(idxs) if preload is not None else None
         if preloaded:
-            def build(j_i):
-                j, i = j_i
-                return self.dataset.build_item(
-                    i, {name: arrs[j] for name, arrs in preloaded.items()})
-            pairs = list(enumerate(idxs))
-            if self._pool is not None:
-                return list(self._pool.map(build, pairs))
-            return [build(pair) for pair in pairs]
-        if self._pool is not None:
-            return list(self._pool.map(self.dataset.__getitem__, idxs))
+            return [self.dataset.build_item(
+                        i, {name: arrs[j] for name, arrs in preloaded.items()})
+                    for j, i in enumerate(idxs)]
         return [self.dataset[i] for i in idxs]
+
+    def _build_batch(self, idxs):
+        """One complete batch: load + (optional) length recording + collate.
+        This is the unit of pipeline parallelism — see __iter__."""
+        items = self._load_items(idxs)
+        if self.length_sort_window:
+            self._record_lengths(idxs, items)
+        collate = getattr(self.dataset, 'collate_fn', None)
+        if collate is not None:
+            return collate(items, bucket=self.bucket)
+        return items
 
     def __iter__(self):
         order = self._order()
         self.epoch += 1
-        collate = getattr(self.dataset, 'collate_fn', None)
 
+        batches = []
         for start in range(0, len(order), self.batch_size):
             idxs = order[start:start + self.batch_size]
             if self.drop_remainder and len(idxs) < self.batch_size:
                 break
-            items = self._load_items(idxs)
-            if self.length_sort_window:
-                self._record_lengths(idxs, items)
-            if collate is not None:
-                yield collate(items, bucket=self.bucket)
-            else:
-                yield items
+            batches.append(idxs)
+
+        if self._pool is None:
+            for idxs in batches:
+                yield self._build_batch(idxs)
+            return
+
+        # Pipeline WHOLE batches across the thread pool (not just items
+        # within one batch): while batch N is consumed, batches N+1..N+depth
+        # load, assemble and collate concurrently. The native preload's C++
+        # reader threads run GIL-free, so concurrent batch builds genuinely
+        # overlap; depth is capped to bound the host memory held by
+        # in-flight padded batches.
+        depth = min(max(2, self.num_data_threads), 4)
+        futures = deque(self._pool.submit(self._build_batch, idxs)
+                        for idxs in batches[:depth])
+        next_batch = depth
+        while futures:
+            result = futures.popleft().result()
+            if next_batch < len(batches):
+                futures.append(
+                    self._pool.submit(self._build_batch, batches[next_batch]))
+                next_batch += 1
+            yield result
 
 
 class ToDeviceWrapper(object):

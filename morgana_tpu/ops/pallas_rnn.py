@@ -48,9 +48,15 @@ __all__ = ['lstm_layer', 'TIME_CHUNK', 'BWD_TIME_CHUNK']
 # Chunk sizes are VMEM-budget driven (v5e scoped VMEM is 16 MB): forward
 # streams xg (chunk, B, 4H) double-buffered next to the resident (H, 4H)
 # weights; backward streams four extra state blocks. Chunk 8/8 measured best
-# on v5e at B=32 H=512 (variants within ~5% of each other).
-TIME_CHUNK = 8
-BWD_TIME_CHUNK = 8
+# on v5e at B=32 H=512 in f32 (variants within ~5%); with bf16 streamed
+# blocks (store_dtype='bfloat16', halving every DMA) chunk 16 fits.
+# MORGANA_PALLAS_CHUNK / MORGANA_PALLAS_STORE override both for sweeps.
+import os as _os
+
+TIME_CHUNK = int(_os.environ.get('MORGANA_PALLAS_CHUNK', 8))
+BWD_TIME_CHUNK = int(_os.environ.get('MORGANA_PALLAS_BWD_CHUNK',
+                                     _os.environ.get('MORGANA_PALLAS_CHUNK', 8)))
+STORE_DTYPE = _os.environ.get('MORGANA_PALLAS_STORE', None)  # e.g. 'bfloat16'
 
 
 def _pick_chunk(time, limit):
@@ -75,19 +81,23 @@ def _lstm_fwd_kernel(xg_ref, w_hh_ref, h0_ref, c0_ref, y_ref, c_all_ref,
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        h_s[:] = h0_ref[:]
-        c_s[:] = c0_ref[:]
+        h_s[:] = h0_ref[:].astype(jnp.float32)
+        c_s[:] = c0_ref[:].astype(jnp.float32)
 
     def step(k, _):
         h, c = h_s[:], c_s[:]
-        gates = xg_ref[k] + jnp.dot(h, w_hh_ref[:], preferred_element_type=jnp.float32)
+        # With bf16 storage the matmul runs bf16 x bf16 on the MXU with f32
+        # accumulation (the carried state stays f32 in scratch).
+        gates = xg_ref[k].astype(jnp.float32) + jnp.dot(
+            h.astype(w_hh_ref.dtype), w_hh_ref[:],
+            preferred_element_type=jnp.float32)
         i, f, g, o = _gate_slices(gates, hidden)
         c_new = f * c + i * g
         h_new = o * jnp.tanh(c_new)
-        y_ref[k] = h_new
-        c_all_ref[k] = c_new
+        y_ref[k] = h_new.astype(y_ref.dtype)
+        c_all_ref[k] = c_new.astype(c_all_ref.dtype)
         # Activated gates saved for the backward pass (store-don't-recompute).
-        g_all_ref[k] = jnp.concatenate([i, f, g, o], axis=-1)
+        g_all_ref[k] = jnp.concatenate([i, f, g, o], axis=-1).astype(g_all_ref.dtype)
         h_s[:] = h_new
         c_s[:] = c_new
         return 0
@@ -96,8 +106,8 @@ def _lstm_fwd_kernel(xg_ref, w_hh_ref, h0_ref, c0_ref, y_ref, c_all_ref,
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
-        hn_ref[:] = h_s[:]
-        cn_ref[:] = c_s[:]
+        hn_ref[:] = h_s[:].astype(hn_ref.dtype)
+        cn_ref[:] = c_s[:].astype(cn_ref.dtype)
 
 
 def _lstm_bwd_kernel(g_all_ref, w_hh_ref, c_prev_ref, c_all_ref,
@@ -111,25 +121,26 @@ def _lstm_bwd_kernel(g_all_ref, w_hh_ref, c_prev_ref, c_all_ref,
     @pl.when(pl.program_id(0) == 0)
     def _():
         # Gradients w.r.t. the layer's final (h, c) enter as initial carries.
-        dh_s[:] = dhn_ref[:]
-        dc_s[:] = dcn_ref[:]
+        dh_s[:] = dhn_ref[:].astype(jnp.float32)
+        dc_s[:] = dcn_ref[:].astype(jnp.float32)
 
     def step(j, _):
         k = chunk - 1 - j
-        c_prev = c_prev_ref[k]
+        c_prev = c_prev_ref[k].astype(jnp.float32)
 
-        gates = g_all_ref[k]
+        gates = g_all_ref[k].astype(jnp.float32)
         i = gates[:, :hidden]
         f = gates[:, hidden:2 * hidden]
         g = gates[:, 2 * hidden:3 * hidden]
         o = gates[:, 3 * hidden:]
 
-        tanh_c = jnp.tanh(c_all_ref[k])
-        dh_total = dy_ref[k] + dh_s[:]
+        tanh_c = jnp.tanh(c_all_ref[k].astype(jnp.float32))
+        dh_total = dy_ref[k].astype(jnp.float32) + dh_s[:]
         do = dh_total * tanh_c
         # dc_all carries external cotangents on the exposed cell-state trace
         # (e.g. the final-state-at-seq_len gather in lstm_layer).
-        dct = dh_total * o * (1.0 - tanh_c * tanh_c) + dc_s[:] + dc_all_ref[k]
+        dct = dh_total * o * (1.0 - tanh_c * tanh_c) + dc_s[:] \
+            + dc_all_ref[k].astype(jnp.float32)
 
         da_i = dct * g * i * (1.0 - i)
         da_f = dct * c_prev * f * (1.0 - f)
@@ -137,10 +148,11 @@ def _lstm_bwd_kernel(g_all_ref, w_hh_ref, c_prev_ref, c_all_ref,
         da_o = do * o * (1.0 - o)
         dgates = jnp.concatenate([da_i, da_f, da_g, da_o], axis=-1)  # (B, 4H)
 
-        dxg_ref[k] = dgates
+        dxg_ref[k] = dgates.astype(dxg_ref.dtype)
         # dh_{t-1} = dgates @ w_hh^T without materialising the transpose.
         dh_s[:] = jax.lax.dot_general(
-            dgates, w_hh_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            dgates.astype(w_hh_ref.dtype), w_hh_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dc_s[:] = dct * f
         return 0
@@ -149,8 +161,8 @@ def _lstm_bwd_kernel(g_all_ref, w_hh_ref, c_prev_ref, c_all_ref,
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
-        dh0_ref[:] = dh_s[:]
-        dc0_ref[:] = dc_s[:]
+        dh0_ref[:] = dh_s[:].astype(dh0_ref.dtype)
+        dc0_ref[:] = dc_s[:].astype(dc0_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -161,11 +173,20 @@ def _lstm_layer_core(xg, w_hh, h0, c0, interpret):
     return y, c_all, hn, cn
 
 
+def _store_dtype(xg):
+    """Storage dtype for the streamed blocks (xg, y, c/gate traces): bf16
+    halves every DMA and the resident w_hh when MORGANA_PALLAS_STORE is set;
+    compute and the carried state stay f32 (MXU-native mixed precision —
+    same numerics class as the scan backend's compute_dtype='bfloat16')."""
+    return jnp.dtype(STORE_DTYPE) if STORE_DTYPE else xg.dtype
+
+
 def _fwd_call(xg, w_hh, h0, c0, interpret):
     time, batch, gates4 = xg.shape
     hidden = gates4 // 4
     chunk = _pick_chunk(time, TIME_CHUNK)
     grid = time // chunk
+    store = _store_dtype(xg)
 
     time_block = lambda i: (i, 0, 0)
     const2 = lambda i: (0, 0)
@@ -187,9 +208,9 @@ def _fwd_call(xg, w_hh, h0, c0, interpret):
             pl.BlockSpec((batch, hidden), const2, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((time, batch, hidden), xg.dtype),
-            jax.ShapeDtypeStruct((time, batch, hidden), xg.dtype),
-            jax.ShapeDtypeStruct((time, batch, gates4), xg.dtype),
+            jax.ShapeDtypeStruct((time, batch, hidden), store),
+            jax.ShapeDtypeStruct((time, batch, hidden), store),
+            jax.ShapeDtypeStruct((time, batch, gates4), store),
             jax.ShapeDtypeStruct((batch, hidden), xg.dtype),
             jax.ShapeDtypeStruct((batch, hidden), xg.dtype),
         ],
@@ -198,7 +219,7 @@ def _fwd_call(xg, w_hh, h0, c0, interpret):
             pltpu.VMEM((batch, hidden), jnp.float32),
         ],
         interpret=interpret,
-    )(xg, w_hh, h0, c0)
+    )(xg.astype(store), w_hh.astype(store), h0, c0)
     return y, c_all, g_all, hn, cn
 
 
@@ -217,10 +238,12 @@ def _core_bwd(interpret, residuals, grads):
     hidden = gates4 // 4
     chunk = _pick_chunk(time, BWD_TIME_CHUNK)
     grid = time // chunk
+    store = g_all.dtype
 
     # Previous-step states: h_{t-1} = y[t-1] (h0 at t=0), same for c.
-    h_prev = jnp.concatenate([h0[None], y[:-1]], axis=0)
-    c_prev = jnp.concatenate([c0[None], c_all[:-1]], axis=0)
+    h_prev = jnp.concatenate([h0[None].astype(store), y[:-1]], axis=0)
+    c_prev = jnp.concatenate([c0[None].astype(store), c_all[:-1]], axis=0)
+    w_hh_s = w_hh.astype(store)
 
     rev = lambda i: (grid - 1 - i, 0, 0)
     const2 = lambda i: (0, 0)
@@ -253,7 +276,8 @@ def _core_bwd(interpret, residuals, grads):
             pltpu.VMEM((batch, hidden), jnp.float32),
         ],
         interpret=interpret,
-    )(g_all, w_hh, c_prev, c_all, dy, dc_all, dhn, dcn)
+    )(g_all, w_hh_s, c_prev, c_all, dy.astype(store), dc_all.astype(store),
+      dhn, dcn)
 
     # dW_hh = sum_t h_{t-1}^T dgates_t: one large MXU matmul outside the
     # kernel over the flattened (T*B) dimension.
@@ -262,7 +286,10 @@ def _core_bwd(interpret, residuals, grads):
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    return dxg, dw_hh, dh0, dc0
+    # Cotangents in the PRIMAL input dtypes (f32 callers get f32 grads even
+    # when the streamed storage is bf16).
+    return (dxg.astype(w_hh.dtype), dw_hh.astype(w_hh.dtype),
+            dh0.astype(h0.dtype), dc0.astype(c0.dtype))
 
 
 _lstm_layer_core.defvjp(_core_fwd, _core_bwd)
@@ -304,7 +331,9 @@ def lstm_layer(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None,
     c0 = jnp.zeros((batch, hidden), dtype) if c0 is None else c0
 
     y, c_all, hn, cn = _lstm_layer_core(xg, w_hh, h0, c0, interpret)
-    y = jnp.swapaxes(y, 0, 1)                   # (B, T, H)
+    # Back to the caller's dtype (a no-op without MORGANA_PALLAS_STORE; the
+    # astype's VJP routes the bf16 cotangent back into the kernel otherwise).
+    y = jnp.swapaxes(y, 0, 1).astype(dtype)     # (B, T, H)
 
     if seq_len is not None:
         t = jnp.arange(time, dtype=jnp.asarray(seq_len).dtype)
@@ -313,5 +342,6 @@ def lstm_layer(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None,
         # y is masked but position seq_len-1 is valid, so gathering from the
         # masked trace is exact (and shares the mask multiply's gradient).
         hn = _state_at_seq_len(y, seq_len, h0)
-        cn = _state_at_seq_len(jnp.swapaxes(c_all, 0, 1), seq_len, c0)
+        cn = _state_at_seq_len(jnp.swapaxes(c_all, 0, 1).astype(dtype),
+                               seq_len, c0)
     return y, (hn, cn)
