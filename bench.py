@@ -95,13 +95,20 @@ def compiled_step_flops(loop, batch):
         return None
 
 
-def measure_peak_tflops(size=8192, rounds=6, iters=4):
-    """Empirical roofline probe: best-of-rounds timing of a large bf16
-    matmul chain (size^3, f32 accumulation — the MXU's native mode). This is
-    the *measured* speed of light for the silicon actually behind the device
-    tunnel, making MFU well-defined even when the nominal peak for the
-    reported device_kind mislabels the hardware (round-2 verdict: analytical
-    MFU 1.78 vs the nominal 197 TF/s — physically impossible)."""
+def measure_peak_tflops(size=8192, rounds=4, iters=32):
+    """Empirical roofline probe: best-of-rounds timing of a long bf16 matmul
+    chain (iters x size^3, f32 accumulation — the MXU's native mode), timed
+    to a SCALAR HOST READBACK. This is the measured speed of light for the
+    silicon actually behind the device tunnel, making MFU well-defined even
+    when the nominal peak for the reported device_kind mislabels the
+    hardware (round-2 verdict: analytical MFU 1.78 vs the nominal 197 TF/s).
+
+    Two tunnel pitfalls this probe is built around: (a) `block_until_ready`
+    on a remote buffer can return before execution completes, reading
+    ~1000x the silicon peak — only a host readback of a value is a true
+    barrier; (b) the readback round trip costs ~25-30 ms, so the chain must
+    be long enough (iters=32 ~= 35 TFLOP ~= 200 ms) to amortise it; the
+    probe is therefore a few percent CONSERVATIVE, never optimistic."""
     import jax
     import jax.numpy as jnp
 
@@ -111,21 +118,41 @@ def measure_peak_tflops(size=8192, rounds=6, iters=4):
 
     @jax.jit
     def chain(a, b):
-        # iters dependent matmuls per dispatch amortise dispatch overhead;
+        x = a
         # tanh keeps XLA from collapsing the chain algebraically.
         for _ in range(iters):
-            a = jnp.tanh(jnp.dot(a, b, preferred_element_type=jnp.float32)
+            x = jnp.tanh(jnp.dot(x, b, preferred_element_type=jnp.float32)
                          / size).astype(jnp.bfloat16)
-        return a
+        return x, jnp.sum(x.astype(jnp.float32))
 
-    chain(a, b).block_until_ready()  # compile + warmup
+    a, s = chain(a, b)  # compile + warmup
+    float(s)
     best = float('inf')
     for _ in range(rounds):
         t0 = time.perf_counter()
-        chain(a, b).block_until_ready()
+        # Output feeds back as input: fresh operands every dispatch.
+        a, s = chain(a, b)
+        float(s)  # host readback: the only reliable completion barrier
         best = min(best, time.perf_counter() - t0)
     flops = iters * 2.0 * size ** 3
     return flops / best / 1e12
+
+
+def measure_transfer_bandwidth(mbytes=64, rounds=5):
+    """Host->device transfer bandwidth (MB/s). On a tunnelled device this is
+    network bandwidth, not PCIe — measured explicitly because it bounds any
+    end-to-end (disk->device) throughput number and is a property of the
+    environment, not of the framework's input pipeline."""
+    import jax
+
+    n = mbytes * (1 << 20) // 4
+    best = float('inf')
+    for r in range(rounds):
+        host = np.full((n,), float(r), np.float32)  # fresh contents per round
+        t0 = time.perf_counter()
+        jax.device_put(host).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return mbytes / best
 
 
 def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
@@ -160,6 +187,10 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
         loss, _, _ = loop.train_step(batch, lr=1e-3)
     jax.block_until_ready(loss)
 
+    # Burst rounds (block_until_ready-timed). On the tunnelled runtime
+    # block_until_ready can credit scheduling rather than completion, so the
+    # burst is reported as a SECONDARY number; its round spread still gives
+    # throttle transparency (median round / best round, ~1.0 = healthy).
     round_times = []
     for _ in range(MEASURE_ROUNDS):
         t0 = time.perf_counter()
@@ -168,27 +199,27 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
         jax.block_until_ready(loss)
         round_times.append(time.perf_counter() - t0)
     best = min(round_times)
-    # Throttle transparency: best-of-rounds vs the median round. ~1.0 means
-    # the window was healthy and the burst number is representative; >>1
-    # means the shared chip was throttling and only the burst is meaningful.
     throttle_ratio = float(np.median(round_times) / best)
+    burst_time = best / MEASURE_STEPS
 
-    step_time = best / MEASURE_STEPS
-    fps = float(frames_per_batch / step_time)
-
-    # Sustained measurement: one continuous run of >= sustained_steps with a
-    # single trailing sync — the number a long training job would actually
-    # see on this chip, reported NEXT TO the burst number, never instead.
-    sustained = None
-    if sustained_steps:
+    # PRIMARY measurement: continuous mini-runs timed to a scalar host
+    # readback — the only reliable completion barrier on the tunnel, and
+    # the number a long training job actually sees. Best-of-mini-runs
+    # because the shared chip has severe throttling EPISODES (a single
+    # 30-step reading has been observed 800x off); the ~28 ms readback
+    # amortises to ~2 ms/step over 15 steps.
+    steps = max(int(sustained_steps), 15)
+    run_times = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(sustained_steps):
+        for _ in range(steps):
             loss, _, _ = loop.train_step(batch, lr=1e-3)
-        jax.block_until_ready(loss)
-        s_time = (time.perf_counter() - t0) / sustained_steps
-        sustained = {'sustained_ms_per_step': s_time * 1e3,
-                     'sustained_frames_per_sec': float(frames_per_batch / s_time),
-                     'sustained_steps': sustained_steps}
+        float(loss)
+        run_times.append((time.perf_counter() - t0) / steps)
+    step_time = min(run_times)
+    fps = float(frames_per_batch / step_time)
+    sustained = {'sustained_steps': steps,
+                 'sustained_spread': round(max(run_times) / step_time, 2)}
 
     # MFU uses the ANALYTICAL model-FLOP count (the standard definition:
     # useful model math / time / peak). XLA's cost_analysis cannot see inside
@@ -200,6 +231,8 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
     out = {
         'frames_per_sec': fps,
         'ms_per_step': step_time * 1e3,
+        'burst_ms_per_step': burst_time * 1e3,
+        'burst_frames_per_sec': float(frames_per_batch / burst_time),
         'throttle_ratio': round(throttle_ratio, 2),
         'flops_per_step': flops,
         'xla_flops_per_step': xla_flops,
@@ -313,11 +346,12 @@ def _run_bench_code(code):
 
 
 def _probe_subprocess():
-    """Roofline probe in its own clean process (same contention rule as the
-    config benches)."""
+    """Roofline + transfer probes in one clean process (same contention rule
+    as the config benches)."""
     return _run_bench_code(
         'import bench, json; print("BENCH_JSON:" + '
-        'json.dumps({"peak": bench.measure_peak_tflops()}))')['peak']
+        'json.dumps({"peak": bench.measure_peak_tflops(), '
+        '"bw": bench.measure_transfer_bandwidth()}))')
 
 
 def _bench_subprocess(backend, compute_dtype=None, unroll=8, sustained_steps=0):
@@ -396,9 +430,17 @@ def bench_e2e(num_utts=512, epochs=4, num_data_threads=8):
             fps = metrics.get('frames_per_sec')
             if fps and (best is None or fps > best):
                 best = fps
+
+        # Size of one collated batch (what each step uploads to the device).
+        host_batch = next(iter(exp.train_loader.data_loader))
+        batch_bytes = sum(v.nbytes for v in host_batch.values()
+                          if isinstance(v, np.ndarray))
+        batch_frames = float(np.asarray(host_batch['n_frames']).sum())
         return {'e2e_frames_per_sec': float(best),
                 'e2e_utts': num_utts, 'e2e_epochs_measured': epochs - 1,
-                'e2e_num_data_threads': num_data_threads}
+                'e2e_num_data_threads': num_data_threads,
+                'e2e_batch_mb': round(batch_bytes / (1 << 20), 1),
+                'e2e_frames_per_batch': batch_frames}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -426,11 +468,7 @@ def main():
     failed = []
     for name, backend, dtype, unroll in CONFIGS:
         try:
-            # The winning config (first in CONFIGS) also carries the
-            # sustained-load measurement: >= 50 consecutive steps, one sync.
-            sustained = 50 if name == CONFIGS[0][0] else 0
-            results[name] = _bench_subprocess(backend, dtype, unroll,
-                                              sustained_steps=sustained)
+            results[name] = _bench_subprocess(backend, dtype, unroll)
         except Exception:
             # Report, don't hide: a missing config (subprocess crash or
             # cold-compile timeout) silently shifting the headline to a
@@ -452,11 +490,16 @@ def main():
 
     # Empirical roofline: the measured peak makes MFU well-defined (<= 1 by
     # construction when probe and bench hit comparable chip windows).
+    measured_peak = transfer_bw = None
     try:
-        measured_peak = _probe_subprocess() if not degraded \
-            else measure_peak_tflops()
+        if degraded:
+            measured_peak = measure_peak_tflops()
+            transfer_bw = measure_transfer_bandwidth()
+        else:
+            probes = _probe_subprocess()
+            measured_peak, transfer_bw = probes['peak'], probes['bw']
     except Exception:
-        measured_peak = None
+        pass
 
     # End-to-end disk->device epoch throughput (loader + prefetch + device).
     e2e = None
@@ -468,13 +511,39 @@ def main():
 
     best_backend = max(results, key=lambda b: results[b]['frames_per_sec'])
     result = results[best_backend]
+
+    # Throttle-episode retry: when the sustained reading is wildly slower
+    # than the burst, the window was a throttling episode, not the chip's
+    # real pace — re-measure the winning config once after a cooldown and
+    # keep the better reading (still a genuine >= 3 x 15-step measurement).
+    if not degraded and result['ms_per_step'] > 5 * result['burst_ms_per_step']:
+        cfg = next(c for c in CONFIGS if c[0] == best_backend)
+        try:
+            time.sleep(60)
+            retry = _bench_subprocess(cfg[1], cfg[2], cfg[3])
+            if retry['frames_per_sec'] > result['frames_per_sec']:
+                result = retry
+                result['throttle_retry'] = True
+                results[best_backend] = result
+        except Exception:
+            pass
+
     line = {
         'metric': 'rnn_spss_train_frames_per_sec',
+        # The headline is the SUSTAINED (readback-barrier) number; the burst
+        # rides along as burst_* (block_until_ready on the tunnelled runtime
+        # can credit scheduling rather than completion, which is how round 2
+        # printed a physically impossible MFU of 1.78).
         'value': round(result['frames_per_sec'], 1),
         'unit': 'frames/sec',
         'vs_baseline': round(result['frames_per_sec'] / baseline_fps, 2),
         'backend': best_backend,
         'ms_per_step': round(result['ms_per_step'], 2),
+        'sustained_steps': result.get('sustained_steps'),
+        'sustained_spread': result.get('sustained_spread'),
+        'burst_ms_per_step': round(result['burst_ms_per_step'], 2),
+        'sustained_vs_burst': round(
+            result['ms_per_step'] / result['burst_ms_per_step'], 2),
         'achieved_tflops': round(result['achieved_tflops'], 1),
         'throttle_ratio': result.get('throttle_ratio'),
         'nominal_peak_tflops': result['nominal_peak_tflops'],
@@ -484,20 +553,20 @@ def main():
     if measured_peak is not None:
         line['measured_peak_tflops'] = round(measured_peak, 1)
         line['mfu'] = round(result['achieved_tflops'] / measured_peak, 3)
-    sus = results.get(CONFIGS[0][0], {})
-    if 'sustained_frames_per_sec' in sus:
-        line['sustained_frames_per_sec'] = round(sus['sustained_frames_per_sec'], 1)
-        line['sustained_ms_per_step'] = round(sus['sustained_ms_per_step'], 2)
-        line['sustained_steps'] = sus['sustained_steps']
-        if measured_peak is not None:
-            line['sustained_mfu'] = round(
-                sus['flops_per_step'] / (sus['sustained_ms_per_step'] / 1e3)
-                / 1e12 / measured_peak, 3)
+    if transfer_bw is not None:
+        line['host_to_device_mb_per_sec'] = round(transfer_bw, 1)
     if e2e:
         line.update({k: (round(v, 1) if isinstance(v, float) else v)
                      for k, v in e2e.items()})
         line['e2e_of_compute'] = round(
             e2e['e2e_frames_per_sec'] / result['frames_per_sec'], 3)
+        if transfer_bw is not None and e2e.get('e2e_batch_mb'):
+            # The transfer-bound ceiling for e2e on THIS device link: when
+            # the device sits behind a network tunnel, batch upload — not
+            # the input pipeline — is what bounds disk->device throughput.
+            ceiling = (transfer_bw / e2e['e2e_batch_mb']
+                       * e2e.get('e2e_frames_per_batch', 32 * 640.0))
+            line['e2e_transfer_ceiling_frames_per_sec'] = round(ceiling, 1)
     if degraded:
         line['degraded'] = 'subprocess isolation unavailable; single '\
                            'in-process measurement'

@@ -74,6 +74,17 @@ class FilesDataset(object):
         return assemble_item(self.data_sources, self.normalisers,
                              get_packaged, base_name)
 
+    @property
+    def supports_native_preload(self):
+        """True when :meth:`preload_batch` would actually use the GIL-free
+        native reader for at least one source — the condition under which
+        the loader's whole-batch pipelining pays off."""
+        from morgana_tpu.data import native_io
+        from morgana_tpu.data.sources import NumpyBinarySource
+        return native_io.native_available() and any(
+            type(src) is NumpyBinarySource and not src.sentence_level
+            for src in self.data_sources.values())
+
     def preload_batch(self, indices):
         """Reads the batch's ``.npy`` features through the GIL-free native
         batch reader (``csrc/batch_io.cpp``: one C++ thread pool over all

@@ -101,23 +101,27 @@ class DataLoader(object):
                     max_len = max(max_len, value.shape[0])
             self._lengths[int(idx)] = max_len
 
-    def _load_items(self, idxs):
-        """Loads one batch of items inline. When the dataset supports native
-        batch preloading (GIL-free C++ .npy reads), the heavy file I/O
-        happens in one parallel call; per-item assembly (deltas,
-        normalisation) follows."""
+    def _load_items(self, idxs, use_pool=False):
+        """Loads one batch of items. When the dataset supports native batch
+        preloading (GIL-free C++ .npy reads), the heavy file I/O happens in
+        one parallel call and per-item assembly follows inline; otherwise
+        ``use_pool`` spreads the per-item Python file loads over the thread
+        pool (the pre-pipelining strategy, still right for the pure-Python
+        path where batch-level workers would just contend on the GIL)."""
         preload = getattr(self.dataset, 'preload_batch', None)
         preloaded = preload(idxs) if preload is not None else None
         if preloaded:
             return [self.dataset.build_item(
                         i, {name: arrs[j] for name, arrs in preloaded.items()})
                     for j, i in enumerate(idxs)]
+        if use_pool and self._pool is not None:
+            return list(self._pool.map(self.dataset.__getitem__, idxs))
         return [self.dataset[i] for i in idxs]
 
-    def _build_batch(self, idxs):
+    def _build_batch(self, idxs, use_pool=False):
         """One complete batch: load + (optional) length recording + collate.
         This is the unit of pipeline parallelism — see __iter__."""
-        items = self._load_items(idxs)
+        items = self._load_items(idxs, use_pool=use_pool)
         if self.length_sort_window:
             self._record_lengths(idxs, items)
         collate = getattr(self.dataset, 'collate_fn', None)
@@ -136,17 +140,21 @@ class DataLoader(object):
                 break
             batches.append(idxs)
 
-        if self._pool is None:
-            for idxs in batches:
-                yield self._build_batch(idxs)
-            return
-
         # Pipeline WHOLE batches across the thread pool (not just items
         # within one batch): while batch N is consumed, batches N+1..N+depth
-        # load, assemble and collate concurrently. The native preload's C++
-        # reader threads run GIL-free, so concurrent batch builds genuinely
-        # overlap; depth is capped to bound the host memory held by
-        # in-flight padded batches.
+        # load, assemble and collate concurrently. Only worthwhile when the
+        # dataset's native preload carries the file I/O (C++ reader threads,
+        # GIL-free) — pure-Python batch builds would contend on the GIL, so
+        # that path keeps the classic per-item thread-pool loading instead.
+        pipeline = (self._pool is not None
+                    and getattr(self.dataset, 'supports_native_preload', False))
+        if not pipeline:
+            for idxs in batches:
+                yield self._build_batch(idxs, use_pool=True)
+            return
+
+        # depth is capped to bound the host memory held by in-flight padded
+        # batches.
         depth = min(max(2, self.num_data_threads), 4)
         futures = deque(self._pool.submit(self._build_batch, idxs)
                         for idxs in batches[:depth])
