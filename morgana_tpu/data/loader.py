@@ -177,11 +177,18 @@ class ToDeviceWrapper(object):
     device compute.
     """
 
-    def __init__(self, data_loader, sharding=None, prefetch=2, device=None):
+    def __init__(self, data_loader, sharding=None, prefetch=2, device=None,
+                 transfer_dtype=None):
         self.data_loader = data_loader
         self.sharding = sharding
         self.device = device  # explicit placement when no sharding is given
         self.prefetch = max(1, prefetch)
+        # Optional wire dtype for float32 SEQUENCE features (ndim >= 3):
+        # bf16 halves host->device bytes — the binding term when the device
+        # sits behind a bandwidth-limited link (see BASELINE.md e2e
+        # analysis). Scalar/per-utterance floats (n_frames, ...) stay f32:
+        # they parameterise masks and must stay exact.
+        self.transfer_dtype = np.dtype(transfer_dtype) if transfer_dtype else None
 
     def __len__(self):
         return len(self.data_loader)
@@ -224,7 +231,12 @@ class ToDeviceWrapper(object):
             features = self._harmonise_shapes(features)
         out = {}
         for key, value in features.items():
-            if isinstance(value, np.ndarray) and value.dtype.kind in 'fiub':
+            if (self.transfer_dtype is not None
+                    and isinstance(value, np.ndarray)
+                    and value.dtype == np.float32 and value.ndim >= 3):
+                value = value.astype(self.transfer_dtype)
+            if isinstance(value, np.ndarray) and (value.dtype.kind in 'fiub'
+                                                  or value.dtype == self.transfer_dtype):
                 if self.sharding is not None:
                     # Multi-host aware: assembles the global batch from this
                     # host's local shard when running over DCN.
@@ -304,7 +316,7 @@ class ToDeviceWrapper(object):
 
 def batch(data_generator, batch_size=32, shuffle=True, num_data_threads=0,
           device=None, sharding=None, seed=0, drop_remainder=False, prefetch=2,
-          length_sort_window=0):
+          length_sort_window=0, transfer_dtype=None):
     r"""Creates the batched, device-prefetching loader for a dataset
     (reference API: ``morgana/data.py:29-57``)."""
     loader = DataLoader(data_generator, batch_size=batch_size, shuffle=shuffle,
@@ -312,4 +324,4 @@ def batch(data_generator, batch_size=32, shuffle=True, num_data_threads=0,
                         drop_remainder=drop_remainder,
                         length_sort_window=length_sort_window)
     return ToDeviceWrapper(loader, sharding=sharding, prefetch=prefetch,
-                           device=device)
+                           device=device, transfer_dtype=transfer_dtype)

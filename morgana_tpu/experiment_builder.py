@@ -206,6 +206,12 @@ class ExperimentBuilder(object):
                             default='float32',
                             help="Matmul compute dtype: 'float32' (default) or 'bfloat16' "
                                  '(bf16 MXU matmuls with f32 accumulation and state).')
+        parser.add_argument('--transfer_dtype', dest='transfer_dtype', action='store', type=str,
+                            default=None,
+                            help="Wire dtype for float32 sequence features on the "
+                                 "host->device transfer, e.g. 'bfloat16' (halves batch "
+                                 'upload bytes; the win when the device link, not '
+                                 'compute, bounds throughput). Scalar features stay f32.')
 
     def __init__(self, model_class, experiment_name, **kwargs):
         self.model_class = model_class
@@ -254,6 +260,7 @@ class ExperimentBuilder(object):
         self.log_interval = kwargs.get('log_interval', 1)
         self.profile_dir = kwargs.get('profile_dir')
         self.compute_dtype = kwargs.get('compute_dtype', 'float32')
+        self.transfer_dtype = kwargs.get('transfer_dtype')
         self.length_sort_window = kwargs.get('length_sort_window', 0)
         nn.set_default_compute_dtype(self.compute_dtype)
         nn.set_default_remat(kwargs.get('remat', False))
@@ -652,7 +659,8 @@ class ExperimentBuilder(object):
                           num_data_threads=self.num_data_threads,
                           sharding=self.batch_sharding, seed=self.seed,
                           drop_remainder=drop_remainder,
-                          length_sort_window=self.length_sort_window if shuffle else 0)
+                          length_sort_window=self.length_sort_window if shuffle else 0,
+                          transfer_dtype=self.transfer_dtype)
 
     # ----------------------------------------------------------------- train
 

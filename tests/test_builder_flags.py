@@ -215,3 +215,32 @@ class TestOrbaxOverwrite:
         ck.orbax_save(orbax_dir, 1, {'params': exp1.loop.params, 'step': 9})
         ck.orbax_wait(orbax_dir)
         assert ck.orbax_restore(orbax_dir, step=1)['step'] == 9
+
+
+class TestTransferDtypeFlag:
+    def test_bf16_wire_features_and_training(self, voice_data, tmp_path):
+        """--transfer_dtype bfloat16: float32 SEQUENCE features cross
+        host->device as bf16 (halving upload bytes on bandwidth-limited
+        links); scalar features (n_frames) stay f32 for exact masks; the
+        fused step runs and learns."""
+        import ml_dtypes
+
+        exp = _build(voice_data, tmp_path, 'wire16', end_epoch=1, valid=False,
+                     transfer_dtype='bfloat16')
+        batch = next(iter(exp.train_loader))
+        assert batch['normalised_lf0_deltas'].dtype == ml_dtypes.bfloat16
+        assert batch['lf0'].dtype == ml_dtypes.bfloat16
+        assert np.asarray(batch['n_frames']).dtype == np.float32
+
+        exp.run_experiment()
+        metrics = os.path.join(str(tmp_path / 'experiments'), 'wire16',
+                               'train', 'epoch_1', 'metrics.json')
+        import json
+        with open(metrics) as f:
+            loss = json.load(f)['loss']
+        assert np.isfinite(loss)
+
+    def test_default_keeps_f32(self, voice_data, tmp_path):
+        exp = _build(voice_data, tmp_path, 'wire32', end_epoch=1, valid=False)
+        batch = next(iter(exp.train_loader))
+        assert batch['normalised_lf0_deltas'].dtype == np.float32
