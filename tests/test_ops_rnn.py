@@ -416,6 +416,38 @@ class TestWavefrontDropout:
             np.testing.assert_allclose(np.asarray(h_w), np.asarray(h_r), atol=1e-6)
             np.testing.assert_allclose(np.asarray(c_w), np.asarray(c_r), atol=1e-6)
 
+    def test_gradients_match_sequential_with_masks(self, rng):
+        """Training with wavefront dropout is exact end-to-end: gradients
+        through the diagonal-rearranged masks equal the sequential stack's
+        gradients through per-boundary masking."""
+        import jax
+        B, T, I, H, L = 2, 9, 4, 8, 3
+        x = jnp.array(rng.normal(size=(B, T, I)).astype(np.float32))
+        seq_len = jnp.array([9, 5])
+        layers = TestWavefrontStack()._random_layers(rng, I, H, L)
+        masks = [jnp.array((rng.random((B, T, H)) < 0.6).astype(np.float32)) / 0.6
+                 for _ in range(L - 1)]
+
+        def loss_seq(layers, x):
+            h = x
+            for i, (w_ih, w_hh, b_ih, b_hh) in enumerate(layers):
+                h, _ = rnn_ops.lstm(h, w_ih, w_hh, b_ih, b_hh, seq_len=seq_len)
+                if i < L - 1:
+                    h = h * masks[i]
+            return jnp.sum(h ** 2)
+
+        def loss_wf(layers, x):
+            y, _ = rnn_ops.lstm_stack(x, layers, seq_len=seq_len,
+                                      dropout_masks=masks)
+            return jnp.sum(y ** 2)
+
+        g_ref = jax.grad(loss_seq, argnums=(0, 1))(layers, x)
+        g_wf = jax.grad(loss_wf, argnums=(0, 1))(layers, x)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_wf)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-5, rtol=1e-4)
+
     def test_eval_mode_draws_no_masks(self, rng):
         """Outside training, the wavefront backend must not consume rng or
         apply masks — identical to the no-dropout stack."""
