@@ -28,7 +28,7 @@ PHONES = 64
 FRAMES = 640           # ~3.2 s utterances at 5 ms frames
 WARMUP_STEPS = 2
 MEASURE_STEPS = 5
-MEASURE_ROUNDS = 6     # best-of-rounds: the shared TPU shows throttling episodes
+MEASURE_ROUNDS = 4     # best-of-rounds: the shared TPU shows throttling episodes
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'BENCH_BASELINE.json')
 
 
@@ -208,7 +208,7 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
     # because the shared chip has severe throttling EPISODES (a single
     # 30-step reading has been observed 800x off); the ~28 ms readback
     # amortises to ~2 ms/step over 15 steps.
-    steps = max(int(sustained_steps), 15)
+    steps = max(int(sustained_steps), 12)
     run_times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -462,11 +462,21 @@ CONFIGS = (
 
 
 def main():
+    # Wall-clock budget: in a heavily throttled chip window every stage can
+    # take 10-20 minutes, and the JSON line must still come out. Stages are
+    # ordered by importance; optional ones are skipped past the deadline.
+    budget_s = float(os.environ.get('MORGANA_BENCH_BUDGET_S', 2700))
+    t_start = time.monotonic()
+    remaining = lambda: budget_s - (time.monotonic() - t_start)
+
     baseline_fps = get_baseline()
     results = {}
     degraded = False
     failed = []
     for name, backend, dtype, unroll in CONFIGS:
+        if results and remaining() < 300:
+            failed.append(name + ':skipped_budget')
+            continue
         try:
             results[name] = _bench_subprocess(backend, dtype, unroll)
         except Exception:
@@ -491,19 +501,20 @@ def main():
     # Empirical roofline: the measured peak makes MFU well-defined (<= 1 by
     # construction when probe and bench hit comparable chip windows).
     measured_peak = transfer_bw = None
-    try:
-        if degraded:
-            measured_peak = measure_peak_tflops()
-            transfer_bw = measure_transfer_bandwidth()
-        else:
-            probes = _probe_subprocess()
-            measured_peak, transfer_bw = probes['peak'], probes['bw']
-    except Exception:
-        pass
+    if remaining() > 120:
+        try:
+            if degraded:
+                measured_peak = measure_peak_tflops()
+                transfer_bw = measure_transfer_bandwidth()
+            else:
+                probes = _probe_subprocess()
+                measured_peak, transfer_bw = probes['peak'], probes['bw']
+        except Exception:
+            pass
 
     # End-to-end disk->device epoch throughput (loader + prefetch + device).
     e2e = None
-    if not degraded:
+    if not degraded and remaining() > 300:
         try:
             e2e = _e2e_subprocess()
         except Exception:
@@ -516,7 +527,8 @@ def main():
     # than the burst, the window was a throttling episode, not the chip's
     # real pace — re-measure the winning config once after a cooldown and
     # keep the better reading (still a genuine >= 3 x 15-step measurement).
-    if not degraded and result['ms_per_step'] > 5 * result['burst_ms_per_step']:
+    if not degraded and result['ms_per_step'] > 5 * result['burst_ms_per_step'] \
+            and remaining() > 300:
         cfg = next(c for c in CONFIGS if c[0] == best_backend)
         try:
             time.sleep(60)
