@@ -376,7 +376,46 @@ def _bench_subprocess(backend, compute_dtype=None, unroll=8, sustained_steps=0):
                        f'{proc.stderr[-1000:]}')
 
 
-def bench_e2e(num_utts=512, epochs=4, num_data_threads=8):
+def bench_generate(rnn_backend='scan', compute_dtype='bfloat16', unroll=64,
+                   num_batches=10):
+    """Generation (predict-only, incl. fused-stream on-device MLPG)
+    throughput with the tunnel-honest methodology: DISTINCT pre-staged
+    batches (dispatch dedup), one scalar readback as the completion barrier,
+    best of 3 passes."""
+    import jax
+    from morgana_tpu import nn
+    from morgana_tpu.training import TrainLoop, build_optimizer, numeric_features
+    from __graft_entry__ import _make_model
+
+    nn.set_default_compute_dtype(compute_dtype)
+    model = _make_model(num_layers=8, hidden_size=512, rnn_backend=rnn_backend,
+                        rnn_unroll=unroll)
+    model.mode = 'train'
+    loop = TrainLoop(model, build_optimizer(), seed=0)
+
+    rng = np.random.default_rng(0)
+    batches = []
+    total_frames = 0.0
+    for i in range(num_batches):
+        batch, frames = make_batch(np.random.default_rng(i))
+        batches.append(jax.device_put(numeric_features(batch)))
+        total_frames += float(frames)
+
+    staged, out = loop._predict_step(loop.params, batches[0], loop.rng)
+    float(next(iter(out.values())).sum())  # compile + warmup, true barrier
+
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for batch in batches:
+            staged, out = loop._predict_step(loop.params, batch, loop.rng)
+        float(next(iter(out.values())).astype(np.float32).sum())
+        best = min(best, time.perf_counter() - t0)
+    return {'generate_frames_per_sec': total_frames / best,
+            'generate_ms_per_batch': best / num_batches * 1e3}
+
+
+def bench_e2e(num_utts=512, epochs=4, num_data_threads=8, transfer_dtype=None):
     """End-to-end disk->device training throughput: a REAL epoch over an
     on-disk synthetic corpus at bench shapes through the actual user path
     (ExperimentBuilder: FilesDataset + threaded/native reads + prefetch +
@@ -416,7 +455,7 @@ def bench_e2e(num_utts=512, epochs=4, num_data_threads=8):
             compute_dtype='bfloat16', batch_size=BATCH,
             num_data_threads=num_data_threads, end_epoch=epochs,
             valid=False, test=False, model_checkpoint_interval=10 ** 6,
-            ema_decay=0.)
+            ema_decay=0., transfer_dtype=transfer_dtype)
         name = args.pop('experiment_name')
         exp = ExperimentBuilder(LSTMAcousticModel, experiment_name=name, **args)
         exp.run_experiment()
@@ -431,16 +470,25 @@ def bench_e2e(num_utts=512, epochs=4, num_data_threads=8):
             if fps and (best is None or fps > best):
                 best = fps
 
-        # Size of one collated batch (what each step uploads to the device).
+        # Size of one collated batch ON THE WIRE (what each step uploads).
         host_batch = next(iter(exp.train_loader.data_loader))
-        batch_bytes = sum(v.nbytes for v in host_batch.values()
+
+        def wire_bytes(v):
+            if transfer_dtype and v.dtype == np.float32 and v.ndim >= 3:
+                return v.size * 2  # bf16 wire format
+            return v.nbytes
+
+        batch_bytes = sum(wire_bytes(v) for v in host_batch.values()
                           if isinstance(v, np.ndarray))
         batch_frames = float(np.asarray(host_batch['n_frames']).sum())
-        return {'e2e_frames_per_sec': float(best),
-                'e2e_utts': num_utts, 'e2e_epochs_measured': epochs - 1,
-                'e2e_num_data_threads': num_data_threads,
-                'e2e_batch_mb': round(batch_bytes / (1 << 20), 1),
-                'e2e_frames_per_batch': batch_frames}
+        out = {'e2e_frames_per_sec': float(best),
+               'e2e_utts': num_utts, 'e2e_epochs_measured': epochs - 1,
+               'e2e_num_data_threads': num_data_threads,
+               'e2e_batch_mb': round(batch_bytes / (1 << 20), 1),
+               'e2e_frames_per_batch': batch_frames}
+        if transfer_dtype:
+            out['e2e_transfer_dtype'] = str(transfer_dtype)
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
