@@ -165,6 +165,12 @@ class ExperimentBuilder(object):
                             help='Seed for parameter init and training RNG streams.')
         parser.add_argument('--data_parallel', dest='data_parallel', action='store_true', default=False,
                             help='Shard batches over all local devices (data parallelism over the ICI mesh).')
+        parser.add_argument('--tensor_parallel', dest='tensor_parallel', action='store',
+                            type=int, default=1,
+                            help='Shard large parameter matrices over a N-way "model" mesh axis '
+                                 '(tensor parallelism; combine with --data_parallel for a '
+                                 'data x model mesh). Low value at this model scale — see '
+                                 'docs/design.md for the measured analysis.')
         parser.add_argument('--keep_checkpoints', dest='keep_checkpoints', action='store',
                             type=int, default=0,
                             help='If > 0, keep only the newest N epoch checkpoints '
@@ -341,16 +347,26 @@ class ExperimentBuilder(object):
 
         self.batch_sharding = None
         self.mesh = None
-        if self.data_parallel:
+        self.tensor_parallel = max(1, int(kwargs.get('tensor_parallel', 1) or 1))
+        if self.tensor_parallel > 1 and len(jax.devices()) % self.tensor_parallel:
+            raise ValueError(
+                f'--tensor_parallel {self.tensor_parallel} must divide the '
+                f'device count ({len(jax.devices())})')
+        if self.data_parallel or self.tensor_parallel > 1:
             from morgana_tpu import parallel
-            self.mesh = parallel.make_mesh()
+            # DP uses every device for 'data'; TP carves a 'model' axis out
+            # first. TP without DP uses a 1 x N mesh (N devices total).
+            self.mesh = parallel.make_mesh(
+                num_data=None if self.data_parallel else 1,
+                num_model=self.tensor_parallel)
             num_data = self.mesh.shape['data']
             if self.batch_size % num_data:
                 raise ValueError(
                     f'--batch_size {self.batch_size} must be divisible by the '
                     f'number of data-parallel devices ({num_data})')
             self.batch_sharding = parallel.batch_sharding(self.mesh)
-            self.logger.info('Data parallel over mesh %s', self.mesh)
+            self.logger.info('Parallel over mesh %s (data=%d, model=%d)',
+                             self.mesh, num_data, self.mesh.shape['model'])
         self.logger.info('Using JAX backend %s with devices %s',
                          jax.default_backend(), jax.devices())
 
@@ -387,12 +403,28 @@ class ExperimentBuilder(object):
                              '--shard_map_step; drop --shard_map_step (the '
                              'default GSPMD data-parallel path supports '
                              'accumulation).')
+        if self.tensor_parallel > 1 and self.shard_map_step:
+            raise ValueError('--tensor_parallel is not supported with '
+                             '--shard_map_step (the explicit shard_map step '
+                             'is data-parallel only); the default GSPMD path '
+                             'handles data x model meshes.')
         self.loop = TrainLoop(self.model, optimizer, ema_decay=self.ema_decay,
                               seed=self.seed, ema_model=self.ema.model if self.ema else None,
                               shard_map_mesh=self.mesh if self.shard_map_step else None,
                               grad_accum_steps=self.grad_accum_steps)
         if self.shard_map_step:
             self.logger.info('Using explicit shard_map train step over mesh %s', self.mesh)
+        if self.tensor_parallel > 1:
+            # Commit large kernels onto the 'model' axis; opt_state and EMA
+            # follow via sharding propagation / zeros_like inside the step.
+            from morgana_tpu import parallel
+            self.loop.params = parallel.shard_params(
+                self.loop.params, self.mesh, tensor_parallel=True)
+            if self.loop.ema_params is not None:
+                self.loop.ema_params = parallel.shard_params(
+                    self.loop.ema_params, self.mesh, tensor_parallel=True)
+            self.logger.info('Tensor parallel: params sharded %d-way over the '
+                             "'model' axis", self.tensor_parallel)
 
         # Orbax: async full-state checkpoints; resume from the latest step
         # when no explicit --checkpoint_path was given.

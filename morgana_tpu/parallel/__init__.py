@@ -9,7 +9,10 @@ scaling is first-class and TPU-idiomatic:
   axis, parameters are replicated, and XLA's SPMD partitioner inserts the
   gradient ``psum`` over ICI automatically — the fused train step is unchanged.
 * **Tensor parallelism** (optional): parameter sharding rules place large
-  Dense/recurrent kernels over a ``'model'`` axis.
+  Dense/recurrent kernels over a ``'model'`` axis (GSPMD path,
+  ``--tensor_parallel``), and :mod:`morgana_tpu.parallel.tp_rnn` provides
+  the explicit Megatron-style sharded recurrence (gate-major layout,
+  per-step hidden ``all_gather``, exact gradients).
 * **Multi-host**: ``jax.distributed.initialize`` over DCN, with host-local
   id-list sharding for the data pipeline.
 """
@@ -21,3 +24,4 @@ from morgana_tpu.parallel.distributed import (
     initialize_distributed, process_info, shard_id_list,
 )
 from morgana_tpu.parallel.shard_map_step import build_shard_map_train_step
+from morgana_tpu.parallel import tp_rnn

@@ -142,6 +142,39 @@ class TestBuilderDataParallel:
         m2 = json.load(open(os.path.join(expdir, 'train', 'epoch_2', 'metrics.json')))
         assert m2['loss'] < m1['loss']
 
+    def test_builder_trains_tensor_parallel(self, voice_data, tmp_path):
+        """--tensor_parallel 2 with --data_parallel: full lifecycle on a
+        4 x 2 data x model mesh, large kernels actually sharded."""
+        import json
+        import os
+        from conftest import builder_args
+        from tiny_models import TinyF0Model
+        from morgana_tpu.experiment_builder import ExperimentBuilder
+
+        # hidden=128: the 609 x 128 kernel crosses param_shardings' min_size
+        # so TP actually engages.
+        # (lr 0.001: with hidden=128 the default 0.005 overshoots at epoch 2
+        # — identically so without TP; the dryrun gate asserts dp x tp == dp
+        # equality, this test asserts the full builder lifecycle.)
+        args = builder_args(voice_data['data_root'], str(tmp_path / 'experiments'),
+                            end_epoch=2, valid=False, batch_size=8,
+                            data_parallel=True, tensor_parallel=2,
+                            learning_rate=0.001,
+                            model_kwargs={'hidden': 128})
+        nn.manual_seed(args['seed'])
+        exp = ExperimentBuilder(TinyF0Model, experiment_name='tp', **args)
+        assert exp.mesh.shape == {'data': 4, 'model': 2}
+        # Large kernels committed onto the 'model' axis before training.
+        sharded = [p for p in exp.loop.params.values()
+                   if p.ndim >= 1 and not p.sharding.is_fully_replicated]
+        assert sharded, 'expected at least one tensor-parallel-sharded kernel'
+        exp.run_experiment()
+
+        expdir = os.path.join(str(tmp_path / 'experiments'), 'tp')
+        m1 = json.load(open(os.path.join(expdir, 'train', 'epoch_1', 'metrics.json')))
+        m2 = json.load(open(os.path.join(expdir, 'train', 'epoch_2', 'metrics.json')))
+        assert m2['loss'] < m1['loss']
+
     def test_builder_rejects_indivisible_batch(self, voice_data, tmp_path):
         from conftest import builder_args
         from tiny_models import TinyF0Model
