@@ -188,6 +188,11 @@ class ExperimentBuilder(object):
                                  'id lists are sharded per host, --batch_size is the GLOBAL batch, '
                                  'and only process 0 writes checkpoints/config/metrics. '
                                  'Pair with --data_parallel for synchronised training.')
+        parser.add_argument('--compilation_cache_dir', dest='compilation_cache_dir',
+                            action='store', type=str, default=None,
+                            help='Persistent JAX compile cache directory: restarted runs '
+                                 'reload compiled train/eval programs from disk instead of '
+                                 'recompiling (faster resume/restart).')
         parser.add_argument('--log_interval', dest='log_interval', action='store', type=int, default=1,
                             help='Batches between progress-bar metric refreshes (higher avoids device syncs).')
         parser.add_argument('--profile_dir', dest='profile_dir', action='store', type=str, default=None,
@@ -300,6 +305,10 @@ class ExperimentBuilder(object):
                 platform_warning = (
                     f'Could not switch platform to {self.device} (backend '
                     f'already initialised); continuing on {got}')
+
+        if kwargs.get('compilation_cache_dir'):
+            from morgana_tpu import platform as _platform
+            _platform.enable_compilation_cache(kwargs['compilation_cache_dir'])
 
         if self.multihost:
             from morgana_tpu import parallel

@@ -17,7 +17,8 @@ order-sensitive platform gate appropriate to JAX's initialise-once model.
 """
 import os
 
-__all__ = ['backends_initialized', 'select_platform', 'force_cpu', 'PlatformError']
+__all__ = ['backends_initialized', 'select_platform', 'force_cpu',
+           'enable_compilation_cache', 'PlatformError']
 
 _HOST_COUNT_FLAG = '--xla_force_host_platform_device_count'
 
@@ -117,6 +118,30 @@ def select_platform(platform, n_devices=None, allow_fallback=False):
         f"morgana_tpu.platform.select_platform('{platform}') before any JAX "
         f"API that creates arrays or lists devices (imports are fine), or "
         f"start a fresh process.")
+
+
+def enable_compilation_cache(cache_dir):
+    """Points JAX's persistent compilation cache at ``cache_dir``.
+
+    Compiled programs (train step, serving predict programs per length
+    bucket) are written to disk and reloaded by later processes, eliminating
+    the cold-start compile on restart — the production-serving knob for
+    process churn, rolling restarts, and autoscaling. Thresholds are lowered
+    so every program is cached (the default minimums skip fast-compiling
+    programs, which is exactly wrong for latency-sensitive serving
+    restarts). Safe to call at any time (the cache is consulted per
+    compilation, not at backend init).
+    """
+    import jax
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', str(cache_dir))
+    for name, value in (('jax_persistent_cache_min_compile_time_secs', 0.0),
+                        ('jax_persistent_cache_min_entry_size_bytes', -1)):
+        try:
+            jax.config.update(name, value)
+        except Exception:
+            pass  # knob renamed/absent in this JAX: defaults still cache
+    return str(cache_dir)
 
 
 def force_cpu(n_devices=None):

@@ -37,7 +37,25 @@ import numpy as np
 from morgana_tpu import nn
 from morgana_tpu import platform as _platform
 
-__all__ = ['InferenceEngine', 'load_model_class', 'main']
+__all__ = ['InferenceEngine', 'load_model_class', 'load_exported_program',
+           'main']
+
+
+def load_exported_program(path):
+    """Loads a :meth:`InferenceEngine.export_program` StableHLO artifact and
+    returns it as a jitted callable ``fn(params, batch, rng) -> (staged,
+    outputs)``.
+
+    Runs without the model class / data sources / normalisers — the artifact
+    IS the compiled program; callers supply same-shape inputs (shapes are
+    validated by the export's signature).
+    """
+    import jax
+    from jax import export as jax_export
+
+    with open(path, 'rb') as f:
+        exported = jax_export.deserialize(f.read())
+    return jax.jit(exported.call)
 
 
 def load_model_class(spec):
@@ -94,11 +112,16 @@ class InferenceEngine(object):
     def __init__(self, model_class, checkpoint_path, data_root='.',
                  normalisation_dir='train', model_kwargs=None, device=None,
                  compute_dtype=None, batch_size=8, num_data_threads=0,
-                 analysis_kwargs=None, seed=0):
+                 analysis_kwargs=None, seed=0, compilation_cache_dir=None):
         if device:
             _platform.select_platform(device)
         if compute_dtype:
             nn.set_default_compute_dtype(compute_dtype)
+        if compilation_cache_dir:
+            # Persistent compile cache: restarted serving processes reload
+            # their per-bucket predict programs from disk instead of
+            # recompiling (cold-start elimination across process churn).
+            _platform.enable_compilation_cache(compilation_cache_dir)
 
         import jax  # after platform selection
 
@@ -147,6 +170,37 @@ class InferenceEngine(object):
         from morgana_tpu.training import numeric_features
         return self._predict_step(self._params, numeric_features(features),
                                   self._next_rng())
+
+    def export_program(self, features, path):
+        """AOT-exports the compiled predict program for this batch's padded
+        shapes as a serialized StableHLO artifact (``jax.export``).
+
+        The artifact is a deployable, runtime-independent compilation unit:
+        :func:`load_exported_program` runs it without the model's Python
+        class, data sources, or normaliser files — only the checkpoint's
+        parameter pytree and same-shape batches. One artifact per padded
+        shape (= per length bucket); export each bucket you serve.
+
+        Parameters
+        ----------
+        features : dict
+            One collated (padded) batch whose array shapes/dtypes define the
+            program's signature (its values are not baked in).
+        path : str
+            Output file. Returns ``path``.
+        """
+        import jax
+        from jax import export as jax_export
+        from morgana_tpu.training import numeric_features
+
+        args = (self._params, numeric_features(features), self._rng)
+        avals = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            args)
+        exported = jax_export.export(self._predict_step)(*avals)
+        with open(path, 'wb') as f:
+            f.write(exported.serialize())
+        return path
 
     def _unpad(self, features, outputs):
         """Strips batch padding from frame-level outputs: every (B, T_pad, D)
@@ -310,6 +364,10 @@ def main(argv=None):
                         help='Python-dict string of model constructor kwargs.')
     parser.add_argument('--analysis_kwargs', default='{}',
                         help='Python-dict string of analysis-hook kwargs.')
+    parser.add_argument('--compilation_cache_dir', default=None,
+                        help='Persistent JAX compile cache: restarted serving '
+                             'processes reload compiled programs from here '
+                             'instead of recompiling.')
     parser.add_argument('--http_port', type=int, default=None,
                         help='Serve over HTTP on this port instead of batch '
                              'generation (GET /healthz, POST /predict).')
@@ -332,7 +390,8 @@ def main(argv=None):
         model_kwargs=ast.literal_eval(args.model_kwargs), device=args.device,
         compute_dtype=args.compute_dtype, batch_size=args.batch_size,
         num_data_threads=args.num_data_threads,
-        analysis_kwargs=ast.literal_eval(args.analysis_kwargs))
+        analysis_kwargs=ast.literal_eval(args.analysis_kwargs),
+        compilation_cache_dir=args.compilation_cache_dir)
     if args.http_port is not None:
         from morgana_tpu.http_serve import serve_forever
         serve_forever(engine, host=args.http_host, port=args.http_port)

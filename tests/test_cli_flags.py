@@ -28,7 +28,7 @@ REFERENCE_FLAGS = [
 TPU_FLAGS = [
     'seed', 'data_parallel', 'multihost', 'shard_map_step', 'orbax_dir',
     'keep_checkpoints', 'log_interval', 'profile_dir', 'grad_clip_norm',
-    'remat', 'length_sort_window', 'compute_dtype',
+    'remat', 'length_sort_window', 'compute_dtype', 'compilation_cache_dir',
 ]
 
 

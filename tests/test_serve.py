@@ -372,3 +372,50 @@ class TestHTTPServing:
         finally:
             server.shutdown()
             server.server_close()
+
+
+class TestExportAndCompileCache:
+    """AOT deployment artifacts (jax.export) + persistent compile cache."""
+
+    def test_export_program_roundtrip(self, voice_data, trained, tmp_path):
+        """The serialized StableHLO artifact reproduces the live engine's
+        predict program exactly, without the model class or normalisers."""
+        import jax
+        from morgana_tpu.serve import load_exported_program
+        from morgana_tpu.training import numeric_features
+
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'],
+                                 batch_size=2)
+        loader = engine._loader('test', id_list='test/test_file_id_list.scp')
+        features = next(iter(loader))
+        path = str(tmp_path / 'predict.jaxexport')
+        assert engine.export_program(features, path) == path
+        assert os.path.getsize(path) > 0
+
+        fn = load_exported_program(path)
+        rng = jax.random.PRNGKey(7)
+        batch = numeric_features(features)
+        from_artifact = fn(engine._params, batch, rng)
+        from_engine = engine._predict_step(engine._params, batch, rng)
+        leaves_a = jax.tree_util.tree_leaves(from_artifact)
+        leaves_e = jax.tree_util.tree_leaves(from_engine)
+        assert len(leaves_a) == len(leaves_e) > 0
+        for a, e in zip(leaves_a, leaves_e):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(e))
+
+    def test_compilation_cache_dir_populates(self, voice_data, trained,
+                                             tmp_path):
+        """An engine pointed at a cache dir persists its compiled predict
+        programs to disk (restart = cache hit, no recompile)."""
+        cache = str(tmp_path / 'jit_cache')
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'],
+                                 batch_size=2,
+                                 compilation_cache_dir=cache)
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            ids = [l.strip() for l in f if l.strip()]
+        results = engine.predict_ids(ids, data_dir='test')
+        assert set(results) == set(ids)
+        assert os.path.isdir(cache) and os.listdir(cache)
