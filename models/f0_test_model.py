@@ -107,6 +107,31 @@ class F0Model(BaseSPSS):
             'lf0': pred_lf0,
         }
 
+    # ------------------------------------------------------- streaming hooks
+
+    def stream_inputs(self, features):
+        max_n_frames = features['normalised_counters'].shape[1]
+        norm_lab_at_frame_rate = utils.upsample_to_repetitions(
+            features['normalised_lab'], features['dur'], max_len=max_n_frames)
+        return jnp.concatenate(
+            (norm_lab_at_frame_rate, features['normalised_counters']), axis=-1)
+
+    def stream_step(self, inputs_chunk, state):
+        pred_norm_lf0_deltas, state = self.layers(
+            inputs_chunk, hiddens=state, return_hiddens=True)
+        pred_lf0_deltas = self.normalisers['lf0'].denormalise(
+            pred_norm_lf0_deltas, deltas=True)
+        return {'normalised_lf0_deltas': pred_norm_lf0_deltas,
+                'lf0_deltas': pred_lf0_deltas}, state
+
+    def stream_output_spec(self):
+        global_variance = self.normalisers['lf0'].delta_params['std_dev'] ** 2
+        return {
+            'normalised_lf0_deltas': None,
+            # Same global variance + burn-in as predict()'s batch MLPG.
+            'lf0': ('lf0_deltas', global_variance, 100),
+        }
+
     def loss(self, features, output_features):
         seq_len = features['n_frames']
 

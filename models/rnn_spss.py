@@ -130,6 +130,45 @@ class LSTMAcousticModel(BaseSPSS):
             'bap': pred_bap,
         }
 
+    # ------------------------------------------------------- streaming hooks
+
+    def stream_inputs(self, features):
+        max_n_frames = features['normalised_counters'].shape[1]
+        norm_lab_at_frame_rate = utils.upsample_to_repetitions(
+            features['normalised_lab'], features['dur'], max_len=max_n_frames)
+        return jnp.concatenate(
+            (norm_lab_at_frame_rate, features['normalised_counters']), axis=-1)
+
+    def stream_step(self, inputs_chunk, state):
+        pred_norm_deltas, state = self.layers(
+            inputs_chunk, hiddens=state, return_hiddens=True)
+
+        output_dims = [self.output_dims[n] for n in ['lf0', 'vuv', 'mcep', 'bap']]
+        splits = np.cumsum(output_dims)[:-1]
+        pred_norm_lf0_deltas, pred_vuv, pred_norm_mcep_deltas, pred_norm_bap_deltas = \
+            jnp.split(pred_norm_deltas, splits, axis=-1)
+
+        outputs = {
+            'normalised_lf0_deltas': pred_norm_lf0_deltas,
+            'normalised_mcep_deltas': pred_norm_mcep_deltas,
+            'normalised_bap_deltas': pred_norm_bap_deltas,
+            'vuv': jax.nn.sigmoid(pred_vuv),
+        }
+        for name, pred in (('lf0', pred_norm_lf0_deltas),
+                           ('mcep', pred_norm_mcep_deltas),
+                           ('bap', pred_norm_bap_deltas)):
+            outputs[f'{name}_deltas'] = self.normalisers[name].denormalise(
+                pred, deltas=True)
+        return outputs, state
+
+    def stream_output_spec(self):
+        spec = {'vuv': None}
+        for name in ('lf0', 'mcep', 'bap'):
+            # Same global variances + burn-in as predict()'s fused MLPG.
+            variances = self.normalisers[name].delta_params['std_dev'] ** 2
+            spec[name] = (f'{name}_deltas', variances, 100)
+        return spec
+
     def loss(self, features, output_features):
         n_frames = features['n_frames']
         vuv = output_features['vuv'] > 0.5

@@ -130,6 +130,47 @@ class BaseSPSS(BaseModel):
         loss = self.loss(features, output_features)
         return loss, output_features
 
+    # ------------------------------------------------------- streaming hooks
+    #
+    # Optional contract for chunked streaming inference (beyond the
+    # reference, which only generates whole utterances): implement all three
+    # and the model becomes drivable by morgana_tpu.serve.StreamingSession —
+    # constant time-to-first-frame regardless of utterance length, with ONE
+    # compiled fixed-chunk-shape program reused for every chunk.
+
+    def stream_inputs(self, features):
+        """Returns the frame-rate network inputs (batch, max_frames, D_in)
+        for a collated batch — predict()'s input-preparation stage
+        (e.g. duration-upsampled labels + counters), separated out so the
+        network itself can then run chunk by chunk."""
+        raise NotImplementedError(
+            f'{type(self).__name__} does not implement streaming '
+            '(stream_inputs/stream_step/stream_output_spec).')
+
+    def stream_step(self, inputs_chunk, state):
+        """Runs the network on one (batch, chunk, D_in) slice of
+        :meth:`stream_inputs`' output. ``state`` is ``None`` for the first
+        chunk, thereafter whatever this method returned. Returns
+        ``(outputs_dict, new_state)``; arrays in ``outputs_dict`` are
+        (batch, chunk, D). Must be jit-compatible: the serving loop compiles
+        it once for the fixed chunk shape."""
+        raise NotImplementedError(
+            f'{type(self).__name__} does not implement streaming '
+            '(stream_inputs/stream_step/stream_output_spec).')
+
+    def stream_output_spec(self):
+        """Declares what the stream emits, as
+        ``{emitted_name: None | (means_key, variances, padding_size)}``:
+        ``None`` passes ``outputs_dict[emitted_name]`` through unchanged;
+        a tuple routes ``outputs_dict[means_key]`` through a
+        :class:`morgana_tpu.streaming.StreamingMLPG` with the given global
+        variances and edge burn-in, emitting the smoothed trajectory as
+        ``emitted_name`` (match predict()'s MLPG settings for
+        streamed == batch consistency)."""
+        raise NotImplementedError(
+            f'{type(self).__name__} does not implement streaming '
+            '(stream_inputs/stream_step/stream_output_spec).')
+
 
 class BaseVAE(BaseSPSS):
     r"""Abstract VAE whose decoder is an SPSS model

@@ -629,7 +629,7 @@ class SequentialWithRecurrent(Module):
             if isinstance(item, Module):
                 yield from item.named_parameters(prefix=f'{prefix}{i}.')
 
-    def forward(self, input, hiddens=None, seq_len=None):
+    def forward(self, input, hiddens=None, seq_len=None, return_hiddens=False):
         if hiddens is None:
             hiddens = [None] * len(self.items)
         for i, module in enumerate(self.items):
@@ -637,6 +637,12 @@ class SequentialWithRecurrent(Module):
                 input, hiddens[i] = module(input, hiddens[i], seq_len)
             else:
                 input = module(input)
+        if return_hiddens:
+            # Streaming/chunked inference: thread the recurrent members'
+            # final states back in so the next chunk continues exactly where
+            # this one stopped (state slots for non-recurrent members stay
+            # None and pass through untouched).
+            return input, hiddens
         return input
 
     def __repr__(self):

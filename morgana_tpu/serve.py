@@ -37,8 +37,8 @@ import numpy as np
 from morgana_tpu import nn
 from morgana_tpu import platform as _platform
 
-__all__ = ['InferenceEngine', 'load_model_class', 'load_exported_program',
-           'main']
+__all__ = ['InferenceEngine', 'StreamingSession', 'load_model_class',
+           'load_exported_program', 'main']
 
 
 def load_exported_program(path):
@@ -339,6 +339,153 @@ class InferenceEngine(object):
         if metrics:
             stats['metrics'] = metrics
         return stats
+
+    # ----------------------------------------------------------- streaming
+
+    def stream_item(self, item, chunk_frames=64, context=32, lookahead=16):
+        """Streams ONE in-memory utterance (same item format as
+        :meth:`predict_items`): returns a generator of
+        ``{name: (new_frames, D) array}`` chunks. Requires the model to
+        implement the streaming hooks (``stream_inputs`` / ``stream_step`` /
+        ``stream_output_spec``)."""
+        from morgana_tpu.data import assemble_item, collate
+
+        sources = self.model.test_data_sources()
+        built = assemble_item(
+            sources, self.model.normalisers,
+            lambda name, source: source.package(item[name]),
+            str(item.get('name', 0)))
+        features = collate([built])
+        session = StreamingSession(self, chunk_frames=chunk_frames,
+                                   context=context, lookahead=lookahead)
+        return session.stream(features)
+
+    def stream_id(self, file_id, data_dir='test', chunk_frames=64,
+                  context=32, lookahead=16):
+        """Streams one on-disk utterance by id; see :meth:`stream_item`."""
+        loader = self._loader(data_dir, file_ids=[file_id])
+        features = next(iter(loader))
+        session = StreamingSession(self, chunk_frames=chunk_frames,
+                                   context=context, lookahead=lookahead)
+        return session.stream(features)
+
+
+class StreamingSession(object):
+    """Chunked streaming inference: constant time-to-first-frame regardless
+    of utterance length (beyond the reference, which generates whole
+    utterances only — ``morgana/experiment_builder.py:639-680``).
+
+    TPU-native design: the network runs as ONE jit-compiled fixed-shape
+    chunk program (``(1, chunk_frames, D_in)``) whose recurrent state is
+    carried between calls — no per-length compilation, no padding to the
+    utterance bucket. Trajectory smoothing runs through
+    :class:`morgana_tpu.streaming.StreamingMLPG` windows (also one compiled
+    shape). Emission is aligned across all declared outputs, delayed by the
+    MLPG lookahead.
+
+    Reusable across utterances: each :meth:`stream` call is an independent
+    generator; the compiled programs are shared.
+    """
+
+    def __init__(self, engine, chunk_frames=64, context=32, lookahead=16):
+        import jax
+
+        self.engine = engine
+        self.chunk_frames = int(chunk_frames)
+        self.context = int(context)
+        self.lookahead = int(lookahead)
+        model = engine.model
+        self.spec = model.stream_output_spec()
+
+        def inputs_fn(params, batch, rng):
+            with nn.bind(model, params, rng=rng, train=False):
+                return model.stream_inputs(batch)
+
+        def step_fn(params, chunk, state, rng):
+            with nn.bind(model, params, rng=rng, train=False):
+                return model.stream_step(chunk, state)
+
+        self._inputs_fn = jax.jit(inputs_fn)
+        self._step_fn = jax.jit(step_fn)
+
+    def stream(self, features):
+        """Generator over one collated single-utterance batch: yields
+        ``{name: (new_frames, D) np.ndarray}`` with every yielded dict
+        covering the SAME frame range across names (names from the model's
+        ``stream_output_spec``)."""
+        import jax
+        import jax.numpy as jnp
+        from morgana_tpu.streaming import StreamingMLPG
+        from morgana_tpu.training import numeric_features
+
+        engine = self.engine
+        rng = jax.random.PRNGKey(0)
+        batch = numeric_features(features)
+        inputs = self._inputs_fn(engine._params, batch, rng)
+        if inputs.shape[0] != 1:
+            raise ValueError('streaming serves one utterance per session; '
+                             f'got a batch of {inputs.shape[0]}')
+        if 'n_frames' in features:
+            n_frames = int(np.asarray(features['n_frames']).reshape(-1)[0])
+        else:
+            n_frames = inputs.shape[1]
+
+        chunk_size = self.chunk_frames
+        mlpg, buffers, drained = {}, {}, 0
+        for name, spec in self.spec.items():
+            buffers[name] = []
+            if spec is not None:
+                means_key, variances, padding_size = spec
+                mlpg[name] = (means_key, StreamingMLPG(
+                    variances, chunk_size, context=self.context,
+                    lookahead=self.lookahead, padding_size=padding_size))
+
+        def drain(done):
+            ready = min(sum(a.shape[0] for a in buffers[name])
+                        for name in buffers)
+            if ready <= done:
+                return None, done
+            out = {}
+            for name, parts in buffers.items():
+                whole = np.concatenate(parts, axis=0)
+                out[name] = whole[done:ready]
+                buffers[name] = [whole]
+            return out, ready
+
+        state = None
+        for start in range(0, n_frames, chunk_size):
+            valid = min(chunk_size, n_frames - start)
+            chunk = inputs[:, start:start + valid]
+            if valid < chunk_size:
+                # Fixed compiled shape: zero-pad the final partial chunk
+                # (never emitted; only the carried state would see it, and
+                # the stream ends here).
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((1, chunk_size - valid) + chunk.shape[2:],
+                                      chunk.dtype)], axis=1)
+            outputs, state = self._step_fn(engine._params, chunk, state, rng)
+            for name, spec in self.spec.items():
+                if spec is None:
+                    buffers[name].append(np.asarray(outputs[name])[0, :valid])
+                else:
+                    means_key, sm = mlpg[name]
+                    got = sm.push(np.asarray(outputs[means_key])[:, :valid])
+                    if got.shape[1]:
+                        buffers[name].append(got[0])
+            out, drained = drain(drained)
+            if out is not None:
+                yield out
+
+        for name, (means_key, sm) in mlpg.items():
+            got = sm.flush()
+            if got.shape[1]:
+                buffers[name].append(got[0])
+        out, drained = drain(drained)
+        if out is not None:
+            yield out
+        if drained != n_frames:
+            raise RuntimeError(
+                f'stream emitted {drained} of {n_frames} frames')
 
 
 def main(argv=None):

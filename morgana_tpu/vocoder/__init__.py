@@ -18,6 +18,7 @@ scheme WORLD uses.
 from morgana_tpu.vocoder.world import (
     synthesize, synthesize_world_feats, smooth_f0,
     mcep_to_spectrum, spectrum_to_mcep, bap_to_aperiodicity, native_available,
+    StreamingSynthesizer,
 )
 from morgana_tpu.vocoder.analysis import (
     analyze, estimate_f0, spectral_envelope, band_aperiodicity,
@@ -27,6 +28,7 @@ from morgana_tpu.vocoder.analysis import (
 __all__ = [
     'synthesize', 'synthesize_world_feats', 'smooth_f0',
     'mcep_to_spectrum', 'spectrum_to_mcep', 'bap_to_aperiodicity',
-    'native_available', 'analyze', 'estimate_f0', 'spectral_envelope',
+    'native_available', 'StreamingSynthesizer',
+    'analyze', 'estimate_f0', 'spectral_envelope',
     'band_aperiodicity', 'features_from_wav',
 ]

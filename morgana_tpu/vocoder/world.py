@@ -20,7 +20,7 @@ from scipy.signal import savgol_filter
 __all__ = [
     'synthesize', 'synthesize_world_feats', 'smooth_f0',
     'mcep_to_spectrum', 'spectrum_to_mcep', 'bap_to_aperiodicity',
-    'native_available',
+    'native_available', 'StreamingSynthesizer',
 ]
 
 _LIB = None
@@ -274,3 +274,184 @@ def synthesize_world_feats(f0, vuv, mcep, bap, sample_rate, frame_period=5.0,
     f0 = np.where(vuv[:num_frames] > 0.5, f0[:num_frames], 0.0)
     return synthesize(f0, sp[:num_frames], ap[:num_frames], sample_rate,
                       frame_period=frame_period)
+
+
+class StreamingSynthesizer(object):
+    """Incremental waveform synthesis: push vocoder-feature frames chunk by
+    chunk, receive finalised audio samples with a few frames of delay.
+
+    Mirrors ``_synthesize_numpy`` operation-for-operation — same excitation
+    (phase-accumulated glottal pulses + streamed white noise), same
+    per-frame minimum-phase filters, same overlap-add — with all
+    cross-chunk coupling carried as explicit state: the phase accumulator,
+    the noise RNG mid-stream, unconsumed excitation samples, and the
+    overlap-add tail. The streamed waveform equals the batch synthesis of
+    the concatenated features exactly (up to the batch path's final
+    clip-protection rescale, which needs the global peak and is therefore
+    skipped here; apply your own gain control downstream).
+
+    A frame is synthesisable once its excitation window (``min(fft_size,
+    4*hop)`` samples) is available, so emission lags the pushed features by
+    at most 4 frames (+ the final ``flush()``); each pushed chunk costs the
+    same per-frame work as the batch path.
+
+    Parameters match :func:`synthesize`; feed either ``push(f0, sp, ap)``
+    with spectral features or :meth:`push_world_feats` with model-space
+    (f0, vuv, mcep, bap) chunks.
+    """
+
+    def __init__(self, fs, frame_period=5.0, seed=0, fft_size=1024):
+        self.fs = int(fs)
+        self.frame_period = float(frame_period)
+        self.hop = int(fs * frame_period / 1000.0)
+        self.fft_size = int(fft_size)
+        self._rng = np.random.default_rng(seed)
+
+        self._phase = 0.0            # cumulative phase at the last sample
+        self._prev_floor = 0.0       # floor(phase) at the last sample
+        self._frames_pushed = 0
+        self._frames_done = 0        # frames filtered + overlap-added
+        self._emitted = 0            # samples returned to the caller
+        # Excitation samples >= _frames_done * hop (windows still need them).
+        self._exc_p = np.zeros(0)
+        self._exc_n = np.zeros(0)
+        self._pending = []           # (sp, ap) rows awaiting filtering
+        # Overlap-add accumulator for samples >= _emitted.
+        self._ola = np.zeros(0)
+        self._finished = False
+
+        win_len = min(self.fft_size, 4 * self.hop)
+        self._window = np.hanning(win_len)
+        self._ola_gain = (np.sum(self._window[::self.hop])
+                          if self.hop < win_len else 1.0)
+
+    # ------------------------------------------------------------------ api
+
+    def push(self, f0, sp, ap):
+        """Feeds frames (f0 (c,), sp (c, K), ap (c, K) or broadcastable) and
+        returns the newly finalised float64 samples (possibly empty)."""
+        if self._finished:
+            raise RuntimeError('push() after flush()')
+        f0 = np.asarray(f0, np.float64).reshape(-1)
+        sp = np.atleast_2d(np.asarray(sp, np.float64))
+        ap = np.broadcast_to(np.atleast_2d(np.asarray(ap, np.float64)), sp.shape)
+        if sp.shape[0] != f0.shape[0]:
+            raise ValueError(f'{f0.shape[0]} f0 frames vs {sp.shape[0]} sp rows')
+        if sp.shape[1] != self.fft_size // 2 + 1:
+            raise ValueError(f'sp has {sp.shape[1]} bins, expected '
+                             f'{self.fft_size // 2 + 1} for fft_size {self.fft_size}')
+        if f0.shape[0]:
+            self._extend_excitation(f0)
+            self._pending.extend(zip(sp, ap))
+            self._frames_pushed += f0.shape[0]
+        self._process(exc_end=self._frames_pushed * self.hop)
+        return self._emit(final_upto=self._frames_done * self.hop)
+
+    def flush(self):
+        """Synthesises the remaining frames (zero excitation beyond the last
+        pushed sample, as the batch path pads) and returns the tail; the
+        total emitted length is exactly ``frames_pushed * hop``."""
+        if self._finished:
+            raise RuntimeError('flush() called twice')
+        self._finished = True
+        pad = np.zeros(self.fft_size)
+        self._exc_p = np.concatenate([self._exc_p, pad])
+        self._exc_n = np.concatenate([self._exc_n, pad])
+        self._process(exc_end=self._frames_pushed * self.hop + self.fft_size)
+        return self._emit(final_upto=self._frames_pushed * self.hop)
+
+    @property
+    def delay_frames(self):
+        """Worst-case frames between a push and its samples emerging."""
+        return -(-min(self.fft_size, 4 * self.hop) // self.hop)
+
+    # ------------------------------------------------------------ internals
+
+    def _extend_excitation(self, f0):
+        hop, fs = self.hop, self.fs
+        f0_per_sample = np.repeat(f0, hop)
+        voiced = f0_per_sample > 0
+        steps = np.where(voiced, f0_per_sample / fs, 0.0)
+        phase = self._phase + np.cumsum(steps)
+        floors = np.floor(phase)
+        pulse = np.diff(floors, prepend=self._prev_floor) > 0
+        self._phase = float(phase[-1])
+        self._prev_floor = float(floors[-1])
+
+        exc_p = np.zeros(f0_per_sample.shape[0])
+        pulse_pos = np.nonzero(pulse)[0]
+        if pulse_pos.size:
+            amp = np.sqrt(np.maximum(
+                fs / np.maximum(f0_per_sample[pulse_pos], 1.0), 1.0))
+            exc_p[pulse_pos] = amp
+        exc_p[~voiced] = 0.0
+        exc_n = self._rng.standard_normal(f0_per_sample.shape[0])
+
+        self._exc_p = np.concatenate([self._exc_p, exc_p])
+        self._exc_n = np.concatenate([self._exc_n, exc_n])
+
+    def _process(self, exc_end):
+        """Filters every pending frame whose excitation window fits in
+        [0, exc_end) and overlap-adds it into the accumulator."""
+        hop, fft_size = self.hop, self.fft_size
+        win_len = self._window.shape[0]
+        ready = []
+        while (self._pending
+               and (self._frames_done + len(ready) + 1) * hop - hop + win_len
+               <= exc_end):
+            ready.append(self._pending.pop(0))
+        if not ready:
+            return
+        sp = np.stack([r[0] for r in ready])
+        ap = np.stack([r[1] for r in ready])
+        h_per = _minimum_phase_spectra(sp * np.maximum(1.0 - ap ** 2, 1e-12))
+        h_apr = _minimum_phase_spectra(sp * np.maximum(ap ** 2, 1e-12))
+
+        exc_base = self._frames_done * hop    # sample index of _exc_*[0]
+        starts = (self._frames_done + np.arange(len(ready))) * hop
+        rel = starts - exc_base
+        frames_p = np.stack([self._exc_p[r:r + win_len] for r in rel]) * self._window
+        frames_n = np.stack([self._exc_n[r:r + win_len] for r in rel]) * self._window
+        spec = (np.fft.rfft(frames_p, n=fft_size, axis=-1) * h_per
+                + np.fft.rfft(frames_n, n=fft_size, axis=-1) * h_apr)
+        filt = np.fft.irfft(spec, n=fft_size, axis=-1)
+
+        # Grow the accumulator to cover the last write, then add in frame
+        # order (same floating-point accumulation order as the batch loop).
+        last = starts[-1] + fft_size - self._emitted
+        if self._ola.shape[0] < last:
+            self._ola = np.concatenate(
+                [self._ola, np.zeros(last - self._ola.shape[0])])
+        for i, s in enumerate(starts):
+            lo = s - self._emitted
+            self._ola[lo:lo + fft_size] += filt[i]
+
+        self._frames_done += len(ready)
+        # Drop excitation the remaining frames no longer need.
+        consumed = self._frames_done * hop - exc_base
+        self._exc_p = self._exc_p[consumed:]
+        self._exc_n = self._exc_n[consumed:]
+
+    def _emit(self, final_upto):
+        n = final_upto - self._emitted
+        if n <= 0:
+            return np.zeros(0)
+        out = self._ola[:n] / max(self._ola_gain, 1e-12)
+        self._ola = self._ola[n:]
+        self._emitted = final_upto
+        return out
+
+    # ------------------------------------------------------- model features
+
+    def push_world_feats(self, f0, vuv, mcep, bap):
+        """Feeds model-space feature chunks (the acoustic model's outputs:
+        lf0 already exp()'d to Hz, vuv in [0,1], mel-cepstra, band
+        aperiodicities) — the streaming counterpart of
+        :func:`synthesize_world_feats`."""
+        f0 = np.asarray(f0, np.float64).reshape(-1)
+        vuv = np.asarray(vuv).reshape(-1)
+        sp = mcep_to_spectrum(mcep, fft_size=self.fft_size, fs=self.fs)
+        ap = bap_to_aperiodicity(bap, fft_size=self.fft_size, fs=self.fs)
+        num = min(len(f0), len(vuv), sp.shape[0], ap.shape[0])
+        f0 = np.where(vuv[:num] > 0.5, f0[:num], 0.0)
+        return self.push(f0, sp[:num], ap[:num])

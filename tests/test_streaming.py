@@ -1,0 +1,275 @@
+"""Streaming inference: StreamingMLPG windowed solves, chunked recurrent
+state carry, and the end-to-end StreamingSession (streamed == batch)."""
+import os
+
+import numpy as np
+import pytest
+
+from conftest import builder_args
+from tiny_models import TinyF0Model, TinyStreamModel
+
+from morgana_tpu import nn
+from morgana_tpu.experiment_builder import ExperimentBuilder
+from morgana_tpu.serve import InferenceEngine
+from morgana_tpu.streaming import StreamingMLPG
+from morgana_tpu.viz.synthesis import MLPG
+
+
+def _smooth_means(rng, batch, frames, dim, offset=5.0):
+    return (np.cumsum(rng.normal(0, 0.05, (batch, frames, dim)), axis=1)
+            + offset).astype(np.float32)
+
+
+class TestStreamingMLPG:
+    def test_matches_full_solve(self):
+        """Windowed emission with modest context/lookahead reproduces the
+        whole-utterance solve (exponential decay of the banded precision
+        matrix's inverse)."""
+        rng = np.random.default_rng(0)
+        means = _smooth_means(rng, 2, 257, 6)
+        gv = rng.random(6).astype(np.float32) * 0.5 + 0.1
+        full = np.asarray(MLPG(means, gv, padding_size=100))
+
+        sm = StreamingMLPG(gv, chunk_size=48, context=16, lookahead=16,
+                           padding_size=100)
+        parts = []
+        # Push sizes deliberately unrelated to chunk_size.
+        for s in range(0, means.shape[1], 30):
+            parts.append(sm.push(means[:, s:s + 30]))
+        parts.append(sm.flush())
+        streamed = np.concatenate(parts, axis=1)
+
+        assert streamed.shape == full.shape
+        np.testing.assert_allclose(streamed, full, atol=1e-4)
+
+    def test_short_utterance_flush_only(self):
+        """Utterances shorter than chunk + lookahead emit entirely at
+        flush and still match the full solve."""
+        rng = np.random.default_rng(1)
+        means = _smooth_means(rng, 1, 9, 3)
+        gv = np.ones(3, np.float32) * 0.3
+        full = np.asarray(MLPG(means, gv, padding_size=10))
+
+        sm = StreamingMLPG(gv, chunk_size=32, context=16, lookahead=16,
+                           padding_size=10)
+        assert sm.push(means).shape == (1, 0, 1)
+        streamed = sm.flush()
+        np.testing.assert_allclose(streamed, full, atol=1e-4)
+
+    def test_emission_schedule_and_delay(self):
+        gv = np.ones(3, np.float32)
+        sm = StreamingMLPG(gv, chunk_size=4, context=8, lookahead=2)
+        assert sm.delay_frames == 2 + 4 - 1
+        rng = np.random.default_rng(2)
+        means = _smooth_means(rng, 1, 6, 3)
+        # 6 pushed >= 4 + 2: exactly one chunk emits.
+        assert sm.push(means).shape == (1, 4, 1)
+        assert sm.push(means[:, :0]).shape == (1, 0, 1)
+
+    def test_api_misuse_raises(self):
+        sm = StreamingMLPG(np.ones(3, np.float32), chunk_size=4)
+        with pytest.raises(ValueError):
+            sm.push(np.zeros((4, 3), np.float32))  # missing batch dim
+        sm.flush()
+        with pytest.raises(RuntimeError):
+            sm.push(np.zeros((1, 2, 3), np.float32))
+        with pytest.raises(RuntimeError):
+            sm.flush()
+
+
+class TestChunkedStateCarry:
+    def test_sequential_chunked_equals_full(self):
+        """return_hiddens threads GRU and LSTM states so chunked execution
+        reproduces the full run exactly."""
+        import jax.numpy as jnp
+
+        nn.manual_seed(7)
+        stack = nn.SequentialWithRecurrent(
+            nn.Linear(5, 8),
+            nn.Sigmoid(),
+            nn.Recurrent('gru', 8, 8),
+            nn.Recurrent('lstm', 8, 8),
+            nn.Linear(8, 2),
+        )
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 30, 5)).astype(np.float32))
+
+        full = np.asarray(stack(x))
+        state = None
+        parts = []
+        for s in range(0, 30, 7):  # ragged final chunk
+            out, state = stack(x[:, s:s + 7], hiddens=state,
+                               return_hiddens=True)
+            parts.append(np.asarray(out))
+        chunked = np.concatenate(parts, axis=1)
+        np.testing.assert_allclose(chunked, full, atol=1e-6)
+
+
+@pytest.fixture(scope='module')
+def stream_trained(voice_data, tmp_path_factory):
+    exp_base = str(tmp_path_factory.mktemp('stream') / 'experiments')
+    args = builder_args(voice_data['data_root'], exp_base,
+                        end_epoch=1, valid=False)
+    nn.manual_seed(args['seed'])
+    exp = ExperimentBuilder(TinyStreamModel, experiment_name='st', **args)
+    exp.run_experiment()
+    return os.path.join(exp_base, 'st', 'checkpoints', 'epoch_1.npz')
+
+
+class TestStreamingSession:
+    def test_streamed_equals_batch_predict(self, voice_data, stream_trained):
+        engine = InferenceEngine(TinyStreamModel, stream_trained,
+                                 data_root=voice_data['data_root'],
+                                 batch_size=2)
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            ids = [l.strip() for l in f if l.strip()]
+        batch_out = engine.predict_ids(ids, data_dir='test')
+
+        for utt in ids:
+            chunks = list(engine.stream_id(utt, data_dir='test',
+                                           chunk_frames=16, context=32,
+                                           lookahead=32))
+            assert len(chunks) > 1  # genuinely incremental
+            streamed = {k: np.concatenate([c[k] for c in chunks], axis=0)
+                        for k in chunks[0]}
+            # The network outputs are exact (state carry); the MLPG stream is
+            # a windowed approximation — 1e-4 on lf0 values of ~5 log-Hz is
+            # ~2e-5 relative, orders below any perceptual threshold.
+            for key, atol in (('normalised_lf0_deltas', 1e-5), ('lf0', 1e-4)):
+                ref = np.asarray(batch_out[utt][key])
+                got = streamed[key]
+                assert got.shape == ref.shape
+                np.testing.assert_allclose(got, ref, atol=atol)
+
+    def test_yields_are_aligned_across_outputs(self, voice_data,
+                                               stream_trained):
+        """Every yielded dict covers the same frame range for every
+        declared output (pass-through outputs wait for the MLPG
+        lookahead)."""
+        engine = InferenceEngine(TinyStreamModel, stream_trained,
+                                 data_root=voice_data['data_root'],
+                                 batch_size=2)
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            utt = [l.strip() for l in f if l.strip()][0]
+        for chunk in engine.stream_id(utt, data_dir='test', chunk_frames=16):
+            lengths = {k: v.shape[0] for k, v in chunk.items()}
+            assert len(set(lengths.values())) == 1, lengths
+
+    def test_stream_item_in_memory(self, voice_data, stream_trained):
+        """The in-memory item API streams identically to the file path."""
+        engine = InferenceEngine(TinyStreamModel, stream_trained,
+                                 data_root=voice_data['data_root'],
+                                 batch_size=2)
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            utt = [l.strip() for l in f if l.strip()][0]
+        data_dir = os.path.join(voice_data['data_root'], 'test')
+        sources = engine.model.test_data_sources()
+        item = dict({name: src.load_file(utt, data_dir)
+                     for name, src in sources.items()}, name=utt)
+
+        from_file = np.concatenate(
+            [c['lf0'] for c in engine.stream_id(utt, data_dir='test')], axis=0)
+        from_memory = np.concatenate(
+            [c['lf0'] for c in engine.stream_item(item)], axis=0)
+        np.testing.assert_array_equal(from_file, from_memory)
+
+    def test_non_streaming_model_raises(self, voice_data, tmp_path):
+        exp_base = str(tmp_path / 'experiments')
+        args = builder_args(voice_data['data_root'], exp_base,
+                            end_epoch=1, valid=False)
+        nn.manual_seed(args['seed'])
+        ExperimentBuilder(TinyF0Model, experiment_name='ns',
+                          **args).run_experiment()
+        engine = InferenceEngine(
+            TinyF0Model,
+            os.path.join(exp_base, 'ns', 'checkpoints', 'epoch_1.npz'),
+            data_root=voice_data['data_root'], batch_size=2)
+        with pytest.raises(NotImplementedError):
+            next(iter(engine.stream_id('test_0000', data_dir='test')))
+
+
+class TestStreamingSynthesizer:
+    """Incremental vocoder: streamed waveform == batch synthesis exactly."""
+
+    def _features(self, rng, frames, bins=513):
+        f0 = np.where(rng.random(frames) > 0.3,
+                      120 + 30 * np.sin(np.arange(frames) / 10), 0.0)
+        sp = np.exp(rng.normal(-8, 0.5, (frames, bins)))
+        ap = np.clip(rng.random((frames, bins)) * 0.8, 1e-6, 1.0)
+        return f0, sp, ap
+
+    def test_streamed_equals_batch_numpy_path(self):
+        from morgana_tpu.vocoder.world import (_synthesize_numpy,
+                                               StreamingSynthesizer)
+        rng = np.random.default_rng(0)
+        f0, sp, ap = self._features(rng, 120)
+        batch = _synthesize_numpy(f0, sp, ap, 16000, 80, seed=0)
+
+        ss = StreamingSynthesizer(16000, seed=0)
+        parts = []
+        for s in range(0, 120, 17):  # push sizes unrelated to any window
+            parts.append(ss.push(f0[s:s + 17], sp[s:s + 17], ap[s:s + 17]))
+        parts.append(ss.flush())
+        streamed = np.concatenate(parts)
+
+        assert streamed.shape == batch.shape
+        np.testing.assert_array_equal(streamed, batch)
+        assert ss.delay_frames == 4  # min(1024, 4*80)/80
+
+    def test_push_world_feats_matches_batch(self):
+        """Model-space chunks (f0/vuv/mcep/bap) through the streaming path
+        equal synthesize_world_feats on the concatenated features (numpy
+        path; batch clip-protection is identity at these amplitudes)."""
+        from morgana_tpu.vocoder import world
+
+        rng = np.random.default_rng(1)
+        frames = 90
+        f0 = 100 + 20 * rng.random(frames)
+        vuv = (rng.random(frames) > 0.3).astype(np.float64)
+        # Realistic cepstra: energy in c0, higher coefficients near zero
+        # (keeps the waveform small so the batch path's global peak
+        # clip-protection is the identity, as in real use).
+        mcep = rng.normal(0.0, 0.05, (frames, 60))
+        mcep[:, 0] = -6.0
+        bap = rng.normal(-2.0, 0.3, (frames, 5))
+
+        # Force the numpy batch path so both sides share one implementation.
+        sp = world.mcep_to_spectrum(mcep, fft_size=1024, fs=16000)
+        ap = world.bap_to_aperiodicity(bap, fft_size=1024, fs=16000)
+        gated = np.where(vuv > 0.5, f0, 0.0)
+        batch = world._synthesize_numpy(gated, sp, ap, 16000, 80, seed=0)
+
+        ss = world.StreamingSynthesizer(16000, seed=0)
+        parts = []
+        for s in range(0, frames, 25):
+            parts.append(ss.push_world_feats(
+                f0[s:s + 25], vuv[s:s + 25], mcep[s:s + 25], bap[s:s + 25]))
+        parts.append(ss.flush())
+        np.testing.assert_allclose(np.concatenate(parts), batch, atol=1e-12)
+
+    def test_misuse_raises(self):
+        from morgana_tpu.vocoder.world import StreamingSynthesizer
+        ss = StreamingSynthesizer(16000)
+        with pytest.raises(ValueError):
+            ss.push(np.ones(3), np.ones((2, 513)), np.ones((2, 513)))
+        with pytest.raises(ValueError):
+            ss.push(np.ones(2), np.ones((2, 100)), np.ones((2, 100)))
+        ss.flush()
+        with pytest.raises(RuntimeError):
+            ss.push(np.ones(1), np.ones((1, 513)), np.ones((1, 513)))
+        with pytest.raises(RuntimeError):
+            ss.flush()
+
+    def test_empty_pushes_and_short_stream(self):
+        from morgana_tpu.vocoder.world import (_synthesize_numpy,
+                                               StreamingSynthesizer)
+        rng = np.random.default_rng(2)
+        f0, sp, ap = self._features(rng, 3)
+        batch = _synthesize_numpy(f0, sp, ap, 16000, 80, seed=0)
+        ss = StreamingSynthesizer(16000, seed=0)
+        assert ss.push(f0[:0], sp[:0], ap[:0]).shape == (0,)
+        out = [ss.push(f0, sp, ap), ss.flush()]
+        np.testing.assert_array_equal(np.concatenate(out), batch)

@@ -100,3 +100,62 @@ class TinyVAE(BaseVAE):
                                          output_features['log_variance'])
         self.metrics.accumulate(self.mode, kld=kld[None, None, None])
         return recon + self.kld_weight * kld
+
+
+class TinyStreamModel(BaseSPSS):
+    """GRU lf0-delta regressor with MLPG: small streaming-capable model
+    (implements the stream_inputs/stream_step/stream_output_spec hooks)."""
+
+    def __init__(self, hidden=16, dropout_prob=0.0):
+        super().__init__()
+        self.layers = nn.SequentialWithRecurrent(
+            nn.Linear(600 + 9, hidden),
+            nn.Sigmoid(),
+            nn.Dropout(dropout_prob),
+            nn.Recurrent('gru', hidden, hidden),
+            nn.Recurrent('lstm', hidden, hidden),
+            nn.Linear(hidden, 3),
+        )
+        self.metrics.add_metrics('all', LF0_RMSE_Hz=metrics.LF0Distortion())
+
+    normaliser_sources = TinyF0Model.normaliser_sources
+    train_data_sources = TinyF0Model.train_data_sources
+
+    def _inputs(self, features):
+        max_n_frames = features['normalised_counters'].shape[1]
+        lab_frames = utils.upsample_to_repetitions(
+            features['normalised_lab'], features['dur'], max_len=max_n_frames)
+        return jnp.concatenate((lab_frames, features['normalised_counters']),
+                               axis=-1)
+
+    def predict(self, features):
+        import jax as _jax
+        from morgana_tpu import viz
+        pred = self.layers(self._inputs(features), seq_len=features['n_frames'])
+        pred_deltas = self.normalisers['lf0'].denormalise(pred, deltas=True)
+        global_variance = self.normalisers['lf0'].delta_params['std_dev'] ** 2
+        lf0 = viz.synthesis.MLPG(
+            _jax.lax.stop_gradient(pred_deltas), global_variance,
+            padding_size=20, seq_len=features['n_frames'])
+        return {'normalised_lf0_deltas': pred, 'lf0': lf0}
+
+    def loss(self, features, output_features):
+        return losses.mse(output_features['normalised_lf0_deltas'],
+                          features['normalised_lf0_deltas'],
+                          features['n_frames'])
+
+    # streaming hooks
+    def stream_inputs(self, features):
+        return self._inputs(features)
+
+    def stream_step(self, inputs_chunk, state):
+        pred, state = self.layers(inputs_chunk, hiddens=state,
+                                  return_hiddens=True)
+        pred_deltas = self.normalisers['lf0'].denormalise(pred, deltas=True)
+        return {'normalised_lf0_deltas': pred,
+                'lf0_deltas': pred_deltas}, state
+
+    def stream_output_spec(self):
+        global_variance = self.normalisers['lf0'].delta_params['std_dev'] ** 2
+        return {'normalised_lf0_deltas': None,
+                'lf0': ('lf0_deltas', global_variance, 20)}
