@@ -34,6 +34,7 @@ def __getattr__(name):
         'vocoder': 'morgana_tpu.vocoder',
         'checkpointing': 'morgana_tpu.checkpointing',
         'serve': 'morgana_tpu.serve',
+        'streaming': 'morgana_tpu.streaming',
     }
     if name in lazy:
         return importlib.import_module(lazy[name])

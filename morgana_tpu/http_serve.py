@@ -19,6 +19,14 @@ Endpoints
     returns). Runs the compiled bucketed predict (chunked by the engine's
     ``batch_size``) and returns ``{"results": {name: {key: nested lists}}}``
     with frame-level outputs unpadded to each utterance's true length.
+``POST /stream``
+    Body ``{"item": {...}, "chunk_frames": 64, "context": 32,
+    "lookahead": 16}`` — ONE utterance. Responds with chunked
+    transfer-encoding NDJSON: one ``{"chunk": {name: nested lists}}`` line
+    per emitted block as it is computed (constant time-to-first-line), then
+    a final ``{"done": true, "frames": N}`` line. Requires a model with the
+    streaming hooks; a mid-stream failure emits an ``{"error": ...}`` line
+    and closes.
 
 Requests are served one at a time (the device runs one program at a time
 anyway); the engine's compiled-program cache makes steady-state latency one
@@ -59,6 +67,11 @@ def make_server(engine, host='127.0.0.1', port=0):
     lock = threading.Lock()  # one device, one request at a time
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 enables chunked transfer-encoding for /stream; every
+        # non-streamed reply carries an exact Content-Length (required for
+        # 1.1 keep-alive correctness).
+        protocol_version = 'HTTP/1.1'
+
         def _reply(self, code, payload):
             try:
                 # allow_nan=False: Python's default emits the NaN/Infinity
@@ -82,7 +95,52 @@ def make_server(engine, host='127.0.0.1', port=0):
             else:
                 self._reply(404, {'error': f'unknown path {self.path}'})
 
+        def _write_chunk(self, line):
+            data = line.encode()
+            self.wfile.write(f'{len(data):x}\r\n'.encode() + data + b'\r\n')
+            self.wfile.flush()
+
+        def _do_stream(self):
+            try:
+                length = int(self.headers.get('Content-Length', 0))
+                request = json.loads(self.rfile.read(length))
+                item = _to_arrays(request['item'])
+                kwargs = {k: int(request[k])
+                          for k in ('chunk_frames', 'context', 'lookahead')
+                          if k in request}
+            except Exception as exc:  # noqa: BLE001 - malformed request
+                self._reply(400, {'error': f'{type(exc).__name__}: {exc}'})
+                return
+            self.send_response(200)
+            self.send_header('Content-Type', 'application/x-ndjson')
+            self.send_header('Transfer-Encoding', 'chunked')
+            self.end_headers()
+            frames = 0
+            try:
+                with lock:
+                    for chunk in engine.stream_item(item, **kwargs):
+                        frames += next(iter(chunk.values())).shape[0]
+                        self._write_chunk(
+                            json.dumps({'chunk': _to_lists(chunk)},
+                                       allow_nan=False) + '\n')
+                self._write_chunk(json.dumps({'done': True,
+                                              'frames': frames}) + '\n')
+            except Exception as exc:  # noqa: BLE001 - mid-stream fault
+                # Headers are gone; the error travels as the final line.
+                try:
+                    self._write_chunk(json.dumps(
+                        {'error': f'{type(exc).__name__}: {exc}'}) + '\n')
+                except OSError:
+                    pass
+            self.wfile.write(b'0\r\n\r\n')
+            # The stream's framing is complete but trust is not: close the
+            # connection rather than risk a desynced keep-alive reuse.
+            self.close_connection = True
+
         def do_POST(self):
+            if self.path == '/stream':
+                self._do_stream()
+                return
             if self.path != '/predict':
                 self._reply(404, {'error': f'unknown path {self.path}'})
                 return
@@ -122,7 +180,7 @@ def serve_forever(engine, host='127.0.0.1', port=8080):
     server = make_server(engine, host, port)
     print(f'serving {type(engine.model).__name__} on '
           f'http://{host}:{server.server_address[1]} '
-          f'(GET /healthz, POST /predict)')
+          f'(GET /healthz, POST /predict, POST /stream)')
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -342,6 +342,19 @@ class InferenceEngine(object):
 
     # ----------------------------------------------------------- streaming
 
+    def _stream_session(self, chunk_frames, context, lookahead):
+        # One session per chunk configuration, cached: a session owns the
+        # jit-compiled chunk programs, so recreating it per call would
+        # retrace and recompile every utterance.
+        if not hasattr(self, '_stream_sessions'):
+            self._stream_sessions = {}
+        key = (int(chunk_frames), int(context), int(lookahead))
+        if key not in self._stream_sessions:
+            self._stream_sessions[key] = StreamingSession(
+                self, chunk_frames=chunk_frames, context=context,
+                lookahead=lookahead)
+        return self._stream_sessions[key]
+
     def stream_item(self, item, chunk_frames=64, context=32, lookahead=16):
         """Streams ONE in-memory utterance (same item format as
         :meth:`predict_items`): returns a generator of
@@ -356,8 +369,7 @@ class InferenceEngine(object):
             lambda name, source: source.package(item[name]),
             str(item.get('name', 0)))
         features = collate([built])
-        session = StreamingSession(self, chunk_frames=chunk_frames,
-                                   context=context, lookahead=lookahead)
+        session = self._stream_session(chunk_frames, context, lookahead)
         return session.stream(features)
 
     def stream_id(self, file_id, data_dir='test', chunk_frames=64,
@@ -365,8 +377,7 @@ class InferenceEngine(object):
         """Streams one on-disk utterance by id; see :meth:`stream_item`."""
         loader = self._loader(data_dir, file_ids=[file_id])
         features = next(iter(loader))
-        session = StreamingSession(self, chunk_frames=chunk_frames,
-                                   context=context, lookahead=lookahead)
+        session = self._stream_session(chunk_frames, context, lookahead)
         return session.stream(features)
 
 

@@ -273,3 +273,100 @@ class TestStreamingSynthesizer:
         assert ss.push(f0[:0], sp[:0], ap[:0]).shape == (0,)
         out = [ss.push(f0, sp, ap), ss.flush()]
         np.testing.assert_array_equal(np.concatenate(out), batch)
+
+
+class TestHTTPStreaming:
+    """POST /stream: chunked NDJSON over the stdlib server."""
+
+    def _server(self, engine):
+        import threading
+        from morgana_tpu.http_serve import make_server
+        server = make_server(engine, port=0)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server, server.server_address[1]
+
+    def _item(self, voice_data, engine, utt):
+        data_dir = os.path.join(voice_data['data_root'], 'test')
+        sources = engine.model.test_data_sources()
+        return dict({name: src.load_file(utt, data_dir).tolist()
+                     for name, src in sources.items()}, name=utt)
+
+    def test_stream_endpoint_ndjson(self, voice_data, stream_trained):
+        import json
+        import urllib.request
+
+        engine = InferenceEngine(TinyStreamModel, stream_trained,
+                                 data_root=voice_data['data_root'],
+                                 batch_size=2)
+        server, port = self._server(engine)
+        try:
+            with open(os.path.join(voice_data['data_root'],
+                                   'test/test_file_id_list.scp')) as f:
+                utt = [l.strip() for l in f if l.strip()][0]
+            item = self._item(voice_data, engine, utt)
+            body = json.dumps({'item': item, 'chunk_frames': 16}).encode()
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/stream', data=body,
+                headers={'Content-Type': 'application/json'})
+            lines = []
+            with urllib.request.urlopen(req, timeout=600) as r:
+                assert r.status == 200
+                assert 'ndjson' in r.headers['Content-Type']
+                for raw in r:
+                    lines.append(json.loads(raw))
+            assert lines[-1].get('done') is True
+            chunks = [l['chunk'] for l in lines[:-1]]
+            assert len(chunks) > 1
+            streamed = np.concatenate(
+                [np.asarray(c['lf0']) for c in chunks], axis=0)
+            assert streamed.shape[0] == lines[-1]['frames']
+
+            # Chunked HTTP reproduces the in-process streaming exactly.
+            direct = np.concatenate(
+                [c['lf0'] for c in engine.stream_item(
+                    {k: np.asarray(v) if k != 'name' else v
+                     for k, v in item.items()}, chunk_frames=16)], axis=0)
+            np.testing.assert_allclose(streamed, direct, atol=1e-6)
+        finally:
+            server.shutdown()
+            server.server_close()
+
+    def test_stream_endpoint_bad_request_and_midstream_error(
+            self, voice_data, tmp_path):
+        import json
+        import urllib.request
+        import urllib.error
+
+        exp_base = str(tmp_path / 'experiments')
+        args = builder_args(voice_data['data_root'], exp_base,
+                            end_epoch=1, valid=False)
+        nn.manual_seed(args['seed'])
+        ExperimentBuilder(TinyF0Model, experiment_name='hs',
+                          **args).run_experiment()
+        engine = InferenceEngine(
+            TinyF0Model,
+            os.path.join(exp_base, 'hs', 'checkpoints', 'epoch_1.npz'),
+            data_root=voice_data['data_root'], batch_size=2)
+        server, port = self._server(engine)
+        try:
+            # Malformed body -> 400 before any streaming starts.
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/stream', data=b'not json',
+                headers={'Content-Type': 'application/json'})
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=60)
+            assert exc.value.code == 400
+
+            # Model without streaming hooks -> error line in the stream.
+            item = self._item(voice_data, engine, 'test_0000')
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/stream',
+                data=json.dumps({'item': item}).encode(),
+                headers={'Content-Type': 'application/json'})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                lines = [json.loads(raw) for raw in r]
+            assert 'error' in lines[-1]
+            assert 'NotImplementedError' in lines[-1]['error']
+        finally:
+            server.shutdown()
+            server.server_close()
