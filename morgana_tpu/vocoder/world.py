@@ -77,7 +77,7 @@ def smooth_f0(f0, window_length=7, polyorder=1):
 # Mel-cepstrum <-> spectrum
 # ---------------------------------------------------------------------------
 
-def _freqt(c, order_out, alpha):
+def _freqt_recursion(c, order_out, alpha):
     """Frequency transform of a (batched) cepstrum: warping by ``alpha``
     (the standard Oppenheim recursion, vectorised over frames)."""
     c = np.atleast_2d(np.asarray(c, np.float64))
@@ -92,6 +92,26 @@ def _freqt(c, order_out, alpha):
         for m in range(2, order_out + 1):
             out[:, m] = prev[:, m - 1] + alpha * (prev[:, m] - out[:, m - 1])
     return out
+
+
+_FREQT_MATRICES = {}
+
+
+def _freqt(c, order_out, alpha):
+    """Frequency transform as one matmul: the Oppenheim recursion is linear
+    in the cepstrum, so its (order_in, order_out+1) matrix — the recursion
+    applied to the identity, cached per (order_in, order_out, alpha) — turns
+    the per-call O(order_in * order_out) Python loop into a single BLAS
+    GEMM. This is the synthesis hot path (every mcep_to_spectrum call, once
+    per streamed chunk)."""
+    c = np.atleast_2d(np.asarray(c, np.float64))
+    order_in = c.shape[1]
+    key = (order_in, int(order_out), float(alpha))
+    mat = _FREQT_MATRICES.get(key)
+    if mat is None:
+        mat = _freqt_recursion(np.eye(order_in), order_out, alpha)
+        _FREQT_MATRICES[key] = mat
+    return c @ mat
 
 
 def default_alpha(fs):

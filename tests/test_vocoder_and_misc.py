@@ -59,6 +59,18 @@ class TestVocoder:
         wav = vocoder.synthesize_world_feats(f0, vuv, mcep, bap, 16000, fft_size=256)
         assert np.isfinite(wav).all() and wav.size == frames * 80
 
+
+    def test_freqt_matmul_matches_recursion(self, rng):
+        """The cached linear-map freqt (one GEMM per call) reproduces the
+        Oppenheim recursion exactly (the transform is linear in the
+        cepstrum)."""
+        from morgana_tpu.vocoder import world
+        for order_in, order_out, alpha in ((61, 512, -0.42), (513, 59, 0.42)):
+            c = rng.normal(0, 0.1, (8, order_in))
+            ref = world._freqt_recursion(c, order_out, alpha)
+            got = world._freqt(c, order_out, alpha)
+            np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
+
     def test_smooth_f0(self):
         f0 = np.full(50, 100.0)
         f0[25] = 200.0  # outlier
