@@ -442,14 +442,54 @@ class StreamingSession(object):
             n_frames = inputs.shape[1]
 
         chunk_size = self.chunk_frames
-        mlpg, buffers, drained = {}, {}, 0
-        for name, spec in self.spec.items():
+        buffers, drained = {}, 0
+        for name in self.spec:
             buffers[name] = []
-            if spec is not None:
-                means_key, variances, padding_size = spec
-                mlpg[name] = (means_key, StreamingMLPG(
-                    variances, chunk_size, context=self.context,
-                    lookahead=self.lookahead, padding_size=padding_size))
+
+        # All MLPG streams sharing a burn-in size fuse into ONE windowed
+        # solve per chunk (the streaming counterpart of MLPG_streams):
+        # lanes concatenate inside each delta-window group, so one device
+        # dispatch smooths lf0+mcep+bap together instead of one per stream.
+        from morgana_tpu.ops.deltas import DEFAULT_WINDOWS
+        num_windows = len(DEFAULT_WINDOWS)
+        groups = {}
+        for name, spec in self.spec.items():
+            if spec is None:
+                continue
+            means_key, variances, padding_size = spec
+            variances = np.asarray(variances, np.float32).reshape(-1)
+            dim = variances.size // num_windows
+            groups.setdefault(int(padding_size), []).append(
+                (name, means_key, dim, variances))
+        mlpg_streams = []
+        for padding_size, members in groups.items():
+            var_cat = np.concatenate(
+                [v.reshape(num_windows, d) for (_, _, d, v) in members],
+                axis=1).reshape(-1)
+            mlpg_streams.append((members, StreamingMLPG(
+                var_cat, chunk_size, context=self.context,
+                lookahead=self.lookahead, padding_size=padding_size)))
+
+        def push_mlpg(outputs, valid):
+            for members, sm in mlpg_streams:
+                parts = [np.asarray(outputs[mk])[:, :valid]
+                         .reshape(1, valid, num_windows, d)
+                         for (_, mk, d, _) in members]
+                got = sm.push(
+                    np.concatenate(parts, axis=3).reshape(1, valid, -1))
+                _split_emitted(got, members)
+
+        def flush_mlpg():
+            for members, sm in mlpg_streams:
+                _split_emitted(sm.flush(), members)
+
+        def _split_emitted(got, members):
+            if not got.shape[1]:
+                return
+            offset = 0
+            for name, _, d, _ in members:
+                buffers[name].append(got[0, :, offset:offset + d])
+                offset += d
 
         def drain(done):
             ready = min(sum(a.shape[0] for a in buffers[name])
@@ -478,19 +518,12 @@ class StreamingSession(object):
             for name, spec in self.spec.items():
                 if spec is None:
                     buffers[name].append(np.asarray(outputs[name])[0, :valid])
-                else:
-                    means_key, sm = mlpg[name]
-                    got = sm.push(np.asarray(outputs[means_key])[:, :valid])
-                    if got.shape[1]:
-                        buffers[name].append(got[0])
+            push_mlpg(outputs, valid)
             out, drained = drain(drained)
             if out is not None:
                 yield out
 
-        for name, (means_key, sm) in mlpg.items():
-            got = sm.flush()
-            if got.shape[1]:
-                buffers[name].append(got[0])
+        flush_mlpg()
         out, drained = drain(drained)
         if out is not None:
             yield out

@@ -370,3 +370,48 @@ class TestHTTPStreaming:
         finally:
             server.shutdown()
             server.server_close()
+
+
+class TestAcousticModelStreaming:
+    """Multi-stream fusion: LSTMAcousticModel's lf0+mcep+bap solve in ONE
+    windowed MLPG per chunk must match batch predict (which fuses them the
+    same way via MLPG_streams)."""
+
+    def test_acoustic_streamed_equals_batch(self, voice_data, tmp_path):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                        'models'))
+        try:
+            from rnn_spss import LSTMAcousticModel
+        finally:
+            sys.path.pop(0)
+
+        kwargs = {'num_layers': 1, 'hidden_size': 32}
+        exp_base = str(tmp_path / 'experiments')
+        args = builder_args(voice_data['data_root'], exp_base,
+                            end_epoch=1, valid=False, model_kwargs=kwargs)
+        nn.manual_seed(args['seed'])
+        ExperimentBuilder(LSTMAcousticModel, experiment_name='ac',
+                          **args).run_experiment()
+
+        engine = InferenceEngine(
+            LSTMAcousticModel,
+            os.path.join(exp_base, 'ac', 'checkpoints', 'epoch_1.npz'),
+            data_root=voice_data['data_root'], batch_size=2,
+            model_kwargs=kwargs)
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            utt = [l.strip() for l in f if l.strip()][0]
+        batch_out = engine.predict_ids([utt], data_dir='test')[utt]
+
+        chunks = list(engine.stream_id(utt, data_dir='test', chunk_frames=16,
+                                       context=32, lookahead=32))
+        streamed = {k: np.concatenate([c[k] for c in chunks], axis=0)
+                    for k in chunks[0]}
+        assert set(streamed) == {'lf0', 'vuv', 'mcep', 'bap'}
+        for key, atol in (('vuv', 1e-6), ('lf0', 1e-4), ('mcep', 1e-3),
+                          ('bap', 1e-3)):
+            ref = np.asarray(batch_out[key])
+            assert streamed[key].shape == ref.shape, key
+            np.testing.assert_allclose(streamed[key], ref, atol=atol,
+                                       err_msg=key)
