@@ -71,7 +71,9 @@ def main():
     if device:
         _platform.select_platform(device)
 
-    from conftest import builder_args  # noqa: E402 (tests/ helper)
+    # NOT tests/conftest: importing it would force the CPU backend and
+    # silently override --device tpu (see benchmarks/common.py).
+    from common import builder_args  # noqa: E402
     from tiny_models import TinyF0Model  # noqa: E402
     from morgana_tpu.data.synthetic import generate_voice_data
     from morgana_tpu.experiment_builder import ExperimentBuilder

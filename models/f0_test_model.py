@@ -79,14 +79,10 @@ class F0Model(BaseSPSS):
         return sources
 
     def predict(self, features):
-        # Prepare inputs: upsample phone-level labels to frame level using
-        # durations; the static frame length comes from the padded
-        # frame-level counters feature.
-        max_n_frames = features['normalised_counters'].shape[1]
-        norm_lab_at_frame_rate = utils.upsample_to_repetitions(
-            features['normalised_lab'], features['dur'], max_len=max_n_frames)
-        model_inputs = jnp.concatenate(
-            (norm_lab_at_frame_rate, features['normalised_counters']), axis=-1)
+        # Input preparation is shared with the streaming path (one source of
+        # truth): upsample phone-level labels to frame level by duration and
+        # concatenate the frame-level counters.
+        model_inputs = self.stream_inputs(features)
         n_frames = features['n_frames']
 
         # Run the network.
@@ -110,6 +106,8 @@ class F0Model(BaseSPSS):
     # ------------------------------------------------------- streaming hooks
 
     def stream_inputs(self, features):
+        # Also predict()'s input-preparation stage; the static frame length
+        # comes from the padded frame-level counters feature.
         max_n_frames = features['normalised_counters'].shape[1]
         norm_lab_at_frame_rate = utils.upsample_to_repetitions(
             features['normalised_lab'], features['dur'], max_len=max_n_frames)

@@ -89,22 +89,16 @@ class LSTMAcousticModel(BaseSPSS):
         }
 
     def predict(self, features):
-        # Prepare inputs: duration-upsample phone labels to frame rate.
-        max_n_frames = features['normalised_counters'].shape[1]
-        norm_lab_at_frame_rate = utils.upsample_to_repetitions(
-            features['normalised_lab'], features['dur'], max_len=max_n_frames)
-        model_inputs = jnp.concatenate(
-            (norm_lab_at_frame_rate, features['normalised_counters']), axis=-1)
+        # Input preparation + head split are shared with the streaming path
+        # (one source of truth for both).
+        model_inputs = self.stream_inputs(features)
 
         # Run the model.
         n_frames = features['n_frames']
         pred_norm_deltas = self.layers(model_inputs, seq_len=n_frames)
 
-        # Split the per-stream heads.
-        output_dims = [self.output_dims[n] for n in ['lf0', 'vuv', 'mcep', 'bap']]
-        splits = np.cumsum(output_dims)[:-1]
         pred_norm_lf0_deltas, pred_vuv, pred_norm_mcep_deltas, pred_norm_bap_deltas = \
-            jnp.split(pred_norm_deltas, splits, axis=-1)
+            self._split_heads(pred_norm_deltas)
 
         # All three MLPG stream solves fuse into ONE batched banded solve
         # (stop-gradient matches the reference's `.detach()` before MLPG).
@@ -132,7 +126,16 @@ class LSTMAcousticModel(BaseSPSS):
 
     # ------------------------------------------------------- streaming hooks
 
+    def _split_heads(self, pred_norm_deltas):
+        """Splits the network output into the (lf0, vuv, mcep, bap) heads —
+        one definition for predict() and stream_step()."""
+        output_dims = [self.output_dims[n] for n in ['lf0', 'vuv', 'mcep', 'bap']]
+        splits = np.cumsum(output_dims)[:-1]
+        return jnp.split(pred_norm_deltas, splits, axis=-1)
+
     def stream_inputs(self, features):
+        # Also predict()'s input-preparation stage: duration-upsample phone
+        # labels to frame rate and concatenate the frame-level counters.
         max_n_frames = features['normalised_counters'].shape[1]
         norm_lab_at_frame_rate = utils.upsample_to_repetitions(
             features['normalised_lab'], features['dur'], max_len=max_n_frames)
@@ -142,11 +145,8 @@ class LSTMAcousticModel(BaseSPSS):
     def stream_step(self, inputs_chunk, state):
         pred_norm_deltas, state = self.layers(
             inputs_chunk, hiddens=state, return_hiddens=True)
-
-        output_dims = [self.output_dims[n] for n in ['lf0', 'vuv', 'mcep', 'bap']]
-        splits = np.cumsum(output_dims)[:-1]
         pred_norm_lf0_deltas, pred_vuv, pred_norm_mcep_deltas, pred_norm_bap_deltas = \
-            jnp.split(pred_norm_deltas, splits, axis=-1)
+            self._split_heads(pred_norm_deltas)
 
         outputs = {
             'normalised_lf0_deltas': pred_norm_lf0_deltas,

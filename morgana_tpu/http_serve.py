@@ -108,6 +108,22 @@ def make_server(engine, host='127.0.0.1', port=0):
                 kwargs = {k: int(request[k])
                           for k in ('chunk_frames', 'context', 'lookahead')
                           if k in request}
+                # Clients pick only from the pre-approved chunk
+                # configurations: every NEW (chunk, context, lookahead)
+                # combination permanently caches freshly-compiled programs,
+                # so unvalidated values would let a remote caller force
+                # unbounded compilation.
+                allowed = getattr(engine, 'stream_configs', None) or \
+                    {(64, 32, 16)}  # pre-stream_configs engines
+
+                config = (kwargs.get('chunk_frames', 64),
+                          kwargs.get('context', 32),
+                          kwargs.get('lookahead', 16))
+                if config not in allowed:
+                    self._reply(400, {
+                        'error': f'stream config {config} not served; '
+                                 f'allowed: {sorted(allowed)}'})
+                    return
             except Exception as exc:  # noqa: BLE001 - malformed request
                 self._reply(400, {'error': f'{type(exc).__name__}: {exc}'})
                 return
@@ -117,22 +133,33 @@ def make_server(engine, host='127.0.0.1', port=0):
             self.end_headers()
             frames = 0
             try:
-                with lock:
-                    for chunk in engine.stream_item(item, **kwargs):
-                        frames += next(iter(chunk.values())).shape[0]
-                        self._write_chunk(
-                            json.dumps({'chunk': _to_lists(chunk)},
-                                       allow_nan=False) + '\n')
+                # Hold the device lock only while COMPUTING a chunk, never
+                # while writing to the client socket: a stalled reader must
+                # not block other requests' device work.
+                stream = iter(engine.stream_item(item, **kwargs))
+                while True:
+                    with lock:
+                        try:
+                            chunk = next(stream)
+                        except StopIteration:
+                            break
+                    frames += next(iter(chunk.values())).shape[0]
+                    self._write_chunk(
+                        json.dumps({'chunk': _to_lists(chunk)},
+                                   allow_nan=False) + '\n')
                 self._write_chunk(json.dumps({'done': True,
                                               'frames': frames}) + '\n')
+                self.wfile.write(b'0\r\n\r\n')
             except Exception as exc:  # noqa: BLE001 - mid-stream fault
                 # Headers are gone; the error travels as the final line.
+                # OSError here means the CLIENT vanished — nothing left to
+                # tell it, and the connection closes below either way.
                 try:
                     self._write_chunk(json.dumps(
                         {'error': f'{type(exc).__name__}: {exc}'}) + '\n')
+                    self.wfile.write(b'0\r\n\r\n')
                 except OSError:
                     pass
-            self.wfile.write(b'0\r\n\r\n')
             # The stream's framing is complete but trust is not: close the
             # connection rather than risk a desynced keep-alive reuse.
             self.close_connection = True

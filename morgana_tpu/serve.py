@@ -112,7 +112,8 @@ class InferenceEngine(object):
     def __init__(self, model_class, checkpoint_path, data_root='.',
                  normalisation_dir='train', model_kwargs=None, device=None,
                  compute_dtype=None, batch_size=8, num_data_threads=0,
-                 analysis_kwargs=None, seed=0, compilation_cache_dir=None):
+                 analysis_kwargs=None, seed=0, compilation_cache_dir=None,
+                 stream_configs=None):
         if device:
             _platform.select_platform(device)
         if compute_dtype:
@@ -130,6 +131,12 @@ class InferenceEngine(object):
         self.batch_size = int(batch_size)
         self.num_data_threads = int(num_data_threads)
         self.analysis_kwargs = dict(analysis_kwargs or {})
+        # (chunk_frames, context, lookahead) tuples the HTTP /stream
+        # endpoint will serve — each combination compiles (and permanently
+        # caches) its own programs, so the set is operator-chosen, never
+        # client-chosen.
+        self.stream_configs = {tuple(int(v) for v in cfg)
+                               for cfg in (stream_configs or [(64, 32, 16)])}
 
         nn.manual_seed(seed)
         self.model = model_class(**(model_kwargs or {}))
@@ -194,8 +201,11 @@ class InferenceEngine(object):
         from morgana_tpu.training import numeric_features
 
         args = (self._params, numeric_features(features), self._rng)
+        # Only shapes/dtypes are needed — read them without pulling device
+        # arrays (the whole parameter pytree) back to host.
         avals = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            lambda x: jax.ShapeDtypeStruct(
+                np.shape(x), getattr(x, 'dtype', None) or np.asarray(x).dtype),
             args)
         exported = jax_export.export(self._predict_step)(*avals)
         with open(path, 'wb') as f:
@@ -492,16 +502,20 @@ class StreamingSession(object):
                 offset += d
 
         def drain(done):
-            ready = min(sum(a.shape[0] for a in buffers[name])
-                        for name in buffers)
-            if ready <= done:
+            # Buffers hold only not-yet-yielded frames (yielded frames are
+            # dropped, so a long stream retains O(lookahead) frames, not the
+            # whole history).
+            ready = min(sum(a.shape[0] for a in parts)
+                        for parts in buffers.values())
+            if ready == 0:
                 return None, done
             out = {}
             for name, parts in buffers.items():
-                whole = np.concatenate(parts, axis=0)
-                out[name] = whole[done:ready]
-                buffers[name] = [whole]
-            return out, ready
+                whole = parts[0] if len(parts) == 1 \
+                    else np.concatenate(parts, axis=0)
+                out[name] = whole[:ready]
+                buffers[name] = [whole[ready:]]
+            return out, done + ready
 
         state = None
         for start in range(0, n_frames, chunk_size):
@@ -559,6 +573,11 @@ def main(argv=None):
                         help='Persistent JAX compile cache: restarted serving '
                              'processes reload compiled programs from here '
                              'instead of recompiling.')
+    parser.add_argument('--stream_configs', default='64,32,16',
+                        help='Semicolon-separated chunk_frames,context,'
+                             'lookahead triples the HTTP /stream endpoint '
+                             'serves (each compiles its own programs, so '
+                             'the set is operator-chosen).')
     parser.add_argument('--http_port', type=int, default=None,
                         help='Serve over HTTP on this port instead of batch '
                              'generation (GET /healthz, POST /predict).')
@@ -582,7 +601,9 @@ def main(argv=None):
         compute_dtype=args.compute_dtype, batch_size=args.batch_size,
         num_data_threads=args.num_data_threads,
         analysis_kwargs=ast.literal_eval(args.analysis_kwargs),
-        compilation_cache_dir=args.compilation_cache_dir)
+        compilation_cache_dir=args.compilation_cache_dir,
+        stream_configs=[tuple(int(v) for v in cfg.split(','))
+                        for cfg in args.stream_configs.split(';') if cfg])
     if args.http_port is not None:
         from morgana_tpu.http_serve import serve_forever
         serve_forever(engine, host=args.http_host, port=args.http_port)

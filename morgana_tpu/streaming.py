@@ -75,7 +75,8 @@ class StreamingMLPG(object):
         self.windows = windows
         self.window_frames = self.context + self.chunk_size + self.lookahead
 
-        self._chunks = []        # pushed mean chunks, each (B, c_i, W*D)
+        self._chunks = []        # retained mean chunks, each (B, c_i, W*D)
+        self._base = 0           # absolute index of the first retained frame
         self._total = 0          # frames pushed
         self._emitted = 0        # frames emitted
         self._finished = False
@@ -101,6 +102,7 @@ class StreamingMLPG(object):
             emitted.append(self._solve_window(
                 self._emitted, self._emitted + self.chunk_size))
             self._emitted += self.chunk_size
+        self._trim()
         return self._concat(emitted, means.shape[0])
 
     def flush(self):
@@ -136,12 +138,22 @@ class StreamingMLPG(object):
         return len(self.windows if self.windows is not None else DEFAULT_WINDOWS)
 
     def _buffered(self, lo, hi):
-        """Means for frames [lo, hi) as one array (concatenates the pushed
-        chunks lazily; chunk list stays as-pushed to avoid re-copying on
-        every push)."""
+        """Means for absolute frames [lo, hi) as one array."""
         if len(self._chunks) > 1:
             self._chunks = [np.concatenate(self._chunks, axis=1)]
-        return self._chunks[0][:, lo:hi]
+        return self._chunks[0][:, lo - self._base:hi - self._base]
+
+    def _trim(self):
+        """Drops frames no future window can reference (< emitted - context)
+        so a continuous stream holds O(window) frames, not the whole
+        history."""
+        keep_from = self._emitted - self.context
+        if keep_from <= self._base or not self._chunks:
+            return
+        if len(self._chunks) > 1:
+            self._chunks = [np.concatenate(self._chunks, axis=1)]
+        self._chunks = [self._chunks[0][:, keep_from - self._base:]]
+        self._base = keep_from
 
     def _solve_window(self, start, stop):
         """Solves one fixed-shape window and returns frames [start, stop)."""

@@ -392,7 +392,12 @@ class StreamingSynthesizer(object):
         f0_per_sample = np.repeat(f0, hop)
         voiced = f0_per_sample > 0
         steps = np.where(voiced, f0_per_sample / fs, 0.0)
-        phase = self._phase + np.cumsum(steps)
+        # Bitwise-identical phase continuation: cumsum with the carry as the
+        # leading element reproduces the batch path's single left-to-right
+        # cumsum association exactly. `carry + cumsum(steps)` would NOT —
+        # it sums the chunk first and re-rounds, shifting floor() crossings
+        # (= glottal pulse positions) near ties.
+        phase = np.cumsum(np.concatenate([[self._phase], steps]))[1:]
         floors = np.floor(phase)
         pulse = np.diff(floors, prepend=self._prev_floor) > 0
         self._phase = float(phase[-1])
@@ -456,6 +461,12 @@ class StreamingSynthesizer(object):
         n = final_upto - self._emitted
         if n <= 0:
             return np.zeros(0)
+        if self._ola.shape[0] < n:
+            # hop > window: the inter-frame gap samples received no writes —
+            # they are zeros, exactly as the batch path's full-length zero
+            # output array leaves them.
+            self._ola = np.concatenate(
+                [self._ola, np.zeros(n - self._ola.shape[0])])
         out = self._ola[:n] / max(self._ola_gain, 1e-12)
         self._ola = self._ola[n:]
         self._emitted = final_upto

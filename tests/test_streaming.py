@@ -297,13 +297,26 @@ class TestHTTPStreaming:
 
         engine = InferenceEngine(TinyStreamModel, stream_trained,
                                  data_root=voice_data['data_root'],
-                                 batch_size=2)
+                                 batch_size=2,
+                                 stream_configs=[(16, 32, 16)])
         server, port = self._server(engine)
         try:
             with open(os.path.join(voice_data['data_root'],
                                    'test/test_file_id_list.scp')) as f:
                 utt = [l.strip() for l in f if l.strip()][0]
             item = self._item(voice_data, engine, utt)
+
+            # A config outside the operator's allowlist is refused (every
+            # new combination would compile fresh programs).
+            import urllib.error
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/stream',
+                data=json.dumps({'item': item, 'chunk_frames': 7}).encode(),
+                headers={'Content-Type': 'application/json'})
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=60)
+            assert exc.value.code == 400
+
             body = json.dumps({'item': item, 'chunk_frames': 16}).encode()
             req = urllib.request.Request(
                 f'http://127.0.0.1:{port}/stream', data=body,
@@ -415,3 +428,24 @@ class TestAcousticModelStreaming:
             assert streamed[key].shape == ref.shape, key
             np.testing.assert_allclose(streamed[key], ref, atol=atol,
                                        err_msg=key)
+
+    def test_hop_larger_than_window_keeps_gap_zeros(self):
+        """hop > fft window: batch leaves the inter-frame gap samples zero;
+        streaming must emit those zeros, not drop them (48 kHz, 25 ms
+        frames: hop 1200 > win 1024)."""
+        from morgana_tpu.vocoder.world import (_synthesize_numpy,
+                                               StreamingSynthesizer)
+        rng = np.random.default_rng(3)
+        frames, bins = 12, 513
+        f0 = np.full(frames, 100.0)
+        sp = np.exp(rng.normal(-8, 0.5, (frames, bins)))
+        ap = np.clip(rng.random((frames, bins)) * 0.8, 1e-6, 1.0)
+        batch = _synthesize_numpy(f0, sp, ap, 48000, 1200, seed=0)
+
+        ss = StreamingSynthesizer(48000, frame_period=25.0, seed=0)
+        parts = [ss.push(f0[s:s + 5], sp[s:s + 5], ap[s:s + 5])
+                 for s in range(0, frames, 5)]
+        parts.append(ss.flush())
+        streamed = np.concatenate(parts)
+        assert streamed.shape == batch.shape
+        np.testing.assert_array_equal(streamed, batch)
