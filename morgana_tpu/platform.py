@@ -46,6 +46,26 @@ def _current_platform():
         return None
 
 
+def _platform_is_tpu(name):
+    """True when platform ``name`` is backed by TPU silicon.
+
+    TPU plugins may register under names other than 'tpu' (a tunnelled
+    chip registers as e.g. 'axon'); the devices' ``device_kind`` string is
+    the reliable signal.
+    """
+    if name == 'tpu':
+        return True
+    if name == 'cpu':
+        return False
+    try:
+        import jax
+        devs = jax.devices(name)
+        return bool(devs) and \
+            'tpu' in str(getattr(devs[0], 'device_kind', '')).lower()
+    except Exception:
+        return False
+
+
 def _ensure_host_device_flag(n_devices):
     """Arrange for the CPU backend to expose ``n_devices`` virtual devices.
 
@@ -92,6 +112,21 @@ def select_platform(platform, n_devices=None, allow_fallback=False):
 
     import jax
     if not backends_initialized():
+        if platform == 'tpu':
+            # A TPU may register under a plugin-specific platform name (a
+            # tunnelled chip registers as e.g. 'axon'); pinning
+            # jax_platforms='tpu' would bypass that plugin and fail with
+            # "no TPU found" even though a TPU is present.  Let JAX's
+            # auto-selection pick the best available backend (accelerator
+            # plugins outrank cpu), then verify an accelerator won.
+            os.environ['JAX_PLATFORMS'] = ''
+            jax.config.update('jax_platforms', None)
+            got = _current_platform()  # initialises the default backend
+            if got is None or _platform_is_tpu(got):
+                return got or platform
+            raise PlatformError(
+                f"requested platform 'tpu' but JAX auto-selection resolved "
+                f"to '{got}' — no TPU backend is available in this process.")
         # The env var alone is ignored where a TPU plugin pre-sets the
         # platform; the config update always wins when applied this early.
         os.environ['JAX_PLATFORMS'] = platform
@@ -99,6 +134,8 @@ def select_platform(platform, n_devices=None, allow_fallback=False):
         return platform
 
     current = _current_platform()
+    if platform == 'tpu' and current is not None and _platform_is_tpu(current):
+        return current
     if current == platform:
         if platform == 'cpu' and n_devices and \
                 len(jax.devices('cpu')) < n_devices:

@@ -36,6 +36,32 @@ def test_select_other_platform_fallback():
     assert mtp.select_platform('tpu', allow_fallback=True) == 'cpu'
 
 
+def test_platform_is_tpu_names():
+    assert mtp._platform_is_tpu('tpu')
+    assert not mtp._platform_is_tpu('cpu')
+    # Unknown plugin name: jax.devices raises -> not TPU.
+    assert not mtp._platform_is_tpu('no-such-plugin')
+
+
+def test_tpu_request_satisfied_by_tunnel_platform(monkeypatch):
+    # A tunnelled chip registers under a plugin-specific platform name
+    # (e.g. 'axon') whose device_kind still says TPU; a 'tpu' request must
+    # accept it instead of raising "already initialised on 'axon'".
+    class _Dev:
+        device_kind = 'TPU v5 lite0'
+
+    jax.devices()
+    monkeypatch.setattr(mtp, '_current_platform', lambda: 'axon')
+    monkeypatch.setattr(jax, 'devices',
+                        lambda name=None: [_Dev()] if name == 'axon'
+                        else (_ for _ in ()).throw(RuntimeError(name)))
+    assert mtp.select_platform('tpu') == 'axon'
+    # A non-TPU accelerator does NOT satisfy a tpu request.
+    _Dev.device_kind = 'NVIDIA H100'
+    with pytest.raises(mtp.PlatformError, match='already initialised'):
+        mtp.select_platform('tpu')
+
+
 def _run(code):
     env = {k: v for k, v in os.environ.items()
            if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
