@@ -1,0 +1,91 @@
+"""Transformer acoustic model: self-attention stack predicting all vocoder
+parameter streams.
+
+Beyond-reference model family (the reference is RNN-only —
+``models/RNN_SPSS.py`` wraps cuDNN LSTMs, ``morgana/utils.py:333-393``):
+the same SPSS task as :class:`models.rnn_spss.LSTMAcousticModel` (identical
+data contract, losses, metrics, MLPG and vocoder synthesis) with the
+sequence mixer swapped for a pre-LN Transformer encoder. This is the
+TPU-flagship architecture: where the LSTM's sequential h-chain is
+latency-bound (one small matmul per timestep), attention is O(1) sequential
+depth — every matmul is (B·T, d) sized and lands on the MXU, so MFU is set
+by arithmetic intensity rather than loop latency, and long sequences get
+*faster* per frame, not slower.
+
+Run it exactly like the reference models:
+
+    python models/transformer_spss.py --experiment_name t1 --data_root data ...
+
+with ``--model_kwargs "{'num_layers': 4, 'd_model': 256}"`` to resize.
+"""
+from morgana_tpu.base_models import BaseSPSS
+from morgana_tpu.experiment_builder import ExperimentBuilder
+from morgana_tpu import metrics
+from morgana_tpu import nn
+
+try:
+    from rnn_spss import LSTMAcousticModel
+except ImportError:  # Loaded by file path (serve --model models/...py:Class).
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from rnn_spss import LSTMAcousticModel
+
+
+class TransformerAcousticModel(LSTMAcousticModel):
+    """Drop-in peer of :class:`LSTMAcousticModel` — shares its data sources,
+    normalisers, loss, metrics and synthesis hooks; only the network
+    (``self.layers``) differs, so ``predict``/``loss`` are inherited
+    unchanged through the ``SequentialWithRecurrent`` seq_len threading."""
+
+    def __init__(self, input_dim=600 + 9, output_dims=None, dropout_prob=0.,
+                 num_layers=6, d_model=384, num_heads=4, d_ff=None,
+                 remat=None):
+        if output_dims is None:
+            output_dims = {'lf0': 1 * 3, 'vuv': 1, 'mcep': 60 * 3, 'bap': 5 * 3}
+        if d_ff is None:
+            d_ff = 4 * d_model
+
+        # Deliberately skip LSTMAcousticModel.__init__ (it would build and
+        # discard 8 LSTM layers' weights and advance the init RNG).
+        BaseSPSS.__init__(self)
+        self.input_dim = input_dim
+        self.output_dims = output_dims
+        self.dropout_prob = dropout_prob
+        self.num_layers = num_layers
+        self.d_model = d_model
+        self.num_heads = num_heads
+        self.d_ff = d_ff
+
+        self.layers = nn.SequentialWithRecurrent(
+            nn.Linear(self.input_dim, d_model),
+            nn.Dropout(p=self.dropout_prob),
+            nn.TransformerEncoder(num_layers, d_model, num_heads, d_ff,
+                                  dropout=self.dropout_prob, remat=remat),
+            nn.Linear(d_model, sum(self.output_dims.values())),
+        )
+
+        self.metrics.add_metrics('all',
+                                 LF0_RMSE_Hz=metrics.LF0Distortion(),
+                                 VUV_accuracy=metrics.Mean(),
+                                 MCEP_distortion=metrics.MelCepDistortion(),
+                                 BAP_distortion=metrics.Distortion())
+
+    # ------------------------------------------------------------ streaming
+
+    def stream_step(self, inputs_chunk, state):
+        raise NotImplementedError(
+            'TransformerAcousticModel does not support chunked streaming: '
+            'bidirectional self-attention needs the full utterance. Use '
+            'LSTMAcousticModel for streaming serving, or batch predict().')
+
+
+def main():
+    args = ExperimentBuilder.get_experiment_args()
+    nn.manual_seed(args.get('seed', 1234567890))
+    experiment = ExperimentBuilder(TransformerAcousticModel, **args)
+    experiment.run_experiment()
+
+
+if __name__ == '__main__':
+    main()

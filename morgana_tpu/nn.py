@@ -31,13 +31,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from morgana_tpu.ops import attention as attention_ops
 from morgana_tpu.ops import rnn as rnn_ops
 
 __all__ = [
     'Param', 'Module', 'ModuleList', 'Linear', 'Dropout', 'Embedding',
     'set_default_compute_dtype', 'default_compute_dtype',
     'set_default_remat', 'default_remat',
-    'Recurrent', 'SequentialWithRecurrent', 'Sigmoid', 'Tanh', 'ReLU', 'LayerNorm',
+    'Recurrent', 'SequentialWithRecurrent', 'Sigmoid', 'Tanh', 'ReLU', 'GELU',
+    'LayerNorm',
+    'MultiHeadAttention', 'TransformerEncoderLayer', 'TransformerEncoder',
     'manual_seed', 'parameters', 'named_parameters', 'load_parameters',
     'state_dict', 'load_state_dict', 'bind', 'next_rng', 'is_training',
     'ExponentialMovingAverage',
@@ -383,6 +386,17 @@ class ReLU(Module):
         return 'ReLU()'
 
 
+class GELU(Module):
+    """Gaussian-error linear unit (exact erf form, matching
+    ``torch.nn.GELU()`` for parity; elementwise, fuses on the VPU)."""
+
+    def forward(self, x):
+        return jax.nn.gelu(x, approximate=False)
+
+    def __repr__(self):
+        return 'GELU()'
+
+
 class Recurrent(Module):
     """Masked scan LSTM/GRU stack — TPU replacement for the reference's
     ``RecurrentCuDNNWrapper`` (``morgana/utils.py:333-393``); no sorting or
@@ -617,6 +631,158 @@ def GRU(input_size, hidden_size, num_layers=1, dropout=0.0):
     return Recurrent('gru', input_size, hidden_size, num_layers, dropout)
 
 
+# ---------------------------------------------------------------------------
+# Attention / Transformer (beyond-reference: the MXU-native sequence mixer;
+# the reference framework is RNN-only, morgana/utils.py:333-393)
+# ---------------------------------------------------------------------------
+
+class MultiHeadAttention(Module):
+    """Multi-head self/cross attention over padded batches.
+
+    The QKV projection is ONE fused ``(B, T, E) @ (E, 3E)`` matmul (MXU-sized
+    instead of three small ones); masking is additive on the logits
+    (:mod:`morgana_tpu.ops.attention`), so variable-length batches share a
+    single static-shape program. Parameter names (`in_proj.*`, `out_proj.*`)
+    mirror ``torch.nn.MultiheadAttention`` so parity tests and
+    :mod:`morgana_tpu.migrate` can load torch weights with a transpose.
+    """
+
+    def __init__(self, embed_dim, num_heads, dropout=0.0, bias=True):
+        if embed_dim % num_heads != 0:
+            raise ValueError(
+                f'embed_dim {embed_dim} not divisible by num_heads {num_heads}')
+        self.embed_dim = embed_dim
+        self.num_heads = num_heads
+        self.head_dim = embed_dim // num_heads
+        self.dropout_p = float(dropout)
+        self.in_proj = Linear(embed_dim, 3 * embed_dim, bias=bias)
+        self.out_proj = Linear(embed_dim, embed_dim, bias=bias)
+
+    def forward(self, x, seq_len=None, causal=False, kv=None, kv_seq_len=None):
+        """Self-attention over ``x`` (batch, T, E); pass ``kv`` for
+        cross-attention (queries from ``x``, keys/values from ``kv``)."""
+        batch, q_len, _ = x.shape
+        compute_dtype = _DEFAULT_COMPUTE_DTYPE
+
+        if kv is None:
+            qkv = self.in_proj(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            k_len, k_seq_len = q_len, seq_len
+        else:
+            # Cross-attention reuses the fused projection's three slices.
+            w = self.in_proj.weight.value
+            b = self.in_proj.bias.value if self.in_proj.bias is not None else None
+            wq, wk, wv = jnp.split(w, 3, axis=-1)
+            bq, bk, bv = (jnp.split(b, 3) if b is not None else (0., 0., 0.))
+            q = x @ wq + bq
+            k = kv @ wk + bk
+            v = kv @ wv + bv
+            k_len, k_seq_len = kv.shape[1], kv_seq_len
+
+        def to_heads(t, length):
+            return t.reshape(batch, length, self.num_heads,
+                             self.head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = to_heads(q, q_len), to_heads(k, k_len), to_heads(v, k_len)
+
+        bias_term = None
+        if k_seq_len is not None:
+            bias_term = attention_ops.padding_bias(k_seq_len, k_len)
+        if causal:
+            cb = attention_ops.causal_bias(q_len)
+            bias_term = cb if bias_term is None else bias_term + cb
+
+        dropout_p = self.dropout_p if is_training() else 0.0
+        out = attention_ops.scaled_dot_product_attention(
+            q, k, v, bias=bias_term, dropout_p=dropout_p,
+            dropout_rng=next_rng() if dropout_p > 0 else None,
+            compute_dtype=compute_dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(batch, q_len, self.embed_dim)
+        return self.out_proj(out)
+
+    def __repr__(self):
+        return (f'MultiHeadAttention(embed={self.embed_dim}, '
+                f'heads={self.num_heads})')
+
+
+class TransformerEncoderLayer(Module):
+    """Pre-LN Transformer block: ``x + attn(LN(x))`` then ``x + ffn(LN(x))``
+    (pre-norm trains stably without warmup at these depths). The FFN is two
+    MXU matmuls around a GELU."""
+
+    # SequentialWithRecurrent threads seq_len into members advertising this.
+    accepts_seq_len = True
+
+    def __init__(self, d_model, num_heads, d_ff, dropout=0.0):
+        self.attn_norm = LayerNorm(d_model)
+        self.attn = MultiHeadAttention(d_model, num_heads, dropout=dropout)
+        self.ffn_norm = LayerNorm(d_model)
+        self.ffn_in = Linear(d_model, d_ff)
+        self.ffn_out = Linear(d_ff, d_model)
+        self.dropout = Dropout(dropout) if dropout else None
+
+    def forward(self, x, seq_len=None, causal=False):
+        h = self.attn(self.attn_norm(x), seq_len=seq_len, causal=causal)
+        if self.dropout is not None:
+            h = self.dropout(h)
+        x = x + h
+        h = self.ffn_out(jax.nn.gelu(self.ffn_in(self.ffn_norm(x)),
+                                     approximate=False))
+        if self.dropout is not None:
+            h = self.dropout(h)
+        return x + h
+
+    def __repr__(self):
+        return (f'TransformerEncoderLayer(d_model={self.attn.embed_dim}, '
+                f'heads={self.attn.num_heads}, '
+                f'd_ff={self.ffn_in.out_features})')
+
+
+class TransformerEncoder(Module):
+    """A stack of pre-LN encoder blocks with sinusoidal positions at entry
+    and a final LayerNorm. Call signature ``(x, seq_len=None)`` matches the
+    container threading, so models drop it into
+    :class:`SequentialWithRecurrent` exactly like a :class:`Recurrent`
+    stack. ``remat=True`` rematerialises each block in the backward pass
+    (O(depth) instead of O(depth·T) activation memory)."""
+
+    accepts_seq_len = True
+
+    def __init__(self, num_layers, d_model, num_heads, d_ff, dropout=0.0,
+                 add_positions=True, causal=False, remat=None):
+        self.d_model = d_model
+        self.add_positions = add_positions
+        self.causal = causal
+        self.remat = remat
+        self.blocks = ModuleList([
+            TransformerEncoderLayer(d_model, num_heads, d_ff, dropout=dropout)
+            for _ in range(num_layers)])
+        self.norm = LayerNorm(d_model)
+
+    def forward(self, x, seq_len=None):
+        if self.add_positions:
+            # Constant-folds under jit (static max_len); scaled like the
+            # canonical Transformer so positions don't swamp small inputs.
+            x = x + attention_ops.sinusoidal_positions(
+                x.shape[1], self.d_model, dtype=x.dtype)
+        remat = self.remat if self.remat is not None else _DEFAULT_REMAT
+        for block in self.blocks:
+            if remat:
+                # Params flow through `bind` (module attrs), so checkpointing
+                # the x->y closure is enough: residuals recompute per block.
+                run = jax.checkpoint(
+                    lambda t, b=block: b(t, seq_len=seq_len,
+                                         causal=self.causal))
+                x = run(x)
+            else:
+                x = block(x, seq_len=seq_len, causal=self.causal)
+        return self.norm(x)
+
+    def __repr__(self):
+        return (f'TransformerEncoder(layers={len(self.blocks)}, '
+                f'd_model={self.d_model})')
+
+
 class SequentialWithRecurrent(Module):
     """Sequential container threading (hiddens, seq_len) through recurrent
     members — same contract as the reference (``morgana/utils.py:396-418``)."""
@@ -635,6 +801,10 @@ class SequentialWithRecurrent(Module):
         for i, module in enumerate(self.items):
             if isinstance(module, Recurrent):
                 input, hiddens[i] = module(input, hiddens[i], seq_len)
+            elif getattr(module, 'accepts_seq_len', False):
+                # Attention members need the lengths (for the padding mask)
+                # but are stateless across calls: no hidden slot.
+                input = module(input, seq_len=seq_len)
             else:
                 input = module(input)
         if return_hiddens:

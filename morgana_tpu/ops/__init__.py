@@ -1,4 +1,5 @@
 """TPU-native compute kernels (jit-safe, static shapes, mask-based)."""
+from morgana_tpu.ops import attention
 from morgana_tpu.ops import deltas
 from morgana_tpu.ops import losses
 from morgana_tpu.ops import masking

@@ -1,0 +1,291 @@
+"""Attention / Transformer tests: torch parity, masking semantics, remat.
+
+Model: SURVEY §4 test strategy — golden parity against torch for every
+layer with a torch counterpart, plus mask-semantics properties the static-
+shape TPU design must honour (padded frames must never influence valid
+outputs).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from morgana_tpu import nn
+from morgana_tpu.ops import attention as attention_ops
+
+
+def _rand(rng, *shape):
+    return rng.normal(size=shape).astype(np.float32)
+
+
+def _lengths(batch, max_len):
+    # Ragged on purpose; includes a full-length row.
+    lens = np.linspace(max_len // 2, max_len, batch).astype(np.int32)
+    lens[-1] = max_len
+    return lens
+
+
+class TestOps:
+    def test_padding_bias_shape_and_values(self):
+        bias = attention_ops.padding_bias(np.array([2, 4]), 4)
+        assert bias.shape == (2, 1, 1, 4)
+        np.testing.assert_array_equal(np.asarray(bias[0, 0, 0]) < -1e8,
+                                      [False, False, True, True])
+        assert np.all(np.asarray(bias[1]) == 0.0)
+
+    def test_causal_bias(self):
+        bias = np.asarray(attention_ops.causal_bias(3))[0, 0]
+        assert np.all(bias[np.tril_indices(3)] == 0.0)
+        assert np.all(bias[np.triu_indices(3, k=1)] < -1e8)
+
+    def test_sinusoidal_positions_canonical(self):
+        table = np.asarray(attention_ops.sinusoidal_positions(50, 16))
+        assert table.shape == (50, 16)
+        # (sin, cos) interleave: position 0 is (0, 1, 0, 1, ...).
+        np.testing.assert_allclose(table[0, 0::2], 0.0, atol=1e-7)
+        np.testing.assert_allclose(table[0, 1::2], 1.0, atol=1e-7)
+        # First pair oscillates with angular frequency 1 (pos in radians).
+        np.testing.assert_allclose(table[:, 0], np.sin(np.arange(50)),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_fully_padded_rows_are_finite(self):
+        rng = np.random.default_rng(0)
+        q = k = v = jnp.asarray(_rand(rng, 2, 2, 6, 8))
+        bias = attention_ops.padding_bias(np.array([3, 0]), 6)
+        out = attention_ops.scaled_dot_product_attention(q, k, v, bias=bias)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestTorchParity:
+    def test_multi_head_attention_matches_torch(self):
+        rng = np.random.default_rng(1)
+        batch, max_len, embed, heads = 3, 12, 32, 4
+        x = _rand(rng, batch, max_len, embed)
+        lens = _lengths(batch, max_len)
+
+        nn.manual_seed(7)
+        mha = nn.MultiHeadAttention(embed, heads)
+
+        ref = torch.nn.MultiheadAttention(embed, heads, batch_first=True)
+        with torch.no_grad():
+            ref.in_proj_weight.copy_(
+                torch.from_numpy(np.asarray(mha.in_proj.weight.value).T))
+            ref.in_proj_bias.copy_(
+                torch.from_numpy(np.asarray(mha.in_proj.bias.value)))
+            ref.out_proj.weight.copy_(
+                torch.from_numpy(np.asarray(mha.out_proj.weight.value).T))
+            ref.out_proj.bias.copy_(
+                torch.from_numpy(np.asarray(mha.out_proj.bias.value)))
+
+        with nn.bind(mha):
+            got = np.asarray(mha(jnp.asarray(x), seq_len=lens))
+
+        pad_mask = torch.arange(max_len)[None, :] >= torch.from_numpy(lens)[:, None]
+        want, _ = ref(torch.from_numpy(x), torch.from_numpy(x),
+                      torch.from_numpy(x), key_padding_mask=pad_mask,
+                      need_weights=False)
+        want = want.detach().numpy()
+
+        # Compare valid frames only (torch NaNs fully-masked query rows).
+        for b in range(batch):
+            np.testing.assert_allclose(got[b, :lens[b]], want[b, :lens[b]],
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_causal_matches_torch(self):
+        rng = np.random.default_rng(2)
+        batch, max_len, embed, heads = 2, 10, 16, 2
+        x = _rand(rng, batch, max_len, embed)
+
+        nn.manual_seed(11)
+        mha = nn.MultiHeadAttention(embed, heads)
+        ref = torch.nn.MultiheadAttention(embed, heads, batch_first=True)
+        with torch.no_grad():
+            ref.in_proj_weight.copy_(
+                torch.from_numpy(np.asarray(mha.in_proj.weight.value).T))
+            ref.in_proj_bias.copy_(
+                torch.from_numpy(np.asarray(mha.in_proj.bias.value)))
+            ref.out_proj.weight.copy_(
+                torch.from_numpy(np.asarray(mha.out_proj.weight.value).T))
+            ref.out_proj.bias.copy_(
+                torch.from_numpy(np.asarray(mha.out_proj.bias.value)))
+
+        with nn.bind(mha):
+            got = np.asarray(mha(jnp.asarray(x), causal=True))
+        mask = torch.nn.Transformer.generate_square_subsequent_mask(max_len)
+        want, _ = ref(torch.from_numpy(x), torch.from_numpy(x),
+                      torch.from_numpy(x), attn_mask=mask, need_weights=False)
+        np.testing.assert_allclose(got, want.detach().numpy(),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_encoder_layer_matches_torch(self):
+        rng = np.random.default_rng(3)
+        batch, max_len, d_model, heads, d_ff = 2, 9, 24, 3, 48
+        x = _rand(rng, batch, max_len, d_model)
+        lens = _lengths(batch, max_len)
+
+        nn.manual_seed(13)
+        layer = nn.TransformerEncoderLayer(d_model, heads, d_ff)
+
+        ref = torch.nn.TransformerEncoderLayer(
+            d_model, heads, dim_feedforward=d_ff, dropout=0.0,
+            activation='gelu', batch_first=True, norm_first=True)
+        with torch.no_grad():
+            ref.self_attn.in_proj_weight.copy_(
+                torch.from_numpy(np.asarray(layer.attn.in_proj.weight.value).T))
+            ref.self_attn.in_proj_bias.copy_(
+                torch.from_numpy(np.asarray(layer.attn.in_proj.bias.value)))
+            ref.self_attn.out_proj.weight.copy_(
+                torch.from_numpy(np.asarray(layer.attn.out_proj.weight.value).T))
+            ref.self_attn.out_proj.bias.copy_(
+                torch.from_numpy(np.asarray(layer.attn.out_proj.bias.value)))
+            ref.linear1.weight.copy_(
+                torch.from_numpy(np.asarray(layer.ffn_in.weight.value).T))
+            ref.linear1.bias.copy_(
+                torch.from_numpy(np.asarray(layer.ffn_in.bias.value)))
+            ref.linear2.weight.copy_(
+                torch.from_numpy(np.asarray(layer.ffn_out.weight.value).T))
+            ref.linear2.bias.copy_(
+                torch.from_numpy(np.asarray(layer.ffn_out.bias.value)))
+            ref.norm1.weight.copy_(
+                torch.from_numpy(np.asarray(layer.attn_norm.weight.value)))
+            ref.norm1.bias.copy_(
+                torch.from_numpy(np.asarray(layer.attn_norm.bias.value)))
+            ref.norm2.weight.copy_(
+                torch.from_numpy(np.asarray(layer.ffn_norm.weight.value)))
+            ref.norm2.bias.copy_(
+                torch.from_numpy(np.asarray(layer.ffn_norm.bias.value)))
+
+        with nn.bind(layer):
+            got = np.asarray(layer(jnp.asarray(x), seq_len=lens))
+        pad_mask = torch.arange(max_len)[None, :] >= torch.from_numpy(lens)[:, None]
+        want = ref(torch.from_numpy(x),
+                   src_key_padding_mask=pad_mask).detach().numpy()
+        for b in range(batch):
+            np.testing.assert_allclose(got[b, :lens[b]], want[b, :lens[b]],
+                                       rtol=3e-5, atol=3e-5)
+
+
+class TestMaskSemantics:
+    def test_padding_never_leaks_into_valid_frames(self):
+        rng = np.random.default_rng(4)
+        batch, max_len = 3, 14
+        nn.manual_seed(17)
+        enc = nn.TransformerEncoder(2, 16, 4, 32)
+        lens = _lengths(batch, max_len)
+
+        x = _rand(rng, batch, max_len, 16)
+        x_garbage = x.copy()
+        for b in range(batch):
+            x_garbage[b, lens[b]:] = 1e3 * rng.normal(
+                size=(max_len - lens[b], 16))
+
+        with nn.bind(enc):
+            a = np.asarray(enc(jnp.asarray(x), seq_len=lens))
+            b_ = np.asarray(enc(jnp.asarray(x_garbage), seq_len=lens))
+        for b in range(batch):
+            np.testing.assert_allclose(a[b, :lens[b]], b_[b, :lens[b]],
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_causal_future_never_leaks(self):
+        rng = np.random.default_rng(5)
+        nn.manual_seed(19)
+        enc = nn.TransformerEncoder(2, 16, 2, 32, causal=True,
+                                    add_positions=False)
+        x = _rand(rng, 1, 8, 16)
+        y = x.copy()
+        # Perturb the future only — with non-uniform noise (a constant shift
+        # would sit in LayerNorm's null space and vanish).
+        y[0, 5:] += rng.normal(size=y[0, 5:].shape).astype(np.float32)
+        with nn.bind(enc):
+            a = np.asarray(enc(jnp.asarray(x)))
+            b = np.asarray(enc(jnp.asarray(y)))
+        np.testing.assert_allclose(a[0, :5], b[0, :5], rtol=1e-5, atol=1e-5)
+        assert not np.allclose(a[0, 5:], b[0, 5:])
+
+
+class TestTraining:
+    def _loss_fn(self, enc, lens, x):
+        def fn(params):
+            with nn.bind(enc, params):
+                out = enc(x, seq_len=lens)
+            mask = np.zeros(x.shape[:2] + (1,), np.float32)
+            for b, n in enumerate(lens):
+                mask[b, :n] = 1.0
+            return jnp.sum((out * mask) ** 2)
+        return fn
+
+    def test_remat_gradients_match(self):
+        rng = np.random.default_rng(6)
+        lens = _lengths(2, 10)
+        x = jnp.asarray(_rand(rng, 2, 10, 16))
+
+        nn.manual_seed(23)
+        enc = nn.TransformerEncoder(2, 16, 4, 32)
+        params = nn.parameters(enc)
+        g_plain = jax.grad(self._loss_fn(enc, lens, x))(params)
+        enc.remat = True
+        g_remat = jax.grad(self._loss_fn(enc, lens, x))(params)
+        for name in g_plain:
+            np.testing.assert_allclose(np.asarray(g_plain[name]),
+                                       np.asarray(g_remat[name]),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=name)
+        # Gradients reach every parameter (positions/masking don't cut flow).
+        for name, g in g_plain.items():
+            assert np.any(np.asarray(g) != 0.0), name
+
+    def test_dropout_train_vs_eval(self):
+        rng = np.random.default_rng(7)
+        nn.manual_seed(29)
+        enc = nn.TransformerEncoder(1, 8, 2, 16, dropout=0.5)
+        x = jnp.asarray(_rand(rng, 2, 6, 8))
+        key = jax.random.PRNGKey(0)
+        with nn.bind(enc, rng=key, train=True):
+            t1 = np.asarray(enc(x))
+        with nn.bind(enc, rng=key, train=True):
+            t2 = np.asarray(enc(x))
+        with nn.bind(enc):
+            e1 = np.asarray(enc(x))
+        with nn.bind(enc):
+            e2 = np.asarray(enc(x))
+        np.testing.assert_allclose(t1, t2)  # Same key -> deterministic.
+        np.testing.assert_allclose(e1, e2)
+        assert not np.allclose(t1, e1)      # Dropout active in train mode.
+
+    def test_jit_matches_eager(self):
+        rng = np.random.default_rng(8)
+        nn.manual_seed(31)
+        enc = nn.TransformerEncoder(2, 16, 4, 32)
+        lens = _lengths(3, 12)
+        x = jnp.asarray(_rand(rng, 3, 12, 16))
+        params = nn.parameters(enc)
+
+        def apply(p, x):
+            with nn.bind(enc, p):
+                return enc(x, seq_len=lens)
+
+        eager = np.asarray(apply(params, x))
+        jitted = np.asarray(jax.jit(apply)(params, x))
+        np.testing.assert_allclose(eager, jitted, rtol=1e-5, atol=1e-6)
+
+    def test_cross_attention_shapes(self):
+        rng = np.random.default_rng(9)
+        nn.manual_seed(37)
+        mha = nn.MultiHeadAttention(16, 4)
+        q = jnp.asarray(_rand(rng, 2, 5, 16))
+        kv = jnp.asarray(_rand(rng, 2, 9, 16))
+        with nn.bind(mha):
+            out = mha(q, kv=kv, kv_seq_len=np.array([9, 4]))
+        assert out.shape == (2, 5, 16)
+        # kv padding must not leak: perturb kv beyond its length.
+        kv2 = np.asarray(kv).copy()
+        kv2[1, 4:] += 100.0
+        with nn.bind(mha):
+            out2 = mha(q, kv=jnp.asarray(kv2), kv_seq_len=np.array([9, 4]))
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out2[1]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+if __name__ == '__main__':
+    pytest.main([__file__, '-q'])

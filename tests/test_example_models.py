@@ -75,6 +75,21 @@ def test_rnn_spss_small_trains(voice_data, tmp_path):
 
 
 @pytest.mark.slow
+def test_transformer_spss_trains(voice_data, tmp_path):
+    from transformer_spss import TransformerAcousticModel
+    expdir = _run(TransformerAcousticModel, voice_data, tmp_path, 'tfm',
+                  end_epoch=3, valid=True, learning_rate=0.001,
+                  model_kwargs={'num_layers': 2, 'd_model': 32,
+                                'num_heads': 4, 'dropout_prob': 0.1})
+    m1, m3 = _epoch_metrics(expdir, 'train', 1), _epoch_metrics(expdir, 'train', 3)
+    assert m3['loss'] < m1['loss'], (m1['loss'], m3['loss'])
+    for key in ('loss', 'LF0_RMSE_Hz', 'VUV_accuracy', 'MCEP_distortion',
+                'BAP_distortion'):
+        assert key in m1 and np.isfinite(m1[key]), key
+    assert np.isfinite(_epoch_metrics(expdir, 'valid', 3)['loss'])
+
+
+@pytest.mark.slow
 def test_rnn_spss_convergence_soak(voice_data, tmp_path):
     """Multi-epoch soak: the flagship acoustic model's loss and distortion
     metrics must trend DOWN over 6 epochs (catches silent training
