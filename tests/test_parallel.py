@@ -226,3 +226,43 @@ class TestMultiHostDataSharding:
             for b in data.DataLoader(ds, batch_size=2, shuffle=False):
                 seen.extend(b['name'])
         assert sorted(seen) == sorted(full_ids)
+
+
+class TestTransformerTensorParallel:
+    def test_tp_encoder_matches_unsharded(self, rng):
+        """Attention projections TP-shard over 'model' (their `.weight` names
+        match the TP pattern) and the dp x tp program must agree with the
+        unsharded one — loss AND gradients."""
+        mesh = parallel.make_mesh(num_data=4, num_model=2)
+
+        # Sizes chosen so in_proj (160x480) and FFN (160x512) clear the TP
+        # min_size threshold and actually shard.
+        nn.manual_seed(11)
+        enc = nn.TransformerEncoder(2, 160, 4, 512)
+        x = jnp.asarray(rng.normal(size=(8, 12, 160)).astype(np.float32))
+        lens = np.array([12, 10, 8, 12, 6, 12, 9, 7], np.int32)
+        params = nn.parameters(enc)
+
+        def loss_fn(p, x):
+            with nn.bind(enc, p):
+                out = enc(x, seq_len=lens)
+            return jnp.mean(out ** 2)
+
+        loss = float(jax.jit(loss_fn)(params, x))
+        grads = jax.jit(jax.grad(loss_fn))(params, x)
+
+        sharded = parallel.shard_params(params, mesh, tensor_parallel=True)
+        qkv = [v for k, v in sharded.items() if k.endswith('in_proj.weight')]
+        assert qkv and all(
+            v.addressable_shards[0].data.shape[-1] == v.shape[-1] // 2
+            for v in qkv), 'attention projections were not TP-sharded'
+
+        x_tp = jax.device_put(x, parallel.batch_sharding(mesh))
+        loss_tp = float(jax.jit(loss_fn)(sharded, x_tp))
+        grads_tp = jax.jit(jax.grad(loss_fn))(sharded, x_tp)
+
+        np.testing.assert_allclose(loss_tp, loss, rtol=1e-5)
+        for name in grads:
+            np.testing.assert_allclose(np.asarray(grads_tp[name]),
+                                       np.asarray(grads[name]),
+                                       rtol=1e-4, atol=1e-6, err_msg=name)
