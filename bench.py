@@ -575,6 +575,21 @@ def main():
         except Exception:
             pass
 
+    # The attention-path flagship (models/transformer_spss.py): the MXU
+    # showcase number — O(1) sequential depth, so MFU is bounded by
+    # arithmetic intensity rather than the LSTM's per-timestep loop latency.
+    transformer = None
+    if not degraded and remaining() > 300:
+        try:
+            transformer = _run_bench_code(
+                'import json, sys, os;'
+                'sys.path.insert(0, os.path.join(os.getcwd(), "benchmarks"));'
+                'import bench_transformer as bt;'
+                'print("BENCH_JSON:" + json.dumps('
+                'bt.measure(512, 6, 8, 2048, "bfloat16", 32, 640)))')
+        except Exception:
+            pass
+
     best_backend = max(results, key=lambda b: results[b]['frames_per_sec'])
     result = results[best_backend]
 
@@ -652,6 +667,15 @@ def main():
             ceiling = (transfer_bw / e2e['e2e_batch_mb']
                        * e2e.get('e2e_frames_per_batch', 32 * 640.0))
             line['e2e_transfer_ceiling_frames_per_sec'] = round(ceiling, 1)
+    if transformer:
+        line['transformer_frames_per_sec'] = round(
+            transformer['frames_per_sec'], 1)
+        line['transformer_ms_per_step'] = transformer['ms_per_step']
+        line['transformer_achieved_tflops'] = transformer['achieved_tflops']
+        line['transformer_config'] = transformer['config']
+        if measured_peak is not None:
+            line['transformer_mfu'] = round(
+                transformer['achieved_tflops'] / measured_peak, 3)
     if degraded:
         line['degraded'] = 'subprocess isolation unavailable; single '\
                            'in-process measurement'
