@@ -40,11 +40,16 @@ class TransformerAcousticModel(LSTMAcousticModel):
 
     def __init__(self, input_dim=600 + 9, output_dims=None, dropout_prob=0.,
                  num_layers=6, d_model=384, num_heads=4, d_ff=None,
-                 remat=None):
+                 causal=False, attention_window=None, remat=None):
         if output_dims is None:
             output_dims = {'lf0': 1 * 3, 'vuv': 1, 'mcep': 60 * 3, 'bap': 5 * 3}
         if d_ff is None:
             d_ff = 4 * d_model
+        if causal and attention_window is None:
+            # Streamable configuration: sliding-window causal attention.
+            # 256 frames = 1.28 s of left context at 5 ms frames — ample for
+            # acoustic smoothness, and it is the KV-cache depth per layer.
+            attention_window = 256
 
         # Deliberately skip LSTMAcousticModel.__init__ (it would build and
         # discard 8 LSTM layers' weights and advance the init RNG).
@@ -56,12 +61,15 @@ class TransformerAcousticModel(LSTMAcousticModel):
         self.d_model = d_model
         self.num_heads = num_heads
         self.d_ff = d_ff
+        self.causal = causal
+        self.attention_window = attention_window
 
         self.layers = nn.SequentialWithRecurrent(
             nn.Linear(self.input_dim, d_model),
             nn.Dropout(p=self.dropout_prob),
             nn.TransformerEncoder(num_layers, d_model, num_heads, d_ff,
-                                  dropout=self.dropout_prob, remat=remat),
+                                  dropout=self.dropout_prob, causal=causal,
+                                  window=attention_window, remat=remat),
             nn.Linear(d_model, sum(self.output_dims.values())),
         )
 
@@ -74,10 +82,16 @@ class TransformerAcousticModel(LSTMAcousticModel):
     # ------------------------------------------------------------ streaming
 
     def stream_step(self, inputs_chunk, state):
-        raise NotImplementedError(
-            'TransformerAcousticModel does not support chunked streaming: '
-            'bidirectional self-attention needs the full utterance. Use '
-            'LSTMAcousticModel for streaming serving, or batch predict().')
+        if not self.causal:
+            raise NotImplementedError(
+                'chunked streaming needs the streamable configuration '
+                "(model_kwargs \"{'causal': True}\" — sliding-window causal "
+                'attention with per-layer KV caches); the default '
+                'bidirectional model requires the full utterance. '
+                'LSTMAcousticModel streams in any configuration.')
+        # The container threads each attention member's KV caches through
+        # its hidden slot, so the LSTM implementation applies unchanged.
+        return LSTMAcousticModel.stream_step(self, inputs_chunk, state)
 
 
 def main():

@@ -658,9 +658,12 @@ class MultiHeadAttention(Module):
         self.in_proj = Linear(embed_dim, 3 * embed_dim, bias=bias)
         self.out_proj = Linear(embed_dim, embed_dim, bias=bias)
 
-    def forward(self, x, seq_len=None, causal=False, kv=None, kv_seq_len=None):
+    def forward(self, x, seq_len=None, causal=False, kv=None, kv_seq_len=None,
+                window=None):
         """Self-attention over ``x`` (batch, T, E); pass ``kv`` for
-        cross-attention (queries from ``x``, keys/values from ``kv``)."""
+        cross-attention (queries from ``x``, keys/values from ``kv``).
+        ``window`` (with ``causal=True``) restricts each query to the last
+        ``window`` keys — the streamable sliding-window form."""
         batch, q_len, _ = x.shape
         compute_dtype = _DEFAULT_COMPUTE_DTYPE
 
@@ -689,7 +692,8 @@ class MultiHeadAttention(Module):
         if k_seq_len is not None:
             bias_term = attention_ops.padding_bias(k_seq_len, k_len)
         if causal:
-            cb = attention_ops.causal_bias(q_len)
+            cb = (attention_ops.local_causal_bias(q_len, window)
+                  if window else attention_ops.causal_bias(q_len))
             bias_term = cb if bias_term is None else bias_term + cb
 
         dropout_p = self.dropout_p if is_training() else 0.0
@@ -699,6 +703,38 @@ class MultiHeadAttention(Module):
             compute_dtype=compute_dtype)
         out = out.transpose(0, 2, 1, 3).reshape(batch, q_len, self.embed_dim)
         return self.out_proj(out)
+
+    def step(self, x, cache_k, cache_v, pos, window):
+        """One streamed chunk of sliding-window causal self-attention.
+
+        ``x`` is (batch, chunk, E) at absolute positions ``pos + i``;
+        ``cache_k``/``cache_v`` are the previous ``window`` frames'
+        projected keys/values (batch, window, E), zero-filled before the
+        stream starts (masked out by :func:`ops.attention.streaming_bias`
+        while absolute positions are negative). Returns
+        ``(out, new_cache_k, new_cache_v)`` — numerically identical to
+        :meth:`forward` with ``causal=True, window=window`` on the full
+        sequence, chunk boundaries included.
+        """
+        batch, chunk, _ = x.shape
+        qkv = self.in_proj(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        k_full = jnp.concatenate([cache_k, k], axis=1)      # (B, W+C, E)
+        v_full = jnp.concatenate([cache_v, v], axis=1)
+
+        def to_heads(t):
+            return t.reshape(batch, t.shape[1], self.num_heads,
+                             self.head_dim).transpose(0, 2, 1, 3)
+
+        bias = attention_ops.streaming_bias(pos, chunk, window)
+        out = attention_ops.scaled_dot_product_attention(
+            to_heads(q), to_heads(k_full), to_heads(v_full), bias=bias,
+            compute_dtype=_DEFAULT_COMPUTE_DTYPE)
+        out = out.transpose(0, 2, 1, 3).reshape(batch, chunk, self.embed_dim)
+        # The cache keeps the most recent `window` frames. With chunk >=
+        # window this is a pure slice of the chunk; otherwise it shifts.
+        return self.out_proj(out), k_full[:, -cache_k.shape[1]:], \
+            v_full[:, -cache_v.shape[1]:]
 
     def __repr__(self):
         return (f'MultiHeadAttention(embed={self.embed_dim}, '
@@ -721,16 +757,30 @@ class TransformerEncoderLayer(Module):
         self.ffn_out = Linear(d_ff, d_model)
         self.dropout = Dropout(dropout) if dropout else None
 
-    def forward(self, x, seq_len=None, causal=False):
-        h = self.attn(self.attn_norm(x), seq_len=seq_len, causal=causal)
+    def forward(self, x, seq_len=None, causal=False, window=None):
+        h = self.attn(self.attn_norm(x), seq_len=seq_len, causal=causal,
+                      window=window)
         if self.dropout is not None:
             h = self.dropout(h)
         x = x + h
+        x = x + self._ffn(x)
+        return x
+
+    def _ffn(self, x):
         h = self.ffn_out(jax.nn.gelu(self.ffn_in(self.ffn_norm(x)),
                                      approximate=False))
         if self.dropout is not None:
             h = self.dropout(h)
-        return x + h
+        return h
+
+    def step(self, x, cache, pos, window):
+        """Streamed-chunk form of :meth:`forward` (inference; dropout is a
+        no-op outside training). ``cache`` is this block's (k, v) pair."""
+        cache_k, cache_v = cache
+        h, cache_k, cache_v = self.attn.step(
+            self.attn_norm(x), cache_k, cache_v, pos, window)
+        x = x + h
+        return x + self._ffn(x), (cache_k, cache_v)
 
     def __repr__(self):
         return (f'TransformerEncoderLayer(d_model={self.attn.embed_dim}, '
@@ -749,10 +799,14 @@ class TransformerEncoder(Module):
     accepts_seq_len = True
 
     def __init__(self, num_layers, d_model, num_heads, d_ff, dropout=0.0,
-                 add_positions=True, causal=False, remat=None):
+                 add_positions=True, causal=False, window=None, remat=None):
+        if window is not None and not causal:
+            raise ValueError('window (sliding-window attention) requires '
+                             'causal=True')
         self.d_model = d_model
         self.add_positions = add_positions
         self.causal = causal
+        self.window = window
         self.remat = remat
         self.blocks = ModuleList([
             TransformerEncoderLayer(d_model, num_heads, d_ff, dropout=dropout)
@@ -772,11 +826,41 @@ class TransformerEncoder(Module):
                 # the x->y closure is enough: residuals recompute per block.
                 run = jax.checkpoint(
                     lambda t, b=block: b(t, seq_len=seq_len,
-                                         causal=self.causal))
+                                         causal=self.causal,
+                                         window=self.window))
                 x = run(x)
             else:
-                x = block(x, seq_len=seq_len, causal=self.causal)
+                x = block(x, seq_len=seq_len, causal=self.causal,
+                          window=self.window)
         return self.norm(x)
+
+    def init_stream_state(self, batch, dtype=jnp.float32):
+        """Zero KV caches + position counter for :meth:`step`."""
+        if not (self.causal and self.window):
+            raise ValueError(
+                'streaming needs causal=True and a finite window '
+                '(bidirectional attention requires the full utterance)')
+        caches = [(jnp.zeros((batch, self.window, self.d_model), dtype),
+                   jnp.zeros((batch, self.window, self.d_model), dtype))
+                  for _ in self.blocks]
+        return {'pos': jnp.zeros((), jnp.int32), 'caches': caches}
+
+    def step(self, x, state):
+        """Streamed chunk (batch, C, d_model) -> (y, new_state); chaining
+        chunks reproduces :meth:`forward` on the concatenated sequence
+        exactly (same windowed-causal bias, positions at true offsets)."""
+        if state is None:
+            state = self.init_stream_state(x.shape[0], dtype=x.dtype)
+        pos, caches = state['pos'], state['caches']
+        if self.add_positions:
+            x = x + attention_ops.sinusoidal_positions_at(
+                pos + jnp.arange(x.shape[1]), self.d_model,
+                dtype=x.dtype)
+        new_caches = []
+        for block, cache in zip(self.blocks, caches):
+            x, cache = block.step(x, cache, pos, self.window)
+            new_caches.append(cache)
+        return self.norm(x), {'pos': pos + x.shape[1], 'caches': new_caches}
 
     def __repr__(self):
         return (f'TransformerEncoder(layers={len(self.blocks)}, '
@@ -802,9 +886,14 @@ class SequentialWithRecurrent(Module):
             if isinstance(module, Recurrent):
                 input, hiddens[i] = module(input, hiddens[i], seq_len)
             elif getattr(module, 'accepts_seq_len', False):
-                # Attention members need the lengths (for the padding mask)
-                # but are stateless across calls: no hidden slot.
-                input = module(input, seq_len=seq_len)
+                if return_hiddens and hasattr(module, 'step'):
+                    # Streaming: chunked attention carries its KV caches in
+                    # the member's hidden slot, like a recurrent state.
+                    input, hiddens[i] = module.step(input, hiddens[i])
+                else:
+                    # Batch path: attention members need the lengths (for
+                    # the padding mask) but are stateless across calls.
+                    input = module(input, seq_len=seq_len)
             else:
                 input = module(input)
         if return_hiddens:

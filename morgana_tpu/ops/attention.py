@@ -20,8 +20,11 @@ import jax.numpy as jnp
 __all__ = [
     'padding_bias',
     'causal_bias',
+    'local_causal_bias',
+    'streaming_bias',
     'scaled_dot_product_attention',
     'sinusoidal_positions',
+    'sinusoidal_positions_at',
 ]
 
 # Large-negative logit bias for masked positions. Finite (not -inf) so that
@@ -60,6 +63,37 @@ def causal_bias(max_len, dtype=jnp.float32):
     shape (1, 1, max_len, max_len)."""
     q = jnp.arange(max_len)
     allowed = q[:, None] >= q[None, :]                     # (Tq, Tk)
+    return jnp.where(allowed, 0.0, _MASK_BIAS).astype(dtype)[None, None]
+
+
+def local_causal_bias(max_len, window, dtype=jnp.float32):
+    """Sliding-window causal bias: query ``i`` sees keys ``j`` with
+    ``i - window < j <= i`` (``window`` keys including self), shape
+    (1, 1, max_len, max_len). Attention cost becomes linear in sequence
+    length, and the window IS the streaming KV-cache size — a chunked
+    stream with a ``window``-deep cache reproduces this bias exactly
+    (:func:`streaming_bias`)."""
+    q = jnp.arange(max_len)
+    diff = q[:, None] - q[None, :]                         # (Tq, Tk)
+    allowed = (diff >= 0) & (diff < window)
+    return jnp.where(allowed, 0.0, _MASK_BIAS).astype(dtype)[None, None]
+
+
+def streaming_bias(pos, chunk, window, dtype=jnp.float32):
+    """Bias for one streamed chunk over ``[cache | chunk]`` keys.
+
+    Queries are the ``chunk`` frames at absolute positions ``pos + i``;
+    keys are the ``window`` cached frames (absolute ``pos - window + j``)
+    followed by the chunk itself. A key is visible iff it exists
+    (absolute position >= 0 — the cache starts zero-filled) and lies in
+    the query's causal window. ``pos`` may be a traced scalar; shapes stay
+    static at (1, 1, chunk, window + chunk).
+    """
+    pos = jnp.asarray(pos)
+    q_abs = pos + jnp.arange(chunk)                        # (C,)
+    k_abs = pos - window + jnp.arange(window + chunk)      # (W+C,)
+    diff = q_abs[:, None] - k_abs[None, :]
+    allowed = (k_abs >= 0)[None, :] & (diff >= 0) & (diff < window)
     return jnp.where(allowed, 0.0, _MASK_BIAS).astype(dtype)[None, None]
 
 
@@ -117,11 +151,19 @@ def sinusoidal_positions(max_len, dim, dtype=jnp.float32):
     """The 'Attention is all you need' sinusoidal position table,
     shape (max_len, dim). Computed with jnp ops so it constant-folds
     inside jit (static ``max_len``/``dim``)."""
+    return sinusoidal_positions_at(jnp.arange(max_len, dtype=jnp.float32),
+                                   dim, dtype=dtype)
+
+
+def sinusoidal_positions_at(positions, dim, dtype=jnp.float32):
+    """Sinusoid encodings for explicit (possibly traced) absolute frame
+    positions, shape (len(positions), dim) — the streaming path encodes
+    each chunk at its true offset so chunked == batch exactly."""
     if dim % 2 != 0:
         raise ValueError(f'sinusoidal position dim must be even, got {dim}')
-    pos = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    pos = jnp.asarray(positions, jnp.float32)[:, None]
     half = jnp.arange(dim // 2, dtype=jnp.float32)[None, :]
     angles = pos / jnp.power(10000.0, 2.0 * half / dim)
     # Interleaved to the canonical (sin, cos, sin, cos, ...) layout.
     table = jnp.stack([jnp.sin(angles), jnp.cos(angles)], axis=-1)
-    return table.reshape(max_len, dim).astype(dtype)
+    return table.reshape(pos.shape[0], dim).astype(dtype)

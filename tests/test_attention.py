@@ -289,3 +289,74 @@ class TestTraining:
 
 if __name__ == '__main__':
     pytest.main([__file__, '-q'])
+
+
+class TestSlidingWindowStreaming:
+    def test_local_causal_bias_semantics(self):
+        bias = np.asarray(attention_ops.local_causal_bias(5, 2))[0, 0]
+        for i in range(5):
+            for j in range(5):
+                visible = bias[i, j] == 0.0
+                assert visible == (0 <= i - j < 2), (i, j)
+
+    def test_streaming_bias_matches_local_at_offset(self):
+        """The chunk bias over [cache | chunk] keys must agree with the
+        full-sequence local-causal bias restricted to those rows/cols."""
+        T, W, C = 17, 4, 5
+        full = np.asarray(attention_ops.local_causal_bias(T, W))[0, 0]
+        for pos in (0, 3, W, 12):
+            got = np.asarray(attention_ops.streaming_bias(pos, C, W))[0, 0]
+            for i in range(C):          # query absolute pos + i
+                for j in range(W + C):  # key absolute pos - W + j
+                    k_abs = pos - W + j
+                    want = (full[pos + i, k_abs] if 0 <= k_abs < T
+                            and pos + i < T else attention_ops._MASK_BIAS)
+                    if pos + i < T:
+                        assert got[i, j] == want, (pos, i, j)
+
+    @pytest.mark.parametrize('chunk,window', [(4, 8), (8, 8), (16, 6), (1, 3)])
+    def test_encoder_step_chain_equals_batch_forward(self, chunk, window):
+        rng = np.random.default_rng(10)
+        nn.manual_seed(41)
+        enc = nn.TransformerEncoder(2, 16, 4, 32, causal=True, window=window)
+        T = 24
+        x = _rand(rng, 2, T, 16)
+
+        with nn.bind(enc):
+            batch_out = np.asarray(enc(jnp.asarray(x)))
+
+        state = None
+        outs = []
+        with nn.bind(enc):
+            for s in range(0, T, chunk):
+                y, state = enc.step(jnp.asarray(x[:, s:s + chunk]), state)
+                outs.append(np.asarray(y))
+        streamed = np.concatenate(outs, axis=1)
+        np.testing.assert_allclose(streamed, batch_out, rtol=1e-5, atol=1e-5)
+
+    def test_step_requires_streamable_config(self):
+        nn.manual_seed(43)
+        enc = nn.TransformerEncoder(1, 8, 2, 16)  # bidirectional
+        with pytest.raises(ValueError, match='causal'):
+            enc.init_stream_state(1)
+        with pytest.raises(ValueError, match='causal'):
+            nn.TransformerEncoder(1, 8, 2, 16, window=4)
+
+    def test_window_actually_limits_context(self):
+        """Frames beyond the window must not influence the output (the
+        guarantee that makes the KV cache exact)."""
+        rng = np.random.default_rng(11)
+        nn.manual_seed(47)
+        W = 4
+        enc = nn.TransformerEncoder(1, 16, 2, 32, causal=True, window=W,
+                                    add_positions=False)
+        T = 12
+        x = _rand(rng, 1, T, 16)
+        y = x.copy()
+        y[0, :T - W] += rng.normal(size=(T - W, 16)).astype(np.float32)
+        with nn.bind(enc):
+            a = np.asarray(enc(jnp.asarray(x)))
+            b = np.asarray(enc(jnp.asarray(y)))
+        # With 1 layer, the last frame sees only the last W frames.
+        np.testing.assert_allclose(a[0, -1], b[0, -1], rtol=1e-5, atol=1e-5)
+        assert not np.allclose(a[0, 0], b[0, 0])

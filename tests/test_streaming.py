@@ -449,3 +449,68 @@ class TestAcousticModelStreaming:
         streamed = np.concatenate(parts)
         assert streamed.shape == batch.shape
         np.testing.assert_array_equal(streamed, batch)
+
+
+class TestTransformerStreaming:
+    """The causal (sliding-window attention) transformer streams through the
+    same engine as the LSTM: KV caches ride the hidden slots, so streamed
+    trajectories must match batch predict."""
+
+    def test_causal_transformer_streamed_equals_batch(self, voice_data,
+                                                      tmp_path):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                        'models'))
+        try:
+            from transformer_spss import TransformerAcousticModel
+        finally:
+            sys.path.pop(0)
+
+        kwargs = {'num_layers': 2, 'd_model': 32, 'num_heads': 4,
+                  'causal': True, 'attention_window': 24}
+        exp_base = str(tmp_path / 'experiments')
+        args = builder_args(voice_data['data_root'], exp_base,
+                            end_epoch=1, valid=False, model_kwargs=kwargs)
+        nn.manual_seed(args['seed'])
+        ExperimentBuilder(TransformerAcousticModel, experiment_name='tac',
+                          **args).run_experiment()
+
+        engine = InferenceEngine(
+            TransformerAcousticModel,
+            os.path.join(exp_base, 'tac', 'checkpoints', 'epoch_1.npz'),
+            data_root=voice_data['data_root'], batch_size=2,
+            model_kwargs=kwargs)
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            utt = [l.strip() for l in f if l.strip()][0]
+        batch_out = engine.predict_ids([utt], data_dir='test')[utt]
+
+        chunks = list(engine.stream_id(utt, data_dir='test', chunk_frames=16,
+                                       context=32, lookahead=32))
+        streamed = {k: np.concatenate([c[k] for c in chunks], axis=0)
+                    for k in chunks[0]}
+        assert set(streamed) == {'lf0', 'vuv', 'mcep', 'bap'}
+        for key, atol in (('vuv', 1e-5), ('lf0', 1e-4), ('mcep', 1e-3),
+                          ('bap', 1e-3)):
+            ref = np.asarray(batch_out[key])
+            assert streamed[key].shape == ref.shape, key
+            np.testing.assert_allclose(streamed[key], ref, atol=atol,
+                                       err_msg=key)
+
+    def test_bidirectional_transformer_stream_raises(self, voice_data,
+                                                     tmp_path):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                        'models'))
+        try:
+            from transformer_spss import TransformerAcousticModel
+        finally:
+            sys.path.pop(0)
+        import jax
+
+        nn.manual_seed(5)
+        model = TransformerAcousticModel(num_layers=1, d_model=16,
+                                         num_heads=2)
+        with pytest.raises(NotImplementedError, match='causal'):
+            with nn.bind(model):
+                model.stream_step(np.zeros((1, 4, 609), np.float32), None)
