@@ -40,7 +40,8 @@ class TransformerAcousticModel(LSTMAcousticModel):
 
     def __init__(self, input_dim=600 + 9, output_dims=None, dropout_prob=0.,
                  num_layers=6, d_model=384, num_heads=4, d_ff=None,
-                 causal=False, attention_window=None, remat=None):
+                 causal=False, attention_window=None, remat=None,
+                 attention_backend='xla'):
         if output_dims is None:
             output_dims = {'lf0': 1 * 3, 'vuv': 1, 'mcep': 60 * 3, 'bap': 5 * 3}
         if d_ff is None:
@@ -63,13 +64,15 @@ class TransformerAcousticModel(LSTMAcousticModel):
         self.d_ff = d_ff
         self.causal = causal
         self.attention_window = attention_window
+        self.attention_backend = attention_backend
 
         self.layers = nn.SequentialWithRecurrent(
             nn.Linear(self.input_dim, d_model),
             nn.Dropout(p=self.dropout_prob),
             nn.TransformerEncoder(num_layers, d_model, num_heads, d_ff,
                                   dropout=self.dropout_prob, causal=causal,
-                                  window=attention_window, remat=remat),
+                                  window=attention_window, remat=remat,
+                                  attention_backend=attention_backend),
             nn.Linear(d_model, sum(self.output_dims.values())),
         )
 

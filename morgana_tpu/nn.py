@@ -647,14 +647,18 @@ class MultiHeadAttention(Module):
     :mod:`morgana_tpu.migrate` can load torch weights with a transpose.
     """
 
-    def __init__(self, embed_dim, num_heads, dropout=0.0, bias=True):
+    def __init__(self, embed_dim, num_heads, dropout=0.0, bias=True,
+                 backend='xla'):
         if embed_dim % num_heads != 0:
             raise ValueError(
                 f'embed_dim {embed_dim} not divisible by num_heads {num_heads}')
+        if backend not in ('xla', 'flash'):
+            raise ValueError(f'Unsupported attention backend {backend!r}')
         self.embed_dim = embed_dim
         self.num_heads = num_heads
         self.head_dim = embed_dim // num_heads
         self.dropout_p = float(dropout)
+        self.backend = backend
         self.in_proj = Linear(embed_dim, 3 * embed_dim, bias=bias)
         self.out_proj = Linear(embed_dim, embed_dim, bias=bias)
 
@@ -688,6 +692,19 @@ class MultiHeadAttention(Module):
 
         q, k, v = to_heads(q, q_len), to_heads(k, k_len), to_heads(v, k_len)
 
+        # The fused TPU kernel computes exact attention in O(B·T·E) HBM
+        # traffic (no materialised T x T probabilities). Falls back to the
+        # XLA path (same math) off-TPU, for windowed/cross attention, and
+        # when attention-probability dropout is active (the kernel has no
+        # dropout hook).
+        dropout_p = self.dropout_p if is_training() else 0.0
+        if (self.backend == 'flash' and kv is None and window is None
+                and dropout_p == 0.0 and jax.default_backend() == 'tpu'):
+            out = self._flash(q, k, v, seq_len, causal, compute_dtype)
+            out = out.transpose(0, 2, 1, 3).reshape(batch, q_len,
+                                                    self.embed_dim)
+            return self.out_proj(out)
+
         bias_term = None
         if k_seq_len is not None:
             bias_term = attention_ops.padding_bias(k_seq_len, k_len)
@@ -696,13 +713,34 @@ class MultiHeadAttention(Module):
                   if window else attention_ops.causal_bias(q_len))
             bias_term = cb if bias_term is None else bias_term + cb
 
-        dropout_p = self.dropout_p if is_training() else 0.0
         out = attention_ops.scaled_dot_product_attention(
             q, k, v, bias=bias_term, dropout_p=dropout_p,
             dropout_rng=next_rng() if dropout_p > 0 else None,
             compute_dtype=compute_dtype)
         out = out.transpose(0, 2, 1, 3).reshape(batch, q_len, self.embed_dim)
         return self.out_proj(out)
+
+    def _flash(self, q, k, v, seq_len, causal, compute_dtype):
+        """Exact attention via the fused TPU kernel
+        (``jax.experimental.pallas.ops.tpu.flash_attention``); padding
+        enters as segment ids (padded frames form their own segment, so
+        they only see each other and stay finite)."""
+        from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+        out_dtype = q.dtype
+        if compute_dtype is not None:
+            q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
+        seg = None
+        if seq_len is not None:
+            sl = jnp.asarray(seq_len)
+            if sl.ndim == 2:
+                sl = sl[:, 0]
+            valid = (jnp.arange(q.shape[2])[None, :]
+                     < sl[:, None]).astype(jnp.int32)
+            seg = fa.SegmentIds(q=valid, kv=valid)
+        out = fa.flash_attention(q, k, v, segment_ids=seg, causal=causal,
+                                 sm_scale=1.0 / math.sqrt(self.head_dim))
+        return out.astype(out_dtype)
 
     def step(self, x, cache_k, cache_v, pos, window):
         """One streamed chunk of sliding-window causal self-attention.
@@ -749,9 +787,11 @@ class TransformerEncoderLayer(Module):
     # SequentialWithRecurrent threads seq_len into members advertising this.
     accepts_seq_len = True
 
-    def __init__(self, d_model, num_heads, d_ff, dropout=0.0):
+    def __init__(self, d_model, num_heads, d_ff, dropout=0.0,
+                 attention_backend='xla'):
         self.attn_norm = LayerNorm(d_model)
-        self.attn = MultiHeadAttention(d_model, num_heads, dropout=dropout)
+        self.attn = MultiHeadAttention(d_model, num_heads, dropout=dropout,
+                                       backend=attention_backend)
         self.ffn_norm = LayerNorm(d_model)
         self.ffn_in = Linear(d_model, d_ff)
         self.ffn_out = Linear(d_ff, d_model)
@@ -799,7 +839,8 @@ class TransformerEncoder(Module):
     accepts_seq_len = True
 
     def __init__(self, num_layers, d_model, num_heads, d_ff, dropout=0.0,
-                 add_positions=True, causal=False, window=None, remat=None):
+                 add_positions=True, causal=False, window=None, remat=None,
+                 attention_backend='xla'):
         if window is not None and not causal:
             raise ValueError('window (sliding-window attention) requires '
                              'causal=True')
@@ -809,7 +850,8 @@ class TransformerEncoder(Module):
         self.window = window
         self.remat = remat
         self.blocks = ModuleList([
-            TransformerEncoderLayer(d_model, num_heads, d_ff, dropout=dropout)
+            TransformerEncoderLayer(d_model, num_heads, d_ff, dropout=dropout,
+                                    attention_backend=attention_backend)
             for _ in range(num_layers)])
         self.norm = LayerNorm(d_model)
 

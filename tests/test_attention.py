@@ -360,3 +360,46 @@ class TestSlidingWindowStreaming:
         # With 1 layer, the last frame sees only the last W frames.
         np.testing.assert_allclose(a[0, -1], b[0, -1], rtol=1e-5, atol=1e-5)
         assert not np.allclose(a[0, 0], b[0, 0])
+
+
+class TestFlashBackend:
+    def test_flash_backend_falls_back_off_tpu(self):
+        """backend='flash' is exact attention via a fused TPU kernel; off
+        TPU it must use the XLA path — identical outputs, not an error."""
+        rng = np.random.default_rng(12)
+        x = _rand(rng, 2, 16, 32)
+        lens = np.array([16, 9], np.int32)
+        nn.manual_seed(53)
+        a = nn.MultiHeadAttention(32, 4)
+        nn.manual_seed(53)
+        b = nn.MultiHeadAttention(32, 4, backend='flash')
+        with nn.bind(a):
+            ya = np.asarray(a(jnp.asarray(x), seq_len=lens))
+        with nn.bind(b):
+            yb = np.asarray(b(jnp.asarray(x), seq_len=lens))
+        np.testing.assert_allclose(ya, yb)
+
+    def test_unknown_backend_rejected(self):
+        with pytest.raises(ValueError, match='backend'):
+            nn.MultiHeadAttention(32, 4, backend='cudnn')
+
+    @pytest.mark.skipif(jax.default_backend() != 'tpu',
+                        reason='fused kernel needs a TPU')
+    def test_flash_matches_xla_on_tpu(self):
+        rng = np.random.default_rng(13)
+        x = _rand(rng, 2, 256, 64)
+        lens = np.array([256, 170], np.int32)
+        nn.manual_seed(59)
+        a = nn.MultiHeadAttention(64, 4)
+        nn.manual_seed(59)
+        b = nn.MultiHeadAttention(64, 4, backend='flash')
+        for causal in (False, True):
+            with nn.bind(a):
+                ya = np.asarray(a(jnp.asarray(x), seq_len=lens,
+                                  causal=causal))
+            with nn.bind(b):
+                yb = np.asarray(b(jnp.asarray(x), seq_len=lens,
+                                  causal=causal))
+            for i, n in enumerate(lens):
+                np.testing.assert_allclose(ya[i, :n], yb[i, :n],
+                                           rtol=2e-2, atol=2e-3)
