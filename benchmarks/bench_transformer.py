@@ -45,8 +45,9 @@ def analytical_train_flops(batch, frames, d_model, num_layers, num_heads,
 
 
 def measure(d_model, num_layers, num_heads, d_ff, dtype, batch, frames,
-            remat=False):
+            remat=False, attention_backend='xla'):
     import jax
+    import jax.numpy as jnp
     import bench
     from __graft_entry__ import install_unit_normalisers
     from morgana_tpu import nn
@@ -57,13 +58,20 @@ def measure(d_model, num_layers, num_heads, d_ff, dtype, batch, frames,
     nn.manual_seed(0)
     model = install_unit_normalisers(TransformerAcousticModel(
         num_layers=num_layers, d_model=d_model, num_heads=num_heads,
-        d_ff=d_ff, remat=remat))
+        d_ff=d_ff, remat=remat, attention_backend=attention_backend))
     model.mode = 'train'
     loop = TrainLoop(model, build_optimizer(), ema_decay=0.99, seed=0)
 
     rng = np.random.default_rng(0)
     features, frames_per_batch = bench.make_batch(rng, batch=batch,
                                                   frames=frames)
+    # Stage the batch on device once: this is a COMPUTE benchmark (e2e
+    # disk->device throughput is bench.bench_e2e). Repeated numpy args
+    # usually dedup on the tunnel's upload path, but staging makes that
+    # explicit instead of relying on it.
+    features = {k: jax.device_put(jnp.asarray(v))
+                if isinstance(v, np.ndarray) and v.dtype.kind in 'fiub' else v
+                for k, v in features.items()}
 
     for _ in range(2):
         loss, _, _ = loop.train_step(features, lr=1e-4)
@@ -94,7 +102,9 @@ def measure(d_model, num_layers, num_heads, d_ff, dtype, batch, frames,
                                    num_heads, d_ff)
     return {
         'config': f'{num_layers}L d{d_model} h{num_heads} ff{d_ff} {dtype}'
-                  + (' remat' if remat else ''),
+                  + (' remat' if remat else '')
+                  + (f' {attention_backend}'
+                     if attention_backend != 'xla' else ''),
         'batch': batch, 'frames': frames,
         'frames_per_sec': float(frames_per_batch / step_time),
         'ms_per_step': round(step_time * 1e3, 2),
@@ -118,6 +128,8 @@ def main(argv=None):
     parser.add_argument('--batch', type=int, default=32)
     parser.add_argument('--frames', type=int, default=640)
     parser.add_argument('--remat', action='store_true')
+    parser.add_argument('--attention_backend', default='xla',
+                        choices=['xla', 'flash'])
     parser.add_argument('--no-peak', action='store_true',
                         help='skip the roofline probe (reuse a known peak)')
     parser.add_argument('--peak', type=float, default=None,
@@ -125,7 +137,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     out = measure(args.d_model, args.layers, args.heads, args.d_ff,
-                  args.dtype, args.batch, args.frames, remat=args.remat)
+                  args.dtype, args.batch, args.frames, remat=args.remat,
+                  attention_backend=args.attention_backend)
 
     peak = args.peak
     if peak is None and not args.no_peak:

@@ -7,6 +7,10 @@ Users switching from the torch reference can load their trained
 * ``Linear.weight`` (out, in)            -> ``weight`` (in, out), transposed
 * ``RecurrentCuDNNWrapper.layer.weight_ih_l0`` (gates, in)
                                           -> ``w_ih_l0`` (in, gates), transposed
+* ``TransformerEncoderLayer`` attributes (``self_attn.in_proj_weight``,
+  ``linear1``, ``norm1``, ...)           -> our pre-LN block names
+  (``attn.in_proj.weight``, ``ffn_in``, ``attn_norm``, ...), matrices
+  transposed
 * biases copy through unchanged; gate orders already match (torch layout).
 
 Works on ``.pt`` files (requires torch importable) or already-loaded
@@ -24,10 +28,19 @@ def _is_transposed_matrix(name):
     return leaf == 'weight' or leaf.startswith('w_ih_l') or leaf.startswith('w_hh_l')
 
 
+# Our pre-LN Transformer block's submodule names -> torch's
+# ``nn.TransformerEncoderLayer`` attribute names.
+_TFM_BLOCK_RENAME = {'attn': 'self_attn', 'attn_norm': 'norm1',
+                     'ffn_norm': 'norm2', 'ffn_in': 'linear1',
+                     'ffn_out': 'linear2'}
+
+
 def _child(module, part):
     """Descends one name segment, mirroring ``nn.Module.named_parameters``'s
     traversal (attribute, indexed container, or plain list/tuple/dict)."""
     if isinstance(module, (nn.SequentialWithRecurrent, nn.ModuleList)):
+        if part == 'items':          # ModuleList's storage attribute appears
+            return module            # as a name segment; stay on the list.
         return module.items[int(part)]
     if isinstance(module, (list, tuple)):
         return module[int(part)]
@@ -60,14 +73,34 @@ def torch_name_map(model):
         parts = name.split('.')
         torch_parts = []
         module = model
+        fused_in_proj = False
         for part in parts[:-1]:
             sub = _child(module, part)
-            torch_parts.append(part)
+            torch_part = part
+            if isinstance(module, nn.TransformerEncoderLayer):
+                torch_part = _TFM_BLOCK_RENAME.get(part, part)
+            elif isinstance(module, nn.TransformerEncoder) and part == 'blocks':
+                torch_part = 'layers'
+            elif isinstance(module, nn.ModuleList) and part == 'items':
+                # Our ModuleList stores children under `.items`; torch
+                # containers index directly.
+                continue
+            elif isinstance(module, nn.MultiHeadAttention) \
+                    and part == 'in_proj':
+                # torch.nn.MultiheadAttention keeps the fused projection as
+                # flat attributes (in_proj_weight / in_proj_bias), not a
+                # submodule: merge this segment into the leaf below.
+                fused_in_proj = True
+                module = sub
+                continue
+            torch_parts.append(torch_part)
             if isinstance(sub, nn.Recurrent):
                 torch_parts.append('layer')
             module = sub
         leaf = parts[-1]
-        if leaf.startswith(('w_ih_l', 'w_hh_l', 'b_ih_l', 'b_hh_l')):
+        if fused_in_proj:
+            leaf = f'in_proj_{leaf}'
+        elif leaf.startswith(('w_ih_l', 'w_hh_l', 'b_ih_l', 'b_hh_l')):
             kind, layer_idx = leaf.rsplit('_l', 1)
             leaf = {'w_ih': 'weight_ih', 'w_hh': 'weight_hh',
                     'b_ih': 'bias_ih', 'b_hh': 'bias_hh'}[kind] + f'_l{layer_idx}'

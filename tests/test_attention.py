@@ -403,3 +403,37 @@ class TestFlashBackend:
             for i, n in enumerate(lens):
                 np.testing.assert_allclose(ya[i, :n], yb[i, :n],
                                            rtol=2e-2, atol=2e-3)
+
+
+class TestMigrateTransformer:
+    def test_torch_transformer_encoder_migrates(self):
+        """A torch nn.TransformerEncoder state dict loads through
+        migrate.load_torch_state_dict and reproduces torch's outputs."""
+        from morgana_tpu import migrate
+
+        d_model, heads, d_ff, depth = 24, 3, 48, 2
+        rng = np.random.default_rng(14)
+        x = _rand(rng, 2, 10, d_model)
+        lens = np.array([10, 7], np.int32)
+
+        torch.manual_seed(0)
+        ref_layer = torch.nn.TransformerEncoderLayer(
+            d_model, heads, dim_feedforward=d_ff, dropout=0.0,
+            activation='gelu', batch_first=True, norm_first=True)
+        ref = torch.nn.TransformerEncoder(
+            ref_layer, depth, norm=torch.nn.LayerNorm(d_model))
+
+        nn.manual_seed(61)
+        enc = nn.TransformerEncoder(depth, d_model, heads, d_ff,
+                                    add_positions=False)
+        nn.load_state_dict(
+            enc, migrate.convert_torch_state_dict(enc, ref.state_dict()))
+
+        with nn.bind(enc):
+            got = np.asarray(enc(jnp.asarray(x), seq_len=lens))
+        pad = torch.arange(10)[None, :] >= torch.from_numpy(lens)[:, None]
+        want = ref(torch.from_numpy(x),
+                   src_key_padding_mask=pad).detach().numpy()
+        for b, n in enumerate(lens):
+            np.testing.assert_allclose(got[b, :n], want[b, :n],
+                                       rtol=3e-5, atol=3e-5)
