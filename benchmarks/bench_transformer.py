@@ -142,8 +142,13 @@ def main(argv=None):
 
     peak = args.peak
     if peak is None and not args.no_peak:
+        # Subprocess-isolated: a second measurement in the same interpreter
+        # reads ~30x slow on the shared TPU runtime (see bench.py).
         import bench
-        peak = bench.measure_peak_tflops()
+        probe = bench._run_bench_code(
+            'import bench, json; print("BENCH_JSON:" + json.dumps('
+            '{"peak": bench.measure_peak_tflops()}))')
+        peak = probe['peak']
     if peak:
         out['measured_peak_tflops'] = round(peak, 1)
         out['mfu'] = round(out['achieved_tflops'] / peak, 3)

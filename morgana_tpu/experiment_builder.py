@@ -300,8 +300,14 @@ class ExperimentBuilder(object):
         platform_warning = None
         if self.device:
             from morgana_tpu import platform as _platform
+            requested = str(self.device).split(':')[0].lower()
             got = _platform.select_platform(self.device, allow_fallback=True)
-            if got != str(self.device).split(':')[0].lower():
+            # A satisfied 'tpu' request may return a plugin-specific platform
+            # name (a tunnelled chip registers as e.g. 'axon') — that is
+            # success, not a fallback.
+            satisfied = got == requested or (
+                requested == 'tpu' and _platform._platform_is_tpu(got))
+            if not satisfied:
                 platform_warning = (
                     f'Could not switch platform to {self.device} (backend '
                     f'already initialised); continuing on {got}')

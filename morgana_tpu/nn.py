@@ -63,6 +63,21 @@ _DEFAULT_COMPUTE_DTYPE = None
 _DEFAULT_REMAT = False
 
 
+def _on_tpu():
+    """Whether the default backend is TPU silicon. Checks device_kind, not
+    the platform name: a tunnelled chip can register under a plugin-specific
+    platform (e.g. 'axon'), which a ``default_backend() == 'tpu'`` test
+    would misclassify (see platform._platform_is_tpu)."""
+    if jax.default_backend() == 'tpu':
+        return True
+    try:
+        devs = jax.devices()
+        return bool(devs) and \
+            'tpu' in str(getattr(devs[0], 'device_kind', '')).lower()
+    except Exception:
+        return False
+
+
 def set_default_remat(enabled):
     global _DEFAULT_REMAT
     _DEFAULT_REMAT = bool(enabled)
@@ -476,7 +491,7 @@ class Recurrent(Module):
         # model trained with backend='pallas'), fall back to the numerically
         # equivalent scan path unless interpret mode was requested.
         backend = self.backend
-        if backend == 'pallas' and not self.interpret and jax.default_backend() != 'tpu':
+        if backend == 'pallas' and not self.interpret and not _on_tpu():
             backend = 'scan'
 
         remat = self.remat if self.remat is not None else _DEFAULT_REMAT
@@ -676,14 +691,29 @@ class MultiHeadAttention(Module):
             q, k, v = jnp.split(qkv, 3, axis=-1)
             k_len, k_seq_len = q_len, seq_len
         else:
-            # Cross-attention reuses the fused projection's three slices.
+            if causal:
+                raise ValueError('causal cross-attention is not supported: '
+                                 'causal masking needs a query/key position '
+                                 'alignment that cross-attention lacks')
+            # Cross-attention reuses the fused projection's three slices,
+            # in the same compute dtype Linear would use.
             w = self.in_proj.weight.value
             b = self.in_proj.bias.value if self.in_proj.bias is not None else None
             wq, wk, wv = jnp.split(w, 3, axis=-1)
             bq, bk, bv = (jnp.split(b, 3) if b is not None else (0., 0., 0.))
-            q = x @ wq + bq
-            k = kv @ wk + bk
-            v = kv @ wv + bv
+
+            def proj(t, w_part, b_part):
+                if compute_dtype is not None:
+                    y = jnp.dot(t.astype(compute_dtype),
+                                w_part.astype(compute_dtype),
+                                preferred_element_type=t.dtype)
+                else:
+                    y = t @ w_part
+                return y + b_part
+
+            q = proj(x, wq, bq)
+            k = proj(kv, wk, bk)
+            v = proj(kv, wv, bv)
             k_len, k_seq_len = kv.shape[1], kv_seq_len
 
         def to_heads(t, length):
@@ -699,7 +729,7 @@ class MultiHeadAttention(Module):
         # dropout hook).
         dropout_p = self.dropout_p if is_training() else 0.0
         if (self.backend == 'flash' and kv is None and window is None
-                and dropout_p == 0.0 and jax.default_backend() == 'tpu'):
+                and dropout_p == 0.0 and _on_tpu()):
             out = self._flash(q, k, v, seq_len, causal, compute_dtype)
             out = out.transpose(0, 2, 1, 3).reshape(batch, q_len,
                                                     self.embed_dim)
@@ -794,6 +824,7 @@ class TransformerEncoderLayer(Module):
                                        backend=attention_backend)
         self.ffn_norm = LayerNorm(d_model)
         self.ffn_in = Linear(d_model, d_ff)
+        self.ffn_act = GELU()
         self.ffn_out = Linear(d_ff, d_model)
         self.dropout = Dropout(dropout) if dropout else None
 
@@ -807,8 +838,7 @@ class TransformerEncoderLayer(Module):
         return x
 
     def _ffn(self, x):
-        h = self.ffn_out(jax.nn.gelu(self.ffn_in(self.ffn_norm(x)),
-                                     approximate=False))
+        h = self.ffn_out(self.ffn_act(self.ffn_in(self.ffn_norm(x))))
         if self.dropout is not None:
             h = self.dropout(h)
         return h
@@ -928,10 +958,18 @@ class SequentialWithRecurrent(Module):
             if isinstance(module, Recurrent):
                 input, hiddens[i] = module(input, hiddens[i], seq_len)
             elif getattr(module, 'accepts_seq_len', False):
-                if return_hiddens and hasattr(module, 'step'):
+                if return_hiddens and hasattr(module, 'init_stream_state'):
                     # Streaming: chunked attention carries its KV caches in
                     # the member's hidden slot, like a recurrent state.
+                    # (Gated on the full streaming contract — a bare
+                    # TransformerEncoderLayer has a `step` too, but with a
+                    # per-block signature this container cannot drive.)
                     input, hiddens[i] = module.step(input, hiddens[i])
+                elif return_hiddens:
+                    raise NotImplementedError(
+                        f'{type(module).__name__} cannot stream: wrap '
+                        'attention blocks in a TransformerEncoder (causal + '
+                        'window) for chunked inference.')
                 else:
                     # Batch path: attention members need the lengths (for
                     # the padding mask) but are stateless across calls.

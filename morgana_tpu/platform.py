@@ -15,6 +15,7 @@ This replaces the reference's one-line device pick
 ``'cuda:0' if torch.cuda.is_available() else 'cpu'``) with an explicit,
 order-sensitive platform gate appropriate to JAX's initialise-once model.
 """
+import logging
 import os
 
 __all__ = ['backends_initialized', 'select_platform', 'force_cpu',
@@ -124,6 +125,11 @@ def select_platform(platform, n_devices=None, allow_fallback=False):
             got = _current_platform()  # initialises the default backend
             if got is None or _platform_is_tpu(got):
                 return got or platform
+            if allow_fallback:
+                logging.getLogger('morgana_tpu').warning(
+                    "requested platform 'tpu' but no TPU backend is "
+                    "available; continuing on '%s'.", got)
+                return got
             raise PlatformError(
                 f"requested platform 'tpu' but JAX auto-selection resolved "
                 f"to '{got}' — no TPU backend is available in this process.")

@@ -94,3 +94,14 @@ def test_existing_xla_flags_preserved():
         "print('ok')\n")
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert 'ok' in proc.stdout
+
+
+def test_tpu_preinit_fallback(monkeypatch):
+    """A pre-init 'tpu' request on a box with no TPU honours allow_fallback
+    (warn and continue on what auto-selection found) instead of raising."""
+    jax.devices()
+    monkeypatch.setattr(mtp, 'backends_initialized', lambda: False)
+    monkeypatch.setattr(mtp, '_current_platform', lambda: 'cpu')
+    assert mtp.select_platform('tpu', allow_fallback=True) == 'cpu'
+    with pytest.raises(mtp.PlatformError, match='auto-selection'):
+        mtp.select_platform('tpu')
