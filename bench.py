@@ -334,10 +334,10 @@ def get_baseline():
     return fps
 
 
-def _run_bench_code(code):
+def _run_bench_code(code, timeout=1200):
     import subprocess
     proc = subprocess.run([sys.executable, '-c', code], capture_output=True,
-                          text=True, timeout=1200,
+                          text=True, timeout=timeout,
                           cwd=os.path.dirname(os.path.abspath(__file__)))
     for line in proc.stdout.splitlines():
         if line.startswith('BENCH_JSON:'):
@@ -518,11 +518,34 @@ def main():
     remaining = lambda: budget_s - (time.monotonic() - t_start)
 
     baseline_fps = get_baseline()
+
+    # Fail fast when the device is unreachable: the tunnel has been observed
+    # to wedge for hours (jax.devices() hangs indefinitely in every fresh
+    # process). Without this guard each config subprocess would burn its
+    # full timeout and the in-process fallback would hang with no timeout
+    # at all — no JSON line would ever come out.
+    try:
+        _run_bench_code(
+            'import json, jax; d = jax.devices();'
+            'print("BENCH_JSON:" + json.dumps({"n": len(d)}))',
+            timeout=180)
+    except Exception:
+        print(json.dumps({
+            'metric': 'rnn_spss_train_frames_per_sec', 'value': 0.0,
+            'unit': 'frames/sec', 'vs_baseline': 0.0,
+            'error': 'device unreachable: jax.devices() did not respond '
+                     'within 180s (tunnel wedged); no measurement possible '
+                     'in this window'}))
+        return
+
     results = {}
     degraded = False
     failed = []
     for name, backend, dtype, unroll in CONFIGS:
         if results and remaining() < 300:
+            failed.append(name + ':skipped_budget')
+            continue
+        if not results and remaining() < 600:
             failed.append(name + ':skipped_budget')
             continue
         if results and any(r['ms_per_step'] > 5 * r['burst_ms_per_step']
