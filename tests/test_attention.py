@@ -437,3 +437,20 @@ class TestMigrateTransformer:
         for b, n in enumerate(lens):
             np.testing.assert_allclose(got[b, :n], want[b, :n],
                                        rtol=3e-5, atol=3e-5)
+
+
+def test_bare_attention_block_cannot_stream():
+    """SequentialWithRecurrent streams only members with the full contract
+    (init_stream_state); a bare encoder layer gets a clear error, not a
+    TypeError from a mismatched step signature."""
+    nn.manual_seed(67)
+    seq = nn.SequentialWithRecurrent(
+        nn.Linear(8, 16),
+        nn.TransformerEncoderLayer(16, 2, 32),
+        nn.Linear(16, 4),
+    )
+    x = jnp.zeros((1, 4, 8))
+    with nn.bind(seq):
+        seq(x)  # batch path fine
+        with pytest.raises(NotImplementedError, match='TransformerEncoder'):
+            seq(x, return_hiddens=True)
