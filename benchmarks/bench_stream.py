@@ -69,14 +69,22 @@ def main():
     from morgana_tpu.serve import InferenceEngine
     from morgana_tpu.vocoder import StreamingSynthesizer
 
-    acoustic = model_name == 'acoustic'
-    if acoustic:
+    acoustic = model_name in ('acoustic', 'transformer')
+    if model_name == 'acoustic':
         # The flagship LSTMAcousticModel (8x512 LSTM, lf0+vuv+mcep+bap
         # heads): end-to-end streaming TTS with real vocoder features.
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), '..', 'models'))
         from rnn_spss import LSTMAcousticModel as model_cls  # noqa: E402
         model_kwargs = {'rnn_unroll': 64}
+    elif model_name == 'transformer':
+        # The causal transformer in its streamable configuration: per-layer
+        # KV caches instead of recurrent state; same output heads.
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), '..', 'models'))
+        from transformer_spss import TransformerAcousticModel as model_cls  # noqa: E402
+        model_kwargs = {'causal': True, 'attention_window': 256,
+                        'num_layers': 6, 'd_model': 512, 'num_heads': 8}
     else:
         from tiny_models import TinyStreamModel as model_cls  # noqa: E402
         model_kwargs = {}
