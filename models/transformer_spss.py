@@ -17,6 +17,12 @@ Run it exactly like the reference models:
     python models/transformer_spss.py --experiment_name t1 --data_root data ...
 
 with ``--model_kwargs "{'num_layers': 4, 'd_model': 256}"`` to resize.
+Training notes: pre-LN tolerates constant learning rates, but transformers
+prefer a gentler peak than the RNN default — ``--learning_rate 0.001`` (or
+``--lr_schedule_name noam``) is a good starting point.
+``--model_kwargs "{'causal': True}"`` selects the streamable sliding-window
+configuration; ``{'attention_backend': 'flash'}`` the fused TPU kernel;
+``--remat`` bounds activation memory on long utterances.
 """
 from morgana_tpu.base_models import BaseSPSS
 from morgana_tpu.experiment_builder import ExperimentBuilder
