@@ -160,6 +160,11 @@ def _render_cli_page():
     from morgana_tpu.experiment_builder import ExperimentBuilder
     parser = argparse.ArgumentParser(prog='python models/<model>.py',
                                      description='morgana_tpu experiment flags')
+    # Match get_experiment_args' full surface (it adds --config itself).
+    parser.add_argument('--config', dest='config', type=str, default=None,
+                        help='JSON file of argument values (e.g. a previous '
+                             "run's config.json); explicit command-line "
+                             'flags override it.')
     ExperimentBuilder.add_args(parser)
     return ('<h1>Command line arguments</h1>\n'
             '<p>Generated from the live <code>ExperimentBuilder.add_args</code> '

@@ -71,13 +71,43 @@ class ExperimentBuilder(object):
     """
 
     @classmethod
-    def get_experiment_args(cls):
-        r"""Creates the command line argument parser and returns the args dict."""
+    def get_experiment_args(cls, argv=None):
+        r"""Creates the command line argument parser and returns the args dict.
+
+        ``--config PATH`` pre-loads argument values from a JSON file — in
+        particular the ``config.json`` every experiment writes — and
+        explicit command-line flags override it, so
+        ``--config experiments/old/config.json --experiment_name rerun``
+        reproduces a run. (The reference's own TODO wished for config-file
+        support; the flag surface itself is unchanged.)
+        """
+        pre = argparse.ArgumentParser(add_help=False)
+        pre.add_argument('--config', dest='config', type=str, default=None)
+        pre_args, _ = pre.parse_known_args(argv)
+
         parser = argparse.ArgumentParser(
             description='Experiment builder for TTU-native TTS model training and generation.')
+        parser.add_argument('--config', dest='config', action='store', type=str, default=None,
+                            help='JSON file of argument values (e.g. a previous run\'s '
+                                 'config.json); explicit command-line flags override it.')
         cls.add_args(parser)
-        args = parser.parse_args()
-        return vars(args)
+
+        if pre_args.config:
+            with open(pre_args.config) as f:
+                config = json.load(f)
+            known = {action.dest for action in parser._actions}
+            unknown = sorted(set(config) - known)
+            if unknown:
+                # config.json round-trips exactly today; tolerate forward-
+                # compat extras loudly rather than failing a reproduction.
+                print(f'--config: ignoring unknown keys {unknown}',
+                      file=sys.stderr)
+            parser.set_defaults(**{k: v for k, v in config.items()
+                                   if k in known and k != 'config'})
+
+        args = vars(parser.parse_args(argv))
+        args.pop('config', None)
+        return args
 
     @classmethod
     def add_args(cls, parser):

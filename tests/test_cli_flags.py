@@ -63,3 +63,26 @@ def test_multihost_and_checkpoint_flags_parse():
     assert args['orbax_dir'] == '/tmp/ob'
     assert args['keep_checkpoints'] == 3
     assert args['checkpoint_path'] == 'latest'
+
+
+def test_config_file_loads_and_cli_overrides(tmp_path):
+    """--config pre-loads a previous run's config.json; explicit flags win;
+    unknown keys are tolerated (forward compatibility)."""
+    import json
+    cfg = {'experiment_name': 'orig', 'batch_size': 16,
+           'learning_rate': 0.007, 'model_kwargs': {'hidden_size': 99},
+           'some_future_key': 1}
+    path = tmp_path / 'config.json'
+    path.write_text(json.dumps(cfg))
+
+    args = ExperimentBuilder.get_experiment_args(
+        ['--config', str(path), '--experiment_name', 'rerun'])
+    assert args['experiment_name'] == 'rerun'          # CLI override
+    assert args['batch_size'] == 16                    # from config
+    assert args['learning_rate'] == 0.007
+    assert args['model_kwargs'] == {'hidden_size': 99}
+    assert 'config' not in args and 'some_future_key' not in args
+
+    # Without --config the defaults are unchanged.
+    args = ExperimentBuilder.get_experiment_args(['--experiment_name', 'x'])
+    assert args['batch_size'] == 32
