@@ -58,6 +58,55 @@ class DictAction(argparse.Action):
         setattr(namespace, self.dest, ast.literal_eval(values))
 
 
+class Callback:
+    r"""Training-routine extension hooks (the lightweight answer to the
+    reference TODO's Ignite wish): pass instances via
+    ``ExperimentBuilder(..., callbacks=[...])``. Override any subset; every
+    hook receives the builder (full access to model/loop/loaders/logger).
+    ``on_epoch_end`` / ``on_valid_end`` may return True to stop training
+    cleanly after the current epoch (checkpoints already saved)."""
+
+    def on_train_begin(self, builder):
+        pass
+
+    def on_epoch_begin(self, builder, epoch):
+        pass
+
+    def on_epoch_end(self, builder, epoch, train_loss):
+        pass
+
+    def on_valid_end(self, builder, epoch, valid_loss):
+        pass
+
+    def on_train_end(self, builder):
+        pass
+
+
+class EarlyStopping(Callback):
+    r"""Stops training when validation loss hasn't improved for ``patience``
+    epochs (by more than ``min_delta``) — functionality the reference lacked
+    entirely. Requires ``valid=True``."""
+
+    def __init__(self, patience=5, min_delta=0.0):
+        self.patience = int(patience)
+        self.min_delta = float(min_delta)
+        self.best = float('inf')
+        self.stale = 0
+
+    def on_valid_end(self, builder, epoch, valid_loss):
+        if valid_loss < self.best - self.min_delta:
+            self.best = float(valid_loss)
+            self.stale = 0
+            return False
+        self.stale += 1
+        if self.stale >= self.patience:
+            builder.logger.info(
+                'epoch %2d: early stopping — valid loss has not improved '
+                'for %d epochs (best %.4f)', epoch, self.stale, self.best)
+            return True
+        return False
+
+
 class ExperimentBuilder(object):
     r"""Interface for running training, validation, and generation.
 
@@ -258,6 +307,10 @@ class ExperimentBuilder(object):
         self.model_class = model_class
         self.model_kwargs = kwargs.get('model_kwargs', {})
         self.experiment_name = experiment_name
+        # Training-routine extension points (the reference's TODO wished for
+        # an Ignite integration): a list of Callback objects, programmatic
+        # only — popped so config.json stays JSON-clean.
+        self.callbacks = list(kwargs.pop('callbacks', None) or [])
 
         self.train = kwargs['train']
         self.valid = kwargs['valid']
@@ -865,8 +918,18 @@ class ExperimentBuilder(object):
             self._profiling = False
             self.logger.info('Profiler trace written to %s', self.profile_dir)
 
+    def _fire(self, event, *args):
+        """Dispatches a Callback hook; True when any callback asks to stop."""
+        stop = False
+        for cb in self.callbacks:
+            stop = bool(getattr(cb, event)(self, *args)) or stop
+        return stop
+
     def _train_epochs(self, lr_schedule):
+        self._fire('on_train_begin')
+        stop_requested = False
         for self.epoch in range(self.start_epoch, self.end_epoch + 1):
+            self._fire('on_epoch_begin', self.epoch)
             gen_train_output = self.epoch % self.train_output_interval == 0
             epoch_train_dir = os.path.join(self.experiment_dir, 'train', f'epoch_{self.epoch}')
 
@@ -946,6 +1009,8 @@ class ExperimentBuilder(object):
 
                 if self.lr_schedule_name == 'plateau':
                     lr_schedule.step(metrics=val_loss)
+                stop_requested = self._fire('on_valid_end', self.epoch,
+                                            float(val_loss)) or stop_requested
 
             # Run test.
             gen_test_output = self.epoch % self.test_output_interval == 0
@@ -955,6 +1020,14 @@ class ExperimentBuilder(object):
             if self.lr_schedule_name in lr_schedules.EPOCH_LR_SCHEDULES:
                 lr_schedule.step()
 
+            stop_requested = self._fire('on_epoch_end', self.epoch,
+                                        float(train_loss)) or stop_requested
+            if stop_requested:
+                self.logger.info('epoch %2d: stopping early (callback '
+                                 'request)', self.epoch)
+                break
+
+        self._fire('on_train_end')
         if self.orbax_dir and checkpointing.orbax_available():
             checkpointing.orbax_wait(self.orbax_dir)
 

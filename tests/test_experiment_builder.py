@@ -253,3 +253,55 @@ class TestLRScheduleResume:
         exp, _ = _build(voice_data, tmp_path, 'clip', end_epoch=1, valid=False,
                         grad_clip_norm=0.5)
         exp.run_experiment()  # runs and converges without error
+
+
+class TestCallbacks:
+    def test_hooks_fire_and_early_stopping_stops(self, voice_data, tmp_path):
+        """Callback hooks fire in order with the right payloads, and
+        EarlyStopping halts the run once valid loss stops improving."""
+        from morgana_tpu.experiment_builder import Callback, EarlyStopping
+
+        events = []
+
+        class Recorder(Callback):
+            def on_train_begin(self, b):
+                events.append(('begin',))
+
+            def on_epoch_begin(self, b, epoch):
+                events.append(('epoch_begin', epoch))
+
+            def on_epoch_end(self, b, epoch, train_loss):
+                events.append(('epoch_end', epoch, train_loss))
+
+            def on_valid_end(self, b, epoch, valid_loss):
+                events.append(('valid_end', epoch, valid_loss))
+
+            def on_train_end(self, b):
+                events.append(('end',))
+
+        args = builder_args(voice_data['data_root'],
+                            str(tmp_path / 'experiments'),
+                            end_epoch=6, valid=True,
+                            learning_rate=0.0)  # frozen -> no improvement
+        nn.manual_seed(args['seed'])
+        exp = ExperimentBuilder(
+            TinyF0Model, experiment_name='cb',
+            callbacks=[Recorder(), EarlyStopping(patience=1)], **args)
+        exp.run_experiment()
+
+        kinds = [e[0] for e in events]
+        assert kinds[0] == 'begin' and kinds[-1] == 'end'
+        epochs_run = [e[1] for e in events if e[0] == 'epoch_end']
+        # Epoch 1 sets best; epoch 2 shows no improvement -> stop.
+        assert epochs_run == [1, 2], events
+        for e in events:
+            if e[0] in ('epoch_end', 'valid_end'):
+                assert np.isfinite(e[2])
+        # Checkpoints only for the epochs that ran.
+        ckpts = sorted(os.listdir(os.path.join(
+            str(tmp_path / 'experiments'), 'cb', 'checkpoints')))
+        assert not any('epoch_3' in c for c in ckpts), ckpts
+        # config.json stayed JSON-clean (callbacks popped).
+        cfg = json.load(open(os.path.join(
+            str(tmp_path / 'experiments'), 'cb', 'config.json')))
+        assert 'callbacks' not in cfg
