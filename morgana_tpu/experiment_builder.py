@@ -135,7 +135,7 @@ class ExperimentBuilder(object):
         pre_args, _ = pre.parse_known_args(argv)
 
         parser = argparse.ArgumentParser(
-            description='Experiment builder for TTU-native TTS model training and generation.')
+            description='Experiment builder for TPU-native TTS model training and generation.')
         parser.add_argument('--config', dest='config', action='store', type=str, default=None,
                             help='JSON file of argument values (e.g. a previous run\'s '
                                  'config.json); explicit command-line flags override it.')
