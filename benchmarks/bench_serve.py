@@ -111,25 +111,57 @@ def main():
         print(json.dumps(dict({'config': 'batch8', 'device': device},
                               **percentiles(batch))))
 
-        lat = []
-        lock = threading.Lock()
+        def run_concurrent(config_name, srv_port):
+            # Items are pre-built on the main thread: numpy Generators are
+            # not thread-safe, and item construction shouldn't be in the
+            # timed region anyway.
+            per_client = max(5, num_requests // 8)
+            prebuilt = [[[make_item(rng, f'{config_name}_{t}_{i}')]
+                         for i in range(per_client)] for t in range(4)]
+            lat = []
+            lock = threading.Lock()
 
-        def client(tid):
-            for i in range(max(5, num_requests // 8)):
-                ms = post(port, [make_item(rng, f'c{tid}_{i}')])
-                with lock:
-                    lat.append(ms)
+            def client(tid):
+                for items in prebuilt[tid]:
+                    ms = post(srv_port, items)
+                    with lock:
+                        lat.append(ms)
 
-        threads = [threading.Thread(target=client, args=(t,)) for t in range(4)]
-        start = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        elapsed = time.perf_counter() - start
-        stats = percentiles(lat)
-        stats['requests_per_sec'] = round(len(lat) / elapsed, 1)
-        print(json.dumps(dict({'config': 'concurrent4', 'device': device}, **stats)))
+            threads = [threading.Thread(target=client, args=(t,))
+                       for t in range(4)]
+            start = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            elapsed = time.perf_counter() - start
+            stats = percentiles(lat)
+            stats['requests_per_sec'] = round(len(lat) / elapsed, 1)
+            print(json.dumps(dict({'config': config_name, 'device': device},
+                                  **stats)))
+
+        run_concurrent('concurrent4', port)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+    # Same concurrent load with dynamic batching: simultaneous requests
+    # coalesce into shared device batches (one dispatch round trip for the
+    # group instead of one per request).
+    server = make_server(engine, port=0, dynamic_batch_ms=5.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        # Warm every padded batch-count program the batcher can hit
+        # ((1|2|4|8) x bucket): coalesced group sizes vary with timing, and
+        # a cold compile mid-run would be charged to queueing.
+        for n in (1, 2, 4, 8):
+            post(port, [make_item(rng, f'w_dyn{n}_{j}') for j in range(n)])
+        run_concurrent('concurrent4_dynbatch', port)
+        print(json.dumps({
+            'config': 'concurrent4_dynbatch_stats', 'device': device,
+            'dispatch_groups': server.batcher.batches_run,
+            'requests_coalesced': server.batcher.requests_coalesced}))
     finally:
         server.shutdown()
         server.server_close()

@@ -60,11 +60,23 @@ def _to_lists(outputs):
     return {key: np.asarray(value).tolist() for key, value in outputs.items()}
 
 
-def make_server(engine, host='127.0.0.1', port=0):
+def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
     """Builds a ``ThreadingHTTPServer`` wrapping ``engine``. Returns the
     server; call ``.serve_forever()`` (or :func:`serve_forever`) to run it.
-    ``port=0`` binds an ephemeral port (``server.server_address[1]``)."""
+    ``port=0`` binds an ephemeral port (``server.server_address[1]``).
+
+    ``dynamic_batch_ms > 0`` routes ``/predict`` through a
+    :class:`morgana_tpu.serve.DynamicBatcher`: concurrent requests are
+    coalesced into shared device batches (each waits at most that long for
+    company), so N simultaneous single-utterance clients cost ~one dispatch
+    round trip instead of N. The batcher is exposed as ``server.batcher``
+    and shut down by ``server.server_close()``."""
     lock = threading.Lock()  # one device, one request at a time
+    batcher = None
+    if dynamic_batch_ms and float(dynamic_batch_ms) > 0:
+        from morgana_tpu.serve import DynamicBatcher
+        batcher = DynamicBatcher(engine, max_wait_ms=float(dynamic_batch_ms),
+                                 lock=lock)
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 enables chunked transfer-encoding for /stream; every
@@ -186,8 +198,11 @@ def make_server(engine, host='127.0.0.1', port=0):
                 self._reply(400, {'error': f'{type(exc).__name__}: {exc}'})
                 return
             try:
-                with lock:
-                    results = engine.predict_items(items)
+                if batcher is not None:
+                    results = batcher.predict_items(items)
+                else:
+                    with lock:
+                        results = engine.predict_items(items)
                 self._reply(200, {'results': {
                     name: _to_lists(outputs)
                     for name, outputs in results.items()}})
@@ -200,14 +215,25 @@ def make_server(engine, host='127.0.0.1', port=0):
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        def server_close(self):
+            if batcher is not None:
+                batcher.close()
+            super().server_close()
+
+    server = Server((host, port), Handler)
+    server.batcher = batcher
+    return server
 
 
-def serve_forever(engine, host='127.0.0.1', port=8080):
-    server = make_server(engine, host, port)
+def serve_forever(engine, host='127.0.0.1', port=8080, dynamic_batch_ms=0.0):
+    server = make_server(engine, host, port,
+                         dynamic_batch_ms=dynamic_batch_ms)
+    mode = (f', dynamic batching {dynamic_batch_ms:g} ms'
+            if server.batcher is not None else '')
     print(f'serving {type(engine.model).__name__} on '
           f'http://{host}:{server.server_address[1]} '
-          f'(GET /healthz, POST /predict, POST /stream)')
+          f'(GET /healthz, POST /predict, POST /stream{mode})')
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -30,6 +30,7 @@ import importlib.util
 import json
 import os
 import tempfile
+import threading
 import time
 
 import numpy as np
@@ -37,8 +38,8 @@ import numpy as np
 from morgana_tpu import nn
 from morgana_tpu import platform as _platform
 
-__all__ = ['InferenceEngine', 'StreamingSession', 'load_model_class',
-           'load_exported_program', 'main']
+__all__ = ['InferenceEngine', 'StreamingSession', 'DynamicBatcher',
+           'load_model_class', 'load_exported_program', 'main']
 
 
 def load_exported_program(path):
@@ -546,6 +547,162 @@ class StreamingSession(object):
                 f'stream emitted {drained} of {n_frames} frames')
 
 
+class DynamicBatcher(object):
+    """Coalesces concurrent :meth:`InferenceEngine.predict_items` calls into
+    shared device batches — the production answer to serialised per-request
+    dispatch (the reference has no serving at all;
+    ``morgana/experiment_builder.py:682-693`` is its closest analogue).
+
+    Why: on a device where each dispatch pays a fixed round-trip cost
+    (measured ~35-40 ms over the TPU tunnel, BASELINE.md serving table),
+    N concurrent single-utterance requests served one-at-a-time cost
+    N round trips. Coalesced into one collated batch they cost ~one. The
+    MXU prefers the batched shape anyway.
+
+    Mechanics: callers block in :meth:`predict_items` while a worker thread
+    gathers requests for up to ``max_wait_ms`` (or until ``max_batch``
+    utterances are pending), renames items to collision-free internal ids,
+    runs ONE engine call for the group, and hands each caller back exactly
+    its own results under its own names. To keep the compiled-program count
+    bounded, group sizes are padded up to the next power of two (capped at
+    ``max_batch``) by repeating the first item — static-shape discipline on
+    the batch axis, mirroring the length bucketing of
+    ``data/dataset.py::bucket_size``.
+
+    A failing coalesced group falls back to per-request execution so one
+    malformed request cannot fail innocent neighbours.
+
+    Parameters
+    ----------
+    engine : InferenceEngine
+    max_wait_ms : float
+        How long the first request in a group waits for company. 0 still
+        coalesces whatever is already queued (opportunistic batching under
+        backlog) but never delays a lone request.
+    max_batch : int, optional
+        Utterance budget per group (default: the engine's ``batch_size``).
+    lock : threading.Lock, optional
+        Device lock shared with other request paths (e.g. ``/stream``).
+    """
+
+    def __init__(self, engine, max_wait_ms=5.0, max_batch=None, lock=None):
+        self.engine = engine
+        self.max_wait = float(max_wait_ms) / 1e3
+        self.max_batch = int(max_batch or engine.batch_size)
+        if self.max_batch < 1:
+            raise ValueError('max_batch must be >= 1')
+        self.lock = lock if lock is not None else threading.Lock()
+        self.batches_run = 0        # observability: device dispatch groups
+        self.requests_coalesced = 0
+        self._cv = threading.Condition()
+        self._pending = []
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name='morgana-dynamic-batcher')
+        self._worker.start()
+
+    def predict_items(self, items):
+        """Same contract and results as ``engine.predict_items(items)``;
+        blocks until this request's group has run."""
+        if not items:
+            return {}
+        # Per-request duplicate names fail fast HERE (the engine would see
+        # only collision-free internal names); duplicates ACROSS concurrent
+        # requests are fine — every caller gets its own result dict.
+        _check_unique([str(item.get('name', i))
+                       for i, item in enumerate(items)])
+        req = {'items': list(items), 'event': threading.Event(),
+               'results': None, 'error': None}
+        with self._cv:
+            if self._closed:
+                raise RuntimeError('DynamicBatcher is closed')
+            self._pending.append(req)
+            self._cv.notify()
+        req['event'].wait()
+        if req['error'] is not None:
+            raise req['error']
+        return req['results']
+
+    def close(self):
+        """Stops the worker after draining already-queued requests."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._worker.join(timeout=30)
+
+    # ------------------------------------------------------------- internals
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if not self._pending:
+                    return  # closed and drained
+                if self.max_wait > 0 and not self._closed:
+                    deadline = time.monotonic() + self.max_wait
+                    while sum(len(r['items'])
+                              for r in self._pending) < self.max_batch:
+                        left = deadline - time.monotonic()
+                        if left <= 0 or self._closed:
+                            break
+                        self._cv.wait(timeout=left)
+                group, total = [], 0
+                while self._pending:
+                    n = len(self._pending[0]['items'])
+                    if group and total + n > self.max_batch:
+                        break
+                    group.append(self._pending.pop(0))
+                    total += n
+            self._execute(group)
+
+    @staticmethod
+    def _padded_count(n, cap):
+        """Next power of two >= n, capped: bounds the set of batch-count
+        shapes (hence compiled programs) to log2(cap)+1 per length bucket."""
+        size = 1
+        while size < n:
+            size *= 2
+        return min(size, max(n, cap))
+
+    def _execute(self, group):
+        renamed, owners = [], []
+        for gi, req in enumerate(group):
+            for ii, item in enumerate(req['items']):
+                internal = dict(item)
+                internal['name'] = f'__dyn{gi}.{ii}'
+                renamed.append(internal)
+                owners.append((req, str(item.get('name', ii)), internal['name']))
+        pad = self._padded_count(len(renamed), self.max_batch) - len(renamed)
+        for p in range(pad):
+            filler = dict(renamed[0])
+            filler['name'] = f'__dynpad{p}'
+            renamed.append(filler)
+        try:
+            with self.lock:
+                results = self.engine.predict_items(renamed)
+            self.batches_run += 1
+            self.requests_coalesced += len(group)
+            split = {}
+            for req, public, internal in owners:
+                split.setdefault(id(req), {})[public] = results[internal]
+            for req in group:
+                req['results'] = split.get(id(req), {})
+                req['event'].set()
+        except Exception:
+            # Isolate the fault: rerun each request alone so one bad item
+            # (e.g. a missing feature key) fails only its own caller.
+            for req in group:
+                try:
+                    with self.lock:
+                        req['results'] = self.engine.predict_items(req['items'])
+                    self.batches_run += 1
+                    self.requests_coalesced += 1
+                except Exception as exc:  # noqa: BLE001 - delivered to caller
+                    req['error'] = exc
+                req['event'].set()
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description='Serve a trained morgana_tpu checkpoint: batch prediction '
@@ -582,6 +739,13 @@ def main(argv=None):
                         help='Serve over HTTP on this port instead of batch '
                              'generation (GET /healthz, POST /predict).')
     parser.add_argument('--http_host', default='127.0.0.1')
+    parser.add_argument('--dynamic_batch_ms', type=float, default=0.0,
+                        help='Coalesce concurrent /predict requests into '
+                             'shared device batches, each waiting at most '
+                             'this long for company (0 = serve requests '
+                             'individually). Recommended under concurrent '
+                             'load: N simultaneous clients cost ~one device '
+                             'dispatch instead of N.')
     args = parser.parse_args(argv)
 
     if args.id_list is None and args.http_port is None:
@@ -606,7 +770,8 @@ def main(argv=None):
                         for cfg in args.stream_configs.split(';') if cfg])
     if args.http_port is not None:
         from morgana_tpu.http_serve import serve_forever
-        serve_forever(engine, host=args.http_host, port=args.http_port)
+        serve_forever(engine, host=args.http_host, port=args.http_port,
+                      dynamic_batch_ms=args.dynamic_batch_ms)
         return
     stats = engine.generate(args.out_dir, data_dir=args.data_dir,
                             id_list=args.id_list)

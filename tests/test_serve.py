@@ -374,6 +374,161 @@ class TestHTTPServing:
             server.server_close()
 
 
+class TestDynamicBatching:
+    """DynamicBatcher: concurrent requests coalesce into shared device
+    batches with per-caller results and fault isolation."""
+
+    @staticmethod
+    def _item(rng, name, frames):
+        phones = max(2, frames // 3)
+        return {'name': name,
+                'lab': rng.random((phones, 600)),
+                'counters': rng.random((frames, 9)),
+                'lf0': rng.normal(size=(frames, 1)),
+                'vuv': (rng.random((frames, 1)) > 0.3).astype(float),
+                'dur': np.full((phones, 1), frames // phones),
+                'n_frames': np.asarray([float(frames)])}
+
+    def test_coalesces_and_matches_individual_results(self, voice_data,
+                                                      trained):
+        import threading
+
+        from morgana_tpu.serve import DynamicBatcher
+
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'],
+                                 batch_size=8)
+        rng = np.random.default_rng(7)
+        items = [self._item(rng, f'u{i}', 12 + 3 * i) for i in range(6)]
+        # Two requests deliberately REUSE a name: results are per-caller, so
+        # cross-request duplicates must not collide.
+        items[5] = dict(items[5], name='u0')
+        expected = [engine.predict_items([item]) for item in items]
+
+        batcher = DynamicBatcher(engine, max_wait_ms=200.0)
+        got = [None] * len(items)
+
+        def client(i):
+            got[i] = batcher.predict_items([items[i]])
+
+        # Pre-load the queue before the worker can grab a lone first request
+        # (its max_wait window makes coalescing deterministic from there).
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(items))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        batcher.close()
+
+        assert batcher.batches_run < len(items), \
+            f'no coalescing happened ({batcher.batches_run} dispatch groups)'
+        assert batcher.requests_coalesced == len(items)
+        for i, (exp, out) in enumerate(zip(expected, got)):
+            assert set(out) == set(exp)
+            for name in exp:
+                for key in exp[name]:
+                    np.testing.assert_allclose(
+                        np.asarray(out[name][key], np.float32),
+                        np.asarray(exp[name][key], np.float32),
+                        rtol=2e-4, atol=2e-5,
+                        err_msg=f'request {i} key {key}')
+
+    def test_fault_isolation_and_per_request_duplicates(self, voice_data,
+                                                        trained):
+        import threading
+
+        from morgana_tpu.serve import DynamicBatcher
+
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'],
+                                 batch_size=4)
+        batcher = DynamicBatcher(engine, max_wait_ms=200.0)
+        rng = np.random.default_rng(8)
+
+        good_item = self._item(rng, 'ok', 15)
+        bad_item = {'name': 'bad', 'lab': rng.random((4, 600))}  # missing keys
+        outcome = {}
+
+        def run(tag, items):
+            try:
+                outcome[tag] = batcher.predict_items(items)
+            except Exception as exc:  # noqa: BLE001 - asserted below
+                outcome[tag] = exc
+
+        threads = [threading.Thread(target=run, args=('good', [good_item])),
+                   threading.Thread(target=run, args=('bad', [bad_item]))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+
+        assert isinstance(outcome['bad'], Exception)
+        assert not isinstance(outcome['good'], Exception), outcome['good']
+        assert 'ok' in outcome['good']
+
+        # Duplicate names WITHIN one request still fail fast.
+        with pytest.raises(ValueError, match='duplicate'):
+            batcher.predict_items([good_item, dict(good_item)])
+        batcher.close()
+        with pytest.raises(RuntimeError, match='closed'):
+            batcher.predict_items([good_item])
+
+    def test_http_predict_through_batcher(self, voice_data, trained):
+        """The HTTP endpoint with dynamic_batch_ms serves concurrent clients
+        correctly and actually coalesces their device work."""
+        import threading
+        import urllib.request
+
+        from morgana_tpu.http_serve import make_server
+
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'],
+                                 batch_size=8)
+        server = make_server(engine, port=0, dynamic_batch_ms=150.0)
+        assert server.batcher is not None
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        rng = np.random.default_rng(9)
+        payloads = [json.dumps(
+            {'items': [{k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                        for k, v in self._item(rng, f'c{i}', 12 + 3 * i).items()}]}
+            ).encode() for i in range(5)]
+        results, errors = {}, []
+
+        def client(i):
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/predict', data=payloads[i],
+                headers={'Content-Type': 'application/json'})
+            try:
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    results[i] = json.loads(r.read())
+            except Exception as exc:  # noqa: BLE001 - collected for assert
+                errors.append((i, exc))
+
+        try:
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(5)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            assert not errors, errors
+            assert set(results) == set(range(5))
+            for i in range(5):
+                pred = np.asarray(
+                    results[i]['results'][f'c{i}']['normalised_lf0_deltas'])
+                assert pred.shape == (12 + 3 * i, 3)
+                assert np.isfinite(pred).all()
+            assert server.batcher.requests_coalesced == 5
+            assert server.batcher.batches_run < 5, \
+                'HTTP requests were not coalesced'
+        finally:
+            server.shutdown()
+            server.server_close()
+
+
 class TestExportAndCompileCache:
     """AOT deployment artifacts (jax.export) + persistent compile cache."""
 
