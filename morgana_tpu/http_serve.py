@@ -13,6 +13,12 @@ Endpoints
 ``GET /healthz``
     ``{"status": "ok", "model": <class>, "checkpoint": <path>}`` — liveness
     probe for load balancers.
+``GET /stats``
+    Rolling observability: request/error counters, p50/p95 latency over the
+    last 512 completed ``/predict`` requests, and (when dynamic batching is
+    on) coalescing counters. Under overload with dynamic batching,
+    ``/predict`` returns **503 + Retry-After** instead of queueing without
+    bound.
 ``POST /predict``
     Body ``{"items": [{"name": ..., "<source>": <nested lists>, ...}]}``
     with one entry per test data source (what that source's ``load_file``
@@ -34,11 +40,43 @@ dispatch per batch.
 """
 import json
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 __all__ = ['make_server', 'serve_forever']
+
+
+class _Stats(object):
+    """Rolling request stats for ``GET /stats``: counters + latency
+    percentiles over the last ``window`` completed /predict requests."""
+
+    def __init__(self, window=512):
+        self._lock = threading.Lock()
+        self._latency = deque(maxlen=window)
+        self.requests = 0
+        self.errors = 0
+
+    def record(self, seconds, ok):
+        with self._lock:
+            self.requests += 1
+            if ok:
+                self._latency.append(seconds * 1e3)
+            else:
+                self.errors += 1
+
+    def snapshot(self):
+        with self._lock:
+            lat = np.asarray(self._latency)
+            out = {'requests': self.requests, 'errors': self.errors}
+        if lat.size:
+            out['latency_ms'] = {
+                'p50': round(float(np.percentile(lat, 50)), 2),
+                'p95': round(float(np.percentile(lat, 95)), 2),
+                'n': int(lat.size)}
+        return out
 
 
 def _to_arrays(item):
@@ -71,7 +109,10 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
     company), so N simultaneous single-utterance clients cost ~one dispatch
     round trip instead of N. The batcher is exposed as ``server.batcher``
     and shut down by ``server.server_close()``."""
+    from morgana_tpu.serve import Overloaded as _Overloaded
+
     lock = threading.Lock()  # one device, one request at a time
+    stats = _Stats()
     batcher = None
     if dynamic_batch_ms and float(dynamic_batch_ms) > 0:
         from morgana_tpu.serve import DynamicBatcher
@@ -104,6 +145,16 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
                 self._reply(200, {'status': 'ok',
                                   'model': type(engine.model).__name__,
                                   'checkpoint': engine.checkpoint_path})
+            elif self.path == '/stats':
+                payload = stats.snapshot()
+                if batcher is not None:
+                    payload['dynamic_batching'] = {
+                        'dispatch_groups': batcher.batches_run,
+                        'requests_coalesced': batcher.requests_coalesced,
+                        'max_wait_ms': batcher.max_wait * 1e3,
+                        'max_batch': batcher.max_batch,
+                        'max_queue': batcher.max_queue}
+                self._reply(200, payload)
             else:
                 self._reply(404, {'error': f'unknown path {self.path}'})
 
@@ -197,19 +248,33 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
             except Exception as exc:  # noqa: BLE001 - malformed request
                 self._reply(400, {'error': f'{type(exc).__name__}: {exc}'})
                 return
+            start = time.perf_counter()
             try:
                 if batcher is not None:
                     results = batcher.predict_items(items)
                 else:
                     with lock:
                         results = engine.predict_items(items)
+                stats.record(time.perf_counter() - start, ok=True)
                 self._reply(200, {'results': {
                     name: _to_lists(outputs)
                     for name, outputs in results.items()}})
+            except _Overloaded as exc:
+                # Backpressure, not failure: tell the client to retry.
+                stats.record(time.perf_counter() - start, ok=False)
+                self.send_response(503)
+                body = json.dumps({'error': str(exc)}).encode()
+                self.send_header('Content-Type', 'application/json')
+                self.send_header('Content-Length', str(len(body)))
+                self.send_header('Retry-After', '1')
+                self.end_headers()
+                self.wfile.write(body)
             except KeyError as exc:
                 # A missing data-source key is a caller mistake.
+                stats.record(time.perf_counter() - start, ok=False)
                 self._reply(400, {'error': f'missing feature {exc}'})
             except Exception as exc:  # noqa: BLE001 - server fault, not caller
+                stats.record(time.perf_counter() - start, ok=False)
                 self._reply(500, {'error': f'{type(exc).__name__}: {exc}'})
 
         def log_message(self, fmt, *args):  # quiet by default

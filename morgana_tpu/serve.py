@@ -39,7 +39,12 @@ from morgana_tpu import nn
 from morgana_tpu import platform as _platform
 
 __all__ = ['InferenceEngine', 'StreamingSession', 'DynamicBatcher',
-           'load_model_class', 'load_exported_program', 'main']
+           'Overloaded', 'load_model_class', 'load_exported_program', 'main']
+
+
+class Overloaded(RuntimeError):
+    """Raised by :class:`DynamicBatcher` when the pending-request queue is
+    full — backpressure for callers (the HTTP layer maps it to 503)."""
 
 
 def load_exported_program(path):
@@ -583,14 +588,20 @@ class DynamicBatcher(object):
         Utterance budget per group (default: the engine's ``batch_size``).
     lock : threading.Lock, optional
         Device lock shared with other request paths (e.g. ``/stream``).
+    max_queue : int, optional
+        Backpressure bound: when more than this many UTTERANCES are already
+        pending, :meth:`predict_items` raises :class:`Overloaded` instead of
+        queueing without limit (default: ``32 * max_batch``).
     """
 
-    def __init__(self, engine, max_wait_ms=5.0, max_batch=None, lock=None):
+    def __init__(self, engine, max_wait_ms=5.0, max_batch=None, lock=None,
+                 max_queue=None):
         self.engine = engine
         self.max_wait = float(max_wait_ms) / 1e3
         self.max_batch = int(max_batch or engine.batch_size)
         if self.max_batch < 1:
             raise ValueError('max_batch must be >= 1')
+        self.max_queue = int(max_queue or 32 * self.max_batch)
         self.lock = lock if lock is not None else threading.Lock()
         self.batches_run = 0        # observability: device dispatch groups
         self.requests_coalesced = 0
@@ -616,6 +627,13 @@ class DynamicBatcher(object):
         with self._cv:
             if self._closed:
                 raise RuntimeError('DynamicBatcher is closed')
+            queued = sum(len(r['items']) for r in self._pending)
+            # Reject only under load (an empty queue admits any size: a
+            # request larger than max_queue must still be servable).
+            if queued and queued + len(req['items']) > self.max_queue:
+                raise Overloaded(
+                    f'{queued} utterances already pending '
+                    f'(max_queue={self.max_queue}); retry later')
             self._pending.append(req)
             self._cv.notify()
         req['event'].wait()

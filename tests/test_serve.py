@@ -474,6 +474,119 @@ class TestDynamicBatching:
         with pytest.raises(RuntimeError, match='closed'):
             batcher.predict_items([good_item])
 
+    def test_backpressure_raises_overloaded(self, voice_data, trained):
+        """A full pending queue rejects with Overloaded instead of queueing
+        without bound; an empty queue admits any request size."""
+        import threading
+
+        from morgana_tpu.serve import DynamicBatcher, Overloaded
+
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'],
+                                 batch_size=2)
+        rng = np.random.default_rng(11)
+        # Block the device lock so queued requests cannot drain.
+        gate = threading.Lock()
+        gate.acquire()
+        batcher = DynamicBatcher(engine, max_wait_ms=0.0, max_batch=2,
+                                 max_queue=2, lock=gate)
+        # Items are prebuilt on this thread (numpy Generators are not
+        # thread-safe) and the probe item is ready before any blocking.
+        queued_items = [[self._item(rng, f'q{i}', 12)] for i in range(4)]
+        probe_item = [self._item(rng, 'rejected', 12)]
+        try:
+            # The worker takes at most one max_batch=2 group before blocking
+            # on the gate, so 4 requests guarantee >= 2 stay pending (late
+            # ones may themselves be rejected — also a valid outcome).
+            outcomes = [None] * 4
+
+            def enqueue(i):
+                try:
+                    outcomes[i] = batcher.predict_items(queued_items[i])
+                except Overloaded as exc:
+                    outcomes[i] = exc
+
+            threads = [threading.Thread(target=enqueue, args=(i,),
+                                        daemon=True) for i in range(4)]
+            for t in threads:
+                t.start()
+            # Wait until the worker is stuck on the gate and >= max_queue
+            # utterances are pending behind it.
+            import time as _time
+            deadline = _time.monotonic() + 60
+            pending = 0
+            while _time.monotonic() < deadline:
+                with batcher._cv:
+                    pending = sum(len(r['items']) for r in batcher._pending)
+                if pending >= batcher.max_queue:
+                    break
+                _time.sleep(0.01)
+            # Guard the probe: if the queue never filled, predict_items
+            # would ENQUEUE and block forever behind the held gate.
+            assert pending >= batcher.max_queue, \
+                f'queue never filled ({pending} pending)'
+            with pytest.raises(Overloaded, match='pending'):
+                batcher.predict_items(probe_item)
+        finally:
+            gate.release()
+            for t in threads:
+                t.join(timeout=600)
+            batcher.close()
+
+    def test_http_stats_and_503(self, voice_data, trained):
+        """GET /stats reports counters/latency; Overloaded maps to 503 with
+        Retry-After."""
+        import threading
+        import urllib.error
+        import urllib.request
+
+        from morgana_tpu.http_serve import make_server
+        from morgana_tpu.serve import Overloaded
+
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'],
+                                 batch_size=2)
+        server = make_server(engine, port=0, dynamic_batch_ms=1.0)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        rng = np.random.default_rng(12)
+        item = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                for k, v in self._item(rng, 'u', 12).items()}
+        try:
+            body = json.dumps({'items': [item]}).encode()
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/predict', data=body,
+                headers={'Content-Type': 'application/json'})
+            with urllib.request.urlopen(req, timeout=300):
+                pass
+            with urllib.request.urlopen(
+                    f'http://127.0.0.1:{port}/stats', timeout=60) as r:
+                stats = json.loads(r.read())
+            assert stats['requests'] == 1 and stats['errors'] == 0
+            assert stats['latency_ms']['n'] == 1
+            assert stats['dynamic_batching']['requests_coalesced'] == 1
+
+            # Force the overload path deterministically.
+            original = server.batcher.predict_items
+            server.batcher.predict_items = lambda items: (_ for _ in ()).throw(
+                Overloaded('99 utterances already pending'))
+            try:
+                urllib.request.urlopen(req, timeout=60)
+                raise AssertionError('expected HTTP 503')
+            except urllib.error.HTTPError as e:
+                assert e.code == 503
+                assert e.headers['Retry-After'] == '1'
+                assert 'pending' in json.loads(e.read())['error']
+            finally:
+                server.batcher.predict_items = original
+            with urllib.request.urlopen(
+                    f'http://127.0.0.1:{port}/stats', timeout=60) as r:
+                stats = json.loads(r.read())
+            assert stats['requests'] == 2 and stats['errors'] == 1
+        finally:
+            server.shutdown()
+            server.server_close()
+
     def test_http_predict_through_batcher(self, voice_data, trained):
         """The HTTP endpoint with dynamic_batch_ms serves concurrent clients
         correctly and actually coalesces their device work."""
