@@ -35,6 +35,7 @@ def __getattr__(name):
         'checkpointing': 'morgana_tpu.checkpointing',
         'serve': 'morgana_tpu.serve',
         'streaming': 'morgana_tpu.streaming',
+        'quantize': 'morgana_tpu.quantize',
     }
     if name in lazy:
         return importlib.import_module(lazy[name])

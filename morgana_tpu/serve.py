@@ -113,13 +113,21 @@ class InferenceEngine(object):
         Loader settings for the file-driven entry points.
     analysis_kwargs : dict, optional
         Extra kwargs for the model's analysis hooks (e.g. ``sample_rate``).
+    quantize : str, optional
+        ``'int8'`` serves weight-only quantized parameters
+        (:mod:`morgana_tpu.quantize`): 4x less parameter HBM/host memory,
+        dequantisation fused into the consuming matmuls. A checkpoint
+        produced by ``python -m morgana_tpu.quantize`` is detected and
+        served quantized automatically (no flag needed).
     """
 
     def __init__(self, model_class, checkpoint_path, data_root='.',
                  normalisation_dir='train', model_kwargs=None, device=None,
                  compute_dtype=None, batch_size=8, num_data_threads=0,
                  analysis_kwargs=None, seed=0, compilation_cache_dir=None,
-                 stream_configs=None):
+                 stream_configs=None, quantize=None):
+        if quantize not in (None, 'int8'):
+            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
         if device:
             _platform.select_platform(device)
         if compute_dtype:
@@ -150,14 +158,28 @@ class InferenceEngine(object):
         for name in normalisers:
             normalisers[name].load_params(normalisation_dir, data_root)
         self.model.normalisers = normalisers
-        self.model.load_parameters(checkpoint_path)
+        from morgana_tpu import quantize as quantize_mod
+        qparams = None
+        if quantize_mod.is_quantized_checkpoint(checkpoint_path):
+            # A pre-quantized deployment artifact: the module keeps float
+            # (dequantised) Params — analysis hooks and bind's save/restore
+            # see ordinary arrays — while the jitted predict consumes the
+            # int8 pytree below.
+            qparams = quantize_mod.load_quantized_checkpoint(checkpoint_path)
+            nn.load_parameters(self.model,
+                               quantize_mod.dequantize_params(qparams))
+        else:
+            self.model.load_parameters(checkpoint_path)
         # One consistent mode for EVERY compiled predict program: predict()
         # bodies read self.mode at trace time (e.g. metric accumulation into
         # self.metrics[self.mode]), so tracing some programs with mode '' and
         # others with 'test' would poison whichever traces first.
         self.model.mode = 'test'
 
-        self._params = nn.parameters(self.model)
+        self._params = qparams if qparams is not None \
+            else nn.parameters(self.model)
+        if quantize == 'int8':
+            self._params = quantize_mod.quantize_params(self._params)
         self._rng = jax.random.PRNGKey(seed)
         model = self.model
 
@@ -744,6 +766,12 @@ def main(argv=None):
                         help='Python-dict string of model constructor kwargs.')
     parser.add_argument('--analysis_kwargs', default='{}',
                         help='Python-dict string of analysis-hook kwargs.')
+    parser.add_argument('--quantize', default=None, choices=['int8'],
+                        help='Serve weight-only int8-quantized parameters '
+                             '(4x less parameter memory; dequantisation is '
+                             'fused into the matmuls). Pre-quantized '
+                             'checkpoints (python -m morgana_tpu.quantize) '
+                             'are detected without this flag.')
     parser.add_argument('--compilation_cache_dir', default=None,
                         help='Persistent JAX compile cache: restarted serving '
                              'processes reload compiled programs from here '
@@ -784,6 +812,7 @@ def main(argv=None):
         num_data_threads=args.num_data_threads,
         analysis_kwargs=ast.literal_eval(args.analysis_kwargs),
         compilation_cache_dir=args.compilation_cache_dir,
+        quantize=args.quantize,
         stream_configs=[tuple(int(v) for v in cfg.split(','))
                         for cfg in args.stream_configs.split(';') if cfg])
     if args.http_port is not None:

@@ -1,0 +1,247 @@
+"""Weight-only int8 quantization: array-level bounds, pytree transform,
+jitted-predict parity, quantized deployment checkpoints and the CLI."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import builder_args
+from tiny_models import TinyF0Model, TinyStreamModel
+
+from morgana_tpu import nn
+from morgana_tpu.experiment_builder import ExperimentBuilder
+from morgana_tpu.quantize import (
+    QuantizedArray, dequantize_params, is_quantized_checkpoint,
+    load_quantized_checkpoint, quantize_array, quantize_params,
+    save_quantized_checkpoint,
+)
+from morgana_tpu.serve import InferenceEngine
+
+
+class TestQuantizeArray:
+    def test_roundtrip_error_bounded_by_half_scale(self, rng):
+        w = rng.normal(0., 0.3, size=(64, 48)).astype(np.float32)
+        qa = quantize_array(w)
+        assert np.asarray(qa.q).dtype == np.int8
+        assert qa.scale.shape == (1, 48)          # per-output-channel
+        err = np.abs(np.asarray(qa.dequantize()) - w)
+        # Symmetric rounding: error <= scale/2 per element, per channel.
+        assert (err <= np.asarray(qa.scale) / 2 + 1e-7).all()
+
+    def test_presents_as_float_array(self, rng):
+        w = rng.normal(size=(8, 6)).astype(np.float32)
+        qa = quantize_array(w)
+        assert qa.shape == (8, 6) and qa.ndim == 2 and qa.size == 48
+        assert qa.dtype == np.float32              # consumers see float
+        np.testing.assert_allclose(np.asarray(qa.astype(np.float32)),
+                                   np.asarray(qa.dequantize()))
+        import jax.numpy as jnp
+        x = jnp.ones((3, 8))
+        y = jnp.dot(x, qa)                         # __jax_array__ path
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.ones((3, 8)) @ np.asarray(qa.dequantize()),
+                                   rtol=1e-6)
+
+    def test_zero_channel_is_safe(self):
+        w = np.zeros((4, 3), np.float32)
+        w[:, 0] = [1., -2., 0.5, 0.25]
+        qa = quantize_array(w)
+        deq = np.asarray(qa.dequantize())
+        assert np.isfinite(deq).all()
+        np.testing.assert_array_equal(deq[:, 1:], 0.)
+
+    def test_jit_flattens_to_int8_leaves(self, rng):
+        """Under jit the weight crosses as (int8, f32-scale) buffers — the
+        memory story — and dequantisation happens inside the program."""
+        import jax
+        import jax.numpy as jnp
+        w = rng.normal(size=(16, 8)).astype(np.float32)
+        qa = quantize_array(w)
+        leaves = jax.tree_util.tree_leaves(qa)
+        assert {np.asarray(l).dtype.name for l in leaves} == {'int8', 'float32'}
+
+        @jax.jit
+        def f(q, x):
+            return jnp.dot(x, q)
+
+        y = f(qa, jnp.ones((2, 16)))
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.ones((2, 16)) @ np.asarray(qa.dequantize()),
+                                   rtol=1e-6)
+
+
+class TestQuantizeParams:
+    def test_default_filter_and_idempotence(self, rng):
+        nn.manual_seed(0)
+        model = TinyStreamModel()
+        params = nn.parameters(model)
+        qparams = quantize_params(params)
+        for name, value in qparams.items():
+            if np.ndim(params[name]) >= 2:
+                assert isinstance(value, QuantizedArray), name
+            else:
+                assert not isinstance(value, QuantizedArray), name
+        again = quantize_params(qparams)
+        assert all(again[k] is qparams[k] for k in qparams
+                   if isinstance(qparams[k], QuantizedArray))
+
+    def test_dequantize_params_restores_floats(self, rng):
+        nn.manual_seed(0)
+        params = nn.parameters(TinyF0Model())
+        deq = dequantize_params(quantize_params(params))
+        for name, value in deq.items():
+            assert not isinstance(value, QuantizedArray)
+            assert np.asarray(value).shape == np.asarray(params[name]).shape
+
+    def test_recurrent_predict_parity(self, rng):
+        """A GRU+LSTM model under jit with quantized weights stays within
+        int8 regression tolerance of the float program."""
+        import jax
+        import jax.numpy as jnp
+
+        nn.manual_seed(3)
+        rnn = nn.Recurrent('lstm', 12, 16, num_layers=2)
+        params = nn.parameters(rnn)
+        x = jnp.asarray(rng.normal(size=(3, 20, 12)).astype(np.float32))
+        seq_len = jnp.asarray([20, 13, 6])
+
+        def run(p):
+            with nn.bind(rnn, p):
+                y, _ = rnn(x, seq_len=seq_len)
+            return y
+
+        y32 = jax.jit(run)(params)
+        yq = jax.jit(run)(quantize_params(params))
+        denom = float(jnp.linalg.norm(y32)) + 1e-9
+        rel = float(jnp.linalg.norm(y32 - yq)) / denom
+        assert 0 < rel < 2e-2  # quantized (so not equal), but close
+
+
+@pytest.fixture(scope='module')
+def trained_q(voice_data, tmp_path_factory):
+    """A quickly-trained recurrent checkpoint shared by the engine tests."""
+    exp_base = str(tmp_path_factory.mktemp('quant') / 'experiments')
+    args = builder_args(voice_data['data_root'], exp_base,
+                        end_epoch=1, valid=False)
+    nn.manual_seed(args['seed'])
+    exp = ExperimentBuilder(TinyStreamModel, experiment_name='q8', **args)
+    exp.run_experiment()
+    return os.path.join(exp_base, 'q8', 'checkpoints', 'epoch_1.npz')
+
+
+class TestQuantizedServing:
+    def _ids(self, voice_data):
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            return [l.strip() for l in f if l.strip()]
+
+    def test_engine_quantize_matches_float_within_tolerance(
+            self, voice_data, trained_q):
+        ids = self._ids(voice_data)
+        f32 = InferenceEngine(TinyStreamModel, trained_q,
+                              data_root=voice_data['data_root'], batch_size=2)
+        q8 = InferenceEngine(TinyStreamModel, trained_q,
+                             data_root=voice_data['data_root'], batch_size=2,
+                             quantize='int8')
+        out32 = f32.predict_ids(ids, data_dir='test')
+        out8 = q8.predict_ids(ids, data_dir='test')
+        for utt in ids:
+            a = out32[utt]['normalised_lf0_deltas']
+            b = out8[utt]['normalised_lf0_deltas']
+            rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+            assert 0 < rel < 2e-2, (utt, rel)
+
+    def test_quantized_checkpoint_roundtrip_and_autodetect(
+            self, voice_data, trained_q, tmp_path):
+        """CLI-produced quantized checkpoints load back exactly and the
+        engine detects + serves them identically to quantize='int8'."""
+        qpath = str(tmp_path / 'epoch_1_q8.npz')
+        with np.load(trained_q) as data:
+            params = {k: data[k] for k in data.files}
+        save_quantized_checkpoint(params, qpath)
+
+        assert is_quantized_checkpoint(qpath)
+        assert not is_quantized_checkpoint(trained_q)
+        loaded = load_quantized_checkpoint(qpath)
+        fresh = quantize_params(params)
+        for name, value in fresh.items():
+            if isinstance(value, QuantizedArray):
+                np.testing.assert_array_equal(np.asarray(loaded[name].q),
+                                              np.asarray(value.q))
+                np.testing.assert_allclose(np.asarray(loaded[name].scale),
+                                           np.asarray(value.scale))
+            else:
+                np.testing.assert_array_equal(np.asarray(loaded[name]),
+                                              np.asarray(value))
+
+        ids = self._ids(voice_data)
+        from_flag = InferenceEngine(
+            TinyStreamModel, trained_q, data_root=voice_data['data_root'],
+            batch_size=2, quantize='int8').predict_ids(ids, data_dir='test')
+        from_artifact = InferenceEngine(
+            TinyStreamModel, qpath, data_root=voice_data['data_root'],
+            batch_size=2).predict_ids(ids, data_dir='test')
+        for utt in ids:
+            np.testing.assert_array_equal(
+                from_flag[utt]['normalised_lf0_deltas'],
+                from_artifact[utt]['normalised_lf0_deltas'])
+
+    def test_cli_compresses_and_refuses_double_quantization(
+            self, trained_q, tmp_path):
+        out = str(tmp_path / 'q8.npz')
+        proc = subprocess.run(
+            [sys.executable, '-m', 'morgana_tpu.quantize',
+             '--checkpoint', trained_q, '--out', out],
+            capture_output=True, text=True, timeout=240,
+            cwd=os.path.join(os.path.dirname(__file__), '..'))
+        assert proc.returncode == 0, proc.stderr
+        stats = json.loads(proc.stdout.strip().splitlines()[-1])
+        # The tiny test model is bias/scale-overhead heavy; realistic
+        # checkpoints approach 4x (asserted separately below).
+        assert stats['compression'] > 2.0
+        proc2 = subprocess.run(
+            [sys.executable, '-m', 'morgana_tpu.quantize',
+             '--checkpoint', out, '--out', str(tmp_path / 'qq.npz')],
+            capture_output=True, text=True, timeout=240,
+            cwd=os.path.join(os.path.dirname(__file__), '..'))
+        assert proc2.returncode != 0
+        assert 'already quantized' in proc2.stderr
+
+    def test_streaming_composes_with_quantization(self, voice_data, trained_q):
+        """Chunked streaming consumes the quantized pytree through the same
+        jitted step programs (no separate dequantised copy)."""
+        engine = InferenceEngine(TinyStreamModel, trained_q,
+                                 data_root=voice_data['data_root'],
+                                 batch_size=2, quantize='int8')
+        utt = self._ids(voice_data)[0]
+        chunks = list(engine.stream_id(utt, data_dir='test'))
+        assert chunks
+        lf0 = np.concatenate([c['lf0'] for c in chunks], axis=0)
+        batch = engine.predict_ids([utt], data_dir='test')[utt]['lf0']
+        assert lf0.shape == batch.shape
+        # Streamed vs batch differ only by the windowed-MLPG approximation,
+        # quantized or not (same bound as the float streaming tests).
+        rel = np.linalg.norm(lf0 - batch) / (np.linalg.norm(batch) + 1e-9)
+        assert rel < 2e-3
+
+    def test_weight_dominated_checkpoint_compresses_4x(self, rng, tmp_path):
+        """At flagship-like weight shapes the artifact approaches the int8
+        4x bound (per-channel scales + manifest are the only overhead)."""
+        params = {f'w_hh_l{i}': rng.normal(size=(512, 2048)).astype(np.float32)
+                  for i in range(4)}
+        params['b'] = rng.normal(size=(2048,)).astype(np.float32)
+        float_path = str(tmp_path / 'f32.npz')
+        np.savez(float_path, **params)
+        qpath = str(tmp_path / 'q8.npz')
+        save_quantized_checkpoint(params, qpath)
+        ratio = os.path.getsize(float_path) / os.path.getsize(qpath)
+        assert ratio > 3.8
+
+    def test_engine_rejects_unknown_mode(self, voice_data, trained_q):
+        with pytest.raises(ValueError):
+            InferenceEngine(TinyStreamModel, trained_q,
+                            data_root=voice_data['data_root'],
+                            quantize='int4')
