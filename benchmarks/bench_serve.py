@@ -166,6 +166,25 @@ def main():
         server.shutdown()
         server.server_close()
 
+    # Single-item latency with int8 weight-only quantization (4x less
+    # parameter HBM; dequantisation fused into the matmuls). On a tiny CPU
+    # model the weights are not the bottleneck, so this row mainly proves
+    # the path and prices the dequant overhead honestly.
+    q_engine = InferenceEngine(TinyF0Model, ckpt, data_root=data_root,
+                               batch_size=8, quantize='int8')
+    server = make_server(q_engine, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        post(port, [make_item(rng, 'wq0')])
+        single_q = [post(port, [make_item(rng, f'q{i}')])
+                    for i in range(num_requests)]
+        print(json.dumps(dict({'config': 'single_int8', 'device': device},
+                              **percentiles(single_q))))
+    finally:
+        server.shutdown()
+        server.server_close()
+
 
 if __name__ == '__main__':
     main()
