@@ -36,6 +36,7 @@ def __getattr__(name):
         'serve': 'morgana_tpu.serve',
         'streaming': 'morgana_tpu.streaming',
         'quantize': 'morgana_tpu.quantize',
+        'pipeline': 'morgana_tpu.pipeline',
     }
     if name in lazy:
         return importlib.import_module(lazy[name])

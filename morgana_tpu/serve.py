@@ -287,7 +287,7 @@ class InferenceEngine(object):
         return data.batch(dataset, batch_size=self.batch_size, shuffle=False,
                           num_data_threads=self.num_data_threads)
 
-    def predict_items(self, items):
+    def predict_items(self, items, sources=None):
         """In-memory serving: no files needed. ``items`` is a list of
         per-utterance dicts mapping each test data-source name to its raw
         loaded feature (what that source's ``load_file`` returns, e.g. a
@@ -295,12 +295,18 @@ class InferenceEngine(object):
         ``'name'`` key labels the utterance. Delta expansion, normalisation
         and bucketed collation run exactly as the file pipeline, then one
         compiled predict. Returns ``{name: outputs}`` with frame-level
-        outputs unpadded."""
+        outputs unpadded.
+
+        ``sources`` overrides the model's test data sources — e.g. a subset
+        holding only ``predict()``'s true inputs, so generation-time callers
+        (``morgana_tpu.pipeline``) need not fabricate training targets the
+        sources would otherwise demand."""
         from morgana_tpu.data import assemble_item, collate
 
         names = [str(item.get('name', i)) for i, item in enumerate(items)]
         _check_unique(names)
-        sources = self.model.test_data_sources()
+        if sources is None:
+            sources = self.model.test_data_sources()
         built = []
         for i, item in enumerate(items):
             built.append(assemble_item(
