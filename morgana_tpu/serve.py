@@ -119,13 +119,19 @@ class InferenceEngine(object):
         dequantisation fused into the consuming matmuls. A checkpoint
         produced by ``python -m morgana_tpu.quantize`` is detected and
         served quantized automatically (no flag needed).
+    data_parallel : bool
+        Shard prediction batches over ALL local devices (params replicated,
+        batch dim over a 'data' mesh axis — the GSPMD recipe the trainer
+        uses): corpus generation throughput scales with the slice. Batches
+        the device count cannot divide (ragged final chunks) fall back to
+        single-device placement, so any id-list length works.
     """
 
     def __init__(self, model_class, checkpoint_path, data_root='.',
                  normalisation_dir='train', model_kwargs=None, device=None,
                  compute_dtype=None, batch_size=8, num_data_threads=0,
                  analysis_kwargs=None, seed=0, compilation_cache_dir=None,
-                 stream_configs=None, quantize=None):
+                 stream_configs=None, quantize=None, data_parallel=False):
         if quantize not in (None, 'int8'):
             raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
         if device:
@@ -180,6 +186,16 @@ class InferenceEngine(object):
             else nn.parameters(self.model)
         if quantize == 'int8':
             self._params = quantize_mod.quantize_params(self._params)
+        self._mesh = None
+        self._batch_sharding = None
+        if data_parallel:
+            from morgana_tpu import parallel
+            self._mesh = parallel.make_mesh()
+            self._batch_sharding = parallel.batch_sharding(self._mesh)
+            # Replicate params over the mesh; sharded batches then propagate
+            # through the jitted predict and XLA splits the work per device.
+            self._params = jax.device_put(
+                self._params, parallel.replicated_sharding(self._mesh))
         self._rng = jax.random.PRNGKey(seed)
         model = self.model
 
@@ -203,8 +219,26 @@ class InferenceEngine(object):
         """Runs the compiled predict program on one collated (padded) batch.
         Returns ``(staged_metrics, output_features)`` as device values."""
         from morgana_tpu.training import numeric_features
-        return self._predict_step(self._params, numeric_features(features),
-                                  self._next_rng())
+        batch = numeric_features(features)
+        if self._batch_sharding is not None:
+            batch = self._shard_batch(batch)
+        return self._predict_step(self._params, batch, self._next_rng())
+
+    def _shard_batch(self, batch):
+        """Places numeric batch arrays into the data-parallel layout; a
+        batch the 'data' axis cannot divide (ragged final chunk) stays
+        single-device — GSPMD still runs it against the replicated params."""
+        import jax
+        out = {}
+        for key, value in batch.items():
+            if hasattr(value, 'dtype') and value.dtype.kind in 'fiub':
+                try:
+                    out[key] = jax.device_put(value, self._batch_sharding)
+                except ValueError:
+                    out[key] = jax.device_put(value)
+            else:
+                out[key] = value
+        return out
 
     def export_program(self, features, path):
         """AOT-exports the compiled predict program for this batch's padded
@@ -285,7 +319,8 @@ class InferenceEngine(object):
             if tmp:
                 os.unlink(tmp)
         return data.batch(dataset, batch_size=self.batch_size, shuffle=False,
-                          num_data_threads=self.num_data_threads)
+                          num_data_threads=self.num_data_threads,
+                          sharding=self._batch_sharding)
 
     def predict_items(self, items, sources=None):
         """In-memory serving: no files needed. ``items`` is a list of
@@ -772,6 +807,10 @@ def main(argv=None):
                         help='Python-dict string of model constructor kwargs.')
     parser.add_argument('--analysis_kwargs', default='{}',
                         help='Python-dict string of analysis-hook kwargs.')
+    parser.add_argument('--data_parallel', action='store_true', default=False,
+                        help='Shard prediction batches over all local devices '
+                             '(params replicated): corpus generation '
+                             'throughput scales with the slice.')
     parser.add_argument('--quantize', default=None, choices=['int8'],
                         help='Serve weight-only int8-quantized parameters '
                              '(4x less parameter memory; dequantisation is '
@@ -818,7 +857,7 @@ def main(argv=None):
         num_data_threads=args.num_data_threads,
         analysis_kwargs=ast.literal_eval(args.analysis_kwargs),
         compilation_cache_dir=args.compilation_cache_dir,
-        quantize=args.quantize,
+        quantize=args.quantize, data_parallel=args.data_parallel,
         stream_configs=[tuple(int(v) for v in cfg.split(','))
                         for cfg in args.stream_configs.split(';') if cfg])
     if args.http_port is not None:

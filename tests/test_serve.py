@@ -687,3 +687,47 @@ class TestExportAndCompileCache:
         results = engine.predict_ids(ids, data_dir='test')
         assert set(results) == set(ids)
         assert os.path.isdir(cache) and os.listdir(cache)
+
+
+class TestDataParallelServing:
+    """data_parallel=True: batches sharded over the 8 virtual devices,
+    params replicated — outputs identical to single-device serving."""
+
+    def test_predict_items_matches_single_device_incl_ragged_chunk(
+            self, voice_data, trained):
+        rng = np.random.default_rng(7)
+        # 11 items with batch_size 8: one sharded chunk of 8 (divisible by
+        # the 8-device 'data' axis) + one ragged chunk of 3 (fallback to
+        # single-device placement).
+        items = [TestDynamicBatching._item(rng, f'dp{i}', 24 + 4 * (i % 3))
+                 for i in range(11)]
+        plain = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                data_root=voice_data['data_root'],
+                                batch_size=8)
+        dp = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                             data_root=voice_data['data_root'],
+                             batch_size=8, data_parallel=True)
+        assert dp._mesh is not None and dp._mesh.shape['data'] == 8
+        ref = plain.predict_items(items)
+        out = dp.predict_items(items)
+        assert set(out) == set(ref)
+        for name in ref:
+            np.testing.assert_array_equal(
+                out[name]['normalised_lf0_deltas'],
+                ref[name]['normalised_lf0_deltas'])
+
+    def test_params_are_replicated(self, voice_data, trained):
+        dp = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                             data_root=voice_data['data_root'],
+                             data_parallel=True)
+        leaf = next(iter(dp._params.values()))
+        assert leaf.sharding.is_fully_replicated
+
+    def test_generate_through_sharded_loader(self, voice_data, trained,
+                                             tmp_path):
+        dp = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                             data_root=voice_data['data_root'], batch_size=2,
+                             data_parallel=True)
+        stats = dp.generate(str(tmp_path / 'gen_dp'), data_dir='test',
+                            id_list='test/test_file_id_list.scp')
+        assert stats['utterances'] == 2 and stats['frames'] > 0
