@@ -163,8 +163,11 @@ class TTSPipeline(object):
         Returns ``{name: outputs}`` where outputs holds the predicted
         ``'dur'`` (int frames), ``'n_frames'``, every acoustic output
         (unpadded), and — when the acoustic model emits lf0/vuv/mcep/bap —
-        a float ``'wav'`` (also written to ``{out_dir}/synth/{name}.wav``
-        when ``out_dir`` is given)."""
+        a float ``'wav'``. With ``out_dir``, wavs are written to
+        ``{out_dir}/synth/{name}.wav`` and every predicted feature to
+        ``{out_dir}/feats/{key}/{name}.npy`` (the ``viz.io`` dump layout),
+        durations included — so the directory is populated even for
+        models that emit features but not the full WORLD parameter set."""
         from morgana_tpu.data.prepare import _frame_counters
 
         durs = self.predict_durations(items)
@@ -194,12 +197,24 @@ class TTSPipeline(object):
             wav = self._synthesize_wav(out)
             if wav is not None:
                 out['wav'] = wav
-                if out_dir:
-                    from morgana_tpu.data import file_io
-                    path = os.path.join(out_dir, 'synth', f'{name}.wav')
-                    file_io.save_wav(wav, path, sample_rate=self.sample_rate)
+            if out_dir:
+                self._dump_outputs(name, out, out_dir)
             results[name] = out
         return results
+
+    def _dump_outputs(self, name, out, out_dir):
+        from morgana_tpu.data import file_io
+        for key, value in out.items():
+            if key == 'wav':
+                continue
+            arr = np.asarray(value)
+            if arr.ndim >= 1 and arr.dtype.kind in 'fiub':
+                file_io.save_bin(arr, os.path.join(out_dir, 'feats', key,
+                                                   f'{name}.npy'))
+        if 'wav' in out:
+            file_io.save_wav(out['wav'],
+                             os.path.join(out_dir, 'synth', f'{name}.wav'),
+                             sample_rate=self.sample_rate)
 
     def synthesize_ids(self, file_ids, data_dir='test', out_dir=None):
         """Full pipeline for on-disk utterances: loads each id's phone-level
@@ -254,6 +269,9 @@ def main(argv=None):
     parser.add_argument('--quantize', default=None, choices=['int8'],
                         help='Serve both stages with int8 weight-only '
                              'quantized parameters.')
+    parser.add_argument('--data_parallel', action='store_true', default=False,
+                        help='Shard both stages\' prediction batches over '
+                             'all local devices.')
     parser.add_argument('--duration_model_kwargs', default='{}')
     parser.add_argument('--acoustic_model_kwargs', default='{}')
     args = parser.parse_args(argv)
@@ -272,7 +290,8 @@ def main(argv=None):
     common = dict(data_root=args.data_root,
                   normalisation_dir=args.normalisation_dir,
                   device=args.device, compute_dtype=args.compute_dtype,
-                  batch_size=args.batch_size, quantize=args.quantize)
+                  batch_size=args.batch_size, quantize=args.quantize,
+                  data_parallel=args.data_parallel)
     duration_engine = InferenceEngine(
         load_model_class(args.duration_model), args.duration_checkpoint,
         model_kwargs=ast.literal_eval(args.duration_model_kwargs), **common)

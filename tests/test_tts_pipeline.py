@@ -145,6 +145,11 @@ class TestTTSPipeline:
             assert 'wav' not in out
             assert out['lf0'].shape[0] == out['n_frames']
         assert not os.path.exists(str(tmp_path / 'nowav' / 'synth'))
+        # ...but the predicted features (and durations) are still dumped.
+        for utt in results:
+            for key in ('lf0', 'dur'):
+                assert os.path.exists(str(tmp_path / 'nowav' / 'feats' / key
+                                          / f'{utt}.npy'))
 
     def test_incompatible_duration_model_fails_loudly(self, engines,
                                                       voice_data):
