@@ -493,6 +493,14 @@ class Recurrent(Module):
         backend = self.backend
         if backend == 'pallas' and not self.interpret and not _on_tpu():
             backend = 'scan'
+        if backend == 'pallas':
+            # Quantized serving: the kernels take raw weight buffers, so
+            # int8 pytree leaves route to the numerically equivalent scan
+            # path (which dequantises through ordinary jnp ops).
+            from morgana_tpu.quantize import QuantizedArray
+            if any(isinstance(p.value, QuantizedArray)
+                   for layer in self.layers for p in layer.values()):
+                backend = 'scan'
 
         remat = self.remat if self.remat is not None else _DEFAULT_REMAT
 

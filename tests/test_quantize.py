@@ -96,6 +96,27 @@ class TestQuantizeParams:
             assert not isinstance(value, QuantizedArray)
             assert np.asarray(value).shape == np.asarray(params[name]).shape
 
+    def test_pallas_backend_falls_back_to_scan(self, rng):
+        """The demoted pallas kernels take raw weight buffers; quantized
+        leaves reroute to the equivalent scan path instead of crashing."""
+        import jax
+        import jax.numpy as jnp
+
+        nn.manual_seed(5)
+        rnn = nn.Recurrent('gru', 8, 12, backend='pallas', interpret=True)
+        qparams = quantize_params(nn.parameters(rnn))
+        x = jnp.asarray(rng.normal(size=(2, 6, 8)).astype(np.float32))
+
+        def run(p, backend):
+            rnn.backend = backend
+            with nn.bind(rnn, p):
+                y, _ = rnn(x)
+            return y
+
+        y_pallas = jax.jit(lambda p: run(p, 'pallas'))(qparams)
+        y_scan = jax.jit(lambda p: run(p, 'scan'))(qparams)
+        np.testing.assert_array_equal(np.asarray(y_pallas), np.asarray(y_scan))
+
     def test_recurrent_predict_parity(self, rng):
         """A GRU+LSTM model under jit with quantized weights stays within
         int8 regression tolerance of the float program."""
