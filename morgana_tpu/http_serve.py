@@ -147,6 +147,14 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
                                   'checkpoint': engine.checkpoint_path})
             elif self.path == '/stats':
                 payload = stats.snapshot()
+                payload['engine'] = {
+                    'model': type(engine.model).__name__,
+                    'batch_size': engine.batch_size,
+                    'quantized': any(
+                        type(v).__name__ == 'QuantizedArray'
+                        for v in getattr(engine, '_params', {}).values()),
+                    'data_parallel': getattr(engine, '_mesh', None)
+                    is not None}
                 if batcher is not None:
                     payload['dynamic_batching'] = {
                         'dispatch_groups': batcher.batches_run,

@@ -565,6 +565,9 @@ class TestDynamicBatching:
             assert stats['requests'] == 1 and stats['errors'] == 0
             assert stats['latency_ms']['n'] == 1
             assert stats['dynamic_batching']['requests_coalesced'] == 1
+            assert stats['engine'] == {'model': 'TinyF0Model',
+                                       'batch_size': 2, 'quantized': False,
+                                       'data_parallel': False}
 
             # Force the overload path deterministically.
             original = server.batcher.predict_items
