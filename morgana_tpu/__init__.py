@@ -37,6 +37,7 @@ def __getattr__(name):
         'streaming': 'morgana_tpu.streaming',
         'quantize': 'morgana_tpu.quantize',
         'pipeline': 'morgana_tpu.pipeline',
+        'evaluate': 'morgana_tpu.evaluate',
     }
     if name in lazy:
         return importlib.import_module(lazy[name])
