@@ -302,6 +302,12 @@ class ExperimentBuilder(object):
                                  "host->device transfer, e.g. 'bfloat16' (halves batch "
                                  'upload bytes; the win when the device link, not '
                                  'compute, bounds throughput). Scalar features stay f32.')
+        parser.add_argument('--debug_nans', dest='debug_nans', action='store_true', default=False,
+                            help='Debugging: raise at the FIRST operation producing a NaN/Inf '
+                                 '(jax_debug_nans) instead of tripping the end-of-epoch '
+                                 'divergence guard. Compiles without fusion optimisations '
+                                 'and re-runs failing steps op-by-op — much slower; '
+                                 'diagnosis only, never production.')
 
     def __init__(self, model_class, experiment_name, **kwargs):
         self.model_class = model_class
@@ -357,6 +363,12 @@ class ExperimentBuilder(object):
         self.transfer_dtype = kwargs.get('transfer_dtype')
         self.length_sort_window = kwargs.get('length_sort_window', 0)
         nn.set_default_compute_dtype(self.compute_dtype)
+        if kwargs.get('debug_nans'):
+            # Before any compilation: every jitted program in this process
+            # checks its outputs and re-runs op-by-op on the first NaN/Inf,
+            # raising FloatingPointError at the producing operation.
+            import jax
+            jax.config.update('jax_debug_nans', True)
         nn.set_default_remat(kwargs.get('remat', False))
 
         #

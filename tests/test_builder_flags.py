@@ -244,3 +244,25 @@ class TestTransferDtypeFlag:
         exp = _build(voice_data, tmp_path, 'wire32', end_epoch=1, valid=False)
         batch = next(iter(exp.train_loader))
         assert batch['normalised_lf0_deltas'].dtype == np.float32
+
+
+class TestDebugNans:
+    def test_flag_arms_jax_nan_checking(self, voice_data, tmp_path):
+        """--debug_nans turns on jax_debug_nans before compilation, so the
+        first NaN-producing op raises FloatingPointError (instead of the
+        NaN surfacing only at the end-of-epoch divergence guard)."""
+        assert not jax.config.jax_debug_nans
+        try:
+            exp = _build(voice_data, tmp_path, 'nandbg', end_epoch=1,
+                         valid=False, debug_nans=True)
+            assert jax.config.jax_debug_nans
+            with pytest.raises(FloatingPointError):
+                jax.jit(lambda x: jnp_log_neg(x))(1.0)
+        finally:
+            jax.config.update('jax_debug_nans', False)
+        assert exp is not None
+
+
+def jnp_log_neg(x):
+    import jax.numpy as jnp
+    return jnp.log(-jnp.abs(x))
