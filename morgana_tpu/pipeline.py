@@ -274,6 +274,11 @@ def main(argv=None):
                              'all local devices.')
     parser.add_argument('--duration_model_kwargs', default='{}')
     parser.add_argument('--acoustic_model_kwargs', default='{}')
+    parser.add_argument('--evaluate_against', default=None,
+                        help='Reference feature directory (e.g. the data '
+                             'split itself): after generation, score the '
+                             'dumped features with morgana_tpu.evaluate and '
+                             'include the metrics in the stats line.')
     args = parser.parse_args(argv)
 
     import ast
@@ -311,11 +316,16 @@ def main(argv=None):
     elapsed = time.perf_counter() - start
     frames = sum(r['n_frames'] for r in results.values())
     wavs = sum(1 for r in results.values() if 'wav' in r)
-    print(json.dumps({
+    stats = {
         'utterances': len(results), 'frames': int(frames), 'wavs': wavs,
         'seconds': round(elapsed, 3),
         'frames_per_sec': round(frames / elapsed, 1) if elapsed else 0.0,
-        'out_dir': args.out_dir}))
+        'out_dir': args.out_dir}
+    if args.evaluate_against:
+        from morgana_tpu.evaluate import evaluate_dirs
+        stats['evaluation'] = evaluate_dirs(
+            args.evaluate_against, os.path.join(args.out_dir, 'feats'), ids)
+    print(json.dumps(stats))
 
 
 if __name__ == '__main__':
