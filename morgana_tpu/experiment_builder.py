@@ -367,7 +367,6 @@ class ExperimentBuilder(object):
             # Before any compilation: every jitted program in this process
             # checks its outputs and re-runs op-by-op on the first NaN/Inf,
             # raising FloatingPointError at the producing operation.
-            import jax
             jax.config.update('jax_debug_nans', True)
         nn.set_default_remat(kwargs.get('remat', False))
 

@@ -103,21 +103,47 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
     server; call ``.serve_forever()`` (or :func:`serve_forever`) to run it.
     ``port=0`` binds an ephemeral port (``server.server_address[1]``).
 
-    ``dynamic_batch_ms > 0`` routes ``/predict`` through a
-    :class:`morgana_tpu.serve.DynamicBatcher`: concurrent requests are
-    coalesced into shared device batches (each waits at most that long for
-    company), so N simultaneous single-utterance clients cost ~one dispatch
-    round trip instead of N. The batcher is exposed as ``server.batcher``
-    and shut down by ``server.server_close()``."""
+    ``engine`` is either ONE :class:`~morgana_tpu.serve.InferenceEngine` or
+    a ``{name: engine}`` dict — multi-voice serving from one process/port.
+    With several engines a request picks its voice with a top-level
+    ``"model": <name>`` key (``/predict`` and ``/stream``); the FIRST dict
+    entry is the default when the key is omitted. All engines share the one
+    device lock (one chip, one program at a time); compiled programs,
+    normalisers and parameters are per engine.
+
+    ``dynamic_batch_ms > 0`` routes ``/predict`` through a per-engine
+    :class:`morgana_tpu.serve.DynamicBatcher`: concurrent requests for the
+    SAME voice are coalesced into shared device batches (each waits at most
+    that long for company), so N simultaneous single-utterance clients cost
+    ~one dispatch round trip instead of N. The default engine's batcher is
+    exposed as ``server.batcher`` (all of them as ``server.batchers``) and
+    shut down by ``server.server_close()``."""
     from morgana_tpu.serve import Overloaded as _Overloaded
+
+    engines = dict(engine) if isinstance(engine, dict) else {'default': engine}
+    if not engines:
+        raise ValueError('make_server needs at least one engine')
+    default_name = next(iter(engines))
 
     lock = threading.Lock()  # one device, one request at a time
     stats = _Stats()
-    batcher = None
+    batchers = {}
     if dynamic_batch_ms and float(dynamic_batch_ms) > 0:
         from morgana_tpu.serve import DynamicBatcher
-        batcher = DynamicBatcher(engine, max_wait_ms=float(dynamic_batch_ms),
-                                 lock=lock)
+        batchers = {name: DynamicBatcher(eng,
+                                         max_wait_ms=float(dynamic_batch_ms),
+                                         lock=lock)
+                    for name, eng in engines.items()}
+    batcher = batchers.get(default_name)
+
+    def resolve(request):
+        """(engine, batcher, error_payload) for a request body's 'model'."""
+        name = request.get('model', default_name)
+        if name not in engines:
+            return None, None, {
+                'error': f'unknown model {name!r}; '
+                         f'serving: {sorted(engines)}'}
+        return engines[name], batchers.get(name), None
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 enables chunked transfer-encoding for /stream; every
@@ -142,23 +168,40 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
 
         def do_GET(self):
             if self.path == '/healthz':
-                self._reply(200, {'status': 'ok',
-                                  'model': type(engine.model).__name__,
-                                  'checkpoint': engine.checkpoint_path})
+                default = engines[default_name]
+                payload = {'status': 'ok',
+                           'model': type(default.model).__name__,
+                           'checkpoint': default.checkpoint_path}
+                if len(engines) > 1:
+                    payload['models'] = {
+                        name: {'model': type(eng.model).__name__,
+                               'checkpoint': eng.checkpoint_path}
+                        for name, eng in engines.items()}
+                    payload['default'] = default_name
+                self._reply(200, payload)
             elif self.path == '/stats':
                 payload = stats.snapshot()
-                payload['engine'] = {
-                    'model': type(engine.model).__name__,
-                    'batch_size': engine.batch_size,
-                    'quantized': any(
-                        type(v).__name__ == 'QuantizedArray'
-                        for v in getattr(engine, '_params', {}).values()),
-                    'data_parallel': getattr(engine, '_mesh', None)
-                    is not None}
-                if batcher is not None:
+
+                def engine_info(eng):
+                    return {
+                        'model': type(eng.model).__name__,
+                        'batch_size': eng.batch_size,
+                        'quantized': any(
+                            type(v).__name__ == 'QuantizedArray'
+                            for v in getattr(eng, '_params', {}).values()),
+                        'data_parallel': getattr(eng, '_mesh', None)
+                        is not None}
+
+                payload['engine'] = engine_info(engines[default_name])
+                if len(engines) > 1:
+                    payload['engines'] = {name: engine_info(eng)
+                                          for name, eng in engines.items()}
+                if batchers:
                     payload['dynamic_batching'] = {
-                        'dispatch_groups': batcher.batches_run,
-                        'requests_coalesced': batcher.requests_coalesced,
+                        'dispatch_groups': sum(b.batches_run
+                                               for b in batchers.values()),
+                        'requests_coalesced': sum(b.requests_coalesced
+                                                  for b in batchers.values()),
                         'max_wait_ms': batcher.max_wait * 1e3,
                         'max_batch': batcher.max_batch,
                         'max_queue': batcher.max_queue}
@@ -175,6 +218,10 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
             try:
                 length = int(self.headers.get('Content-Length', 0))
                 request = json.loads(self.rfile.read(length))
+                engine, _, err = resolve(request)
+                if err is not None:
+                    self._reply(404, err)
+                    return
                 item = _to_arrays(request['item'])
                 kwargs = {k: int(request[k])
                           for k in ('chunk_frames', 'context', 'lookahead')
@@ -245,6 +292,10 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
             try:
                 length = int(self.headers.get('Content-Length', 0))
                 request = json.loads(self.rfile.read(length))
+                engine, engine_batcher, err = resolve(request)
+                if err is not None:
+                    self._reply(404, err)
+                    return
                 items = [_to_arrays(item) for item in request['items']]
                 names = [item.get('name', str(i))
                          for i, item in enumerate(items)]
@@ -258,8 +309,8 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
                 return
             start = time.perf_counter()
             try:
-                if batcher is not None:
-                    results = batcher.predict_items(items)
+                if engine_batcher is not None:
+                    results = engine_batcher.predict_items(items)
                 else:
                     with lock:
                         results = engine.predict_items(items)
@@ -290,12 +341,14 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
 
     class Server(ThreadingHTTPServer):
         def server_close(self):
-            if batcher is not None:
-                batcher.close()
+            for b in batchers.values():
+                b.close()
             super().server_close()
 
     server = Server((host, port), Handler)
     server.batcher = batcher
+    server.batchers = batchers
+    server.engines = engines
     return server
 
 
@@ -304,7 +357,11 @@ def serve_forever(engine, host='127.0.0.1', port=8080, dynamic_batch_ms=0.0):
                          dynamic_batch_ms=dynamic_batch_ms)
     mode = (f', dynamic batching {dynamic_batch_ms:g} ms'
             if server.batcher is not None else '')
-    print(f'serving {type(engine.model).__name__} on '
+    models = ' + '.join(f'{name}={type(eng.model).__name__}'
+                        for name, eng in server.engines.items()) \
+        if len(server.engines) > 1 \
+        else type(next(iter(server.engines.values())).model).__name__
+    print(f'serving {models} on '
           f'http://{host}:{server.server_address[1]} '
           f'(GET /healthz, POST /predict, POST /stream{mode})')
     try:

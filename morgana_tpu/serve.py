@@ -788,9 +788,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         description='Serve a trained morgana_tpu checkpoint: batch prediction '
                     'and synthesis without the experiment scaffolding.')
-    parser.add_argument('--model', required=True,
-                        help="Model class: 'pkg.module:Class' or 'file.py:Class'.")
-    parser.add_argument('--checkpoint_path', required=True)
+    parser.add_argument('--model', default=None,
+                        help="Model class: 'pkg.module:Class' or 'file.py:Class' "
+                             '(required unless --fleet is given).')
+    parser.add_argument('--checkpoint_path', default=None)
     parser.add_argument('--data_root', default='.')
     parser.add_argument('--normalisation_dir', default='train')
     parser.add_argument('--data_dir', default='test')
@@ -829,6 +830,16 @@ def main(argv=None):
     parser.add_argument('--http_port', type=int, default=None,
                         help='Serve over HTTP on this port instead of batch '
                              'generation (GET /healthz, POST /predict).')
+    parser.add_argument('--fleet', default=None,
+                        help='Multi-voice serving: JSON file mapping voice '
+                             'name -> engine spec ({"model", '
+                             '"checkpoint_path", optional "model_kwargs"/'
+                             '"data_root"/"normalisation_dir"/"batch_size"/'
+                             '"quantize"/"analysis_kwargs"}); unset fields '
+                             'inherit this command\'s flags. Requires '
+                             '--http_port; requests pick a voice with a '
+                             'top-level "model" key. Overrides --model/'
+                             '--checkpoint_path.')
     parser.add_argument('--http_host', default='127.0.0.1')
     parser.add_argument('--dynamic_batch_ms', type=float, default=0.0,
                         help='Coalesce concurrent /predict requests into '
@@ -838,6 +849,13 @@ def main(argv=None):
                              'load: N simultaneous clients cost ~one device '
                              'dispatch instead of N.')
     args = parser.parse_args(argv)
+
+    if args.fleet is None and (args.model is None
+                               or args.checkpoint_path is None):
+        parser.error('--model and --checkpoint_path are required '
+                     '(or pass --fleet)')
+    if args.fleet is not None and args.http_port is None:
+        parser.error('--fleet serves over HTTP; add --http_port')
 
     if args.id_list is None and args.http_port is None:
         base = os.path.basename(os.path.normpath(args.data_dir))
@@ -849,17 +867,53 @@ def main(argv=None):
                          f'{os.path.join(args.data_root, candidate)})')
 
     import ast
-    engine = InferenceEngine(
-        load_model_class(args.model), args.checkpoint_path,
-        data_root=args.data_root, normalisation_dir=args.normalisation_dir,
-        model_kwargs=ast.literal_eval(args.model_kwargs), device=args.device,
-        compute_dtype=args.compute_dtype, batch_size=args.batch_size,
-        num_data_threads=args.num_data_threads,
-        analysis_kwargs=ast.literal_eval(args.analysis_kwargs),
-        compilation_cache_dir=args.compilation_cache_dir,
-        quantize=args.quantize, data_parallel=args.data_parallel,
-        stream_configs=[tuple(int(v) for v in cfg.split(','))
-                        for cfg in args.stream_configs.split(';') if cfg])
+
+    def build_engine(spec, first):
+        def get(key, fallback):
+            return spec.get(key, fallback) if spec else fallback
+        kwargs = get('model_kwargs', None)
+        if kwargs is None:
+            kwargs = ast.literal_eval(args.model_kwargs)
+        analysis = get('analysis_kwargs', None)
+        if analysis is None:
+            analysis = ast.literal_eval(args.analysis_kwargs)
+        return InferenceEngine(
+            load_model_class(get('model', args.model)),
+            get('checkpoint_path', args.checkpoint_path),
+            data_root=get('data_root', args.data_root),
+            normalisation_dir=get('normalisation_dir', args.normalisation_dir),
+            model_kwargs=kwargs,
+            # Platform/dtype/cache selection is process-global: the FIRST
+            # engine owns it, the rest inherit.
+            device=args.device if first else None,
+            compute_dtype=args.compute_dtype if first else None,
+            batch_size=int(get('batch_size', args.batch_size)),
+            num_data_threads=args.num_data_threads,
+            analysis_kwargs=analysis,
+            compilation_cache_dir=(args.compilation_cache_dir
+                                   if first else None),
+            quantize=get('quantize', args.quantize),
+            data_parallel=args.data_parallel,
+            stream_configs=[tuple(int(v) for v in cfg.split(','))
+                            for cfg in args.stream_configs.split(';') if cfg])
+
+    if args.fleet is not None:
+        with open(args.fleet) as f:
+            fleet = json.load(f)
+        if not isinstance(fleet, dict) or not fleet:
+            parser.error(f'--fleet {args.fleet} must be a non-empty JSON '
+                         'object of name -> engine spec')
+        engine = {}
+        for i, (name, spec) in enumerate(fleet.items()):
+            if 'checkpoint_path' not in spec:
+                parser.error(f"--fleet entry {name!r} needs 'checkpoint_path'")
+            if 'model' not in spec and args.model is None:
+                parser.error(f"--fleet entry {name!r} needs 'model' "
+                             '(or pass a shared --model)')
+            engine[name] = build_engine(spec, first=(i == 0))
+    else:
+        engine = build_engine(None, first=True)
+
     if args.http_port is not None:
         from morgana_tpu.http_serve import serve_forever
         serve_forever(engine, host=args.http_host, port=args.http_port,

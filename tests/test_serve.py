@@ -734,3 +734,88 @@ class TestDataParallelServing:
         stats = dp.generate(str(tmp_path / 'gen_dp'), data_dir='test',
                             id_list='test/test_file_id_list.scp')
         assert stats['utterances'] == 2 and stats['frames'] > 0
+
+
+class TestMultiVoiceServing:
+    """make_server with a {name: engine} dict: per-request voice routing,
+    shared device lock, per-voice dynamic batchers."""
+
+    def _post(self, port, payload, expect=200):
+        import urllib.error
+        import urllib.request
+        body = json.dumps(payload).encode()
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/predict', data=body,
+            headers={'Content-Type': 'application/json'})
+        try:
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def test_routing_healthz_stats_and_unknown_model(self, voice_data,
+                                                     trained):
+        import threading
+        import urllib.request
+
+        from morgana_tpu.http_serve import make_server
+
+        root = voice_data['data_root']
+        engines = {
+            'plain': InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                     data_root=root, batch_size=4),
+            'quant': InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                     data_root=root, batch_size=4,
+                                     quantize='int8'),
+        }
+        server = make_server(engines, port=0, dynamic_batch_ms=1.0)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        rng = np.random.default_rng(3)
+        item = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                for k, v in TestDynamicBatching._item(rng, 'u', 16).items()}
+        try:
+            with urllib.request.urlopen(
+                    f'http://127.0.0.1:{port}/healthz', timeout=60) as r:
+                health = json.loads(r.read())
+            assert set(health['models']) == {'plain', 'quant'}
+            assert health['default'] == 'plain'
+
+            # Default (no "model" key) routes to the first engine.
+            code, res = self._post(port, {'items': [item]})
+            assert code == 200
+            default_pred = np.asarray(
+                res['results']['u']['normalised_lf0_deltas'])
+
+            code, res_q = self._post(port, {'items': [item],
+                                            'model': 'quant'})
+            assert code == 200
+            quant_pred = np.asarray(
+                res_q['results']['u']['normalised_lf0_deltas'])
+            # Different voices genuinely serve different parameters.
+            assert not np.array_equal(default_pred, quant_pred)
+            assert np.allclose(default_pred, quant_pred, atol=0.05)
+
+            code, err = self._post(port, {'items': [item], 'model': 'nope'})
+            assert code == 404 and 'plain' in err['error']
+
+            with urllib.request.urlopen(
+                    f'http://127.0.0.1:{port}/stats', timeout=60) as r:
+                stats = json.loads(r.read())
+            assert stats['engines']['quant']['quantized'] is True
+            assert stats['engines']['plain']['quantized'] is False
+            assert stats['dynamic_batching']['requests_coalesced'] >= 2
+        finally:
+            server.shutdown()
+            server.server_close()
+
+    def test_single_engine_backcompat(self, voice_data, trained):
+        from morgana_tpu.http_serve import make_server
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'])
+        server = make_server(engine, port=0)
+        try:
+            assert server.engines == {'default': engine}
+            assert server.batcher is None and server.batchers == {}
+        finally:
+            server.server_close()
