@@ -38,6 +38,7 @@ Requests are served one at a time (the device runs one program at a time
 anyway); the engine's compiled-program cache makes steady-state latency one
 dispatch per batch.
 """
+import base64
 import json
 import threading
 import time
@@ -242,31 +243,67 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
                         'error': f'stream config {config} not served; '
                                  f'allowed: {sorted(allowed)}'})
                     return
+                audio = bool(request.get('audio', False))
+                gain = 1.0
+                if audio:
+                    kwargs['sample_rate'] = int(request.get('sample_rate',
+                                                            16000))
+                    # Streaming cannot apply the batch path's global
+                    # peak-based clip protection (it needs the whole
+                    # signal), so the operator/client sets the headroom:
+                    # samples are encoded as clip(wav * gain) int16.
+                    gain = float(request.get('gain', 1.0))
             except Exception as exc:  # noqa: BLE001 - malformed request
                 self._reply(400, {'error': f'{type(exc).__name__}: {exc}'})
+                return
+            try:
+                # Validates the model's streamed outputs BEFORE headers go
+                # out, so an lf0-only model gets a clean 400, not a
+                # mid-stream error line.
+                stream = iter(engine.stream_item_audio(item, **kwargs)
+                              if audio else
+                              engine.stream_item(item, **kwargs))
+            except ValueError as exc:
+                self._reply(400, {'error': str(exc)})
                 return
             self.send_response(200)
             self.send_header('Content-Type', 'application/x-ndjson')
             self.send_header('Transfer-Encoding', 'chunked')
             self.end_headers()
             frames = 0
+            samples = 0
             try:
                 # Hold the device lock only while COMPUTING a chunk, never
                 # while writing to the client socket: a stalled reader must
                 # not block other requests' device work.
-                stream = iter(engine.stream_item(item, **kwargs))
                 while True:
                     with lock:
                         try:
-                            chunk = next(stream)
+                            emitted = next(stream)
                         except StopIteration:
                             break
-                    frames += next(iter(chunk.values())).shape[0]
-                    self._write_chunk(
-                        json.dumps({'chunk': _to_lists(chunk)},
-                                   allow_nan=False) + '\n')
-                self._write_chunk(json.dumps({'done': True,
-                                              'frames': frames}) + '\n')
+                    if audio:
+                        chunk, wav = emitted
+                        line = {'chunk': _to_lists(chunk)} if chunk else {}
+                        # int16 PCM, base64 — NDJSON-safe raw audio; the
+                        # client concatenates the decoded chunks.
+                        pcm = np.clip(np.asarray(wav) * gain * 32767.0,
+                                      -32768, 32767).astype('<i2')
+                        line['wav_int16_b64'] = base64.b64encode(
+                            pcm.tobytes()).decode('ascii')
+                        samples += pcm.shape[0]
+                    else:
+                        chunk = emitted
+                        line = {'chunk': _to_lists(chunk)}
+                    if chunk:
+                        frames += next(iter(chunk.values())).shape[0]
+                    self._write_chunk(json.dumps(line, allow_nan=False)
+                                      + '\n')
+                done = {'done': True, 'frames': frames}
+                if audio:
+                    done['samples'] = samples
+                    done['sample_rate'] = kwargs['sample_rate']
+                self._write_chunk(json.dumps(done) + '\n')
                 self.wfile.write(b'0\r\n\r\n')
             except Exception as exc:  # noqa: BLE001 - mid-stream fault
                 # Headers are gone; the error travels as the final line.

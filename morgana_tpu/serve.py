@@ -459,6 +459,46 @@ class InferenceEngine(object):
         session = self._stream_session(chunk_frames, context, lookahead)
         return session.stream(features)
 
+    def stream_item_audio(self, item, chunk_frames=64, context=32,
+                          lookahead=16, sample_rate=16000, frame_period=5.0):
+        """Streams one utterance all the way to AUDIO: yields
+        ``(feature_chunk, wav_chunk)`` pairs where ``wav_chunk`` is the
+        float64 samples finalised by that feature chunk (possibly empty
+        while the vocoder's excitation window fills; the final pair carries
+        the flush). Requires a model whose streaming outputs cover the full
+        WORLD parameter set (lf0, vuv, mcep, bap) — the same recipe as
+        ``models/rnn_spss.py``'s batch synthesis, incremental
+        (:class:`morgana_tpu.vocoder.StreamingSynthesizer` is
+        bitwise-identical to batch synthesis)."""
+        from morgana_tpu.vocoder import StreamingSynthesizer
+
+        session = self._stream_session(chunk_frames, context, lookahead)
+        needed = {'lf0', 'vuv', 'mcep', 'bap'}
+        have = set(session.spec)
+        if not needed <= have:
+            raise ValueError(
+                f'audio streaming needs streamed outputs {sorted(needed)}; '
+                f'{type(self.model).__name__} streams {sorted(have)} '
+                '(use stream_item for feature-only streaming)')
+        synth = StreamingSynthesizer(sample_rate, frame_period=frame_period,
+                                     seed=0)
+
+        def generate():
+            chunk = None
+            for chunk in self.stream_item(item, chunk_frames=chunk_frames,
+                                          context=context,
+                                          lookahead=lookahead):
+                f0 = np.exp(np.clip(chunk['lf0'][:, 0], None, 8.0))
+                wav = synth.push_world_feats(f0, chunk['vuv'][:, 0],
+                                             chunk['mcep'], chunk['bap'])
+                yield chunk, wav
+            tail = synth.flush()
+            if tail.shape[0]:
+                yield ({} if chunk is None else
+                       {k: v[:0] for k, v in chunk.items()}), tail
+
+        return generate()
+
 
 class StreamingSession(object):
     """Chunked streaming inference: constant time-to-first-frame regardless

@@ -229,6 +229,13 @@ def synthesize(f0, sp, ap, fs, frame_period=5.0, seed=0):
 
 
 def _synthesize_numpy(f0, sp, ap, fs, hop, seed=0):
+    # Canonicalise to float64 FIRST: a float32 f0 would otherwise flow into
+    # the phase cumsum below in float32, whose accumulated rounding shifts
+    # glottal pulse positions over long signals (and diverges from
+    # StreamingSynthesizer, which converts on entry).
+    f0 = np.asarray(f0, np.float64)
+    sp = np.asarray(sp, np.float64)
+    ap = np.asarray(ap, np.float64)
     num_frames, num_bins = sp.shape
     fft_size = (num_bins - 1) * 2
     num_samples = num_frames * hop

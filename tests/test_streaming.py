@@ -514,3 +514,125 @@ class TestTransformerStreaming:
         with pytest.raises(NotImplementedError, match='causal'):
             with nn.bind(model):
                 model.stream_step(np.zeros((1, 4, 609), np.float32), None)
+
+
+@pytest.fixture(scope='module')
+def acoustic_stream_engine(voice_data, tmp_path_factory):
+    """A trained full-WORLD-stream acoustic engine (1x32 LSTM) for the
+    audio-streaming tests."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'models'))
+    try:
+        from rnn_spss import LSTMAcousticModel
+    finally:
+        sys.path.pop(0)
+    kwargs = {'num_layers': 1, 'hidden_size': 32}
+    exp_base = str(tmp_path_factory.mktemp('audio') / 'experiments')
+    args = builder_args(voice_data['data_root'], exp_base,
+                        end_epoch=1, valid=False, model_kwargs=kwargs)
+    nn.manual_seed(args['seed'])
+    ExperimentBuilder(LSTMAcousticModel, experiment_name='aud',
+                      **args).run_experiment()
+    return InferenceEngine(
+        LSTMAcousticModel,
+        os.path.join(exp_base, 'aud', 'checkpoints', 'epoch_1.npz'),
+        data_root=voice_data['data_root'], batch_size=2,
+        model_kwargs=kwargs, stream_configs=[(16, 32, 16)])
+
+
+class TestAudioStreaming:
+    """stream_item_audio + the HTTP ``audio: true`` option: streamed
+    features flow through StreamingSynthesizer to incremental waveform."""
+
+    def _utt_item(self, voice_data, engine):
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            utt = [l.strip() for l in f if l.strip()][0]
+        data_dir = os.path.join(voice_data['data_root'], 'test')
+        sources = engine.model.test_data_sources()
+        return utt, dict({name: src.load_file(utt, data_dir)
+                          for name, src in sources.items()}, name=utt)
+
+    def test_stream_item_audio_is_exact_and_incremental(
+            self, voice_data, acoustic_stream_engine):
+        from morgana_tpu.vocoder import world
+
+        engine = acoustic_stream_engine
+        utt, item = self._utt_item(voice_data, engine)
+        pairs = list(engine.stream_item_audio(item, chunk_frames=16,
+                                              context=32, lookahead=16))
+        feats = {}
+        for key in ('lf0', 'vuv', 'mcep', 'bap'):
+            feats[key] = np.concatenate(
+                [c[key] for c, _ in pairs if c], axis=0)
+        audio = np.concatenate([w for _, w in pairs])
+        n_frames = feats['lf0'].shape[0]
+        assert audio.shape[0] == n_frames * 80  # 5 ms frames at 16 kHz
+        # Some audio must arrive before the final pair (incrementality).
+        assert any(w.shape[0] for _, w in pairs[:-1])
+
+        # Bitwise up to the batch path's global clip-protection rescale
+        # (a scalar that needs the WHOLE signal's peak, so streaming
+        # deliberately skips it — StreamingSynthesizer docstring): the
+        # streamed waveform IS batch numpy synthesis of the streamed
+        # features (same recipe as push_world_feats, same noise seed).
+        f0 = np.exp(np.clip(feats['lf0'][:, 0], None, 8.0))
+        sp = world.mcep_to_spectrum(feats['mcep'], fft_size=1024, fs=16000)
+        ap = world.bap_to_aperiodicity(feats['bap'], fft_size=1024, fs=16000)
+        f0 = np.where(feats['vuv'][:, 0] > 0.5, f0, 0.0)
+        ref = world._synthesize_numpy(f0, sp, ap, 16000, 80, seed=0)
+        scale = max(1.0, float(np.abs(audio).max()) / 0.9)
+        np.testing.assert_array_equal(audio / scale, ref)
+
+    def test_feature_only_model_rejected(self, voice_data, stream_trained):
+        engine = InferenceEngine(TinyStreamModel, stream_trained,
+                                 data_root=voice_data['data_root'],
+                                 batch_size=2)
+        utt, item = self._utt_item(voice_data, engine)
+        with pytest.raises(ValueError, match='audio streaming needs'):
+            engine.stream_item_audio(item)
+
+    def test_http_audio_stream(self, voice_data, acoustic_stream_engine):
+        import base64
+        import json
+        import threading
+        import urllib.request
+
+        from morgana_tpu.http_serve import make_server
+
+        engine = acoustic_stream_engine
+        server = make_server(engine, port=0)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        port = server.server_address[1]
+        try:
+            utt, item = self._utt_item(voice_data, engine)
+            body = json.dumps({'item': {k: (v.tolist()
+                                            if isinstance(v, np.ndarray)
+                                            else v)
+                                        for k, v in item.items()},
+                               'chunk_frames': 16, 'audio': True}).encode()
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/stream', data=body,
+                headers={'Content-Type': 'application/json'})
+            lines = []
+            with urllib.request.urlopen(req, timeout=600) as r:
+                for raw in r:
+                    lines.append(json.loads(raw))
+            done = lines[-1]
+            assert done['done'] is True and done['sample_rate'] == 16000
+            pcm = b''.join(base64.b64decode(l['wav_int16_b64'])
+                           for l in lines[:-1] if 'wav_int16_b64' in l)
+            audio = np.frombuffer(pcm, '<i2')
+            assert audio.shape[0] == done['samples'] == done['frames'] * 80
+            assert np.abs(audio).max() > 0  # actual signal, not silence
+
+            # In-process equality: HTTP PCM == quantised stream_item_audio.
+            direct = np.concatenate(
+                [w for _, w in engine.stream_item_audio(
+                    item, chunk_frames=16)])
+            expect = np.clip(direct * 32767.0, -32768, 32767).astype('<i2')
+            np.testing.assert_array_equal(audio, expect)
+        finally:
+            server.shutdown()
+            server.server_close()
