@@ -257,14 +257,15 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
                 self._reply(400, {'error': f'{type(exc).__name__}: {exc}'})
                 return
             try:
-                # Validates the model's streamed outputs BEFORE headers go
-                # out, so an lf0-only model gets a clean 400, not a
-                # mid-stream error line.
+                # Creating the stream validates the model up front (streaming
+                # hooks present; audio needs the full WORLD stream set), so
+                # an incapable model gets a clean 400 BEFORE headers go out
+                # instead of a mid-stream error line.
                 stream = iter(engine.stream_item_audio(item, **kwargs)
                               if audio else
                               engine.stream_item(item, **kwargs))
-            except ValueError as exc:
-                self._reply(400, {'error': str(exc)})
+            except (ValueError, NotImplementedError) as exc:
+                self._reply(400, {'error': f'{type(exc).__name__}: {exc}'})
                 return
             self.send_response(200)
             self.send_header('Content-Type', 'application/x-ndjson')

@@ -370,16 +370,19 @@ class TestHTTPStreaming:
                 urllib.request.urlopen(req, timeout=60)
             assert exc.value.code == 400
 
-            # Model without streaming hooks -> error line in the stream.
+            # Model without streaming hooks -> clean 400 BEFORE any stream
+            # starts (session creation validates the hooks up front; only
+            # mid-stream faults travel as error lines).
             item = self._item(voice_data, engine, 'test_0000')
             req = urllib.request.Request(
                 f'http://127.0.0.1:{port}/stream',
                 data=json.dumps({'item': item}).encode(),
                 headers={'Content-Type': 'application/json'})
-            with urllib.request.urlopen(req, timeout=600) as r:
-                lines = [json.loads(raw) for raw in r]
-            assert 'error' in lines[-1]
-            assert 'NotImplementedError' in lines[-1]['error']
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=600)
+            assert exc.value.code == 400
+            assert 'NotImplementedError' in json.loads(
+                exc.value.read())['error']
         finally:
             server.shutdown()
             server.server_close()
