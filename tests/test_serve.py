@@ -819,3 +819,25 @@ class TestMultiVoiceServing:
             assert server.batcher is None and server.batchers == {}
         finally:
             server.server_close()
+
+
+class TestFleetCLIContract:
+    def test_model_and_checkpoint_required_without_fleet(self):
+        from morgana_tpu import serve
+        with pytest.raises(SystemExit):
+            serve.main(['--data_root', '.'])
+
+    def test_fleet_requires_http_port(self, tmp_path):
+        from morgana_tpu import serve
+        fleet = tmp_path / 'fleet.json'
+        fleet.write_text(json.dumps(
+            {'v': {'model': 'm.py:C', 'checkpoint_path': 'c.npz'}}))
+        with pytest.raises(SystemExit):
+            serve.main(['--fleet', str(fleet)])
+
+    def test_fleet_entry_needs_checkpoint(self, tmp_path):
+        from morgana_tpu import serve
+        fleet = tmp_path / 'fleet.json'
+        fleet.write_text(json.dumps({'v': {'model': 'm.py:C'}}))
+        with pytest.raises(SystemExit):
+            serve.main(['--fleet', str(fleet), '--http_port', '1'])
