@@ -216,6 +216,38 @@ class TTSPipeline(object):
                              os.path.join(out_dir, 'synth', f'{name}.wav'),
                              sample_rate=self.sample_rate)
 
+    def stream_audio(self, item, chunk_frames=64, context=32, lookahead=16,
+                     frame_period=5.0):
+        """Streaming TTS from labels: predicts durations (phone-level, one
+        cheap dispatch), then streams the acoustic model chunk by chunk all
+        the way to waveform — constant time-to-first-audio regardless of
+        utterance length. Yields ``(feature_chunk, wav_chunk)`` pairs
+        (:meth:`InferenceEngine.stream_item_audio`); requires an acoustic
+        model with streaming hooks emitting the full WORLD parameter set.
+
+        Returns ``(dur, generator)`` so callers know the planned frame
+        clock before the first chunk arrives."""
+        from morgana_tpu.data.prepare import _frame_counters
+
+        name = str(item.get('name', 0))
+        dur = self.predict_durations([item])[name]
+        valid = dur[dur > 0]
+        n_frames = int(valid.sum())
+        built = {
+            'name': name,
+            'lab': np.asarray(item['lab'], np.float32),
+            'dur': dur.astype(np.float32)[:, None],
+            'counters': _frame_counters(n_frames, valid),
+            'n_frames': np.asarray([[float(n_frames)]], np.float32),
+        }
+        gen = self.acoustic_engine.stream_item_audio(
+            built, chunk_frames=chunk_frames, context=context,
+            lookahead=lookahead, sample_rate=self.sample_rate,
+            frame_period=frame_period,
+            sources=self._stage_sources(self.acoustic_engine,
+                                        self.ACOUSTIC_INPUTS))
+        return dur, gen
+
     def synthesize_ids(self, file_ids, data_dir='test', out_dir=None):
         """Full pipeline for on-disk utterances: loads each id's phone-level
         labels with the duration model's own 'lab' source, then delegates to

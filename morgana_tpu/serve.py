@@ -434,15 +434,18 @@ class InferenceEngine(object):
                 lookahead=lookahead)
         return self._stream_sessions[key]
 
-    def stream_item(self, item, chunk_frames=64, context=32, lookahead=16):
+    def stream_item(self, item, chunk_frames=64, context=32, lookahead=16,
+                    sources=None):
         """Streams ONE in-memory utterance (same item format as
         :meth:`predict_items`): returns a generator of
         ``{name: (new_frames, D) array}`` chunks. Requires the model to
         implement the streaming hooks (``stream_inputs`` / ``stream_step`` /
-        ``stream_output_spec``)."""
+        ``stream_output_spec``). ``sources`` overrides the model's test
+        data sources (see :meth:`predict_items`)."""
         from morgana_tpu.data import assemble_item, collate
 
-        sources = self.model.test_data_sources()
+        if sources is None:
+            sources = self.model.test_data_sources()
         built = assemble_item(
             sources, self.model.normalisers,
             lambda name, source: source.package(item[name]),
@@ -460,7 +463,8 @@ class InferenceEngine(object):
         return session.stream(features)
 
     def stream_item_audio(self, item, chunk_frames=64, context=32,
-                          lookahead=16, sample_rate=16000, frame_period=5.0):
+                          lookahead=16, sample_rate=16000, frame_period=5.0,
+                          sources=None):
         """Streams one utterance all the way to AUDIO: yields
         ``(feature_chunk, wav_chunk)`` pairs where ``wav_chunk`` is the
         float64 samples finalised by that feature chunk (possibly empty
@@ -487,7 +491,8 @@ class InferenceEngine(object):
             chunk = None
             for chunk in self.stream_item(item, chunk_frames=chunk_frames,
                                           context=context,
-                                          lookahead=lookahead):
+                                          lookahead=lookahead,
+                                          sources=sources):
                 f0 = np.exp(np.clip(chunk['lf0'][:, 0], None, 8.0))
                 wav = synth.push_world_feats(f0, chunk['vuv'][:, 0],
                                              chunk['mcep'], chunk['bap'])

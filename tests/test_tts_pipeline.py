@@ -188,3 +188,36 @@ class TestTTSPipeline:
         results = pipe.synthesize_items([{'name': utt, 'lab': lab}])
         # phones << 32 here, so the cap is feasible and binds exactly.
         assert results[utt]['n_frames'] <= 32
+
+
+class TestStreamingTTS:
+    def test_stream_audio_from_labels(self, engines):
+        """Labels -> predicted durations -> chunked acoustic streaming ->
+        incremental waveform, with the sample count set by the PREDICTED
+        frame clock."""
+        root = engines['root']
+        utt = _test_ids(root)[0]
+        lab = np.load(os.path.join(root, 'test', 'lab', f'{utt}.npy'))
+        # The acoustic engine must serve the streaming chunk config.
+        ac = InferenceEngine(
+            LSTMAcousticModel, engines['acoustic'].checkpoint_path,
+            data_root=root, batch_size=2,
+            model_kwargs={'num_layers': 1, 'hidden_size': 32},
+            stream_configs=[(16, 32, 16)])
+        pipe = TTSPipeline(engines['duration'], ac)
+        dur, gen = pipe.stream_audio({'name': utt, 'lab': lab},
+                                     chunk_frames=16)
+        pairs = list(gen)
+        audio = np.concatenate([w for _, w in pairs])
+        assert audio.shape[0] == int(dur.sum()) * 80  # 5 ms frames @ 16 kHz
+        assert np.isfinite(audio).all() and np.abs(audio).max() > 0
+        # Incremental: audio arrives before the final flush pair.
+        assert any(w.shape[0] for _, w in pairs[:-1])
+
+    def test_stream_audio_rejects_feature_only_model(self, engines):
+        pipe = TTSPipeline(engines['duration'], engines['lf0_only'])
+        root = engines['root']
+        utt = _test_ids(root)[0]
+        lab = np.load(os.path.join(root, 'test', 'lab', f'{utt}.npy'))
+        with pytest.raises(ValueError, match='audio streaming needs'):
+            pipe.stream_audio({'name': utt, 'lab': lab})
