@@ -210,6 +210,24 @@ class TestQuantizedServing:
                 from_flag[utt]['normalised_lf0_deltas'],
                 from_artifact[utt]['normalised_lf0_deltas'])
 
+    def test_composes_with_data_parallel(self, voice_data, trained_q):
+        """int8 leaves replicate over the serving mesh like any pytree:
+        quantized DP serving == quantized single-device serving exactly."""
+        ids = self._ids(voice_data)
+        plain = InferenceEngine(TinyStreamModel, trained_q,
+                                data_root=voice_data['data_root'],
+                                batch_size=2, quantize='int8')
+        dp = InferenceEngine(TinyStreamModel, trained_q,
+                             data_root=voice_data['data_root'],
+                             batch_size=2, quantize='int8',
+                             data_parallel=True)
+        a = plain.predict_ids(ids, data_dir='test')
+        b = dp.predict_ids(ids, data_dir='test')
+        for utt in ids:
+            np.testing.assert_array_equal(
+                a[utt]['normalised_lf0_deltas'],
+                b[utt]['normalised_lf0_deltas'])
+
     def test_cli_compresses_and_refuses_double_quantization(
             self, trained_q, tmp_path):
         out = str(tmp_path / 'q8.npz')
