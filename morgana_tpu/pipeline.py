@@ -112,12 +112,20 @@ class TTSPipeline(object):
 
     def __init__(self, duration_engine, acoustic_engine,
                  min_frames_per_phone=1, max_total_frames=None,
-                 sample_rate=16000):
+                 sample_rate=16000, counter_fn=None):
         self.duration_engine = duration_engine
         self.acoustic_engine = acoustic_engine
         self.min_frames_per_phone = int(min_frames_per_phone)
         self.max_total_frames = max_total_frames
         self.sample_rate = int(sample_rate)
+        if counter_fn is None:
+            # The data-prep CLI's definition — train/serve identical for
+            # corpora prepared by `python -m morgana_tpu.data.prepare`. A
+            # corpus with a different counters convention supplies its own
+            # fn(n_frames, dur) -> (n_frames, D).
+            from morgana_tpu.data.prepare import _frame_counters
+            counter_fn = _frame_counters
+        self.counter_fn = counter_fn
 
     # ------------------------------------------------------------- stage 1
 
@@ -168,8 +176,6 @@ class TTSPipeline(object):
         ``{out_dir}/feats/{key}/{name}.npy`` (the ``viz.io`` dump layout),
         durations included — so the directory is populated even for
         models that emit features but not the full WORLD parameter set."""
-        from morgana_tpu.data.prepare import _frame_counters
-
         durs = self.predict_durations(items)
         sources = self._stage_sources(self.acoustic_engine,
                                       self.ACOUSTIC_INPUTS)
@@ -183,7 +189,7 @@ class TTSPipeline(object):
                 'name': name,
                 'lab': np.asarray(item['lab'], np.float32),
                 'dur': dur.astype(np.float32)[:, None],
-                'counters': _frame_counters(n_frames, valid),
+                'counters': self.counter_fn(n_frames, valid),
                 'n_frames': np.asarray([[float(n_frames)]], np.float32),
             })
         acoustic = self.acoustic_engine.predict_items(built, sources=sources)
@@ -227,8 +233,6 @@ class TTSPipeline(object):
 
         Returns ``(dur, generator)`` so callers know the planned frame
         clock before the first chunk arrives."""
-        from morgana_tpu.data.prepare import _frame_counters
-
         name = str(item.get('name', 0))
         dur = self.predict_durations([item])[name]
         valid = dur[dur > 0]
@@ -237,7 +241,7 @@ class TTSPipeline(object):
             'name': name,
             'lab': np.asarray(item['lab'], np.float32),
             'dur': dur.astype(np.float32)[:, None],
-            'counters': _frame_counters(n_frames, valid),
+            'counters': self.counter_fn(n_frames, valid),
             'n_frames': np.asarray([[float(n_frames)]], np.float32),
         }
         gen = self.acoustic_engine.stream_item_audio(
