@@ -117,6 +117,28 @@ class TestQuantizeParams:
         y_scan = jax.jit(lambda p: run(p, 'scan'))(qparams)
         np.testing.assert_array_equal(np.asarray(y_pallas), np.asarray(y_scan))
 
+    def test_wavefront_backend_matches_scan_quantized(self, rng):
+        """The whole-stack diagonal scan consumes quantized weights through
+        the same jnp ops — identical to the sequential scan backend."""
+        import jax
+        import jax.numpy as jnp
+
+        nn.manual_seed(7)
+        rnn = nn.Recurrent('lstm', 10, 12, num_layers=3)
+        qparams = quantize_params(nn.parameters(rnn))
+        x = jnp.asarray(rng.normal(size=(2, 9, 10)).astype(np.float32))
+        seq_len = jnp.asarray([9, 5])
+
+        def run(p, backend):
+            rnn.backend = backend
+            with nn.bind(rnn, p):
+                y, _ = rnn(x, seq_len=seq_len)
+            return y
+
+        y_scan = jax.jit(lambda p: run(p, 'scan'))(qparams)
+        y_wave = jax.jit(lambda p: run(p, 'wavefront'))(qparams)
+        np.testing.assert_array_equal(np.asarray(y_scan), np.asarray(y_wave))
+
     def test_recurrent_predict_parity(self, rng):
         """A GRU+LSTM model under jit with quantized weights stays within
         int8 regression tolerance of the float program."""
