@@ -73,5 +73,5 @@ python -m morgana_tpu.pipeline \
 
 echo
 echo "Artifacts:"
-find experiments/quickstart -maxdepth 2 | sort | head -20
-find served served_q8 tts_out -type f | sort | head -12
+find experiments/quickstart -maxdepth 2 | sort | head -20 || true
+find served served_q8 tts_out -type f | sort | head -12 || true
