@@ -185,13 +185,21 @@ def main(argv=None):
         from morgana_tpu.data import file_io
         ids = file_io.get_file_ids(args.id_list)
     else:
+        # Discover ids from a scoreable (.npy-bearing) common feature dir —
+        # NOT simply the alphabetically first common dir: data splits keep
+        # 'dur' as .txt files, which would yield zero ids.
         feats = _common_feats(args.ref_dir, args.gen_dir)
-        if not feats:
-            parser.error(f'no common feature subdirectories between '
-                         f'{args.ref_dir} and {args.gen_dir}')
-        ids = sorted(os.path.splitext(f)[0]
-                     for f in os.listdir(os.path.join(args.ref_dir, feats[0]))
-                     if f.endswith('.npy'))
+        ids = []
+        for feat in [f for f in feats if f in _KNOWN] + feats:
+            ids = sorted(os.path.splitext(f)[0] for f in
+                         os.listdir(os.path.join(args.ref_dir, feat))
+                         if f.endswith('.npy'))
+            if ids:
+                break
+        if not ids:
+            parser.error(f'no .npy utterances found in any common feature '
+                         f'subdirectory of {args.ref_dir} and '
+                         f'{args.gen_dir} (common: {feats})')
     feats = args.feats.split(',') if args.feats else None
     print(json.dumps(evaluate_dirs(args.ref_dir, args.gen_dir, ids,
                                    feats=feats)))

@@ -184,11 +184,12 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
                 payload = stats.snapshot()
 
                 def engine_info(eng):
+                    from morgana_tpu.quantize import QuantizedArray
                     return {
                         'model': type(eng.model).__name__,
                         'batch_size': eng.batch_size,
                         'quantized': any(
-                            type(v).__name__ == 'QuantizedArray'
+                            isinstance(v, QuantizedArray)
                             for v in getattr(eng, '_params', {}).values()),
                         'data_parallel': getattr(eng, '_mesh', None)
                         is not None}
@@ -257,15 +258,26 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
                 self._reply(400, {'error': f'{type(exc).__name__}: {exc}'})
                 return
             try:
-                # Creating the stream validates the model up front (streaming
-                # hooks present; audio needs the full WORLD stream set), so
-                # an incapable model gets a clean 400 BEFORE headers go out
-                # instead of a mid-stream error line.
-                stream = iter(engine.stream_item_audio(item, **kwargs)
-                              if audio else
-                              engine.stream_item(item, **kwargs))
-            except (ValueError, NotImplementedError) as exc:
+                # Creating the stream validates the model AND the item up
+                # front (streaming hooks present; audio needs the full WORLD
+                # stream set; item assembly/collation runs here), so caller
+                # mistakes get a clean 4xx BEFORE headers go out instead of
+                # a mid-stream error line. In audio mode the engine takes
+                # the device lock itself around each model chunk, keeping
+                # the host-side vocoder DSP OUTSIDE the lock.
+                if audio:
+                    stream = iter(engine.stream_item_audio(
+                        item, device_lock=lock, **kwargs))
+                else:
+                    stream = iter(engine.stream_item(item, **kwargs))
+            except KeyError as exc:
+                self._reply(400, {'error': f'missing feature {exc}'})
+                return
+            except (ValueError, NotImplementedError, TypeError) as exc:
                 self._reply(400, {'error': f'{type(exc).__name__}: {exc}'})
+                return
+            except Exception as exc:  # noqa: BLE001 - server fault
+                self._reply(500, {'error': f'{type(exc).__name__}: {exc}'})
                 return
             self.send_response(200)
             self.send_header('Content-Type', 'application/x-ndjson')
@@ -275,14 +287,20 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
             samples = 0
             try:
                 # Hold the device lock only while COMPUTING a chunk, never
-                # while writing to the client socket: a stalled reader must
-                # not block other requests' device work.
+                # while writing to the client socket or running vocoder DSP:
+                # a stalled reader (or heavy host-side synthesis) must not
+                # block other requests' device work. Audio mode manages the
+                # lock inside the engine generator (model chunk under lock,
+                # vocoder outside), so it is consumed unlocked here.
                 while True:
-                    with lock:
-                        try:
+                    try:
+                        if audio:
                             emitted = next(stream)
-                        except StopIteration:
-                            break
+                        else:
+                            with lock:
+                                emitted = next(stream)
+                    except StopIteration:
+                        break
                     if audio:
                         chunk, wav = emitted
                         line = {'chunk': _to_lists(chunk)} if chunk else {}

@@ -66,6 +66,13 @@ def durations_to_int(pred_dur, n_phones, min_frames_per_phone=1,
     ``n_phones * min_frames_per_phone`` already exceeds it, the floor
     wins)."""
     dur = np.asarray(pred_dur, np.float64).reshape(-1)[:int(n_phones)]
+    if not np.isfinite(dur).all():
+        # np.maximum propagates NaN past the floor and astype(int64) turns
+        # it into INT64_MIN — a silently dropped phone. Fail loudly instead:
+        # non-finite durations mean the duration model diverged.
+        raise ValueError(
+            f'{int(np.sum(~np.isfinite(dur)))} non-finite predicted '
+            f'duration(s); the duration model appears to have diverged')
     if max_total_frames and dur.sum() > max_total_frames:
         dur = dur * (max_total_frames / max(dur.sum(), 1e-9))
     dur = np.maximum(np.rint(dur), min_frames_per_phone).astype(np.int64)
@@ -359,8 +366,14 @@ def main(argv=None):
         'out_dir': args.out_dir}
     if args.evaluate_against:
         from morgana_tpu.evaluate import evaluate_dirs
-        stats['evaluation'] = evaluate_dirs(
-            args.evaluate_against, os.path.join(args.out_dir, 'feats'), ids)
+        try:
+            stats['evaluation'] = evaluate_dirs(
+                args.evaluate_against, os.path.join(args.out_dir, 'feats'),
+                ids)
+        except Exception as exc:  # noqa: BLE001 - generation already succeeded
+            # The generated artifacts are on disk either way; a scoring
+            # problem must not discard the run's stats line.
+            stats['evaluation_error'] = f'{type(exc).__name__}: {exc}'
     print(json.dumps(stats))
 
 

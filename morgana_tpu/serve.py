@@ -464,16 +464,27 @@ class InferenceEngine(object):
 
     def stream_item_audio(self, item, chunk_frames=64, context=32,
                           lookahead=16, sample_rate=16000, frame_period=5.0,
-                          sources=None):
+                          sources=None, device_lock=None):
         """Streams one utterance all the way to AUDIO: yields
         ``(feature_chunk, wav_chunk)`` pairs where ``wav_chunk`` is the
         float64 samples finalised by that feature chunk (possibly empty
         while the vocoder's excitation window fills; the final pair carries
         the flush). Requires a model whose streaming outputs cover the full
-        WORLD parameter set (lf0, vuv, mcep, bap) — the same recipe as
-        ``models/rnn_spss.py``'s batch synthesis, incremental
-        (:class:`morgana_tpu.vocoder.StreamingSynthesizer` is
-        bitwise-identical to batch synthesis)."""
+        WORLD parameter set (lf0, vuv, mcep, bap).
+
+        The waveform equals batch synthesis of the streamed features
+        (:class:`morgana_tpu.vocoder.StreamingSynthesizer`, bitwise up to
+        the batch path's global clip-protection rescale) with ONE
+        deliberate recipe difference from the analysis hooks: f0 is NOT
+        ``smooth_f0``'d — that Savitzky-Golay filter needs future frames,
+        so it cannot run causally; streamed f0 carries the model's raw
+        frame-to-frame contour (lf0 clipped at 8 ≈ 3 kHz as a guard).
+
+        ``device_lock`` (optional): a lock to hold around each MODEL chunk
+        computation only — the host-side vocoder DSP runs outside it, so a
+        server can share one device among concurrent streams without
+        serialising their synthesis work (``http_serve`` passes its device
+        lock here)."""
         from morgana_tpu.vocoder import StreamingSynthesizer
 
         session = self._stream_session(chunk_frames, context, lookahead)
@@ -486,13 +497,27 @@ class InferenceEngine(object):
                 '(use stream_item for feature-only streaming)')
         synth = StreamingSynthesizer(sample_rate, frame_period=frame_period,
                                      seed=0)
+        # Eager: item assembly/collation (and its KeyErrors for missing
+        # features) happen HERE, not at the first next() — callers like the
+        # HTTP layer validate before committing to a streamed response.
+        feature_stream = iter(self.stream_item(
+            item, chunk_frames=chunk_frames, context=context,
+            lookahead=lookahead, sources=sources))
+        sentinel = object()
+
+        def next_chunk():
+            if device_lock is not None:
+                with device_lock:
+                    return next(feature_stream, sentinel)
+            return next(feature_stream, sentinel)
 
         def generate():
             chunk = None
-            for chunk in self.stream_item(item, chunk_frames=chunk_frames,
-                                          context=context,
-                                          lookahead=lookahead,
-                                          sources=sources):
+            while True:
+                got = next_chunk()
+                if got is sentinel:
+                    break
+                chunk = got
                 f0 = np.exp(np.clip(chunk['lf0'][:, 0], None, 8.0))
                 wav = synth.push_world_feats(f0, chunk['vuv'][:, 0],
                                              chunk['mcep'], chunk['bap'])
@@ -950,6 +975,9 @@ def main(argv=None):
                          'object of name -> engine spec')
         engine = {}
         for i, (name, spec) in enumerate(fleet.items()):
+            if not isinstance(spec, dict):
+                parser.error(f'--fleet entry {name!r} must be a JSON object '
+                             f'(got {type(spec).__name__})')
             if 'checkpoint_path' not in spec:
                 parser.error(f"--fleet entry {name!r} needs 'checkpoint_path'")
             if 'model' not in spec and args.model is None:

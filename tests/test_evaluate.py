@@ -69,6 +69,15 @@ class TestEvaluateDirs:
             evaluate_dirs(eval_dirs['ref'], str(tmp_path), eval_dirs['ids'])
 
     def test_cli(self, eval_dirs):
+        # A 'dur' dir exists on both sides but holds .txt files in the ref
+        # (data-split layout) — default id discovery must skip it and find
+        # ids in a scoreable .npy-bearing dir instead of yielding zero ids.
+        os.makedirs(os.path.join(eval_dirs['gen'], 'dur'), exist_ok=True)
+        for utt in eval_dirs['ids']:
+            np.save(os.path.join(eval_dirs['gen'], 'dur', f'{utt}.npy'),
+                    np.ones((4,), np.float32))
+        assert os.path.exists(os.path.join(eval_dirs['ref'], 'dur',
+                                           f"{eval_dirs['ids'][0]}.txt"))
         proc = subprocess.run(
             [sys.executable, '-m', 'morgana_tpu.evaluate',
              '--ref_dir', eval_dirs['ref'], '--gen_dir', eval_dirs['gen']],

@@ -835,6 +835,13 @@ class TestFleetCLIContract:
         with pytest.raises(SystemExit):
             serve.main(['--fleet', str(fleet)])
 
+    def test_fleet_entry_must_be_object(self, tmp_path):
+        from morgana_tpu import serve
+        fleet = tmp_path / 'fleet.json'
+        fleet.write_text(json.dumps({'v': 'ckpt.npz'}))
+        with pytest.raises(SystemExit):
+            serve.main(['--fleet', str(fleet), '--http_port', '1'])
+
     def test_fleet_entry_needs_checkpoint(self, tmp_path):
         from morgana_tpu import serve
         fleet = tmp_path / 'fleet.json'

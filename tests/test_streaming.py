@@ -639,3 +639,36 @@ class TestAudioStreaming:
         finally:
             server.shutdown()
             server.server_close()
+
+
+class TestStreamErrorContract:
+    def test_missing_feature_gets_400(self, voice_data, stream_trained):
+        """An item missing a required data-source key fails with a clean
+        400 'missing feature' BEFORE the stream starts (review finding:
+        the KeyError previously escaped the handler with no response)."""
+        import json
+        import threading
+        import urllib.error
+        import urllib.request
+
+        from morgana_tpu.http_serve import make_server
+
+        engine = InferenceEngine(TinyStreamModel, stream_trained,
+                                 data_root=voice_data['data_root'],
+                                 batch_size=2)
+        server = make_server(engine, port=0)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        port = server.server_address[1]
+        try:
+            body = json.dumps({'item': {'name': 'x',
+                                        'lab': [[0.0] * 600] * 4}}).encode()
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/stream', data=body,
+                headers={'Content-Type': 'application/json'})
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=120)
+            assert exc.value.code == 400
+            assert 'missing feature' in json.loads(exc.value.read())['error']
+        finally:
+            server.shutdown()
+            server.server_close()

@@ -40,6 +40,10 @@ class TestDurationsToInt:
                                min_frames_per_phone=2, max_total_frames=5)
         assert out.sum() == 20
 
+    def test_non_finite_durations_fail_loudly(self):
+        with pytest.raises(ValueError, match='non-finite'):
+            durations_to_int(np.asarray([3.0, np.nan, 2.0]), n_phones=3)
+
     def test_min_frames_per_phone(self):
         out = durations_to_int(np.zeros(3), n_phones=3, min_frames_per_phone=2)
         np.testing.assert_array_equal(out, [2, 2, 2])
