@@ -99,7 +99,8 @@ def _to_lists(outputs):
     return {key: np.asarray(value).tolist() for key, value in outputs.items()}
 
 
-def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
+def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0,
+                watch_checkpoints=0.0):
     """Builds a ``ThreadingHTTPServer`` wrapping ``engine``. Returns the
     server; call ``.serve_forever()`` (or :func:`serve_forever`) to run it.
     ``port=0`` binds an ephemeral port (``server.server_address[1]``).
@@ -111,6 +112,14 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
     entry is the default when the key is omitted. All engines share the one
     device lock (one chip, one program at a time); compiled programs,
     normalisers and parameters are per engine.
+
+    ``watch_checkpoints > 0`` polls each engine's checkpoint directory
+    every that-many seconds for a higher-epoch sibling (same
+    ``epoch_{N}`` filename pattern) and hot-reloads it
+    (:meth:`InferenceEngine.maybe_reload_newer_checkpoint`) — rolling
+    model updates while training writes new epochs, no restart, no
+    recompile. Reloads run under the device lock; failures (e.g. a
+    half-written file) are logged and retried next poll.
 
     ``dynamic_batch_ms > 0`` routes ``/predict`` through a per-engine
     :class:`morgana_tpu.serve.DynamicBatcher`: concurrent requests for the
@@ -395,8 +404,11 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
+    watcher_stop = threading.Event()
+
     class Server(ThreadingHTTPServer):
         def server_close(self):
+            watcher_stop.set()
             for b in batchers.values():
                 b.close()
             super().server_close()
@@ -405,12 +417,38 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0):
     server.batcher = batcher
     server.batchers = batchers
     server.engines = engines
+
+    if watch_checkpoints and float(watch_checkpoints) > 0:
+        interval = float(watch_checkpoints)
+
+        def watch():
+            import logging
+            log = logging.getLogger('morgana_tpu')
+            while not watcher_stop.wait(interval):
+                for name, eng in engines.items():
+                    try:
+                        # Under the device lock: a reload mutates module
+                        # Params, which must not interleave with a predict
+                        # trace's bind save/restore.
+                        with lock:
+                            reloaded = eng.maybe_reload_newer_checkpoint()
+                        if reloaded:
+                            log.info('hot-reloaded %s -> %s', name, reloaded)
+                    except Exception as exc:  # noqa: BLE001 - retry next poll
+                        log.warning('checkpoint watch for %s failed '
+                                    '(%s: %s); retrying next poll',
+                                    name, type(exc).__name__, exc)
+
+        threading.Thread(target=watch, daemon=True,
+                         name='morgana-checkpoint-watcher').start()
     return server
 
 
-def serve_forever(engine, host='127.0.0.1', port=8080, dynamic_batch_ms=0.0):
+def serve_forever(engine, host='127.0.0.1', port=8080, dynamic_batch_ms=0.0,
+                  watch_checkpoints=0.0):
     server = make_server(engine, host, port,
-                         dynamic_batch_ms=dynamic_batch_ms)
+                         dynamic_batch_ms=dynamic_batch_ms,
+                         watch_checkpoints=watch_checkpoints)
     mode = (f', dynamic batching {dynamic_batch_ms:g} ms'
             if server.batcher is not None else '')
     models = ' + '.join(f'{name}={type(eng.model).__name__}'

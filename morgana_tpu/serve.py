@@ -29,6 +29,7 @@ import importlib
 import importlib.util
 import json
 import os
+import re
 import tempfile
 import threading
 import time
@@ -164,38 +165,19 @@ class InferenceEngine(object):
         for name in normalisers:
             normalisers[name].load_params(normalisation_dir, data_root)
         self.model.normalisers = normalisers
-        from morgana_tpu import quantize as quantize_mod
-        qparams = None
-        if quantize_mod.is_quantized_checkpoint(checkpoint_path):
-            # A pre-quantized deployment artifact: the module keeps float
-            # (dequantised) Params — analysis hooks and bind's save/restore
-            # see ordinary arrays — while the jitted predict consumes the
-            # int8 pytree below.
-            qparams = quantize_mod.load_quantized_checkpoint(checkpoint_path)
-            nn.load_parameters(self.model,
-                               quantize_mod.dequantize_params(qparams))
-        else:
-            self.model.load_parameters(checkpoint_path)
-        # One consistent mode for EVERY compiled predict program: predict()
-        # bodies read self.mode at trace time (e.g. metric accumulation into
-        # self.metrics[self.mode]), so tracing some programs with mode '' and
-        # others with 'test' would poison whichever traces first.
-        self.model.mode = 'test'
-
-        self._params = qparams if qparams is not None \
-            else nn.parameters(self.model)
-        if quantize == 'int8':
-            self._params = quantize_mod.quantize_params(self._params)
+        self._quantize = quantize
         self._mesh = None
         self._batch_sharding = None
         if data_parallel:
             from morgana_tpu import parallel
             self._mesh = parallel.make_mesh()
             self._batch_sharding = parallel.batch_sharding(self._mesh)
-            # Replicate params over the mesh; sharded batches then propagate
-            # through the jitted predict and XLA splits the work per device.
-            self._params = jax.device_put(
-                self._params, parallel.replicated_sharding(self._mesh))
+        self._params = self._load_checkpoint_params(checkpoint_path)
+        # One consistent mode for EVERY compiled predict program: predict()
+        # bodies read self.mode at trace time (e.g. metric accumulation into
+        # self.metrics[self.mode]), so tracing some programs with mode '' and
+        # others with 'test' would poison whichever traces first.
+        self.model.mode = 'test'
         self._rng = jax.random.PRNGKey(seed)
         model = self.model
 
@@ -209,6 +191,73 @@ class InferenceEngine(object):
         self._predict_step = jax.jit(predict_step)
 
     # ----------------------------------------------------------------- core
+
+    def _load_checkpoint_params(self, checkpoint_path):
+        """Loads a checkpoint into a serving-ready parameter pytree: float
+        or pre-quantized artifact, engine-level int8 quantization applied,
+        replicated over the data-parallel mesh when one exists. The module's
+        Params always hold floats (analysis hooks and bind's save/restore
+        see ordinary arrays); the jitted predict consumes the returned
+        pytree."""
+        import jax
+
+        from morgana_tpu import quantize as quantize_mod
+        if quantize_mod.is_quantized_checkpoint(checkpoint_path):
+            params = quantize_mod.load_quantized_checkpoint(checkpoint_path)
+            nn.load_parameters(self.model,
+                               quantize_mod.dequantize_params(params))
+        else:
+            self.model.load_parameters(checkpoint_path)
+            params = nn.parameters(self.model)
+        if self._quantize == 'int8':
+            params = quantize_mod.quantize_params(params)
+        if self._mesh is not None:
+            from morgana_tpu import parallel
+            params = jax.device_put(
+                params, parallel.replicated_sharding(self._mesh))
+        return params
+
+    def reload_checkpoint(self, checkpoint_path):
+        """Hot-swaps the served parameters to another checkpoint of the
+        same architecture — rolling model updates without restarting the
+        process or recompiling (shapes/dtypes unchanged, so every compiled
+        program is reused). The swap is one reference assignment: requests
+        in flight finish on the old parameters, the next ``predict_batch``
+        serves the new ones. Engine-level quantization and data-parallel
+        replication are re-applied. Raises (and keeps serving the OLD
+        parameters' pytree for future calls made before the module reload)
+        if the checkpoint does not match the model."""
+        params = self._load_checkpoint_params(checkpoint_path)
+        self._params = params
+        self.checkpoint_path = checkpoint_path
+        return checkpoint_path
+
+    def maybe_reload_newer_checkpoint(self):
+        """Polls the current checkpoint's directory for a higher-epoch
+        sibling (same ``epoch_{N}`` filename pattern) and hot-reloads the
+        newest one. Returns the reloaded path, or None when already
+        current. One poll step of :func:`watch_checkpoints`."""
+        match = re.match(r'^(.*epoch_)(\d+)(\D.*\.npz|\.npz)$',
+                         os.path.basename(self.checkpoint_path))
+        if not match:
+            return None
+        prefix, current, suffix = match.group(1), int(match.group(2)), \
+            match.group(3)
+        ckpt_dir = os.path.dirname(self.checkpoint_path) or '.'
+        best, best_epoch = None, current
+        try:
+            names = os.listdir(ckpt_dir)
+        except OSError:
+            return None
+        for name in names:
+            m = re.match(rf'^{re.escape(prefix)}(\d+){re.escape(suffix)}$',
+                         name)
+            if m and int(m.group(1)) > best_epoch:
+                best_epoch = int(m.group(1))
+                best = os.path.join(ckpt_dir, name)
+        if best is None:
+            return None
+        return self.reload_checkpoint(best)
 
     def _next_rng(self):
         import jax
@@ -911,6 +960,12 @@ def main(argv=None):
                              'top-level "model" key. Overrides --model/'
                              '--checkpoint_path.')
     parser.add_argument('--http_host', default='127.0.0.1')
+    parser.add_argument('--watch_checkpoints', type=float, default=0.0,
+                        help='Poll every N seconds for a higher-epoch '
+                             'checkpoint next to the served one and '
+                             'hot-reload it (rolling updates while training '
+                             'writes new epochs; HTTP mode only, applies to '
+                             'every fleet voice).')
     parser.add_argument('--dynamic_batch_ms', type=float, default=0.0,
                         help='Coalesce concurrent /predict requests into '
                              'shared device batches, each waiting at most '
@@ -990,7 +1045,8 @@ def main(argv=None):
     if args.http_port is not None:
         from morgana_tpu.http_serve import serve_forever
         serve_forever(engine, host=args.http_host, port=args.http_port,
-                      dynamic_batch_ms=args.dynamic_batch_ms)
+                      dynamic_batch_ms=args.dynamic_batch_ms,
+                      watch_checkpoints=args.watch_checkpoints)
         return
     stats = engine.generate(args.out_dir, data_dir=args.data_dir,
                             id_list=args.id_list)

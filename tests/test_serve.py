@@ -848,3 +848,94 @@ class TestFleetCLIContract:
         fleet.write_text(json.dumps({'v': {'model': 'm.py:C'}}))
         with pytest.raises(SystemExit):
             serve.main(['--fleet', str(fleet), '--http_port', '1'])
+
+
+class TestCheckpointHotReload:
+    """reload_checkpoint / maybe_reload_newer_checkpoint: rolling model
+    updates without restart or recompile."""
+
+    def _second_epoch(self, trained):
+        ckpt_dir = os.path.dirname(trained['checkpoint'])
+        path2 = os.path.join(ckpt_dir, 'epoch_2.npz')
+        if not os.path.exists(path2):
+            # A genuinely different checkpoint: perturb epoch_1's params.
+            with np.load(trained['checkpoint']) as data:
+                params = {k: data[k] + 0.1 for k in data.files}
+            np.savez(path2, **params)
+        return path2
+
+    def test_reload_swaps_predictions_without_recompile(self, voice_data,
+                                                        trained):
+        rng = np.random.default_rng(11)
+        item = TestDynamicBatching._item(rng, 'u', 24)
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'],
+                                 batch_size=4)
+        before = engine.predict_items([item])['u']['normalised_lf0_deltas']
+        path2 = self._second_epoch(trained)
+        assert engine.reload_checkpoint(path2) == path2
+        assert engine.checkpoint_path == path2
+        after = engine.predict_items([item])['u']['normalised_lf0_deltas']
+        assert not np.array_equal(before, after)
+
+        # Matches a fresh engine on the new checkpoint exactly.
+        fresh = InferenceEngine(TinyF0Model, path2,
+                                data_root=voice_data['data_root'],
+                                batch_size=4)
+        np.testing.assert_array_equal(
+            after, fresh.predict_items([item])['u']['normalised_lf0_deltas'])
+
+    def test_reload_preserves_quantization(self, voice_data, trained):
+        from morgana_tpu.quantize import QuantizedArray
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'],
+                                 quantize='int8')
+        engine.reload_checkpoint(self._second_epoch(trained))
+        assert any(isinstance(v, QuantizedArray)
+                   for v in engine._params.values())
+
+    def test_maybe_reload_finds_higher_epoch_only(self, voice_data, trained):
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'])
+        path2 = self._second_epoch(trained)
+        assert engine.maybe_reload_newer_checkpoint() == path2
+        # Already current: nothing newer.
+        assert engine.maybe_reload_newer_checkpoint() is None
+        # EMA twins (epoch_1_ema.npz) must NOT match a plain pattern.
+        ema = os.path.join(os.path.dirname(path2), 'epoch_9_ema.npz')
+        with np.load(path2) as data:
+            np.savez(ema, **{k: data[k] for k in data.files})
+        assert engine.maybe_reload_newer_checkpoint() is None
+
+    def test_http_watcher_hot_reloads(self, voice_data, trained, tmp_path):
+        import threading
+        import time
+        import urllib.request
+
+        from morgana_tpu.http_serve import make_server
+
+        # An isolated checkpoint dir so other tests' epoch_2 doesn't race.
+        ckpt1 = str(tmp_path / 'epoch_1.npz')
+        with np.load(trained['checkpoint']) as data:
+            np.savez(ckpt1, **{k: data[k] for k in data.files})
+        engine = InferenceEngine(TinyF0Model, ckpt1,
+                                 data_root=voice_data['data_root'])
+        server = make_server(engine, port=0, watch_checkpoints=0.1)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            with np.load(ckpt1) as data:
+                np.savez(str(tmp_path / 'epoch_5.npz'),
+                         **{k: data[k] + 0.1 for k in data.files})
+            deadline = time.time() + 20
+            while time.time() < deadline \
+                    and not engine.checkpoint_path.endswith('epoch_5.npz'):
+                time.sleep(0.1)
+            assert engine.checkpoint_path.endswith('epoch_5.npz')
+            port = server.server_address[1]
+            with urllib.request.urlopen(
+                    f'http://127.0.0.1:{port}/healthz', timeout=60) as r:
+                health = json.loads(r.read())
+            assert health['checkpoint'].endswith('epoch_5.npz')
+        finally:
+            server.shutdown()
+            server.server_close()
