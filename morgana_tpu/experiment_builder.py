@@ -194,6 +194,12 @@ class ExperimentBuilder(object):
                             default={}, help='Settings for learning rate schedule, a Python dict in quotes.')
         parser.add_argument('--weight_decay', dest='weight_decay', action='store', type=float, default=0.,
                             help='L2 regularisation weight, 0 means no L2 loss term.')
+        parser.add_argument('--optimizer', dest='optimizer', action='store', type=str, default='adam',
+                            help='Optimiser: adam (torch-Adam semantics, the reference default), '
+                                 'adamw (decoupled weight decay), sgd, or lamb.')
+        parser.add_argument('--optimizer_kwargs', dest='optimizer_kwargs', action=DictAction, type=str,
+                            default={}, help='Optimiser settings (b1/b2/eps, momentum/nesterov for sgd), '
+                                             'a Python dict in quotes.')
         parser.add_argument('--ema_decay', dest='ema_decay', action='store', type=float, default=0.,
                             help='If not 0, track an exponential moving average of model parameters, '
                                  'used for generation.')
@@ -332,6 +338,8 @@ class ExperimentBuilder(object):
         self.lr_schedule_name = kwargs['lr_schedule_name']
         self.lr_schedule_kwargs = kwargs['lr_schedule_kwargs']
         self.weight_decay = kwargs['weight_decay']
+        self.optimizer = kwargs.get('optimizer', 'adam')
+        self.optimizer_kwargs = kwargs.get('optimizer_kwargs') or {}
         self.ema_decay = kwargs['ema_decay']
 
         self.device = kwargs['device']
@@ -499,8 +507,10 @@ class ExperimentBuilder(object):
             averaged_model.normalisers = normalisers
             self.ema = utils.ExponentialMovingAverage(model=averaged_model, decay=self.ema_decay)
 
-        optimizer = build_optimizer(weight_decay=self.weight_decay,
-                                    grad_clip_norm=kwargs.get('grad_clip_norm', 0.))
+        optimizer = build_optimizer(self.optimizer,
+                                    weight_decay=self.weight_decay,
+                                    grad_clip_norm=kwargs.get('grad_clip_norm', 0.),
+                                    **self.optimizer_kwargs)
         self.shard_map_step = kwargs.get('shard_map_step', False)
         if self.shard_map_step and self.mesh is None:
             raise ValueError('--shard_map_step requires --data_parallel '

@@ -52,20 +52,60 @@ def apply_updates(optimizer, ema_decay, params, opt_state, ema_params,
     return params, opt_state, ema_params
 
 
-def build_optimizer(weight_decay=0., b1=0.9, b2=0.999, eps=1e-8,
-                    grad_clip_norm=0.):
-    r"""Adam with L2 regularisation added to the gradient — torch
-    ``Adam(weight_decay=...)`` semantics (``morgana/experiment_builder.py:516``),
-    not AdamW. The learning rate is applied separately inside the step (as a
-    traced scalar) so LR schedules never retrace. ``grad_clip_norm`` > 0
-    clips the global gradient norm before the Adam transform (the classic
-    guard against recurrent-net gradient explosions)."""
+#: Optimiser registry, mirroring the LR-schedule registry
+#: (``lr_schedules.SUPPORTED``). The reference hard-codes ``torch.optim.Adam``
+#: (``morgana/experiment_builder.py:516``); ``'adam'`` reproduces its
+#: semantics exactly and stays the default. The rest are beyond-reference.
+SUPPORTED_OPTIMIZERS = ('adam', 'adamw', 'sgd', 'lamb')
+
+
+def build_optimizer(name='adam', weight_decay=0., b1=0.9, b2=0.999, eps=1e-8,
+                    grad_clip_norm=0., momentum=0., nesterov=False):
+    r"""Gradient transform for the fused train step. The learning rate is
+    applied separately inside the step (as a traced scalar, ``p - lr * u``)
+    so LR schedules never retrace; every transform here therefore excludes
+    the lr factor. ``grad_clip_norm`` > 0 clips the global gradient norm
+    first (the classic guard against recurrent-net gradient explosions).
+
+    - ``'adam'``: Adam with L2 regularisation added to the *gradient* —
+      torch ``Adam(weight_decay=...)`` semantics
+      (``morgana/experiment_builder.py:516``), not AdamW.
+    - ``'adamw'``: decoupled weight decay — ``u = adam(g) + wd * p``
+      (torch ``AdamW`` semantics; the modern default for transformers).
+    - ``'sgd'``: L2-in-gradient then (optionally Nesterov) momentum —
+      torch ``SGD(momentum=, nesterov=, weight_decay=)`` semantics.
+    - ``'lamb'``: AdamW update rescaled per layer by the trust ratio
+      ``||p|| / ||u||`` (You et al. 2020) — large-batch training.
+
+    ``b1/b2/eps`` apply to the Adam-family members, ``momentum/nesterov``
+    to SGD; irrelevant knobs are ignored by the chosen optimiser.
+    """
+    if name not in SUPPORTED_OPTIMIZERS:
+        raise ValueError(
+            f'Unknown optimizer {name!r}; supported: {SUPPORTED_OPTIMIZERS}')
     transforms = []
     if grad_clip_norm:
         transforms.append(optax.clip_by_global_norm(grad_clip_norm))
-    if weight_decay:
-        transforms.append(optax.add_decayed_weights(weight_decay))
-    transforms.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    if name == 'adam':
+        if weight_decay:
+            transforms.append(optax.add_decayed_weights(weight_decay))
+        transforms.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    elif name == 'adamw':
+        transforms.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        if weight_decay:
+            transforms.append(optax.add_decayed_weights(weight_decay))
+    elif name == 'sgd':
+        if weight_decay:
+            transforms.append(optax.add_decayed_weights(weight_decay))
+        if momentum:
+            transforms.append(optax.trace(decay=momentum, nesterov=nesterov))
+    elif name == 'lamb':
+        transforms.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        if weight_decay:
+            transforms.append(optax.add_decayed_weights(weight_decay))
+        transforms.append(optax.scale_by_trust_ratio())
+    if not transforms:
+        transforms.append(optax.identity())
     return optax.chain(*transforms)
 
 
