@@ -28,11 +28,19 @@ def _to_host(tree):
         lambda x: np.asarray(x) if isinstance(x, (jax.Array, np.ndarray)) else x, tree)
 
 
-def save_state_dict(sd, path):
-    """Saves a flat {dotted_name: array} state dict as .npz."""
+def save_state_dict(sd, path, atomic=False):
+    """Saves a flat {dotted_name: array} state dict as .npz.
+
+    ``atomic`` writes to a temp file then ``os.replace``s it into place —
+    required for ROLLING checkpoints (e.g. the mid-epoch ``step.npz``) where
+    a crash mid-write must not corrupt the only copy."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **{k: np.asarray(v) for k, v in sd.items()})
-    return path
+    target = str(path)
+    write_path = target + '.tmp.npz' if atomic else target
+    np.savez(write_path, **{k: np.asarray(v) for k, v in sd.items()})
+    if atomic:
+        os.replace(write_path, target)
+    return target
 
 
 def load_state_dict(path):
@@ -48,7 +56,8 @@ def training_state_path_for(checkpoint_path):
     return base + '.train.pkl'
 
 
-def save_training_state(path, params, opt_state=None, ema_params=None, step=0, extra=None):
+def save_training_state(path, params, opt_state=None, ema_params=None, step=0,
+                        extra=None, atomic=False):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     state = {
         'params': _to_host(params),
@@ -57,9 +66,13 @@ def save_training_state(path, params, opt_state=None, ema_params=None, step=0, e
         'step': int(step),
         'extra': extra,
     }
-    with open(path, 'wb') as f:
+    target = str(path)
+    write_path = target + '.tmp' if atomic else target
+    with open(write_path, 'wb') as f:
         pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
-    return path
+    if atomic:
+        os.replace(write_path, target)
+    return target
 
 
 def load_training_state(path):

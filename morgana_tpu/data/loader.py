@@ -58,6 +58,7 @@ class DataLoader(object):
         # from the first (randomly ordered) epoch, so it needs no schema.
         self.length_sort_window = length_sort_window
         self.epoch = 0
+        self.skip_batches = 0
         self._lengths = {}
         self._pool = (ThreadPoolExecutor(max_workers=num_data_threads)
                       if num_data_threads and num_data_threads > 0 else None)
@@ -129,6 +130,20 @@ class DataLoader(object):
             return collate(items, bucket=self.bucket)
         return items
 
+    def set_epoch(self, epoch):
+        """Sets the shuffle-epoch counter keying the next ``__iter__``'s
+        deterministic order. A resumed run calls this with ``start_epoch - 1``
+        so training epoch N replays exactly the shuffled order the
+        uninterrupted run would have used (the counter otherwise restarts at
+        0 on every relaunch)."""
+        self.epoch = int(epoch)
+
+    def set_skip_batches(self, n):
+        """The next ``__iter__`` (only) skips its first ``n`` batches without
+        loading or collating them — mid-epoch resume positions the iterator
+        at the checkpointed batch in O(1)."""
+        self.skip_batches = int(n)
+
     def __iter__(self):
         order = self._order()
         self.epoch += 1
@@ -139,6 +154,10 @@ class DataLoader(object):
             if self.drop_remainder and len(idxs) < self.batch_size:
                 break
             batches.append(idxs)
+
+        skip, self.skip_batches = self.skip_batches, 0
+        if skip:
+            batches = batches[skip:]
 
         # Pipeline WHOLE batches across the thread pool (not just items
         # within one batch): while batch N is consumed, batches N+1..N+depth

@@ -211,6 +211,14 @@ class ExperimentBuilder(object):
 
         parser.add_argument('--model_checkpoint_interval', dest='model_checkpoint_interval', action='store',
                             type=int, default=1, help='Number of epochs between model checkpoints.')
+        parser.add_argument('--step_checkpoint_interval', dest='step_checkpoint_interval', action='store',
+                            type=int, default=0,
+                            help='If > 0, save a rolling mid-epoch checkpoint '
+                                 '(checkpoints/step.npz + sidecar) every N train batches. '
+                                 '--checkpoint_path latest resumes from it at the exact '
+                                 'batch — step-level fault tolerance for long epochs '
+                                 '(after a mid-epoch resume, that epoch\'s metrics cover '
+                                 'the resumed remainder only).')
         parser.add_argument('--train_output_interval', dest='train_output_interval', action='store',
                             type=int, default=10, help='Epochs between generating output for training data.')
         parser.add_argument('--valid_output_interval', dest='valid_output_interval', action='store',
@@ -346,6 +354,13 @@ class ExperimentBuilder(object):
         self.num_data_threads = kwargs['num_data_threads']
 
         self.model_checkpoint_interval = kwargs['model_checkpoint_interval']
+        self.step_checkpoint_interval = int(
+            kwargs.get('step_checkpoint_interval', 0) or 0)
+        # Mid-epoch resume: number of already-trained batches to skip in the
+        # FIRST epoch (set when a resumed checkpoint's sidecar records a
+        # mid-epoch position).
+        self._resume_batches_done = 0
+        self._train_state_cache = {}
         self.train_output_interval = kwargs['train_output_interval']
         self.valid_output_interval = kwargs['valid_output_interval']
         self.test_output_interval = kwargs['test_output_interval']
@@ -601,9 +616,8 @@ class ExperimentBuilder(object):
         # checkpoint (mutually exclusive with the Orbax auto-resume above,
         # which only runs when no --checkpoint_path was given).
         if self.checkpoint_path and self.train:
-            train_state_path = checkpointing.training_state_path_for(self.checkpoint_path)
-            if os.path.exists(train_state_path):
-                state = checkpointing.load_training_state(train_state_path)
+            state = self._training_state_for(self.checkpoint_path)
+            if state is not None:
                 extra = state.get('extra') or {}
                 self._restored_lr_state = extra.get('lr_schedule')
                 if state['opt_state'] is not None:
@@ -611,7 +625,20 @@ class ExperimentBuilder(object):
                 if state.get('ema_params') is not None and self.ema_decay:
                     self.loop.ema_params = state['ema_params']
                 self.loop.step_count = state.get('step', 0)
-                self.logger.info('Restored optimiser state from %s', train_state_path)
+                self.logger.info('Restored optimiser state from %s',
+                                 checkpointing.training_state_path_for(self.checkpoint_path))
+                # Mid-epoch checkpoint: position the first training epoch at
+                # the recorded batch (the epoch's earlier batches are already
+                # inside the restored parameters).
+                position = self._mid_epoch_position(self.checkpoint_path)
+                if position is not None:
+                    step_epoch, batches_done, num_batches = position
+                    if step_epoch == self.start_epoch and (
+                            num_batches is None or batches_done < num_batches):
+                        self._resume_batches_done = batches_done
+                        self.logger.info(
+                            'Mid-epoch resume: epoch %d restarts at batch %d',
+                            step_epoch, batches_done + 1)
 
         #
         # Data loaders.
@@ -673,6 +700,55 @@ class ExperimentBuilder(object):
         with open(os.path.join(self.experiment_dir, 'config.json'), 'w') as f:
             json.dump(kwargs, f, indent=4, default=str)
 
+    def _training_state_for(self, checkpoint_path):
+        """The ``.train.pkl`` sidecar contents for a params checkpoint (cached
+        — resume logic consults it at several points), or None when absent or
+        unreadable."""
+        path = checkpointing.training_state_path_for(checkpoint_path)
+        if path not in self._train_state_cache:
+            state = None
+            if os.path.exists(path):
+                try:
+                    state = checkpointing.load_training_state(path)
+                except Exception as exc:  # noqa: BLE001 - resume is best-effort
+                    self.logger.warning('Could not read training-state sidecar '
+                                        '%s (%s)', path, exc)
+            self._train_state_cache[path] = state
+        return self._train_state_cache[path]
+
+    def _mid_epoch_position(self, checkpoint_path):
+        """``(epoch, batches_done, num_batches)`` recorded in a checkpoint's
+        sidecar when it was saved mid-epoch, else None."""
+        state = self._training_state_for(checkpoint_path)
+        extra = (state or {}).get('extra') or {}
+        if extra.get('batches_done') is None or not extra.get('epoch'):
+            return None
+        return (int(extra['epoch']), int(extra['batches_done']),
+                int(extra['num_batches']) if extra.get('num_batches') else None)
+
+    def _step_checkpoint_path(self):
+        return os.path.join(self.experiment_dir, 'checkpoints', 'step.npz')
+
+    def _save_step_checkpoint(self, batches_done, num_batches, lr_schedule):
+        """Writes the rolling mid-epoch checkpoint (atomically — a crash
+        mid-write must not corrupt the only copy): parameters to
+        ``checkpoints/step.npz`` plus a ``.train.pkl`` sidecar carrying the
+        full training state and the exact position
+        (epoch, batches_done, num_batches)."""
+        self.loop.sync_model()
+        path = self._step_checkpoint_path()
+        checkpointing.save_state_dict(nn.state_dict(self.model), path, atomic=True)
+        sidecar = checkpointing.training_state_path_for(path)
+        checkpointing.save_training_state(
+            sidecar, params=self.loop.params, opt_state=self.loop.opt_state,
+            ema_params=self.loop.ema_params, step=self.loop.step_count,
+            extra={'lr_schedule': lr_schedule.state_dict()
+                   if hasattr(lr_schedule, 'state_dict') else None,
+                   'epoch': int(self.epoch), 'batches_done': int(batches_done),
+                   'num_batches': int(num_batches)},
+            atomic=True)
+        self._train_state_cache.pop(sidecar, None)
+
     def _latest_checkpoint(self, ema=False):
         """Newest ``epoch_{N}{_ema}.npz`` in this experiment's checkpoint dir,
         or None."""
@@ -710,6 +786,38 @@ class ExperimentBuilder(object):
             if self.start_epoch <= ckpt_epoch:
                 self.start_epoch = ckpt_epoch + 1
                 self.logger.info('Resuming: start_epoch -> %d', self.start_epoch)
+        if resolved_main and self.train:
+            self._maybe_resolve_step_checkpoint()
+
+    def _maybe_resolve_step_checkpoint(self):
+        """Step-level resume: when ``--step_checkpoint_interval`` runs left a
+        rolling ``checkpoints/step.npz`` that is NEWER than the newest epoch
+        checkpoint (its sidecar records an epoch past the last completed one),
+        ``--checkpoint_path latest`` resumes from it — at the exact batch.
+        A step checkpoint from an already-completed epoch is stale and
+        ignored (the epoch checkpoint supersedes it)."""
+        step_ckpt = self._step_checkpoint_path()
+        if not os.path.exists(step_ckpt):
+            return
+        position = self._mid_epoch_position(step_ckpt)
+        if position is None:
+            return
+        step_epoch, batches_done, num_batches = position
+        epoch_ckpt_epoch = (utils.get_epoch_from_checkpoint_path(self.checkpoint_path)
+                            if self.checkpoint_path else 0)
+        if step_epoch <= epoch_ckpt_epoch or self.start_epoch > step_epoch + 1:
+            return
+        self.checkpoint_path = step_ckpt
+        if num_batches is not None and batches_done >= num_batches:
+            # The epoch actually ran to completion (e.g. it was not a
+            # checkpointing epoch); resume after it.
+            self.start_epoch = step_epoch + 1
+        else:
+            self.start_epoch = step_epoch
+        self.logger.info('Resolved --checkpoint_path latest -> %s '
+                         '(mid-epoch: epoch %d, %d/%s batches done)',
+                         step_ckpt, step_epoch, batches_done,
+                         num_batches if num_batches is not None else '?')
 
     def _prune_checkpoints(self, keep):
         """Retention: deletes all but the newest ``keep`` epochs' checkpoint
@@ -850,10 +958,18 @@ class ExperimentBuilder(object):
         losses = []
         frames_seen = []
         num_batches = len(data_loader)
-        pbar = _logging.ProgressBar(num_batches, print_interval=self.log_interval)
+        # Mid-epoch resume: skip the batches already folded into the restored
+        # parameters; step numbering and the epoch-end force_apply account
+        # for the offset. (Exact-replay guarantee needs a deterministic
+        # order, i.e. --length_sort_window 0 — see --step_checkpoint_interval.)
+        skip = 0
+        if self._resume_batches_done:
+            skip, self._resume_batches_done = self._resume_batches_done, 0
+            data_loader.set_skip_batches(skip)
+        pbar = _logging.ProgressBar(num_batches - skip, print_interval=self.log_interval)
         epoch_start = time.perf_counter()
         for i, features in zip(pbar, data_loader):
-            self.model.step = (self.epoch - 1) * num_batches + i + 1
+            self.model.step = (self.epoch - 1) * num_batches + skip + i + 1
             if 'n_frames' in features:
                 # Device arrays: summed lazily at epoch end (no per-batch sync).
                 frames_seen.append(features['n_frames'])
@@ -866,7 +982,7 @@ class ExperimentBuilder(object):
                 # so every epoch ends with fully-applied parameters (eval,
                 # checkpointing and exact resume never see a half cycle).
                 batch_loss, staged, output_features = self.loop.train_step(
-                    features, lr, force_apply=(i == num_batches - 1))
+                    features, lr, force_apply=(skip + i == num_batches - 1))
 
             if lr_schedule is not None and self.loop.last_step_applied and \
                     self.lr_schedule_name in lr_schedules.BATCH_LR_SCHEDULES:
@@ -879,6 +995,14 @@ class ExperimentBuilder(object):
             pbar.maybe_print('train', self.epoch, lambda: dict(
                 batch_loss=utils.format_float_tensor(batch_loss),
                 **self.model.metrics.results_as_str_dict('train')))
+
+            # Rolling mid-epoch checkpoint (step-level fault tolerance).
+            # Only at applied-parameter boundaries: a checkpoint inside an
+            # open gradient-accumulation cycle could not resume exactly.
+            if (self.step_checkpoint_interval and self.is_lead_host
+                    and self.loop.last_step_applied
+                    and (skip + i + 1) % self.step_checkpoint_interval == 0):
+                self._save_step_checkpoint(skip + i + 1, num_batches, lr_schedule)
 
             if gen_output:
                 self.loop.sync_model()
@@ -894,8 +1018,9 @@ class ExperimentBuilder(object):
             epoch_metrics = dict(self.model.metrics.results_as_json_dict('train'))
             duration = time.perf_counter() - epoch_start
             epoch_metrics['epoch_duration_s'] = round(duration, 3)
-            if num_batches:
-                epoch_metrics['ms_per_step'] = round(1e3 * duration / num_batches, 3)
+            if num_batches - skip:
+                epoch_metrics['ms_per_step'] = round(
+                    1e3 * duration / (num_batches - skip), 3)
             # Multi-host global arrays span non-addressable devices and can't
             # be fetched with np.asarray; skip the frames rate there.
             if frames_seen and all(getattr(f, 'is_fully_addressable', True)
@@ -948,6 +1073,12 @@ class ExperimentBuilder(object):
 
     def _train_epochs(self, lr_schedule):
         self._fire('on_train_begin')
+        # Deterministic shuffle replay: key the loader's epoch counter to the
+        # global epoch number, so a resumed run draws exactly the shuffled
+        # orders the uninterrupted run would have (fresh start: a no-op).
+        set_epoch = getattr(self.train_loader, 'set_epoch', None)
+        if set_epoch is not None:
+            set_epoch(self.start_epoch - 1)
         stop_requested = False
         for self.epoch in range(self.start_epoch, self.end_epoch + 1):
             self._fire('on_epoch_begin', self.epoch)

@@ -183,6 +183,13 @@ class TrainLoop(object):
             self.ema_params = None
 
         self.rng = jax.random.PRNGKey(seed)
+        # Training randomness is STATELESS per step: key(step) =
+        # fold_in(train_base, step_count). A run resumed from a checkpointed
+        # step_count therefore draws exactly the dropout/sampling noise the
+        # uninterrupted run would have drawn — step-level exact resume — and
+        # interleaved eval/predict calls (which consume the carried self.rng
+        # stream) cannot shift the training stream.
+        self._train_rng_base = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
         self.step_count = 0
         # Accumulation-cycle state: weighted gradients summed so far, plus
         # the micro-batch count and total item count of the open cycle.
@@ -297,6 +304,10 @@ class TrainLoop(object):
         self.rng, key = jax.random.split(self.rng)
         return key
 
+    def _train_rng(self):
+        """The (stateless) training key for the CURRENT step_count."""
+        return jax.random.fold_in(self._train_rng_base, self.step_count)
+
     # -- public steps ---------------------------------------------------------
 
     def train_step(self, features, lr, force_apply=False):
@@ -323,7 +334,7 @@ class TrainLoop(object):
             if self._micro_count + 1 < self.grad_accum_steps and not force_apply:
                 self._acc_grads, loss, staged, outputs = self._accum_step(
                     self.params, self._acc_grads, batch, global_step,
-                    self._next_rng())
+                    self._train_rng())
                 self._micro_count += 1
                 self._acc_items += batch_items(batch)
                 self.last_step_applied = False
@@ -338,7 +349,7 @@ class TrainLoop(object):
                  loss, staged, outputs) = self._apply_step(
                     self.params, self.opt_state, self.ema_params,
                     self._acc_grads, batch, jnp.asarray(lr, jnp.float32),
-                    inv_items, global_step, self._next_rng())
+                    inv_items, global_step, self._train_rng())
                 self._micro_count = 0
                 self._acc_items = 0
                 self.last_step_applied = True
@@ -346,7 +357,7 @@ class TrainLoop(object):
             (self.params, self.opt_state, self.ema_params,
              loss, staged, outputs) = self._train_step(
                 self.params, self.opt_state, self.ema_params, batch,
-                jnp.asarray(lr, jnp.float32), global_step, self._next_rng())
+                jnp.asarray(lr, jnp.float32), global_step, self._train_rng())
             self.last_step_applied = True
         self.step_count += 1
         return loss, staged, outputs

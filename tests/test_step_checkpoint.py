@@ -1,0 +1,144 @@
+"""Step-level (mid-epoch) checkpointing and exact resume.
+
+The reference recovers only at epoch granularity (relaunch with
+``--checkpoint_path``, ``morgana/experiment_builder.py:109-117``). With
+``--step_checkpoint_interval N`` a rolling ``checkpoints/step.npz`` (+ full
+training-state sidecar recording the exact batch position) is written every N
+train batches, and ``--checkpoint_path latest`` resumes from it mid-epoch —
+replaying exactly the remainder the uninterrupted run would have executed
+(deterministic epoch-keyed shuffle + stateless per-step training RNG).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from conftest import builder_args
+from tiny_models import TinyF0Model
+
+from morgana_tpu import checkpointing, nn
+from morgana_tpu.experiment_builder import ExperimentBuilder
+
+
+def _build(voice_data, tmp_path, name, **overrides):
+    args = builder_args(voice_data['data_root'], str(tmp_path / 'experiments'),
+                        valid=False, batch_size=2, ema_decay=0.9, **overrides)
+    nn.manual_seed(args['seed'])
+    return ExperimentBuilder(TinyF0Model, experiment_name=name, **args)
+
+
+def _params(expdir, fname):
+    with np.load(os.path.join(expdir, 'checkpoints', fname)) as data:
+        return {k: data[k] for k in data.files}
+
+
+class TestMidEpochResume:
+    def test_interrupted_run_resumes_to_identical_params(self, voice_data, tmp_path):
+        """Kill a run mid-epoch-2 (after the rolling step checkpoint), resume
+        with --checkpoint_path latest, and require the final parameters to be
+        BITWISE identical to an uninterrupted run's — params, EMA and Adam
+        state all restored, shuffle order and step numbering replayed."""
+        # Uninterrupted reference run: 2 epochs, 4 batches each.
+        exp_a = _build(voice_data, tmp_path, 'step_a', end_epoch=2)
+        exp_a.run_experiment()
+        dir_a = os.path.join(str(tmp_path / 'experiments'), 'step_a')
+
+        # Interrupted run: step checkpoint every 2 batches; KeyboardInterrupt
+        # on epoch 2's third batch (after step.npz recorded batches 1-2).
+        exp_b = _build(voice_data, tmp_path, 'step_b', end_epoch=2,
+                       step_checkpoint_interval=2)
+        orig_step = exp_b.loop.train_step
+        calls = {'n': 0}
+
+        def interrupting(features, lr, force_apply=False):
+            calls['n'] += 1
+            if calls['n'] == 7:  # epoch 1: 4 batches; epoch 2: batches 1-2 ran
+                raise KeyboardInterrupt
+            return orig_step(features, lr, force_apply=force_apply)
+
+        exp_b.loop.train_step = interrupting
+        with pytest.raises(KeyboardInterrupt):
+            exp_b.run_experiment()
+
+        dir_b = os.path.join(str(tmp_path / 'experiments'), 'step_b')
+        step_ckpt = os.path.join(dir_b, 'checkpoints', 'step.npz')
+        assert os.path.isfile(step_ckpt)
+        sidecar = checkpointing.load_training_state(
+            checkpointing.training_state_path_for(step_ckpt))
+        assert sidecar['extra']['epoch'] == 2
+        assert sidecar['extra']['batches_done'] == 2
+        assert sidecar['extra']['num_batches'] == 4
+        assert sidecar['step'] == 6
+
+        # Relaunch: latest resolves to step.npz at epoch 2, batch 3.
+        exp_b2 = _build(voice_data, tmp_path, 'step_b', end_epoch=2,
+                        step_checkpoint_interval=2, checkpoint_path='latest')
+        assert exp_b2.checkpoint_path == step_ckpt
+        assert exp_b2.start_epoch == 2
+        assert exp_b2._resume_batches_done == 2
+        assert exp_b2.loop.step_count == 6
+        exp_b2.run_experiment()
+
+        for fname in ('epoch_2.npz', 'epoch_2_ema.npz'):
+            ref, res = _params(dir_a, fname), _params(dir_b, fname)
+            assert set(ref) == set(res)
+            for key in ref:
+                np.testing.assert_array_equal(
+                    ref[key], res[key], err_msg=f'{fname}:{key}')
+
+    def test_completed_epoch_step_checkpoint_is_stale(self, voice_data, tmp_path):
+        """Once the epoch checkpoint for the step checkpoint's epoch exists,
+        the (older-or-equal) step checkpoint must be ignored by latest."""
+        exp = _build(voice_data, tmp_path, 'step_stale', end_epoch=1,
+                     step_checkpoint_interval=2)
+        exp.run_experiment()
+        expdir = os.path.join(str(tmp_path / 'experiments'), 'step_stale')
+        assert os.path.isfile(os.path.join(expdir, 'checkpoints', 'step.npz'))
+
+        exp2 = _build(voice_data, tmp_path, 'step_stale', end_epoch=2,
+                      checkpoint_path='latest')
+        assert exp2.checkpoint_path.endswith('epoch_1.npz')
+        assert exp2.start_epoch == 2
+        assert exp2._resume_batches_done == 0
+
+    def test_completed_epoch_without_epoch_checkpoint_resumes_after(
+            self, voice_data, tmp_path):
+        """A step checkpoint whose sidecar records batches_done == num_batches
+        (the epoch ran to completion but was not a checkpointing epoch)
+        resumes AFTER that epoch, with no batch skipping."""
+        exp = _build(voice_data, tmp_path, 'step_done', end_epoch=1)
+        exp.run_experiment()
+        expdir = os.path.join(str(tmp_path / 'experiments'), 'step_done')
+        step_ckpt = os.path.join(expdir, 'checkpoints', 'step.npz')
+        epoch_ckpt = os.path.join(expdir, 'checkpoints', 'epoch_1.npz')
+        state = checkpointing.load_training_state(
+            checkpointing.training_state_path_for(epoch_ckpt))
+        import shutil
+        shutil.copy(epoch_ckpt, step_ckpt)
+        checkpointing.save_training_state(
+            checkpointing.training_state_path_for(step_ckpt),
+            params=state['params'], opt_state=state['opt_state'],
+            ema_params=state['ema_params'], step=8,
+            extra={'epoch': 2, 'batches_done': 4, 'num_batches': 4})
+
+        exp2 = _build(voice_data, tmp_path, 'step_done', end_epoch=3,
+                      checkpoint_path='latest')
+        assert exp2.checkpoint_path == step_ckpt
+        assert exp2.start_epoch == 3
+        assert exp2._resume_batches_done == 0
+        assert exp2.loop.step_count == 8
+
+    def test_corrupt_step_sidecar_falls_back_to_epoch_checkpoint(
+            self, voice_data, tmp_path):
+        exp = _build(voice_data, tmp_path, 'step_corrupt', end_epoch=1,
+                     step_checkpoint_interval=2)
+        exp.run_experiment()
+        expdir = os.path.join(str(tmp_path / 'experiments'), 'step_corrupt')
+        sidecar = os.path.join(expdir, 'checkpoints', 'step.train.pkl')
+        with open(sidecar, 'wb') as f:
+            f.write(b'not a pickle')
+
+        exp2 = _build(voice_data, tmp_path, 'step_corrupt', end_epoch=2,
+                      checkpoint_path='latest')
+        assert exp2.checkpoint_path.endswith('epoch_1.npz')
+        assert exp2._resume_batches_done == 0
