@@ -22,7 +22,10 @@ prefer a gentler peak than the RNN default — ``--learning_rate 0.001`` (or
 ``--lr_schedule_name noam``) is a good starting point.
 ``--model_kwargs "{'causal': True}"`` selects the streamable sliding-window
 configuration; ``{'attention_backend': 'flash'}`` the fused TPU kernel;
-``--remat`` bounds activation memory on long utterances.
+``--remat`` bounds activation memory on long utterances;
+``{'pipeline_stages': 4}`` executes the encoder blocks as a GPipe pipeline
+over a ('data', 'stage') device mesh (``morgana_tpu.parallel.pipeline``) —
+checkpoints interchange with the sequential configuration.
 """
 from morgana_tpu.base_models import BaseSPSS
 from morgana_tpu.experiment_builder import ExperimentBuilder
@@ -47,7 +50,8 @@ class TransformerAcousticModel(LSTMAcousticModel):
     def __init__(self, input_dim=600 + 9, output_dims=None, dropout_prob=0.,
                  num_layers=6, d_model=384, num_heads=4, d_ff=None,
                  causal=False, attention_window=None, remat=None,
-                 attention_backend='xla'):
+                 attention_backend='xla', pipeline_stages=None,
+                 pipeline_microbatches=8):
         if output_dims is None:
             output_dims = {'lf0': 1 * 3, 'vuv': 1, 'mcep': 60 * 3, 'bap': 5 * 3}
         if d_ff is None:
@@ -71,14 +75,31 @@ class TransformerAcousticModel(LSTMAcousticModel):
         self.causal = causal
         self.attention_window = attention_window
         self.attention_backend = attention_backend
+        self.pipeline_stages = pipeline_stages
+
+        if pipeline_stages:
+            # Pipeline parallelism: the encoder blocks execute as a GPipe
+            # pipeline over a ('data', 'stage') mesh. Identical parameter
+            # tree — checkpoints interchange with the sequential config.
+            from morgana_tpu.parallel.pipeline import PipelinedTransformerEncoder
+            encoder = PipelinedTransformerEncoder(
+                num_layers, d_model, num_heads, d_ff,
+                dropout=self.dropout_prob, causal=causal,
+                window=attention_window, remat=remat,
+                attention_backend=attention_backend,
+                num_stages=pipeline_stages,
+                num_microbatches=pipeline_microbatches)
+        else:
+            encoder = nn.TransformerEncoder(
+                num_layers, d_model, num_heads, d_ff,
+                dropout=self.dropout_prob, causal=causal,
+                window=attention_window, remat=remat,
+                attention_backend=attention_backend)
 
         self.layers = nn.SequentialWithRecurrent(
             nn.Linear(self.input_dim, d_model),
             nn.Dropout(p=self.dropout_prob),
-            nn.TransformerEncoder(num_layers, d_model, num_heads, d_ff,
-                                  dropout=self.dropout_prob, causal=causal,
-                                  window=attention_window, remat=remat,
-                                  attention_backend=attention_backend),
+            encoder,
             nn.Linear(d_model, sum(self.output_dims.values())),
         )
 

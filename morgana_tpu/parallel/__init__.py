@@ -13,6 +13,9 @@ scaling is first-class and TPU-idiomatic:
   ``--tensor_parallel``), and :mod:`morgana_tpu.parallel.tp_rnn` provides
   the explicit Megatron-style sharded recurrence (gate-major layout,
   per-step hidden ``all_gather``, exact gradients).
+* **Pipeline parallelism**: GPipe-style stage pipelining of the transformer
+  encoder over a ``'stage'`` axis — one ``lax.scan`` of compute+``ppermute``
+  ticks inside ``shard_map`` (:mod:`morgana_tpu.parallel.pipeline`).
 * **Multi-host**: ``jax.distributed.initialize`` over DCN, with host-local
   id-list sharding for the data pipeline.
 """
@@ -25,3 +28,4 @@ from morgana_tpu.parallel.distributed import (
 )
 from morgana_tpu.parallel.shard_map_step import build_shard_map_train_step
 from morgana_tpu.parallel import tp_rnn
+from morgana_tpu.parallel import pipeline
