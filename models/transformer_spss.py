@@ -25,7 +25,11 @@ configuration; ``{'attention_backend': 'flash'}`` the fused TPU kernel;
 ``--remat`` bounds activation memory on long utterances;
 ``{'pipeline_stages': 4}`` executes the encoder blocks as a GPipe pipeline
 over a ('data', 'stage') device mesh (``morgana_tpu.parallel.pipeline``) —
-checkpoints interchange with the sequential configuration.
+checkpoints interchange with the sequential configuration;
+``{'moe_experts': 8, 'expert_parallel': True}`` swaps every second block's
+dense FFN for a Switch-style mixture of experts sharded over a
+('data', 'expert') mesh (``nn.MoEFeedForward``) — parameter count scales
+with experts at constant per-token FLOPs.
 """
 from morgana_tpu.base_models import BaseSPSS
 from morgana_tpu.experiment_builder import ExperimentBuilder
@@ -51,7 +55,9 @@ class TransformerAcousticModel(LSTMAcousticModel):
                  num_layers=6, d_model=384, num_heads=4, d_ff=None,
                  causal=False, attention_window=None, remat=None,
                  attention_backend='xla', pipeline_stages=None,
-                 pipeline_microbatches=8):
+                 pipeline_microbatches=8, moe_experts=0, moe_every=2,
+                 moe_capacity_factor=1.25, moe_aux_weight=0.01,
+                 expert_parallel=False):
         if output_dims is None:
             output_dims = {'lf0': 1 * 3, 'vuv': 1, 'mcep': 60 * 3, 'bap': 5 * 3}
         if d_ff is None:
@@ -76,6 +82,24 @@ class TransformerAcousticModel(LSTMAcousticModel):
         self.attention_window = attention_window
         self.attention_backend = attention_backend
         self.pipeline_stages = pipeline_stages
+        self.moe_experts = moe_experts
+
+        moe = None
+        if moe_experts:
+            if pipeline_stages:
+                raise ValueError('pipeline_stages and moe_experts cannot '
+                                 'combine (pipeline stages must be '
+                                 'homogeneous dense blocks)')
+            # Expert parallelism: shard the stacked expert weights and the
+            # dispatched token blocks over a ('data', 'expert') mesh — XLA
+            # inserts the token all-to-all (GSPMD).
+            mesh = None
+            if expert_parallel:
+                from morgana_tpu.parallel.mesh import make_moe_mesh
+                mesh = make_moe_mesh(moe_experts)
+            moe = dict(num_experts=moe_experts,
+                       capacity_factor=moe_capacity_factor,
+                       aux_weight=moe_aux_weight, mesh=mesh)
 
         if pipeline_stages:
             # Pipeline parallelism: the encoder blocks execute as a GPipe
@@ -94,7 +118,8 @@ class TransformerAcousticModel(LSTMAcousticModel):
                 num_layers, d_model, num_heads, d_ff,
                 dropout=self.dropout_prob, causal=causal,
                 window=attention_window, remat=remat,
-                attention_backend=attention_backend)
+                attention_backend=attention_backend,
+                moe=moe, moe_every=moe_every)
 
         self.layers = nn.SequentialWithRecurrent(
             nn.Linear(self.input_dim, d_model),
@@ -112,6 +137,11 @@ class TransformerAcousticModel(LSTMAcousticModel):
     # ------------------------------------------------------------ streaming
 
     def stream_step(self, inputs_chunk, state):
+        if self.moe_experts:
+            raise NotImplementedError(
+                'streaming with MoE blocks is not supported: expert capacity '
+                'is computed per routed window, so chunked routing would not '
+                'reproduce batch predictions exactly')
         if not self.causal:
             raise NotImplementedError(
                 'chunked streaming needs the streamable configuration '

@@ -271,7 +271,7 @@ def bind(module, params=None, rng=None, train=False):
         saved = {name: p.value for name, p in slots.items()}
         for name, value in params.items():
             slots[name].value = value
-    _ctx().append({'rng': rng, 'n': 0, 'train': train})
+    _ctx().append({'rng': rng, 'n': 0, 'train': train, 'aux': []})
     try:
         yield module
     finally:
@@ -298,6 +298,25 @@ def next_rng():
 def is_training():
     stack = _ctx()
     return bool(stack) and stack[-1]['train']
+
+
+def aux_loss(value):
+    """Registers an auxiliary training loss from inside a layer (e.g. the
+    MoE router's load-balancing term). Collected by the training step via
+    :func:`collected_aux_loss`; a no-op outside a :func:`bind` context (so
+    eval/predict paths need no special-casing)."""
+    stack = _ctx()
+    if stack:
+        stack[-1].setdefault('aux', []).append(value)
+
+
+def collected_aux_loss():
+    """Sum of the auxiliary losses registered under the CURRENT bind
+    context (0.0 when none)."""
+    stack = _ctx()
+    if not stack or not stack[-1].get('aux'):
+        return 0.0
+    return sum(stack[-1]['aux'])
 
 
 # ---------------------------------------------------------------------------
@@ -817,6 +836,131 @@ class MultiHeadAttention(Module):
                 f'heads={self.num_heads})')
 
 
+class MoEFeedForward(Module):
+    """Mixture-of-experts FFN (Switch-Transformer-style top-1 routing) — the
+    sparse drop-in for a dense ``Linear -> GELU -> Linear`` block, designed
+    for **expert parallelism** over a TPU mesh.
+
+    TPU-native formulation: routing is expressed as dense one-hot dispatch
+    einsums (MXU work, static shapes — no ragged gathers), grouped per batch
+    row so the dispatch tensor stays ``(B, T, E, C)`` rather than quadratic
+    in total tokens. Every expert processes a fixed capacity
+    ``C = ceil(capacity_factor * T / E)`` tokens per row; overflow tokens
+    pass through on the residual path (standard Switch semantics). A
+    load-balancing auxiliary loss (``E * sum_e f_e * p_e``, Fedus et al.
+    2021 eq. 4) is registered via :func:`aux_loss` during training; the
+    fused train step collects it automatically.
+
+    Expert parallelism: pass ``mesh`` (with an ``'expert'`` axis) and the
+    stacked expert parameters + dispatched ``(B, E, C, d)`` activations are
+    sharding-constrained onto it — XLA inserts the token all-to-all (GSPMD,
+    same stance as data parallelism; cf. parallel/tp_rnn.py for the
+    hand-collective alternative style). Padded frames (beyond ``seq_len``)
+    are excluded from routing, capacity and the balance loss.
+    """
+
+    accepts_seq_len = True
+
+    def __init__(self, d_model, d_ff, num_experts, capacity_factor=1.25,
+                 aux_weight=0.01, mesh=None, expert_axis='expert'):
+        if num_experts < 1:
+            raise ValueError(f'num_experts must be >= 1, got {num_experts}')
+        self.d_model = d_model
+        self.d_ff = d_ff
+        self.num_experts = int(num_experts)
+        self.capacity_factor = float(capacity_factor)
+        self.aux_weight = float(aux_weight)
+        self._mesh = mesh
+        self.expert_axis = expert_axis
+        self.router = Linear(d_model, num_experts, bias=False)
+        bound_in = 1.0 / math.sqrt(d_model)
+        bound_out = 1.0 / math.sqrt(d_ff)
+        self.w_in = Param(_uniform((num_experts, d_model, d_ff), bound_in))
+        self.b_in = Param(_uniform((num_experts, d_ff), bound_in))
+        self.w_out = Param(_uniform((num_experts, d_ff, d_model), bound_out))
+        self.b_out = Param(_uniform((num_experts, d_model), bound_out))
+
+    def capacity(self, frames):
+        return max(1, min(frames, int(math.ceil(
+            self.capacity_factor * frames / self.num_experts))))
+
+    def _constrain(self, t, spec_prefix):
+        if self._mesh is None or self.expert_axis not in self._mesh.shape:
+            return t
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = PartitionSpec(*spec_prefix)
+        return jax.lax.with_sharding_constraint(
+            t, NamedSharding(self._mesh, spec))
+
+    def forward(self, x, seq_len=None):
+        batch, frames, d_model = x.shape
+        num_experts, cap = self.num_experts, self.capacity(frames)
+        cd = _DEFAULT_COMPUTE_DTYPE
+
+        # Router in float32: softmax balance statistics must stay exact.
+        logits = jnp.dot(x.astype(jnp.float32),
+                         self.router.weight.value.astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1)            # (B, T, E)
+        gate = jnp.max(probs, axis=-1)                     # (B, T)
+        expert = jnp.argmax(probs, axis=-1)                # (B, T)
+
+        if seq_len is not None:
+            valid = (jnp.arange(frames)[None, :]
+                     < jnp.asarray(seq_len).reshape(batch, 1)).astype(jnp.float32)
+        else:
+            valid = jnp.ones((batch, frames), jnp.float32)
+
+        onehot = jax.nn.one_hot(expert, num_experts,
+                                dtype=jnp.float32) * valid[..., None]
+        # Position of each token within its expert's per-row capacity.
+        position = jnp.cumsum(onehot, axis=1) * onehot     # 1-based, (B,T,E)
+        keep = onehot * (position <= cap)
+        slot = jax.nn.one_hot((position - 1.0).astype(jnp.int32), cap,
+                              dtype=x.dtype) * keep[..., None].astype(x.dtype)
+
+        # Dispatch -> expert FFNs -> combine: three MXU einsums over static
+        # shapes. The (B, E, C, d) blocks and (E, d, ff) weights carry the
+        # 'expert' sharding; XLA turns the dispatch into the token
+        # all-to-all when experts live on different devices.
+        w_in, b_in = self.w_in.value, self.b_in.value
+        w_out, b_out = self.w_out.value, self.b_out.value
+        if cd is not None:
+            x_c, w_in_c, w_out_c = x.astype(cd), w_in.astype(cd), w_out.astype(cd)
+            slot_c = slot.astype(cd)
+        else:
+            x_c, w_in_c, w_out_c, slot_c = x, w_in, w_out, slot
+        dispatched = jnp.einsum('btec,btd->becd', slot_c, x_c,
+                                preferred_element_type=x.dtype)
+        dispatched = self._constrain(dispatched, (None, self.expert_axis))
+        h = jnp.einsum('becd,edf->becf',
+                       dispatched.astype(cd) if cd is not None else dispatched,
+                       w_in_c, preferred_element_type=x.dtype)
+        h = jax.nn.gelu(h + b_in[None, :, None, :], approximate=False)
+        out = jnp.einsum('becf,efd->becd',
+                         h.astype(cd) if cd is not None else h, w_out_c,
+                         preferred_element_type=x.dtype)
+        out = out + b_out[None, :, None, :]
+        out = self._constrain(out, (None, self.expert_axis))
+        y = jnp.einsum('btec,becd->btd', slot_c, out.astype(slot_c.dtype),
+                       preferred_element_type=x.dtype)
+        y = y * gate[..., None].astype(y.dtype)
+
+        if is_training() and self.aux_weight:
+            # Switch load-balancing loss over VALID tokens: E * sum_e f_e*p_e
+            # (= 1 at perfect balance; each term sees gradients through p).
+            denom = jnp.maximum(valid.sum(), 1.0)
+            frac = jnp.sum(onehot, axis=(0, 1)) / denom
+            mean_prob = jnp.sum(probs * valid[..., None], axis=(0, 1)) / denom
+            aux_loss(self.aux_weight * num_experts
+                     * jnp.sum(frac * mean_prob))
+        return y
+
+    def __repr__(self):
+        return (f'MoEFeedForward(d_model={self.d_model}, d_ff={self.d_ff}, '
+                f'experts={self.num_experts}, '
+                f'capacity_factor={self.capacity_factor})')
+
+
 class TransformerEncoderLayer(Module):
     """Pre-LN Transformer block: ``x + attn(LN(x))`` then ``x + ffn(LN(x))``
     (pre-norm trains stably without warmup at these depths). The FFN is two
@@ -826,14 +970,21 @@ class TransformerEncoderLayer(Module):
     accepts_seq_len = True
 
     def __init__(self, d_model, num_heads, d_ff, dropout=0.0,
-                 attention_backend='xla'):
+                 attention_backend='xla', moe=None):
         self.attn_norm = LayerNorm(d_model)
         self.attn = MultiHeadAttention(d_model, num_heads, dropout=dropout,
                                        backend=attention_backend)
         self.ffn_norm = LayerNorm(d_model)
-        self.ffn_in = Linear(d_model, d_ff)
-        self.ffn_act = GELU()
-        self.ffn_out = Linear(d_ff, d_model)
+        if moe:
+            # Sparse FFN: Switch-style mixture of experts (`moe` is the
+            # MoEFeedForward kwarg dict, e.g. {'num_experts': 8}).
+            self.moe = MoEFeedForward(d_model, d_ff, **moe)
+            self.ffn_in = self.ffn_act = self.ffn_out = None
+        else:
+            self.moe = None
+            self.ffn_in = Linear(d_model, d_ff)
+            self.ffn_act = GELU()
+            self.ffn_out = Linear(d_ff, d_model)
         self.dropout = Dropout(dropout) if dropout else None
 
     def forward(self, x, seq_len=None, causal=False, window=None):
@@ -842,11 +993,14 @@ class TransformerEncoderLayer(Module):
         if self.dropout is not None:
             h = self.dropout(h)
         x = x + h
-        x = x + self._ffn(x)
+        x = x + self._ffn(x, seq_len=seq_len)
         return x
 
-    def _ffn(self, x):
-        h = self.ffn_out(self.ffn_act(self.ffn_in(self.ffn_norm(x))))
+    def _ffn(self, x, seq_len=None):
+        if self.moe is not None:
+            h = self.moe(self.ffn_norm(x), seq_len=seq_len)
+        else:
+            h = self.ffn_out(self.ffn_act(self.ffn_in(self.ffn_norm(x))))
         if self.dropout is not None:
             h = self.dropout(h)
         return h
@@ -861,9 +1015,10 @@ class TransformerEncoderLayer(Module):
         return x + self._ffn(x), (cache_k, cache_v)
 
     def __repr__(self):
+        ffn = (repr(self.moe) if self.moe is not None
+               else f'd_ff={self.ffn_in.out_features}')
         return (f'TransformerEncoderLayer(d_model={self.attn.embed_dim}, '
-                f'heads={self.attn.num_heads}, '
-                f'd_ff={self.ffn_in.out_features})')
+                f'heads={self.attn.num_heads}, {ffn})')
 
 
 class TransformerEncoder(Module):
@@ -878,7 +1033,7 @@ class TransformerEncoder(Module):
 
     def __init__(self, num_layers, d_model, num_heads, d_ff, dropout=0.0,
                  add_positions=True, causal=False, window=None, remat=None,
-                 attention_backend='xla'):
+                 attention_backend='xla', moe=None, moe_every=2):
         if window is not None and not causal:
             raise ValueError('window (sliding-window attention) requires '
                              'causal=True')
@@ -887,10 +1042,15 @@ class TransformerEncoder(Module):
         self.causal = causal
         self.window = window
         self.remat = remat
+        # With `moe` (a MoEFeedForward kwarg dict), every `moe_every`-th
+        # block's dense FFN becomes a sparse expert mixture — the standard
+        # interleaving (Switch/GLaM use every other layer).
         self.blocks = ModuleList([
-            TransformerEncoderLayer(d_model, num_heads, d_ff, dropout=dropout,
-                                    attention_backend=attention_backend)
-            for _ in range(num_layers)])
+            TransformerEncoderLayer(
+                d_model, num_heads, d_ff, dropout=dropout,
+                attention_backend=attention_backend,
+                moe=moe if (moe and i % moe_every == moe_every - 1) else None)
+            for i in range(num_layers)])
         self.norm = LayerNorm(d_model)
 
     def forward(self, x, seq_len=None):

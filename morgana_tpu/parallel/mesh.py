@@ -18,8 +18,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
-    'make_mesh', 'batch_sharding', 'replicated_sharding', 'put_global',
-    'host_local_batch', 'shard_batch', 'shard_params', 'param_shardings',
+    'make_mesh', 'make_moe_mesh', 'batch_sharding', 'replicated_sharding',
+    'put_global', 'host_local_batch', 'shard_batch', 'shard_params',
+    'param_shardings',
 ]
 
 
@@ -31,6 +32,22 @@ def make_mesh(num_data=None, num_model=1, devices=None):
         num_data = len(devices) // num_model
     devices = np.asarray(devices[:num_data * num_model]).reshape(num_data, num_model)
     return Mesh(devices, axis_names=('data', 'model'))
+
+
+def make_moe_mesh(num_experts, num_expert_axis=None, devices=None):
+    """A ('data', 'expert') mesh for expert-parallel MoE layers. The expert
+    axis defaults to the largest divisor of ``num_experts`` that also
+    divides the device count (so stacked ``(E, ...)`` expert parameters
+    shard evenly)."""
+    import math as _math
+    if devices is None:
+        devices = jax.devices()
+    if num_expert_axis is None:
+        num_expert_axis = _math.gcd(int(num_experts), len(devices))
+    num_data = len(devices) // num_expert_axis
+    devices = np.asarray(devices[:num_data * num_expert_axis]).reshape(
+        num_data, num_expert_axis)
+    return Mesh(devices, axis_names=('data', 'expert'))
 
 
 def batch_sharding(mesh):

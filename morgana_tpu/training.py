@@ -33,6 +33,10 @@ def staged_value_and_grad(model, params, batch, rng):
         with nn.bind(model, p, rng=rng, train=True):
             model.metrics.begin_staging('train')
             loss, outputs = model(batch)
+            # Layer-registered auxiliary losses (e.g. MoE load balancing)
+            # train through the same gradients; reported metrics and eval
+            # losses stay pure task loss.
+            loss = loss + nn.collected_aux_loss()
             staged = model.metrics.drain_staged_values()
         return loss, (outputs, staged)
 
