@@ -57,7 +57,7 @@ class TransformerAcousticModel(LSTMAcousticModel):
                  attention_backend='xla', pipeline_stages=None,
                  pipeline_microbatches=8, moe_experts=0, moe_every=2,
                  moe_capacity_factor=1.25, moe_aux_weight=0.01,
-                 expert_parallel=False):
+                 expert_parallel=False, sequence_parallel=0):
         if output_dims is None:
             output_dims = {'lf0': 1 * 3, 'vuv': 1, 'mcep': 60 * 3, 'bap': 5 * 3}
         if d_ff is None:
@@ -83,6 +83,24 @@ class TransformerAcousticModel(LSTMAcousticModel):
         self.attention_backend = attention_backend
         self.pipeline_stages = pipeline_stages
         self.moe_experts = moe_experts
+
+        activation_sharding = None
+        if sequence_parallel:
+            if pipeline_stages:
+                raise ValueError('sequence_parallel and pipeline_stages '
+                                 'cannot combine (the pipeline owns its own '
+                                 'activation layout)')
+            # Sequence parallelism: activations live sharded (batch over
+            # 'data', time over 'seq'); GSPMD inserts the attention K/V
+            # all-gather. Pays off on very long utterances where the T x T
+            # attention or T-length activations pressure one device's HBM.
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+            from morgana_tpu.parallel.mesh import make_seq_mesh
+            seq_mesh = make_seq_mesh(int(sequence_parallel))
+            activation_sharding = NamedSharding(
+                seq_mesh, PartitionSpec('data' if seq_mesh.shape['data'] > 1
+                                        else None, 'seq'))
 
         moe = None
         if moe_experts:
@@ -119,7 +137,8 @@ class TransformerAcousticModel(LSTMAcousticModel):
                 dropout=self.dropout_prob, causal=causal,
                 window=attention_window, remat=remat,
                 attention_backend=attention_backend,
-                moe=moe, moe_every=moe_every)
+                moe=moe, moe_every=moe_every,
+                activation_sharding=activation_sharding)
 
         self.layers = nn.SequentialWithRecurrent(
             nn.Linear(self.input_dim, d_model),

@@ -1033,7 +1033,8 @@ class TransformerEncoder(Module):
 
     def __init__(self, num_layers, d_model, num_heads, d_ff, dropout=0.0,
                  add_positions=True, causal=False, window=None, remat=None,
-                 attention_backend='xla', moe=None, moe_every=2):
+                 attention_backend='xla', moe=None, moe_every=2,
+                 activation_sharding=None):
         if window is not None and not causal:
             raise ValueError('window (sliding-window attention) requires '
                              'causal=True')
@@ -1042,6 +1043,13 @@ class TransformerEncoder(Module):
         self.causal = causal
         self.window = window
         self.remat = remat
+        # Sequence parallelism (GSPMD): a NamedSharding over (batch, time,
+        # features) committed at entry and re-committed after every block.
+        # Elementwise/FFN/LayerNorm work runs fully sharded along the time
+        # axis; for the attention inner product XLA inserts the K/V
+        # all-gather (and its reduce-scatter transpose in the backward) —
+        # the compiler-owns-the-collectives stance, same as DP.
+        self.activation_sharding = activation_sharding
         # With `moe` (a MoEFeedForward kwarg dict), every `moe_every`-th
         # block's dense FFN becomes a sparse expert mixture — the standard
         # interleaving (Switch/GLaM use every other layer).
@@ -1060,6 +1068,13 @@ class TransformerEncoder(Module):
             x = x + attention_ops.sinusoidal_positions(
                 x.shape[1], self.d_model, dtype=x.dtype)
         remat = self.remat if self.remat is not None else _DEFAULT_REMAT
+
+        def constrain(t):
+            if self.activation_sharding is None:
+                return t
+            return jax.lax.with_sharding_constraint(t, self.activation_sharding)
+
+        x = constrain(x)
         for block in self.blocks:
             if remat:
                 # Params flow through `bind` (module attrs), so checkpointing
@@ -1072,6 +1087,7 @@ class TransformerEncoder(Module):
             else:
                 x = block(x, seq_len=seq_len, causal=self.causal,
                           window=self.window)
+            x = constrain(x)
         return self.norm(x)
 
     def init_stream_state(self, batch, dtype=jnp.float32):

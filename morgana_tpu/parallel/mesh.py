@@ -18,9 +18,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
-    'make_mesh', 'make_moe_mesh', 'batch_sharding', 'replicated_sharding',
-    'put_global', 'host_local_batch', 'shard_batch', 'shard_params',
-    'param_shardings',
+    'make_mesh', 'make_moe_mesh', 'make_seq_mesh', 'batch_sharding',
+    'replicated_sharding', 'put_global', 'host_local_batch', 'shard_batch',
+    'shard_params', 'param_shardings',
 ]
 
 
@@ -32,6 +32,16 @@ def make_mesh(num_data=None, num_model=1, devices=None):
         num_data = len(devices) // num_model
     devices = np.asarray(devices[:num_data * num_model]).reshape(num_data, num_model)
     return Mesh(devices, axis_names=('data', 'model'))
+
+
+def make_seq_mesh(num_seq, devices=None):
+    """A ('data', 'seq') mesh for sequence-parallel transformer activations:
+    batch over 'data', the time axis over 'seq'."""
+    if devices is None:
+        devices = jax.devices()
+    num_data = len(devices) // num_seq
+    devices = np.asarray(devices[:num_data * num_seq]).reshape(num_data, num_seq)
+    return Mesh(devices, axis_names=('data', 'seq'))
 
 
 def make_moe_mesh(num_experts, num_expert_axis=None, devices=None):
