@@ -264,6 +264,11 @@ class ExperimentBuilder(object):
                                  '(tensor parallelism; combine with --data_parallel for a '
                                  'data x model mesh). Low value at this model scale — see '
                                  'docs/design.md for the measured analysis.')
+        parser.add_argument('--fsdp', dest='fsdp', action='store_true', default=False,
+                            help='With --data_parallel: shard parameters, optimiser moments and '
+                                 'EMA over the "data" axis (ZeRO-3/FSDP storage sharding; GSPMD '
+                                 'inserts the weight all_gather / gradient reduce_scatter). '
+                                 'Divides state memory per device by the data-axis size.')
         parser.add_argument('--keep_checkpoints', dest='keep_checkpoints', action='store',
                             type=int, default=0,
                             help='If > 0, keep only the newest N epoch checkpoints '
@@ -542,6 +547,22 @@ class ExperimentBuilder(object):
                              '--shard_map_step (the explicit shard_map step '
                              'is data-parallel only); the default GSPMD path '
                              'handles data x model meshes.')
+        self.fsdp = kwargs.get('fsdp', False)
+        if self.fsdp:
+            if self.mesh is None or self.mesh.shape['data'] <= 1:
+                raise ValueError('--fsdp requires --data_parallel (parameter '
+                                 "shards live on the 'data' mesh axis).")
+            if self.shard_map_step:
+                raise ValueError('--fsdp is not supported with '
+                                 '--shard_map_step; the GSPMD path owns the '
+                                 'FSDP collectives (all_gather/reduce_scatter).')
+            if self.multihost:
+                raise ValueError('--fsdp with --multihost is not supported: '
+                                 'epoch .npz checkpoints gather parameters to '
+                                 'the lead host, which a cross-host-sharded '
+                                 'array cannot do. Use single-host --fsdp, or '
+                                 'multi-host --data_parallel (replicated '
+                                 'params) with --orbax_dir.')
         self.loop = TrainLoop(self.model, optimizer, ema_decay=self.ema_decay,
                               seed=self.seed, ema_model=self.ema.model if self.ema else None,
                               shard_map_mesh=self.mesh if self.shard_map_step else None,
@@ -639,6 +660,24 @@ class ExperimentBuilder(object):
                         self.logger.info(
                             'Mid-epoch resume: epoch %d restarts at batch %d',
                             step_epoch, batches_done + 1)
+
+        # FSDP placement runs AFTER every restore path so resumed optimiser/
+        # EMA state (host pickles, Orbax arrays) lands sharded too. Sharded
+        # leaves flow through the unchanged jitted step; elementwise updates
+        # preserve the layout across steps.
+        if self.fsdp:
+            from morgana_tpu import parallel
+            (self.loop.params, self.loop.opt_state, self.loop.ema_params,
+             fsdp_shardings) = parallel.shard_fsdp_state(
+                self.loop.params, self.loop.opt_state, self.loop.ema_params,
+                self.mesh, tensor_parallel=self.tensor_parallel > 1)
+            num_sharded = sum(
+                1 for s in fsdp_shardings.values()
+                if any(axis is not None for axis in s.spec))
+            self.logger.info(
+                "FSDP: %d/%d parameter leaves sharded %d-way over 'data' "
+                '(+ Adam moments and EMA)', num_sharded,
+                len(fsdp_shardings), self.mesh.shape['data'])
 
         #
         # Data loaders.

@@ -16,12 +16,17 @@ scaling is first-class and TPU-idiomatic:
 * **Pipeline parallelism**: GPipe-style stage pipelining of the transformer
   encoder over a ``'stage'`` axis — one ``lax.scan`` of compute+``ppermute``
   ticks inside ``shard_map`` (:mod:`morgana_tpu.parallel.pipeline`).
+* **FSDP / ZeRO-3** (``--fsdp``): parameters, Adam moments and EMA shards
+  live sharded over the ``'data'`` axis (largest-axis storage sharding);
+  GSPMD inserts the weight ``all_gather`` / gradient ``reduce_scatter``
+  and each device updates only its own parameter shard.
 * **Multi-host**: ``jax.distributed.initialize`` over DCN, with host-local
   id-list sharding for the data pipeline.
 """
 from morgana_tpu.parallel.mesh import (
     make_mesh, batch_sharding, replicated_sharding, put_global,
     host_local_batch, shard_batch, shard_params, param_shardings,
+    fsdp_param_shardings, fsdp_state_shardings, shard_fsdp_state,
 )
 from morgana_tpu.parallel.distributed import (
     initialize_distributed, process_info, shard_id_list,

@@ -20,7 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     'make_mesh', 'make_moe_mesh', 'make_seq_mesh', 'batch_sharding',
     'replicated_sharding', 'put_global', 'host_local_batch', 'shard_batch',
-    'shard_params', 'param_shardings',
+    'shard_params', 'param_shardings', 'fsdp_param_shardings',
+    'fsdp_state_shardings', 'shard_fsdp_state',
 ]
 
 
@@ -166,3 +167,98 @@ def shard_params(params, mesh, tensor_parallel=False):
     :func:`param_shardings`."""
     shardings = param_shardings(params, mesh, tensor_parallel=tensor_parallel)
     return {name: jax.device_put(value, shardings[name]) for name, value in params.items()}
+
+
+def _fsdp_spec(shape, num_data, taken=(), min_size=2 ** 16):
+    """The FSDP axis choice for one leaf: its LARGEST axis that divides
+    evenly over ``num_data`` and is not already taken (by TP), or None.
+
+    Unlike TP this is pure shape math — FSDP sharding is a storage layout,
+    not a computation layout, so no parameter-name knowledge is needed.
+    """
+    size = 1
+    for dim in shape:
+        size *= dim
+    if num_data <= 1 or size < min_size:
+        return None
+    for axis in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        if axis not in taken and shape[axis] % num_data == 0:
+            return axis
+    return None
+
+
+def fsdp_param_shardings(params, mesh, tensor_parallel=False,
+                         min_size=2 ** 16):
+    """ZeRO-3/FSDP layout: every large parameter shards its largest axis
+    over the ``'data'`` mesh axis (storage sharding). The jitted step is
+    UNCHANGED — under GSPMD, XLA inserts the weight ``all_gather`` where a
+    sharded kernel meets a data-sharded batch and the matching
+    ``reduce_scatter`` in the backward, and the optimiser update runs on
+    each device's own parameter shard. Composes with TP: the ``'model'``
+    axis (from :func:`param_shardings`) keeps its dimension, ``'data'``
+    takes the largest remaining one.
+
+    Leaves smaller than ``min_size`` elements (biases, LayerNorm scales)
+    stay replicated: their all-gather latency would cost more than the
+    memory they occupy.
+    """
+    num_data = mesh.shape.get('data', 1)
+    base = param_shardings(params, mesh, tensor_parallel=tensor_parallel)
+    out = {}
+    for name, value in params.items():
+        spec = list(base[name].spec)
+        spec += [None] * (value.ndim - len(spec))
+        taken = tuple(i for i, s in enumerate(spec) if s is not None)
+        axis = _fsdp_spec(value.shape, num_data, taken=taken,
+                          min_size=min_size)
+        if axis is not None:
+            spec[axis] = 'data'
+        out[name] = NamedSharding(mesh, P(*spec))
+    return out
+
+
+def fsdp_state_shardings(state, param_shardings_map, param_shapes, mesh):
+    """Sharding pytree for optimiser state mirroring a parameter dict
+    (e.g. optax ``mu``/``nu``): a leaf whose innermost dict key names a
+    parameter of the same shape takes that parameter's FSDP sharding —
+    Adam moments shard WITH their parameter, the ZeRO point — everything
+    else (step counts, scalars) replicates."""
+    replicated = NamedSharding(mesh, P())
+
+    def choose(path, leaf):
+        if not hasattr(leaf, 'shape'):
+            return replicated
+        for entry in reversed(path):
+            name = getattr(entry, 'key', None)
+            if name is None:
+                continue
+            sharding = param_shardings_map.get(name)
+            # Shape must match the parameter (guards against name
+            # collisions with non-moment state of a different shape).
+            if sharding is not None and \
+                    tuple(leaf.shape) == tuple(param_shapes[name]):
+                return sharding
+            break
+        return replicated
+
+    return jax.tree_util.tree_map_with_path(choose, state)
+
+
+def shard_fsdp_state(params, opt_state, ema_params, mesh,
+                     tensor_parallel=False, min_size=2 ** 16):
+    """Places (params, opt_state, ema_params) into the FSDP layout.
+    Returns the re-placed triple (ema may be None) and the param shardings.
+    """
+    shardings = fsdp_param_shardings(params, mesh,
+                                     tensor_parallel=tensor_parallel,
+                                     min_size=min_size)
+    shapes = {name: tuple(value.shape) for name, value in params.items()}
+    params = {name: jax.device_put(value, shardings[name])
+              for name, value in params.items()}
+    state_shardings = fsdp_state_shardings(opt_state, shardings, shapes, mesh)
+    opt_state = jax.tree_util.tree_map(jax.device_put, opt_state,
+                                       state_shardings)
+    if ema_params is not None:
+        ema_params = {name: jax.device_put(value, shardings[name])
+                      for name, value in ema_params.items()}
+    return params, opt_state, ema_params, shardings
