@@ -218,7 +218,8 @@ class ExperimentBuilder(object):
                                  '--checkpoint_path latest resumes from it at the exact '
                                  'batch — step-level fault tolerance for long epochs '
                                  '(after a mid-epoch resume, that epoch\'s metrics cover '
-                                 'the resumed remainder only).')
+                                 'the resumed remainder only; exact batch replay needs '
+                                 '--length_sort_window 0, else the resumed order differs).')
         parser.add_argument('--train_output_interval', dest='train_output_interval', action='store',
                             type=int, default=10, help='Epochs between generating output for training data.')
         parser.add_argument('--valid_output_interval', dest='valid_output_interval', action='store',
@@ -641,6 +642,17 @@ class ExperimentBuilder(object):
             if state is not None:
                 extra = state.get('extra') or {}
                 self._restored_lr_state = extra.get('lr_schedule')
+                # step.npz and its sidecar are each written atomically but
+                # sequentially; a crash between the two leaves a torn pair
+                # (new params, old optimiser state). The sidecar carries
+                # params too, so for step-checkpoint resume it is treated as
+                # the ONE consistent snapshot: params restore from it as
+                # well, never mixing the two files' write generations.
+                if state.get('params') is not None and os.path.normpath(
+                        self.checkpoint_path) == os.path.normpath(
+                        self._step_checkpoint_path()):
+                    self.loop.params = state['params']
+                    self.loop.sync_model()
                 if state['opt_state'] is not None:
                     self.loop.opt_state = state['opt_state']
                 if state.get('ema_params') is not None and self.ema_decay:
@@ -660,6 +672,24 @@ class ExperimentBuilder(object):
                         self.logger.info(
                             'Mid-epoch resume: epoch %d restarts at batch %d',
                             step_epoch, batches_done + 1)
+                        if self.length_sort_window:
+                            # The length-sorted order depends on sequence
+                            # lengths the loader only learns by iterating;
+                            # a fresh process has not seen them, so this
+                            # epoch's batch order differs from the
+                            # interrupted run's and skipping `batches_done`
+                            # batches replays a DIFFERENT prefix: some
+                            # utterances train twice this epoch, others not
+                            # at all. Harmless statistically, but not the
+                            # exact replay --step_checkpoint_interval
+                            # otherwise guarantees.
+                            self.logger.warning(
+                                'Mid-epoch resume with --length_sort_window '
+                                '%s: batch order is not reproducible across '
+                                'a restart, so epoch %d is approximately '
+                                '(not exactly) resumed. Use '
+                                '--length_sort_window 0 for exact replay.',
+                                self.length_sort_window, step_epoch)
 
         # FSDP placement runs AFTER every restore path so resumed optimiser/
         # EMA state (host pickles, Orbax arrays) lands sharded too. Sharded
@@ -672,8 +702,7 @@ class ExperimentBuilder(object):
                 self.loop.params, self.loop.opt_state, self.loop.ema_params,
                 self.mesh, tensor_parallel=self.tensor_parallel > 1)
             num_sharded = sum(
-                1 for s in fsdp_shardings.values()
-                if any(axis is not None for axis in s.spec))
+                1 for s in fsdp_shardings.values() if 'data' in s.spec)
             self.logger.info(
                 "FSDP: %d/%d parameter leaves sharded %d-way over 'data' "
                 '(+ Adam moments and EMA)', num_sharded,

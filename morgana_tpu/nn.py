@@ -922,8 +922,16 @@ class MoEFeedForward(Module):
         # shapes. The (B, E, C, d) blocks and (E, d, ff) weights carry the
         # 'expert' sharding; XLA turns the dispatch into the token
         # all-to-all when experts live on different devices.
-        w_in, b_in = self.w_in.value, self.b_in.value
-        w_out, b_out = self.w_out.value, self.b_out.value
+        # Constraining the stacked weights (leading E axis over 'expert')
+        # is what makes expert parallelism a MEMORY win, not just a compute
+        # layout: with the stored parameters placed by
+        # ``parallel.mesh.expert_param_shardings`` each device holds only
+        # its E/e experts (and their Adam moments), and these constraints
+        # keep XLA from gathering the full stack at use.
+        w_in = self._constrain(self.w_in.value, (self.expert_axis,))
+        b_in = self._constrain(self.b_in.value, (self.expert_axis,))
+        w_out = self._constrain(self.w_out.value, (self.expert_axis,))
+        b_out = self._constrain(self.b_out.value, (self.expert_axis,))
         if cd is not None:
             x_c, w_in_c, w_out_c = x.astype(cd), w_in.astype(cd), w_out.astype(cd)
             slot_c = slot.astype(cd)
@@ -1079,11 +1087,26 @@ class TransformerEncoder(Module):
             if remat:
                 # Params flow through `bind` (module attrs), so checkpointing
                 # the x->y closure is enough: residuals recompute per block.
-                run = jax.checkpoint(
-                    lambda t, b=block: b(t, seq_len=seq_len,
-                                         causal=self.causal,
-                                         window=self.window))
-                x = run(x)
+                # Aux losses (MoE load balance) registered while the closure
+                # is traced belong to the checkpoint's inner trace — leaving
+                # them on the bind frame would leak those tracers to the
+                # outer step (UnexpectedTracerError). They are captured in
+                # the closure, returned as a real checkpoint output and
+                # re-registered outside; jax.checkpoint traces the closure
+                # exactly once, so the frame bookkeeping stays balanced.
+                def run(t, b=block):
+                    frame = _ctx()[-1] if _ctx() else None
+                    n_aux = len(frame['aux']) if frame is not None else 0
+                    y = b(t, seq_len=seq_len, causal=self.causal,
+                          window=self.window)
+                    aux = 0.0
+                    if frame is not None and len(frame['aux']) > n_aux:
+                        aux = sum(frame['aux'][n_aux:])
+                        del frame['aux'][n_aux:]
+                    return y, jnp.asarray(aux, jnp.float32)
+
+                x, aux = jax.checkpoint(run)(x)
+                aux_loss(aux)
             else:
                 x = block(x, seq_len=seq_len, causal=self.causal,
                           window=self.window)

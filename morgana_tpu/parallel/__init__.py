@@ -26,6 +26,7 @@ scaling is first-class and TPU-idiomatic:
 from morgana_tpu.parallel.mesh import (
     make_mesh, batch_sharding, replicated_sharding, put_global,
     host_local_batch, shard_batch, shard_params, param_shardings,
+    expert_param_shardings,
     fsdp_param_shardings, fsdp_state_shardings, shard_fsdp_state,
 )
 from morgana_tpu.parallel.distributed import (

@@ -20,9 +20,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     'make_mesh', 'make_moe_mesh', 'make_seq_mesh', 'batch_sharding',
     'replicated_sharding', 'put_global', 'host_local_batch', 'shard_batch',
-    'shard_params', 'param_shardings', 'fsdp_param_shardings',
-    'fsdp_state_shardings', 'shard_fsdp_state',
+    'shard_params', 'param_shardings', 'expert_param_shardings',
+    'fsdp_param_shardings', 'fsdp_state_shardings', 'shard_fsdp_state',
 ]
+
+
+def _check_axis(name, size, devices):
+    if size < 1 or size > len(devices):
+        raise ValueError(
+            f"mesh axis '{name}' = {size} must be between 1 and the device "
+            f'count ({len(devices)})')
 
 
 def make_mesh(num_data=None, num_model=1, devices=None):
@@ -40,6 +47,7 @@ def make_seq_mesh(num_seq, devices=None):
     batch over 'data', the time axis over 'seq'."""
     if devices is None:
         devices = jax.devices()
+    _check_axis('seq', num_seq, devices)
     num_data = len(devices) // num_seq
     devices = np.asarray(devices[:num_data * num_seq]).reshape(num_data, num_seq)
     return Mesh(devices, axis_names=('data', 'seq'))
@@ -55,6 +63,7 @@ def make_moe_mesh(num_experts, num_expert_axis=None, devices=None):
         devices = jax.devices()
     if num_expert_axis is None:
         num_expert_axis = _math.gcd(int(num_experts), len(devices))
+    _check_axis('expert', num_expert_axis, devices)
     num_data = len(devices) // num_expert_axis
     devices = np.asarray(devices[:num_data * num_expert_axis]).reshape(
         num_data, num_expert_axis)
@@ -162,10 +171,41 @@ def param_shardings(params, mesh, tensor_parallel=False, min_size=2 ** 16):
     return out
 
 
+# Stacked expert parameters produced by nn.MoEFeedForward: (E, ...) arrays
+# whose leading axis shards over 'expert' (expert parallelism). The leaf
+# names w_in/b_in/w_out/b_out are unique to MoEFeedForward (Linear uses
+# weight/bias, Recurrent uses w_ih_lN/...), so a bare MoE module's params
+# match too — not only ones nested under a `moe.` attribute.
+_EXPERT_STACKED = re.compile(r'(^|.*\.)(w_in|b_in|w_out|b_out)$')
+
+
+def expert_param_shardings(params, mesh, expert_axis='expert'):
+    """Builds a {name: NamedSharding} map for expert parallelism: the
+    stacked ``(E, ...)`` expert parameters of every ``nn.MoEFeedForward``
+    shard their leading axis over ``expert_axis``; everything else
+    replicates. This is the STORAGE half of expert parallelism — the
+    compute half is the sharding constraints inside
+    ``MoEFeedForward.forward`` — and it is what makes per-device parameter
+    (and Adam-moment) memory scale as E / mesh.shape['expert']."""
+    size = mesh.shape.get(expert_axis, 1)
+    out = {}
+    for name, value in params.items():
+        spec = P()
+        if size > 1 and value.ndim >= 1 and _EXPERT_STACKED.match(name):
+            spec = P(expert_axis)
+        out[name] = NamedSharding(mesh, spec)
+    return out
+
+
 def shard_params(params, mesh, tensor_parallel=False):
     """Places a parameter pytree onto the mesh according to
-    :func:`param_shardings`."""
+    :func:`param_shardings` — plus :func:`expert_param_shardings` when the
+    mesh carries an 'expert' axis."""
     shardings = param_shardings(params, mesh, tensor_parallel=tensor_parallel)
+    if mesh.shape.get('expert', 1) > 1:
+        expert = expert_param_shardings(params, mesh)
+        shardings.update({name: s for name, s in expert.items()
+                          if s.spec != P()})
     return {name: jax.device_put(value, shardings[name]) for name, value in params.items()}
 
 

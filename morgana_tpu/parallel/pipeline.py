@@ -36,8 +36,6 @@ Composition: the mesh may carry a ``'data'`` axis alongside ``'stage'``
 same ``shard_map`` and the gradient ``psum`` over ``'data'`` is inserted by
 XLA outside, so dp x pp trains with the standard fused step unchanged.
 """
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,15 +45,29 @@ from morgana_tpu import nn
 from morgana_tpu.ops import attention as attention_ops
 
 __all__ = [
-    'make_pipeline_mesh', 'stack_block_params', 'transformer_block_apply',
+    'make_pipeline_mesh', 'round_microbatches', 'stack_block_params',
+    'transformer_block_apply',
     'pipeline_apply', 'PipelinedTransformerEncoder',
 ]
+
+
+def round_microbatches(requested, per_shard):
+    """Largest divisor of the per-data-shard batch ``per_shard`` that is
+    <= the ``requested`` microbatch count, so every microbatch still splits
+    evenly over 'data'. (gcd would round down further than needed — e.g.
+    gcd(8, 6) = 2 where 6 is a valid count — needlessly inflating the
+    GPipe bubble.)"""
+    return max(d for d in range(1, max(1, min(requested, per_shard)) + 1)
+               if per_shard % d == 0)
 
 
 def make_pipeline_mesh(num_stages, num_data=None, devices=None):
     """A ``('data', 'stage')`` mesh: batch over 'data', layers over 'stage'."""
     if devices is None:
         devices = jax.devices()
+    if num_stages < 1 or num_stages > len(devices):
+        raise ValueError(f"mesh axis 'stage' = {num_stages} must be between "
+                         f'1 and the device count ({len(devices)})')
     if num_data is None:
         num_data = len(devices) // num_stages
     devices = np.asarray(devices[:num_data * num_stages]).reshape(
@@ -269,10 +281,8 @@ class PipelinedTransformerEncoder(nn.TransformerEncoder):
         if x.shape[0] % data_size:
             raise ValueError(f'batch {x.shape[0]} not divisible by the '
                              f"mesh's 'data' axis ({data_size})")
-        # Largest divisor of the per-data-shard batch <= the requested count,
-        # so every microbatch still splits evenly over 'data'.
-        m = max(1, math.gcd(self.num_microbatches,
-                            x.shape[0] // data_size))
+        m = round_microbatches(self.num_microbatches,
+                               x.shape[0] // data_size)
         remat = self.remat if self.remat is not None else nn.default_remat()
         y = pipeline_apply(
             stacked, x, seq_len, mesh, self.num_heads, m,

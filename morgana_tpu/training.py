@@ -34,8 +34,10 @@ def staged_value_and_grad(model, params, batch, rng):
             model.metrics.begin_staging('train')
             loss, outputs = model(batch)
             # Layer-registered auxiliary losses (e.g. MoE load balancing)
-            # train through the same gradients; reported metrics and eval
-            # losses stay pure task loss.
+            # fold into the optimised — and therefore the REPORTED train —
+            # loss, exactly like any other regulariser. Eval losses run
+            # outside this step and stay pure task loss, so with MoE the
+            # train/valid loss columns differ by the aux term.
             loss = loss + nn.collected_aux_loss()
             staged = model.metrics.drain_staged_values()
         return loss, (outputs, staged)

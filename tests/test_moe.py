@@ -116,6 +116,45 @@ class TestMoEFeedForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_expert_param_storage_sharding(self):
+        """expert_param_shardings places each device's slice of the stacked
+        (E, ...) expert weights — the per-device parameter memory actually
+        scales as E / mesh.shape['expert'] — and the sharded layer still
+        reproduces the replicated outputs."""
+        from morgana_tpu.parallel.mesh import expert_param_shardings
+        d, ff, E = 16, 32, 4
+        mesh = make_moe_mesh(E)
+        nn.manual_seed(9)
+        moe = nn.MoEFeedForward(d, ff, num_experts=E, capacity_factor=2.0)
+        x = _x(batch=8, frames=12, d_model=d)
+        ref = np.asarray(jax.jit(lambda x: moe(x))(x))
+
+        params = nn.parameters(moe)
+        shardings = expert_param_shardings(params, mesh)
+        stacked = {name for name, s in shardings.items() if 'expert' in s.spec}
+        assert stacked == {'w_in', 'b_in', 'w_out', 'b_out'}
+        assert 'expert' not in shardings['router.weight'].spec
+        placed = {name: jax.device_put(value, shardings[name])
+                  for name, value in params.items()}
+        per_device = E // mesh.shape['expert']
+        for name in stacked:
+            assert placed[name].addressable_shards[0].data.shape[0] == per_device
+
+        moe._mesh = mesh
+
+        def apply(p, x):
+            with nn.bind(moe, p):
+                return moe(x)
+
+        got = np.asarray(jax.jit(apply)(placed, x))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_moe_mesh_axis_guard(self):
+        """An expert axis larger than the device count is a clear error, not
+        a zero-device mesh that fails deep inside jax."""
+        with pytest.raises(ValueError, match='expert'):
+            make_moe_mesh(64, num_expert_axis=64)
+
 
 class TestEncoderIntegration:
     def test_moe_every_placement(self):
@@ -125,6 +164,35 @@ class TestEncoderIntegration:
         assert enc.blocks[1].moe is not None
         assert enc.blocks[2].moe is None
         assert enc.blocks[3].moe is not None
+
+    def test_moe_with_remat_matches_unrematted(self):
+        """MoE aux losses registered inside jax.checkpoint'ed blocks must
+        flow out as real outputs (a leaked inner-trace tracer crashes the
+        step), and rematerialisation must not change loss or gradients."""
+        nn.manual_seed(11)
+        enc = nn.TransformerEncoder(2, 16, 2, 32,
+                                    moe={'num_experts': 2}, moe_every=2)
+        x = _x(d_model=16)
+        seq_len = jnp.asarray([10, 10, 7, 5], jnp.int32)
+        params = nn.parameters(enc)
+
+        def loss_fn(p, remat):
+            enc.remat = remat
+            with nn.bind(enc, p, train=True):
+                y = enc(x, seq_len=seq_len)
+                return jnp.mean(y ** 2) + nn.collected_aux_loss()
+
+        loss_plain, grads_plain = jax.jit(
+            jax.value_and_grad(lambda p: loss_fn(p, False)))(params)
+        loss_remat, grads_remat = jax.jit(
+            jax.value_and_grad(lambda p: loss_fn(p, True)))(params)
+        enc.remat = None
+        np.testing.assert_allclose(float(loss_remat), float(loss_plain),
+                                   rtol=1e-6)
+        for name in grads_plain:
+            np.testing.assert_allclose(
+                np.asarray(grads_remat[name]), np.asarray(grads_plain[name]),
+                rtol=1e-5, atol=1e-7, err_msg=name)
 
     def test_encoder_forward_and_grad(self):
         nn.manual_seed(7)
@@ -154,6 +222,25 @@ class TestModelIntegration:
         nn.manual_seed(8)
         model = TransformerAcousticModel(num_layers=2, d_model=16,
                                          num_heads=2, d_ff=32, moe_experts=2)
+        import __graft_entry__ as graft
+        graft.install_unit_normalisers(model)
+        model.mode = 'train'
+        loop = TrainLoop(model, build_optimizer(), ema_decay=0., seed=0)
+        batch = graft._make_batch(batch=2, frames=16)
+        loss, _, _ = loop.train_step(batch, lr=1e-3)
+        assert np.isfinite(float(loss))
+
+    def test_transformer_model_moe_remat_trains_one_step(self):
+        """The --remat + moe_experts combination (remat wraps each block in
+        jax.checkpoint) must train — the aux loss crosses the checkpoint
+        boundary as a real output, not a leaked tracer."""
+        from transformer_spss import TransformerAcousticModel
+        from morgana_tpu.training import TrainLoop, build_optimizer
+
+        nn.manual_seed(12)
+        model = TransformerAcousticModel(num_layers=2, d_model=16,
+                                         num_heads=2, d_ff=32, moe_experts=2,
+                                         remat=True)
         import __graft_entry__ as graft
         graft.install_unit_normalisers(model)
         model.mode = 'train'

@@ -105,9 +105,24 @@ class TestPipelineParity:
         mesh = pp.make_pipeline_mesh(2, num_data=1)
         _, piped = _encoders(num_layers=2, mesh=mesh, num_stages=2,
                              num_microbatches=8)
-        x, seq_len = _batch(batch=6)  # 8 does not divide 6 -> gcd is 2
+        x, seq_len = _batch(batch=6)  # 8 does not divide 6 -> rounds to 6
         out = jax.jit(lambda x, s: piped(x, seq_len=s))(x, seq_len)
         assert out.shape == x.shape
+
+    def test_round_microbatches_picks_largest_divisor(self):
+        """The LARGEST divisor <= requested (gcd(8, 6) = 2 would inflate
+        the GPipe bubble: 2 in-flight microbatches instead of 6)."""
+        assert pp.round_microbatches(8, 6) == 6
+        assert pp.round_microbatches(8, 8) == 8
+        assert pp.round_microbatches(4, 6) == 3
+        assert pp.round_microbatches(8, 7) == 7
+        assert pp.round_microbatches(3, 7) == 1
+        assert pp.round_microbatches(8, 12) == 6
+        assert pp.round_microbatches(1, 5) == 1
+
+    def test_stage_axis_guard(self):
+        with pytest.raises(ValueError, match='stage'):
+            pp.make_pipeline_mesh(1000)
 
     def test_odd_layer_count_rejected(self):
         with pytest.raises(ValueError, match='divide'):

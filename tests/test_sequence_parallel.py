@@ -58,6 +58,14 @@ class TestSequenceParallel:
                                        np.asarray(ref_grads[name]),
                                        rtol=5e-4, atol=1e-6, err_msg=name)
 
+    def test_seq_axis_guard(self):
+        """A 'seq' axis larger than the device count raises clearly instead
+        of building a zero-device mesh."""
+        import pytest
+        from morgana_tpu.parallel.mesh import make_seq_mesh
+        with pytest.raises(ValueError, match='seq'):
+            make_seq_mesh(1000)
+
     def test_model_kwarg(self):
         from transformer_spss import TransformerAcousticModel
         kwargs = dict(num_layers=2, d_model=24, num_heads=2, d_ff=48)

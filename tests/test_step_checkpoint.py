@@ -86,6 +86,80 @@ class TestMidEpochResume:
                 np.testing.assert_array_equal(
                     ref[key], res[key], err_msg=f'{fname}:{key}')
 
+    def test_torn_step_pair_resumes_from_sidecar(self, voice_data, tmp_path):
+        """step.npz and its sidecar are each written atomically but
+        sequentially: a crash BETWEEN the two leaves a newer step.npz beside
+        an older sidecar. Resume must take params from the sidecar — one
+        consistent snapshot — never pairing step.npz's params with the
+        sidecar's optimiser state."""
+        exp = _build(voice_data, tmp_path, 'step_torn', end_epoch=1,
+                     step_checkpoint_interval=2)
+        orig_step = exp.loop.train_step
+        calls = {'n': 0}
+
+        def interrupting(features, lr, force_apply=False):
+            calls['n'] += 1
+            if calls['n'] == 3:
+                raise KeyboardInterrupt
+            return orig_step(features, lr, force_apply=force_apply)
+
+        exp.loop.train_step = interrupting
+        with pytest.raises(KeyboardInterrupt):
+            exp.run_experiment()
+
+        expdir = os.path.join(str(tmp_path / 'experiments'), 'step_torn')
+        step_ckpt = os.path.join(expdir, 'checkpoints', 'step.npz')
+        # Simulate the torn write: a NEWER params generation landed in
+        # step.npz but the crash came before the matching sidecar write.
+        torn = {k: v + 100.0 for k, v in _params(expdir, 'step.npz').items()}
+        checkpointing.save_state_dict(torn, step_ckpt, atomic=True)
+        sidecar_params = checkpointing.load_training_state(
+            checkpointing.training_state_path_for(step_ckpt))['params']
+
+        exp2 = _build(voice_data, tmp_path, 'step_torn', end_epoch=1,
+                      step_checkpoint_interval=2, checkpoint_path='latest')
+        assert exp2.checkpoint_path == step_ckpt
+        for name, value in exp2.loop.params.items():
+            np.testing.assert_array_equal(
+                np.asarray(value), np.asarray(sidecar_params[name]),
+                err_msg=name)
+
+    def test_mid_epoch_resume_warns_about_length_sort(
+            self, voice_data, tmp_path):
+        """--length_sort_window > 0 makes the resumed epoch's batch order
+        differ from the interrupted run's; the resume must say so."""
+        import logging
+        exp = _build(voice_data, tmp_path, 'step_lsw', end_epoch=1,
+                     step_checkpoint_interval=2, length_sort_window=2)
+        orig_step = exp.loop.train_step
+        calls = {'n': 0}
+
+        def interrupting(features, lr, force_apply=False):
+            calls['n'] += 1
+            if calls['n'] == 3:
+                raise KeyboardInterrupt
+            return orig_step(features, lr, force_apply=force_apply)
+
+        exp.loop.train_step = interrupting
+        with pytest.raises(KeyboardInterrupt):
+            exp.run_experiment()
+
+        # The framework logger sets propagate=False, so capture directly.
+        records = []
+        handler = logging.Handler()
+        handler.emit = records.append
+        logging.getLogger('morgana_tpu').addHandler(handler)
+        try:
+            exp2 = _build(voice_data, tmp_path, 'step_lsw', end_epoch=1,
+                          step_checkpoint_interval=2, length_sort_window=2,
+                          checkpoint_path='latest')
+        finally:
+            logging.getLogger('morgana_tpu').removeHandler(handler)
+        assert exp2._resume_batches_done == 2
+        assert any(r.levelno == logging.WARNING
+                   and 'length_sort_window' in r.getMessage()
+                   for r in records)
+
     def test_completed_epoch_step_checkpoint_is_stale(self, voice_data, tmp_path):
         """Once the epoch checkpoint for the step checkpoint's epoch exists,
         the (older-or-equal) step checkpoint must be ignored by latest."""
