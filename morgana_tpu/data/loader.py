@@ -138,6 +138,19 @@ class DataLoader(object):
         0 on every relaunch)."""
         self.epoch = int(epoch)
 
+    def lengths_state(self):
+        """The learned per-item length map (index -> max frames), for
+        checkpointing: with ``length_sort_window`` the batch order is a
+        function of these lengths, so a mid-epoch resume needs them to
+        replay the interrupted epoch's exact order (lengths are a property
+        of the data — stable across epochs — so the mid-epoch snapshot
+        equals what the epoch's ``_order`` call saw)."""
+        return dict(self._lengths)
+
+    def set_lengths(self, lengths):
+        """Restores a :meth:`lengths_state` snapshot (mid-epoch resume)."""
+        self._lengths = {int(k): int(v) for k, v in (lengths or {}).items()}
+
     def set_skip_batches(self, n):
         """The next ``__iter__`` (only) skips its first ``n`` batches without
         loading or collating them — mid-epoch resume positions the iterator

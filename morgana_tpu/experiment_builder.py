@@ -218,8 +218,10 @@ class ExperimentBuilder(object):
                                  '--checkpoint_path latest resumes from it at the exact '
                                  'batch — step-level fault tolerance for long epochs '
                                  '(after a mid-epoch resume, that epoch\'s metrics cover '
-                                 'the resumed remainder only; exact batch replay needs '
-                                 '--length_sort_window 0, else the resumed order differs).')
+                                 'the resumed remainder only; the resumed batch order is '
+                                 'exact — incl. --length_sort_window, whose learned '
+                                 'length map rides in the sidecar — except under '
+                                 '--multihost with length sorting).')
         parser.add_argument('--train_output_interval', dest='train_output_interval', action='store',
                             type=int, default=10, help='Epochs between generating output for training data.')
         parser.add_argument('--valid_output_interval', dest='valid_output_interval', action='store',
@@ -366,6 +368,7 @@ class ExperimentBuilder(object):
         # FIRST epoch (set when a resumed checkpoint's sidecar records a
         # mid-epoch position).
         self._resume_batches_done = 0
+        self._resume_loader_lengths = None
         self._train_state_cache = {}
         self.train_output_interval = kwargs['train_output_interval']
         self.valid_output_interval = kwargs['valid_output_interval']
@@ -672,7 +675,15 @@ class ExperimentBuilder(object):
                         self.logger.info(
                             'Mid-epoch resume: epoch %d restarts at batch %d',
                             step_epoch, batches_done + 1)
-                        if self.length_sort_window:
+                        self._resume_loader_lengths = extra.get('loader_lengths')
+                        if (self.length_sort_window
+                                and self._resume_loader_lengths is not None
+                                and self.process_count == 1):
+                            self.logger.info(
+                                'Restored the loader length map (%d items): '
+                                'the length-sorted batch order replays '
+                                'exactly.', len(self._resume_loader_lengths))
+                        elif self.length_sort_window:
                             # The length-sorted order depends on sequence
                             # lengths the loader only learns by iterating;
                             # a fresh process has not seen them, so this
@@ -813,7 +824,15 @@ class ExperimentBuilder(object):
             extra={'lr_schedule': lr_schedule.state_dict()
                    if hasattr(lr_schedule, 'state_dict') else None,
                    'epoch': int(self.epoch), 'batches_done': int(batches_done),
-                   'num_batches': int(num_batches)},
+                   'num_batches': int(num_batches),
+                   # With length_sort_window the batch order is a function of
+                   # the loader's learned lengths; snapshotting them makes
+                   # the mid-epoch replay exact even for length-sorted runs
+                   # (single-host; lead-host lengths are meaningless for
+                   # other hosts' shards).
+                   'loader_lengths': (self.train_loader.lengths_state()
+                                      if self.length_sort_window
+                                      and self.process_count == 1 else None)},
             atomic=True)
         self._train_state_cache.pop(sidecar, None)
 
@@ -1028,11 +1047,15 @@ class ExperimentBuilder(object):
         num_batches = len(data_loader)
         # Mid-epoch resume: skip the batches already folded into the restored
         # parameters; step numbering and the epoch-end force_apply account
-        # for the offset. (Exact-replay guarantee needs a deterministic
-        # order, i.e. --length_sort_window 0 — see --step_checkpoint_interval.)
+        # for the offset. With --length_sort_window the order is a function
+        # of the loader's learned lengths, restored from the sidecar so the
+        # replay stays exact (absent from pre-snapshot sidecars -> warned).
         skip = 0
         if self._resume_batches_done:
             skip, self._resume_batches_done = self._resume_batches_done, 0
+            if self._resume_loader_lengths is not None:
+                data_loader.set_lengths(self._resume_loader_lengths)
+                self._resume_loader_lengths = None
             data_loader.set_skip_batches(skip)
         pbar = _logging.ProgressBar(num_batches - skip, print_interval=self.log_interval)
         epoch_start = time.perf_counter()

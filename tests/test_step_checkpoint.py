@@ -124,11 +124,53 @@ class TestMidEpochResume:
                 np.asarray(value), np.asarray(sidecar_params[name]),
                 err_msg=name)
 
-    def test_mid_epoch_resume_warns_about_length_sort(
+    def test_length_sorted_mid_epoch_resume_is_exact(
             self, voice_data, tmp_path):
-        """--length_sort_window > 0 makes the resumed epoch's batch order
-        differ from the interrupted run's; the resume must say so."""
-        import logging
+        """--length_sort_window batch order is a function of the loader's
+        learned lengths; the step sidecar snapshots them, so a length-sorted
+        run resumes to BITWISE-identical parameters too."""
+        exp_a = _build(voice_data, tmp_path, 'lsw_a', end_epoch=2,
+                       length_sort_window=2)
+        exp_a.run_experiment()
+        dir_a = os.path.join(str(tmp_path / 'experiments'), 'lsw_a')
+
+        exp_b = _build(voice_data, tmp_path, 'lsw_b', end_epoch=2,
+                       step_checkpoint_interval=2, length_sort_window=2)
+        orig_step = exp_b.loop.train_step
+        calls = {'n': 0}
+
+        def interrupting(features, lr, force_apply=False):
+            calls['n'] += 1
+            if calls['n'] == 7:  # epoch 1: 4 batches; epoch 2: batches 1-2 ran
+                raise KeyboardInterrupt
+            return orig_step(features, lr, force_apply=force_apply)
+
+        exp_b.loop.train_step = interrupting
+        with pytest.raises(KeyboardInterrupt):
+            exp_b.run_experiment()
+        dir_b = os.path.join(str(tmp_path / 'experiments'), 'lsw_b')
+        sidecar = checkpointing.load_training_state(os.path.join(
+            dir_b, 'checkpoints', 'step.train.pkl'))
+        assert sidecar['extra']['loader_lengths'], \
+            'sidecar must snapshot the loader length map'
+
+        exp_b2 = _build(voice_data, tmp_path, 'lsw_b', end_epoch=2,
+                        step_checkpoint_interval=2, length_sort_window=2,
+                        checkpoint_path='latest')
+        assert exp_b2._resume_batches_done == 2
+        assert exp_b2._resume_loader_lengths
+        exp_b2.run_experiment()
+
+        for fname in ('epoch_2.npz', 'epoch_2_ema.npz'):
+            ref, res = _params(dir_a, fname), _params(dir_b, fname)
+            for key in ref:
+                np.testing.assert_array_equal(
+                    ref[key], res[key], err_msg=f'{fname}:{key}')
+
+    def test_mid_epoch_resume_warns_when_lengths_missing(
+            self, voice_data, tmp_path):
+        """A pre-snapshot sidecar (no loader_lengths) under
+        --length_sort_window cannot replay exactly; the resume must say so."""
         exp = _build(voice_data, tmp_path, 'step_lsw', end_epoch=1,
                      step_checkpoint_interval=2, length_sort_window=2)
         orig_step = exp.loop.train_step
@@ -144,21 +186,29 @@ class TestMidEpochResume:
         with pytest.raises(KeyboardInterrupt):
             exp.run_experiment()
 
-        # The framework logger sets propagate=False, so capture directly.
-        records = []
-        handler = logging.Handler()
-        handler.emit = records.append
-        logging.getLogger('morgana_tpu').addHandler(handler)
-        try:
-            exp2 = _build(voice_data, tmp_path, 'step_lsw', end_epoch=1,
-                          step_checkpoint_interval=2, length_sort_window=2,
-                          checkpoint_path='latest')
-        finally:
-            logging.getLogger('morgana_tpu').removeHandler(handler)
+        # Strip the length snapshot, simulating an older sidecar.
+        expdir = os.path.join(str(tmp_path / 'experiments'), 'step_lsw')
+        sidecar = os.path.join(expdir, 'checkpoints', 'step.train.pkl')
+        state = checkpointing.load_training_state(sidecar)
+        state['extra'].pop('loader_lengths')
+        checkpointing.save_training_state(
+            sidecar, params=state['params'], opt_state=state['opt_state'],
+            ema_params=state['ema_params'], step=state['step'],
+            extra=state['extra'])
+
+        # create_logger replaces all handlers at builder init, so in-process
+        # capture cannot see builder-time records; assert on the log files
+        # (the 5-channel contract routes WARNING to the .stdout files).
+        exp2 = _build(voice_data, tmp_path, 'step_lsw', end_epoch=1,
+                      step_checkpoint_interval=2, length_sort_window=2,
+                      checkpoint_path='latest')
         assert exp2._resume_batches_done == 2
-        assert any(r.levelno == logging.WARNING
-                   and 'length_sort_window' in r.getMessage()
-                   for r in records)
+        assert exp2._resume_loader_lengths is None
+        log_dir = os.path.join(expdir, 'log')
+        logged = ''.join(
+            open(os.path.join(log_dir, f)).read()
+            for f in os.listdir(log_dir) if f.endswith('.stdout'))
+        assert 'length_sort_window' in logged and 'WARNING' in logged
 
     def test_completed_epoch_step_checkpoint_is_stale(self, voice_data, tmp_path):
         """Once the epoch checkpoint for the step checkpoint's epoch exists,
