@@ -60,6 +60,12 @@ class DataLoader(object):
         self.epoch = 0
         self.skip_batches = 0
         self._lengths = {}
+        # _order_lengths: snapshot of the map the CURRENT epoch's _order()
+        # actually used (checkpointed for exact mid-epoch replay — the live
+        # map may have grown past it via prefetch-ahead recording).
+        # _replay_lengths: one-shot override for the next _order() (resume).
+        self._order_lengths = None
+        self._replay_lengths = None
         self._pool = (ThreadPoolExecutor(max_workers=num_data_threads)
                       if num_data_threads and num_data_threads > 0 else None)
 
@@ -71,22 +77,41 @@ class DataLoader(object):
 
     def _order(self):
         n = len(self.dataset)
+        # Latch the map this epoch's order is computed from. The live map
+        # keeps growing WHILE the epoch runs (prefetch-ahead recording), so
+        # a mid-epoch checkpoint must save what _order saw — not the live
+        # state — or the resumed epoch could flip from plain-shuffle to
+        # length-sorted order and replay a different prefix.
+        if self._replay_lengths is not None:
+            lengths, self._replay_lengths = self._replay_lengths, None
+        else:
+            lengths = dict(self._lengths)
+        self._order_lengths = lengths
         if not self.shuffle:
             return np.arange(n)
         rng = np.random.default_rng((self.seed, self.epoch))
         perm = rng.permutation(n)
 
-        if self.length_sort_window and len(self._lengths) == n:
+        if self.drop_remainder:
+            # Drop the remainder BEFORE any length sorting: sorted windows
+            # pin the longest items into the trailing partial batch, so
+            # dropping it after sorting would systematically undertrain the
+            # longest utterances. Pre-truncating drops a uniformly random
+            # subset instead (identical to post-drop for plain shuffling).
+            perm = perm[:(n // self.batch_size) * self.batch_size]
+
+        n_used = len(perm)
+        if self.length_sort_window and len(lengths) == n:
             window = max(1, self.length_sort_window) * self.batch_size
             sorted_perm = np.concatenate([
-                sorted(perm[s:s + window], key=self._lengths.__getitem__)
-                for s in range(0, n, window)])
+                sorted(perm[s:s + window], key=lengths.__getitem__)
+                for s in range(0, n_used, window)])
             # Re-shuffle batch order so batches aren't presented short->long.
             # Only FULL batches shuffle; the partial batch (if any) stays
             # last so __iter__'s fixed-stride slicing keeps every batch
             # aligned with one sorted group.
-            starts = np.arange(0, n, self.batch_size)
-            num_full = n // self.batch_size
+            starts = np.arange(0, n_used, self.batch_size)
+            num_full = n_used // self.batch_size
             full_starts = starts[:num_full].copy()
             rng.shuffle(full_starts)
             ordered = np.concatenate([full_starts, starts[num_full:]])
@@ -139,17 +164,31 @@ class DataLoader(object):
         self.epoch = int(epoch)
 
     def lengths_state(self):
-        """The learned per-item length map (index -> max frames), for
+        """The learned per-item length maps (index -> max frames), for
         checkpointing: with ``length_sort_window`` the batch order is a
         function of these lengths, so a mid-epoch resume needs them to
-        replay the interrupted epoch's exact order (lengths are a property
-        of the data — stable across epochs — so the mid-epoch snapshot
-        equals what the epoch's ``_order`` call saw)."""
-        return dict(self._lengths)
+        replay the interrupted epoch's exact order. Two maps because they
+        can differ mid-epoch: ``epoch_start`` is what this epoch's
+        ``_order`` call saw (replays THIS epoch's order exactly, even when
+        the order was a plain shuffle because the map was still
+        incomplete), ``live`` includes everything recorded since (so the
+        NEXT epochs' orders match the uninterrupted run's too)."""
+        return {'epoch_start': dict(self._order_lengths or {}),
+                'live': dict(self._lengths)}
 
-    def set_lengths(self, lengths):
-        """Restores a :meth:`lengths_state` snapshot (mid-epoch resume)."""
-        self._lengths = {int(k): int(v) for k, v in (lengths or {}).items()}
+    def set_lengths(self, state):
+        """Restores a :meth:`lengths_state` snapshot (mid-epoch resume).
+        Accepts the legacy flat ``{index: length}`` form as both maps."""
+        def clean(d):
+            return {int(k): int(v) for k, v in (d or {}).items()}
+
+        if isinstance(state, dict) and state and \
+                set(state) <= {'epoch_start', 'live'}:
+            self._lengths = clean(state.get('live'))
+            self._replay_lengths = clean(state.get('epoch_start'))
+        else:
+            self._lengths = clean(state)
+            self._replay_lengths = dict(self._lengths)
 
     def set_skip_batches(self, n):
         """The next ``__iter__`` (only) skips its first ``n`` batches without

@@ -679,10 +679,13 @@ class ExperimentBuilder(object):
                         if (self.length_sort_window
                                 and self._resume_loader_lengths is not None
                                 and self.process_count == 1):
+                            lengths = self._resume_loader_lengths
                             self.logger.info(
-                                'Restored the loader length map (%d items): '
-                                'the length-sorted batch order replays '
-                                'exactly.', len(self._resume_loader_lengths))
+                                'Restored the loader length maps (epoch '
+                                'start: %d items, live: %d): the batch '
+                                'order replays exactly.',
+                                len(lengths.get('epoch_start', lengths)),
+                                len(lengths.get('live', lengths)))
                         elif self.length_sort_window:
                             # The length-sorted order depends on sequence
                             # lengths the loader only learns by iterating;

@@ -20,7 +20,8 @@ __all__ = ['estimate_f0', 'spectral_envelope', 'band_aperiodicity', 'analyze',
            'features_from_wav', 'default_fft_size']
 
 
-def _frame_signal(wav, frame_len, hop, num_frames, center=True):
+def _frame_signal(wav, frame_len, hop, num_frames, center=True,
+                  frame_indices=None):
     """Extracts (num_frames, frame_len) windows at hop intervals.
 
     ``center=True`` places frame ``t``'s window symmetrically around sample
@@ -28,8 +29,12 @@ def _frame_signal(wav, frame_len, hop, num_frames, center=True):
     aligned with its nominal time — an uncentred window lags by
     ``frame_len / 2`` (~21 ms at the f0 window size), which alone costs
     ~8 Hz RMSE on a 3 Hz vibrato and misaligns features with labels.
+    ``frame_indices`` gathers only the given frame rows (same window
+    placement), for estimators that touch a subset of frames.
     """
-    offsets = hop * np.arange(num_frames)[:, None]
+    rows = (np.arange(num_frames) if frame_indices is None
+            else np.asarray(frame_indices))
+    offsets = hop * rows[:, None]
     lead = frame_len // 2 if center else 0
     idx = np.arange(frame_len)[None, :] + offsets
     padded = np.concatenate([np.zeros(lead, wav.dtype), wav,
@@ -46,13 +51,18 @@ def estimate_f0(wav, fs, frame_period=5.0, f0_min=60.0, f0_max=400.0,
     wav = np.asarray(wav, np.float64)
     hop = int(fs * frame_period / 1000.0)
     num_frames = int(np.ceil(len(wav) / hop))
-    frame_len = min(int(2.5 * fs / f0_min), 2048)
+    # 2.5 periods of f0_min, so the longest candidate lag still overlaps
+    # ~1.5 periods of signal. The memory cap binds only at extreme sample
+    # rates (>196 kHz at f0_min=60); lag_max scales down WITH it below so
+    # the overlap guarantee survives capping (a fixed 2048 cap would leave
+    # <1 period of overlap at 96 kHz, making low-pitch tracking noisy).
+    frame_len = min(int(2.5 * fs / f0_min), 8192)
 
     frames = _frame_signal(wav, frame_len, hop, num_frames)
     frames = frames - frames.mean(axis=1, keepdims=True)
 
     lag_min = int(fs / f0_max)
-    lag_max = min(int(fs / f0_min), frame_len - 1)
+    lag_max = min(int(fs / f0_min), int(frame_len / 2.5))
 
     # Autocorrelation via FFT (batched).
     nfft = 1
@@ -187,7 +197,11 @@ def band_aperiodicity(wav, f0, fs, frame_period=5.0, num_bands=5):
     for b in range(num_bands):
         mask = (freqs >= edges[b]) & (freqs < edges[b + 1])
         band = np.fft.irfft(spectrum * mask, n=len(wav))
-        frames = _frame_signal(band, frame_len, hop, num_frames)
+        # Only voiced rows are read below, so only they are gathered —
+        # framing all num_frames rows would materialise a (T, frame_len)
+        # float64 matrix per band regardless of the voiced fraction.
+        frames = _frame_signal(band, frame_len, hop, num_frames,
+                               frame_indices=voiced)
         frames = frames - frames.mean(axis=1, keepdims=True)
 
         # Per voiced frame: normalised cross-correlation of the first ~3.5
@@ -203,14 +217,12 @@ def band_aperiodicity(wav, f0, fs, frame_period=5.0, num_bands=5):
         #   fractional, and one sample of lag error at 6 kHz is a ~2 rad
         #   phase error.
         nac = np.zeros(num_frames)
-        for i in voiced:
+        for row, i in enumerate(voiced):
             lag = lags[i]
             seg_len = min(int(3.5 * lag), frame_len - lag - 3)
-            if seg_len < lag:
-                seg_len = min(lag, frame_len - lag - 3)
             if seg_len <= 4:
                 continue
-            x = frames[i]
+            x = frames[row]
             head = x[:seg_len]
             e_head = head @ head
             vals = np.empty(5)
@@ -264,7 +276,6 @@ def features_from_wav(wav, fs, frame_period=5.0, fft_size=None,
     f0, vuv, sp = f0[:num_frames], vuv[:num_frames], sp[:num_frames]
 
     # Interpolate f0 through unvoiced regions for a continuous lf0 track.
-    f0_interp = f0.copy()
     voiced_idx = np.nonzero(f0 > 0)[0]
     if voiced_idx.size:
         f0_interp = np.interp(np.arange(num_frames), voiced_idx, f0[voiced_idx])

@@ -159,11 +159,19 @@ def spectrum_to_mcep(sp, order=59, alpha=None, fs=16000):
 def bap_to_aperiodicity(bap, fft_size=1024, fs=16000):
     """Band aperiodicity (T, B), log-amplitude per band -> per-bin
     aperiodicity in (0, 1]: linear interpolation of the band values across
-    frequency, then exp. Band centres are spaced evenly up to Nyquist."""
+    frequency, then exp.
+
+    Band value ``b`` is placed at its band's CENTRE frequency
+    ``(b + 0.5) / B * nyquist`` — the same equal-width edge intervals
+    ``analysis.band_aperiodicity`` measures over (``np.interp`` extends the
+    first/last band's value to the spectrum edges). Placing them at
+    ``linspace(0, nyquist, B)`` instead would warp the aperiodicity-vs-
+    frequency curve by up to half a band width on every analysis->synthesis
+    round trip."""
     bap = np.atleast_2d(np.asarray(bap, np.float64))
     num_bins = fft_size // 2 + 1
     num_bands = bap.shape[-1]
-    band_pos = np.linspace(0, num_bins - 1, num_bands)
+    band_pos = (np.arange(num_bands) + 0.5) / num_bands * (num_bins - 1)
     bins = np.arange(num_bins)
     ap = np.empty((bap.shape[0], num_bins))
     for t in range(bap.shape[0]):

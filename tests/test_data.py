@@ -217,6 +217,73 @@ class TestLengthSortedBatching:
         assert max(spreads2) <= optimal + 1
 
 
+    def test_replay_uses_epoch_start_lengths(self, voice_data):
+        """A mid-epoch checkpoint must replay the order the interrupted
+        epoch's _order() actually used. The live length map can be COMPLETE
+        by checkpoint time (prefetch-ahead recording) even though the epoch
+        was ordered by a plain shuffle (map incomplete at epoch start) — a
+        resume restoring just the live map would flip the epoch to
+        length-sorted order and replay a different prefix."""
+        from f0_model_fixture import make_f0_sources
+        make = lambda: data.DataLoader(
+            data.FilesDataset(make_f0_sources(), 'train',
+                              'train/train_file_id_list.scp',
+                              {}, voice_data['data_root']),
+            batch_size=2, shuffle=True, seed=0, length_sort_window=4)
+
+        def epoch_names(loader):
+            return [n for b in loader for n in b['name']]
+
+        ref = make()
+        order_e1 = epoch_names(ref)   # plain shuffle (map incomplete)
+        order_e2 = epoch_names(ref)   # length-sorted (map complete)
+        assert order_e1 != order_e2
+
+        # Interrupted run: consume one batch of epoch 1, then simulate the
+        # producer having recorded EVERY length by checkpoint time.
+        run = make()
+        it = iter(run)
+        next(it)
+        run._lengths.update(ref._lengths)
+        state = run.lengths_state()
+        assert state['epoch_start'] == {}
+        assert len(state['live']) == len(ref._lengths)
+
+        # Resumed run: epoch 1 must replay the PLAIN order, epoch 2 the
+        # sorted one — both matching the uninterrupted reference.
+        resumed = make()
+        resumed.set_lengths(state)
+        resumed.set_epoch(0)
+        assert epoch_names(resumed) == order_e1
+        assert epoch_names(resumed) == order_e2
+
+    def test_drop_remainder_drops_random_not_longest(self, voice_data):
+        """drop_remainder + length sorting: the remainder is truncated
+        BEFORE sorting, so the dropped items are a random subset — not
+        systematically the longest utterances (which sorting pins into the
+        trailing partial batch)."""
+        from f0_model_fixture import make_f0_sources
+        ds = data.FilesDataset(make_f0_sources(), 'train',
+                               'train/train_file_id_list.scp',
+                               {}, voice_data['data_root'])
+        learner = data.DataLoader(ds, batch_size=3, shuffle=True, seed=0,
+                                  length_sort_window=8)
+        list(learner)  # learn every length
+        longest = max(learner._lengths, key=learner._lengths.__getitem__)
+        longest_name = ds.file_ids[longest]
+
+        loader = data.DataLoader(ds, batch_size=3, shuffle=True, seed=0,
+                                 drop_remainder=True, length_sort_window=8)
+        loader.set_lengths(learner.lengths_state())
+        seen_longest = 0
+        for _ in range(6):
+            names = [n for b in loader for n in b['name']]
+            assert len(names) == 6  # two of eight dropped
+            seen_longest += longest_name in names
+        # Sorting-then-dropping would pin the longest utterance into the
+        # dropped partial batch in EVERY epoch.
+        assert seen_longest >= 1
+
     def test_partial_batch_stays_aligned(self, voice_data):
         """With n % batch_size != 0, the short chunk must stay LAST so the
         fixed-stride batch slicing still matches the sorted length groups."""

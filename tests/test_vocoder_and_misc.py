@@ -49,6 +49,25 @@ class TestVocoder:
         assert ap.shape == (4, 129)
         assert (ap > 0).all() and (ap <= 1.0).all()
 
+    def test_bap_values_land_at_band_centres(self):
+        """Band b's value must be applied at its band's CENTRE frequency —
+        the same equal-width edge intervals analysis.band_aperiodicity
+        measures over — not at linspace(0, nyquist, B) positions, which
+        would warp the curve by up to half a band width per round trip."""
+        num_bands, fft_size = 5, 256
+        num_bins = fft_size // 2 + 1
+        bap = np.full((1, num_bands), -10.0)
+        bap[0, 2] = 0.0  # only the middle band is fully aperiodic
+        ap = world.bap_to_aperiodicity(bap, fft_size=fft_size)
+        centre = int(round((2 + 0.5) / num_bands * (num_bins - 1)))
+        assert ap[0, centre] == pytest.approx(1.0)
+        assert int(np.argmax(ap[0])) == centre
+        # Edge bands extend their value to the spectrum edges.
+        bap = np.full((1, num_bands), -10.0)
+        bap[0, 0] = 0.0
+        ap = world.bap_to_aperiodicity(bap, fft_size=fft_size)
+        assert ap[0, 0] == pytest.approx(1.0)
+
     def test_synthesize_world_feats(self, rng):
         frames = 40
         f0 = np.full(frames, 120.0)

@@ -66,6 +66,20 @@ class TestF0Tracking:
         rmse = np.sqrt(np.mean((_core(f0)[voiced] - _core(true)[voiced]) ** 2))
         assert rmse < 2.0, f'vibrato tracked with {rmse:.2f} Hz RMSE'
 
+    def test_low_pitch_at_high_sample_rate(self):
+        """96 kHz, 80 Hz voice: the f0 window must keep >= ~1.5 periods of
+        autocorrelation overlap at the longest candidate lag (a fixed
+        2048-sample cap left ~0.7 periods at this rate, making low-pitch
+        tracking unreliable)."""
+        fs = 96000
+        f0_true = 80.0
+        f0, vuv = analysis.estimate_f0(
+            harmonic_signal(f0_true, dur=0.5, fs=fs), fs)
+        voiced = _core(vuv > 0.5)
+        assert voiced.mean() > 0.9
+        rmse = np.sqrt(np.mean((_core(f0)[voiced] - f0_true) ** 2))
+        assert rmse < 1.0, f'80 Hz @ 96 kHz tracked with {rmse:.2f} Hz RMSE'
+
     def test_noisy_tone_under_5hz(self):
         """The VERDICT bound: < 5 Hz voiced RMSE, here under 20 dB SNR."""
         f0_true = 140.0
