@@ -161,7 +161,7 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0,
         # 1.1 keep-alive correctness).
         protocol_version = 'HTTP/1.1'
 
-        def _reply(self, code, payload):
+        def _reply(self, code, payload, headers=None):
             try:
                 # allow_nan=False: Python's default emits the NaN/Infinity
                 # tokens, which are not JSON and break strict clients.
@@ -173,6 +173,8 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0,
             self.send_response(code)
             self.send_header('Content-Type', 'application/json')
             self.send_header('Content-Length', str(len(body)))
+            for name, value in (headers or {}).items():
+                self.send_header(name, value)
             self.end_headers()
             self.wfile.write(body)
 
@@ -192,9 +194,9 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0,
             elif self.path == '/stats':
                 payload = stats.snapshot()
 
-                def engine_info(eng):
+                def engine_info(name, eng):
                     from morgana_tpu.quantize import QuantizedArray
-                    return {
+                    info = {
                         'model': type(eng.model).__name__,
                         'batch_size': eng.batch_size,
                         'quantized': any(
@@ -202,20 +204,31 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0,
                             for v in getattr(eng, '_params', {}).values()),
                         'data_parallel': getattr(eng, '_mesh', None)
                         is not None}
+                    # Batcher capacity differs per voice (max_batch defaults
+                    # to the engine's batch_size), so it belongs HERE, not
+                    # in a single global block an operator of a multi-voice
+                    # fleet would misread.
+                    b = batchers.get(name)
+                    if b is not None:
+                        info['dynamic_batching'] = {
+                            'max_wait_ms': b.max_wait * 1e3,
+                            'max_batch': b.max_batch,
+                            'max_queue': b.max_queue}
+                    return info
 
-                payload['engine'] = engine_info(engines[default_name])
+                payload['engine'] = engine_info(default_name,
+                                                engines[default_name])
                 if len(engines) > 1:
-                    payload['engines'] = {name: engine_info(eng)
+                    payload['engines'] = {name: engine_info(name, eng)
                                           for name, eng in engines.items()}
                 if batchers:
+                    # Counters aggregate across voices; per-voice capacity
+                    # rides in each engine block above.
                     payload['dynamic_batching'] = {
                         'dispatch_groups': sum(b.batches_run
                                                for b in batchers.values()),
                         'requests_coalesced': sum(b.requests_coalesced
-                                                  for b in batchers.values()),
-                        'max_wait_ms': batcher.max_wait * 1e3,
-                        'max_batch': batcher.max_batch,
-                        'max_queue': batcher.max_queue}
+                                                  for b in batchers.values())}
                 self._reply(200, payload)
             else:
                 self._reply(404, {'error': f'unknown path {self.path}'})
@@ -226,6 +239,13 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0,
             self.wfile.flush()
 
         def _do_stream(self):
+            if self.request_version == 'HTTP/1.0':
+                # The NDJSON stream rides chunked transfer-encoding, which
+                # HTTP/1.0 clients cannot parse — they would read the hex
+                # chunk-size lines as body bytes.
+                self._reply(505, {'error': '/stream requires HTTP/1.1 '
+                                           '(chunked transfer encoding)'})
+                return
             try:
                 length = int(self.headers.get('Content-Length', 0))
                 request = json.loads(self.rfile.read(length))
@@ -379,27 +399,32 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0,
                 else:
                     with lock:
                         results = engine.predict_items(items)
+                payload = {'results': {name: _to_lists(outputs)
+                                       for name, outputs in results.items()}}
                 stats.record(time.perf_counter() - start, ok=True)
-                self._reply(200, {'results': {
-                    name: _to_lists(outputs)
-                    for name, outputs in results.items()}})
             except _Overloaded as exc:
                 # Backpressure, not failure: tell the client to retry.
                 stats.record(time.perf_counter() - start, ok=False)
-                self.send_response(503)
-                body = json.dumps({'error': str(exc)}).encode()
-                self.send_header('Content-Type', 'application/json')
-                self.send_header('Content-Length', str(len(body)))
-                self.send_header('Retry-After', '1')
-                self.end_headers()
-                self.wfile.write(body)
+                self._reply(503, {'error': str(exc)},
+                            headers={'Retry-After': '1'})
+                return
             except KeyError as exc:
                 # A missing data-source key is a caller mistake.
                 stats.record(time.perf_counter() - start, ok=False)
                 self._reply(400, {'error': f'missing feature {exc}'})
+                return
             except Exception as exc:  # noqa: BLE001 - server fault, not caller
                 stats.record(time.perf_counter() - start, ok=False)
                 self._reply(500, {'error': f'{type(exc).__name__}: {exc}'})
+                return
+            # The success write sits OUTSIDE the compute try: an OSError
+            # here means the CLIENT vanished after a successful prediction —
+            # re-counting it as a server error and writing a second status
+            # line onto the broken socket would both be wrong.
+            try:
+                self._reply(200, payload)
+            except OSError:
+                self.close_connection = True
 
         def log_message(self, fmt, *args):  # quiet by default
             pass

@@ -181,7 +181,11 @@ def dequantize_params(params):
 def save_quantized_checkpoint(params, path, should_quantize=None):
     """Writes a quantized ``.npz`` deployment checkpoint (~4x smaller than
     the float32 ``epoch_{N}.npz`` it came from). Self-describing via a
-    format marker; float leaves are stored as-is. Returns ``path``."""
+    format marker; float leaves are stored as-is. Returns the path the file
+    was actually written to (``np.savez`` appends ``.npz`` when missing, so
+    an extensionless ``path`` would otherwise name a nonexistent file)."""
+    if not path.endswith('.npz'):
+        path = path + '.npz'
     qparams = quantize_params(params, should_quantize=should_quantize)
     arrays = {_MARKER: np.array(QUANTIZED_FORMAT)}
     manifest = {}
@@ -192,7 +196,17 @@ def save_quantized_checkpoint(params, path, should_quantize=None):
             manifest[name] = {'kind': 'int8',
                               'float_dtype': value.float_dtype.name}
         else:
-            arrays[name] = np.asarray(value)
+            raw = np.asarray(value)
+            if raw.dtype == object:
+                # np.savez would pickle this without complaint, producing
+                # an artifact load_quantized_checkpoint (allow_pickle=False)
+                # can never read back.
+                raise ValueError(
+                    f'parameter {name!r} is not an array (got '
+                    f'{type(value).__name__}); quantized checkpoints take '
+                    'the flat {dotted_name: array} pytree nn.parameters() '
+                    'produces')
+            arrays[name] = raw
             manifest[name] = {'kind': 'raw'}
     arrays['__manifest__'] = np.array(json.dumps(manifest))
     np.savez(path, **arrays)
@@ -254,7 +268,7 @@ def main(argv=None):
         if _MARKER in data.files:
             parser.error(f'{args.checkpoint} is already quantized')
         params = {name: data[name] for name in data.files}
-    save_quantized_checkpoint(params, out)
+    out = save_quantized_checkpoint(params, out)
     stats = {
         'checkpoint': args.checkpoint,
         'out': out,

@@ -222,7 +222,9 @@ class InferenceEngine(object):
         same architecture — rolling model updates without restarting the
         process or recompiling (shapes/dtypes unchanged, so every compiled
         program is reused). The swap is one reference assignment: requests
-        in flight finish on the old parameters, the next ``predict_batch``
+        in flight finish on the old parameters — streams included, which
+        snapshot the pytree at stream start so one utterance is never a
+        splice of two models — and the next ``predict_batch``
         serves the new ones. Engine-level quantization and data-parallel
         replication are re-applied. Raises (and keeps serving the OLD
         parameters' pytree for future calls made before the module reload)
@@ -630,7 +632,14 @@ class StreamingSession(object):
         engine = self.engine
         rng = jax.random.PRNGKey(0)
         batch = numeric_features(features)
-        inputs = self._inputs_fn(engine._params, batch, rng)
+        # Snapshot the parameters for the WHOLE stream: a checkpoint
+        # hot-reload (serve --watch_checkpoints) between chunks would
+        # otherwise splice two models into one utterance — carried RNN/KV
+        # state from the old weights continuing under the new ones. Batch
+        # requests in flight already finish on the old parameters
+        # (reload_checkpoint's contract); streams get the same guarantee.
+        params = engine._params
+        inputs = self._inputs_fn(params, batch, rng)
         if inputs.shape[0] != 1:
             raise ValueError('streaming serves one utterance per session; '
                              f'got a batch of {inputs.shape[0]}')
@@ -716,7 +725,7 @@ class StreamingSession(object):
                 chunk = jnp.concatenate(
                     [chunk, jnp.zeros((1, chunk_size - valid) + chunk.shape[2:],
                                       chunk.dtype)], axis=1)
-            outputs, state = self._step_fn(engine._params, chunk, state, rng)
+            outputs, state = self._step_fn(params, chunk, state, rng)
             for name, spec in self.spec.items():
                 if spec is None:
                     buffers[name].append(np.asarray(outputs[name])[0, :valid])

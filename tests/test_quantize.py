@@ -88,6 +88,26 @@ class TestQuantizeParams:
         assert all(again[k] is qparams[k] for k in qparams
                    if isinstance(qparams[k], QuantizedArray))
 
+    def test_save_appends_npz_and_returns_real_path(self, rng, tmp_path):
+        """np.savez appends '.npz' to extensionless paths; the returned path
+        must name the file that actually exists (the CLI stats and any
+        follow-up load use it)."""
+        from morgana_tpu.quantize import (load_quantized_checkpoint,
+                                          save_quantized_checkpoint)
+        params = {'weight': rng.standard_normal((8, 8)).astype(np.float32)}
+        out = save_quantized_checkpoint(params, str(tmp_path / 'model_q8'))
+        assert out.endswith('.npz') and os.path.isfile(out)
+        assert 'weight' in load_quantized_checkpoint(out)
+
+    def test_save_rejects_non_array_leaves(self, tmp_path):
+        """A nested-dict leaf would be pickled by np.savez and become
+        permanently unloadable (loads run allow_pickle=False) — reject it
+        at save time instead."""
+        from morgana_tpu.quantize import save_quantized_checkpoint
+        params = {'nested': {'weight': np.ones((4, 4), np.float32)}}
+        with pytest.raises(ValueError, match='nested'):
+            save_quantized_checkpoint(params, str(tmp_path / 'bad.npz'))
+
     def test_dequantize_params_restores_floats(self, rng):
         nn.manual_seed(0)
         params = nn.parameters(TinyF0Model())

@@ -565,9 +565,13 @@ class TestDynamicBatching:
             assert stats['requests'] == 1 and stats['errors'] == 0
             assert stats['latency_ms']['n'] == 1
             assert stats['dynamic_batching']['requests_coalesced'] == 1
-            assert stats['engine'] == {'model': 'TinyF0Model',
-                                       'batch_size': 2, 'quantized': False,
-                                       'data_parallel': False}
+            assert stats['engine'] == {
+                'model': 'TinyF0Model', 'batch_size': 2, 'quantized': False,
+                'data_parallel': False,
+                # Batcher capacity is per-voice (max_batch defaults to the
+                # engine's batch_size), so it reports per engine.
+                'dynamic_batching': {'max_wait_ms': 1.0, 'max_batch': 2,
+                                     'max_queue': 64}}  # 32 * max_batch
 
             # Force the overload path deterministically.
             original = server.batcher.predict_items

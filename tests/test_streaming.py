@@ -157,6 +157,37 @@ class TestStreamingSession:
             lengths = {k: v.shape[0] for k, v in chunk.items()}
             assert len(set(lengths.values())) == 1, lengths
 
+    def test_in_flight_stream_pins_its_parameters(self, voice_data,
+                                                  stream_trained):
+        """A checkpoint hot-reload (serve --watch_checkpoints) between
+        chunks must not splice two models into one utterance: the stream
+        snapshots engine._params at start and finishes on them."""
+        import jax
+        engine = InferenceEngine(TinyStreamModel, stream_trained,
+                                 data_root=voice_data['data_root'],
+                                 batch_size=2)
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            utt = [l.strip() for l in f if l.strip()][0]
+
+        ref = list(engine.stream_id(utt, data_dir='test', chunk_frames=16))
+
+        stream = engine.stream_id(utt, data_dir='test', chunk_frames=16)
+        got = [next(stream)]
+        # Simulate the watcher swapping in new weights mid-stream.
+        old_params = engine._params
+        engine._params = jax.tree_util.tree_map(lambda p: p * 0.0 + 1.0,
+                                                old_params)
+        try:
+            got.extend(stream)
+        finally:
+            engine._params = old_params
+        assert len(got) == len(ref)
+        for chunk_ref, chunk_got in zip(ref, got):
+            for key in chunk_ref:
+                np.testing.assert_array_equal(chunk_got[key], chunk_ref[key],
+                                              err_msg=key)
+
     def test_stream_item_in_memory(self, voice_data, stream_trained):
         """The in-memory item API streams identically to the file path."""
         engine = InferenceEngine(TinyStreamModel, stream_trained,
@@ -340,6 +371,40 @@ class TestHTTPStreaming:
                     {k: np.asarray(v) if k != 'name' else v
                      for k, v in item.items()}, chunk_frames=16)], axis=0)
             np.testing.assert_allclose(streamed, direct, atol=1e-6)
+        finally:
+            server.shutdown()
+            server.server_close()
+
+    def test_http10_client_refused(self, voice_data, stream_trained):
+        """/stream replies over chunked transfer-encoding, which HTTP/1.0
+        clients cannot parse — they must get a clean 505, not hex-framed
+        garbage interleaved with their NDJSON."""
+        import socket
+
+        engine = InferenceEngine(TinyStreamModel, stream_trained,
+                                 data_root=voice_data['data_root'],
+                                 batch_size=2,
+                                 stream_configs=[(16, 32, 16)])
+        server, port = self._server(engine)
+        try:
+            body = b'{}'
+            request = (b'POST /stream HTTP/1.0\r\n'
+                       b'Host: localhost\r\n'
+                       b'Content-Type: application/json\r\n'
+                       b'Content-Length: ' + str(len(body)).encode()
+                       + b'\r\n\r\n' + body)
+            with socket.create_connection(('127.0.0.1', port),
+                                          timeout=60) as sock:
+                sock.sendall(request)
+                data = b''
+                while True:
+                    chunk = sock.recv(4096)
+                    if not chunk:
+                        break
+                    data += chunk
+            status = data.split(b'\r\n', 1)[0]
+            assert b'505' in status, status
+            assert b'HTTP/1.1' in data  # the error body names the fix
         finally:
             server.shutdown()
             server.server_close()
