@@ -36,6 +36,13 @@ def save_state_dict(sd, path, atomic=False):
     a crash mid-write must not corrupt the only copy."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     target = str(path)
+    if not target.endswith('.npz'):
+        # np.savez appends '.npz' to other extensions, so without this the
+        # non-atomic path would write `target.npz` yet return `target`,
+        # while the atomic path would os.replace to exactly `target` — two
+        # different files for the same argument, and load_state_dict's
+        # extensionless fallback would prefer whichever is staler.
+        target += '.npz'
     write_path = target + '.tmp.npz' if atomic else target
     np.savez(write_path, **{k: np.asarray(v) for k, v in sd.items()})
     if atomic:
@@ -118,12 +125,25 @@ def orbax_save(directory, step, state, async_save=True):
     if step in manager.all_steps():
         manager.delete(step)
     manager.save(step, args=ocp.args.StandardSave(state), force=True)
+    if not async_save:
+        # The manager is cached per directory and may have been created
+        # async-enabled by an earlier call; a synchronous save must be
+        # durable on return regardless of which manager instance served it.
+        manager.wait_until_finished()
     return directory
 
 
 def orbax_latest_step(directory):
-    """The newest step saved under ``directory`` (None when empty)."""
-    return _orbax_manager(directory).latest_step()
+    """The newest step saved under ``directory`` (None when empty).
+
+    Probes without instantiating a manager: CheckpointManager construction
+    CREATES the directory as a side effect (a typo'd path would appear on
+    disk) and would pin this call's options into the per-directory cache."""
+    directory = os.path.abspath(directory)
+    if not os.path.isdir(directory):
+        return None
+    steps = [int(entry) for entry in os.listdir(directory) if entry.isdigit()]
+    return max(steps) if steps else None
 
 
 def orbax_restore(directory, step=None, target=None):
@@ -135,11 +155,13 @@ def orbax_restore(directory, step=None, target=None):
     Orbax returns plain nested containers.
     """
     import orbax.checkpoint as ocp
-    manager = _orbax_manager(directory)
     if step is None:
-        step = manager.latest_step()
+        # Probe first (no manager): an empty/missing directory returns None
+        # without creating it on disk.
+        step = orbax_latest_step(directory)
         if step is None:
             return None
+    manager = _orbax_manager(directory)
     if target is not None:
         return manager.restore(step, args=ocp.args.StandardRestore(target))
     return manager.restore(step)

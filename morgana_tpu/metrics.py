@@ -126,24 +126,44 @@ class Handler(StatefulMetric):
         self._staged_vals = []
 
     def drain_staged_values(self):
-        """Returns the staged partials (tracers) for use as jit outputs, and
-        exits staging mode. The (collection, name) keys are stored on the
-        handler under the staging tag (this runs at trace time only)."""
+        """Returns the staged partials as a dict keyed by
+        ``'NNN|collection|name'`` for use as jit outputs, and exits staging
+        mode. The STATIC dict keys travel through jit with each executable,
+        so every value arrives at :meth:`apply_staged` carrying its own
+        identity — two executables of one step that stage different metric
+        sequences under the same tag (conditional accumulation on a static
+        batch property) cannot mispair values. (A bare value list paired
+        with a per-tag key registry recorded only the LAST trace's
+        sequence; equal-length but differently-keyed sequences would have
+        zip-merged into the wrong accumulators.) The index prefix keeps
+        repeat accumulations of one metric distinct and order stable under
+        pytree key sorting."""
         self._staging = False
         self._keys_by_tag[self._staging_tag] = list(self._staged_keys)
-        vals = self._staged_vals
+        vals = {f'{i:04d}|{collection}|{name}': val
+                for i, ((collection, name), val)
+                in enumerate(zip(self._staged_keys, self._staged_vals))}
         self._staged_vals = []
         return vals
 
     def apply_staged(self, values, tag='default'):
-        """Merges concrete staged values (in the order they were staged)."""
+        """Merges concrete staged values into their accumulators. Values
+        come as the keyed dict :meth:`drain_staged_values` builds (identity
+        rides in the keys); a bare list (legacy form) is paired with the
+        tag's recorded key sequence instead."""
+        if isinstance(values, dict):
+            for key in sorted(values):
+                _, collection, name = key.split('|', 2)
+                metric = self[collection][name]
+                metric.hidden = metric._hidden
+                metric.merge(values[key])
+            return
         keys = self._keys_by_tag.get(tag, [])
         if len(keys) != len(values):
-            # Each jit executable stages a fixed sequence; the key list
-            # records the LAST trace's sequence. A mismatch means another
-            # executable (conditional accumulation on a static batch
-            # property) is feeding this tag — zip would silently mispair
-            # values into the wrong accumulators.
+            # The legacy list form has no per-value identity; the key list
+            # records the LAST trace's sequence, so a length mismatch means
+            # another executable is feeding this tag — zip would silently
+            # mispair values into the wrong accumulators.
             raise ValueError(
                 f"staged-metric mismatch for tag {tag!r}: {len(values)} "
                 f"values vs {len(keys)} recorded keys. Accumulate the same "
@@ -225,7 +245,11 @@ class History(StatefulMetric):
 
     def merge(self, obj):
         if isinstance(obj, (np.ndarray, jax.Array)):
-            obj = list(np.asarray(obj))
+            # atleast_1d: a 0-d array (scalar staged through jit) is not
+            # iterable and would crash list().
+            obj = list(np.atleast_1d(np.asarray(obj)))
+        elif not isinstance(obj, (list, tuple)):
+            obj = [obj]
         self.history.extend(obj)
         if self.max_len is not None:
             self.history = self.history[-self.max_len:]
@@ -321,8 +345,15 @@ class Mean(StatefulMetric):
         return {'sum': jnp.sum(tensor * mask), 'count': jnp.sum(mask)}
 
     def merge(self, partials):
-        self.sum = self.sum + partials['sum']
-        self.count = self.count + partials['count']
+        # Host-side accumulation in exact Python floats: the partials
+        # arrive in the compute dtype (bf16 under the recommended
+        # compute_dtype='bfloat16'), whose ulp exceeds a batch's frame
+        # count past ~2^15 frames — accumulating IN that dtype would make
+        # the running sum/count silently stop increasing mid-epoch. The
+        # reference kept exact Python floats via .item() the same way.
+        self.sum = self.sum + float(np.asarray(partials['sum'], np.float64))
+        self.count = self.count + float(np.asarray(partials['count'],
+                                                   np.float64))
 
     def result(self, *args):
         return float(self.sum) / (float(self.count) + 1e-8)
@@ -352,9 +383,12 @@ class Variance(StatefulMetric):
                 'count': jnp.sum(mask)}
 
     def merge(self, partials):
-        self.sum = self.sum + partials['sum']
-        self.sum_square = self.sum_square + partials['sum_square']
-        self.count = self.count + partials['count']
+        # Exact host floats — see Mean.merge (bf16 running totals saturate).
+        self.sum = self.sum + float(np.asarray(partials['sum'], np.float64))
+        self.sum_square = self.sum_square + float(
+            np.asarray(partials['sum_square'], np.float64))
+        self.count = self.count + float(np.asarray(partials['count'],
+                                                   np.float64))
 
     def result(self, *args):
         count = float(self.count) + 1e-8

@@ -16,6 +16,8 @@ Users switching from the torch reference can load their trained
 Works on ``.pt`` files (requires torch importable) or already-loaded
 ``{name: tensor/ndarray}`` dicts.
 """
+import os
+
 import numpy as np
 
 from morgana_tpu import nn
@@ -153,6 +155,13 @@ def convert_torch_state_dict(model, torch_sd, strict=True):
                 and value.shape[0] == value.shape[1] \
                 and _is_transposed_matrix(our_name):
             value = value.T
+        if tuple(value.shape) != target:
+            # A silent wrong-shape load would surface as a confusing matmul
+            # error far from here — or broadcast into silent garbage.
+            raise ValueError(
+                f'{torch_name!r} has shape {tuple(value.shape)}, but '
+                f'{our_name!r} expects {target} (different architecture '
+                'or model_kwargs than the checkpoint was trained with?)')
         out[our_name] = value
     if missing:
         msg = (f'torch state dict is missing parameters: {missing[:5]}'
@@ -166,7 +175,7 @@ def convert_torch_state_dict(model, torch_sd, strict=True):
 
 def load_torch_state_dict(model, state_dict_or_path, strict=True):
     r"""Loads a reference (torch) checkpoint into a morgana_tpu model."""
-    if isinstance(state_dict_or_path, (str, bytes)):
+    if isinstance(state_dict_or_path, (str, bytes, os.PathLike)):
         import torch
         state_dict_or_path = torch.load(state_dict_or_path, map_location='cpu')
     converted = convert_torch_state_dict(model, state_dict_or_path, strict=strict)

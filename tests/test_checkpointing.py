@@ -25,6 +25,26 @@ class TestStateDicts:
         out = cp.load_state_dict(str(tmp_path / 'epoch_1'))
         np.testing.assert_array_equal(out['w'], sd['w'])
 
+    def test_extensionless_path_same_file_both_modes(self, tmp_path, rng):
+        """np.savez appends '.npz' to extensionless paths; atomic and
+        non-atomic saves must agree on the written file AND return the path
+        that actually exists (divergence let a stale atomic file shadow a
+        newer non-atomic one through load's extensionless fallback)."""
+        sd = {'w': rng.normal(size=(2,)).astype(np.float32)}
+        p1 = cp.save_state_dict(sd, str(tmp_path / 'a'))
+        p2 = cp.save_state_dict({'w': sd['w'] * 2}, str(tmp_path / 'a'),
+                                atomic=True)
+        assert p1 == p2 == str(tmp_path / 'a.npz')
+        assert os.path.isfile(p1)
+        assert sorted(os.listdir(tmp_path)) == ['a.npz']
+        np.testing.assert_array_equal(
+            cp.load_state_dict(str(tmp_path / 'a'))['w'], sd['w'] * 2)
+
+    def test_orbax_latest_step_probe_has_no_side_effects(self, tmp_path):
+        missing = str(tmp_path / 'typo')
+        assert cp.orbax_latest_step(missing) is None
+        assert not os.path.exists(missing)
+
     def test_training_state_roundtrip(self, tmp_path, rng):
         import jax.numpy as jnp
         params = {'w': jnp.ones((3,))}

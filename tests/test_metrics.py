@@ -223,8 +223,9 @@ def test_std_near_constant_stays_real():
 
 
 def test_apply_staged_length_mismatch_raises():
-    """Conditionally-staged metrics across retraces would zip-mispair values
-    into the wrong accumulators; the handler must reject the mismatch."""
+    """The legacy LIST form has no per-value identity: a truncated list
+    would zip-mispair values into the wrong accumulators; the handler must
+    reject the mismatch."""
     import jax.numpy as jnp
     handler = metrics.Handler()
     handler.add_metrics('train', a=metrics.Mean(), b=metrics.Mean())
@@ -233,4 +234,57 @@ def test_apply_staged_length_mismatch_raises():
                        b=(jnp.ones((1, 2, 1)),))
     staged = handler.drain_staged_values()
     with pytest.raises(ValueError, match='staged-metric mismatch'):
-        handler.apply_staged(staged[:1], tag='t')
+        handler.apply_staged(list(staged.values())[:1], tag='t')
+
+
+def test_staged_keys_travel_with_each_executable():
+    """Two executables of one step can stage the same NUMBER of metrics but
+    different keys (conditional accumulation on a static batch property);
+    the dict form carries each value's identity, so neither executable can
+    merge into the other's accumulators."""
+    import jax
+    import jax.numpy as jnp
+    handler = metrics.Handler()
+    handler.add_metrics('train', a=metrics.Mean(), b=metrics.Mean())
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def step(x, use_a):
+        handler.begin_staging('train')
+        if use_a:  # static python bool -> one executable per branch
+            handler.accumulate('train', a=x)
+        else:
+            handler.accumulate('train', b=x)
+        return handler.drain_staged_values()
+
+    staged_a = step(jnp.full((1, 2, 1), 3.0), True)
+    staged_b = step(jnp.full((1, 2, 1), 7.0), False)  # retraces; same length
+    handler.apply_staged(staged_a, tag='train')
+    handler.apply_staged(staged_b, tag='train')
+    assert abs(handler['train']['a'].result() - 3.0) < 1e-6
+    assert abs(handler['train']['b'].result() - 7.0) < 1e-6
+
+
+def test_mean_accumulates_exactly_under_bf16_partials():
+    """Running sums accumulate as exact host floats: carrying them in the
+    partials' dtype would make bf16 counts saturate (ulp > batch frame
+    count past ~2^15) and epoch means silently drift."""
+    import jax.numpy as jnp
+    m = metrics.Mean()
+    m.reset_state()
+    batch = jnp.full((1, 256, 1), 2.0, jnp.bfloat16)
+    for _ in range(200):
+        m.merge(m.partials(batch))
+    assert m.count == 200 * 256  # bf16 accumulation stalls at 32768
+    assert abs(m.result() - 2.0) < 1e-6
+
+
+def test_history_merges_scalars_and_0d_arrays():
+    import jax.numpy as jnp
+    h = metrics.History()
+    h.reset_state()
+    h.merge(3.25)                      # python scalar
+    h.merge(jnp.asarray(4.5))          # 0-d array (scalar staged via jit)
+    h.merge(np.asarray([5.0, 6.0]))    # 1-d still extends
+    assert h.result() == [3.25, 4.5, 5.0, 6.0]

@@ -396,6 +396,32 @@ class TestMigrationEdgeCases:
         out = migrate.convert_torch_state_dict(model, sd)
         assert set(out) == set(mapping)
 
+    def test_shape_mismatch_raises_at_migration(self):
+        """A checkpoint from a different architecture must fail AT THE LOAD
+        with both names and shapes, not as a confusing matmul error (or
+        silent broadcast garbage) later."""
+        nn.manual_seed(0)
+        model = nn.Linear(4, 6)
+        sd = {'weight': np.zeros((8, 3), np.float32),
+              'bias': np.zeros(6, np.float32)}
+        with pytest.raises(ValueError, match='weight'):
+            migrate.convert_torch_state_dict(model, sd)
+
+    def test_pathlib_path_loads(self, tmp_path):
+        import pathlib
+
+        import torch
+
+        nn.manual_seed(0)
+        model = nn.Linear(3, 2)
+        sd = {'weight': torch.arange(6, dtype=torch.float32).reshape(2, 3),
+              'bias': torch.zeros(2)}
+        path = pathlib.Path(tmp_path) / 'ckpt.pt'
+        torch.save(sd, path)
+        out = migrate.load_torch_state_dict(model, path)
+        np.testing.assert_array_equal(out['weight'],
+                                      np.arange(6).reshape(2, 3).T)
+
     def test_strict_false_allows_missing(self):
         from f0_test_model import F0Model
         nn.manual_seed(0)
