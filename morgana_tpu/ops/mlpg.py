@@ -154,10 +154,10 @@ def _banded_cholesky_solve(b, p_band, bandwidth):
 
     # --- Back substitution: L^T x = y ----------------------------------------
     # x[i] = (y[i] - sum_p L[i+p, i] x[i+p]) / L[i, i];  L[i+p, i] = l_rows[i+p, bw-p]
-    fut = [None]
-    for p in range(1, bw + 1):
-        fut.append(jnp.concatenate([l_rows[p:, bw - p], jnp.zeros((p,), dtype)]))
-    fut = jnp.stack(fut[1:], axis=-1) if bw > 0 else jnp.zeros((num_frames, 0), dtype)
+    # (bw >= 1 here: the bw == 0 diagonal system returned early above.)
+    fut = [jnp.concatenate([l_rows[p:, bw - p], jnp.zeros((p,), dtype)])
+           for p in range(1, bw + 1)]
+    fut = jnp.stack(fut, axis=-1)
 
     def back_body(next_x, inp):
         l_diag, fut_i, y_i = inp

@@ -17,10 +17,6 @@ __all__ = [
 ]
 
 
-def _static_or_none(x):
-    return None if isinstance(x, jax.core.Tracer) else x
-
-
 def upsample_to_repetitions(sequence_feature, repeats, max_len=None):
     r"""Repeats each sequence item ``repeats`` times along the time axis.
 

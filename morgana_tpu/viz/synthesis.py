@@ -7,7 +7,9 @@ Two backends:
   batch x feature dims. Validated to ~1e-6 against the float64 exact solve.
 * ``'numpy'``: an exact float64 banded solve on the host (scipy
   ``solveh_banded``), matching the reference's bandmat path bit-for-bit in
-  semantics; used for golden tests and when float64 output is required.
+  semantics; used for golden tests. ``MLPG(backend='numpy')`` returns
+  float32 like the jax backend (same public contract); call
+  :func:`mlpg_numpy` directly when float64 output is required.
 """
 import numpy as np
 import jax.numpy as jnp
@@ -49,7 +51,9 @@ def MLPG(means, variances, windows=None, padding_size=0, seq_len=None, backend='
 
     if backend == 'numpy':
         out = mlpg_numpy(np.asarray(means), np.asarray(variances), windows,
-                         padding_size=padding_size, seq_len=None if seq_len is None else np.asarray(seq_len))
+                         padding_size=padding_size,
+                         seq_len=None if seq_len is None
+                         else np.atleast_1d(np.asarray(seq_len)))
         out = out.astype(np.float32)
         if not using_batches:
             out = out[0]
@@ -76,6 +80,8 @@ def MLPG_streams(streams, windows=None, padding_size=0, seq_len=None):
 
     Returns {name: trajectory (batch, time, D_name)}.
     """
+    if not streams:
+        return {}
     windows = _canonical_windows(windows)
     num_windows = len(windows)
     names = list(streams.keys())
@@ -131,6 +137,9 @@ def mlpg_numpy(means, variances, windows=DEFAULT_WINDOWS, padding_size=0, seq_le
     variances = np.broadcast_to(np.asarray(variances, np.float64), means.shape)
     if seq_len is None:
         seq_len = [num_frames] * batch
+    else:
+        # Accept a scalar/0-d seq_len the same way the jax backend does.
+        seq_len = np.atleast_1d(np.asarray(seq_len))
     bandwidth = max(l + u for l, u, _ in windows)
 
     def pad(x, n):
@@ -195,6 +204,8 @@ def _mlpg_dense(means, variances, windows=DEFAULT_WINDOWS, padding_size=0, seq_l
     variances = np.broadcast_to(np.asarray(variances, np.float64), means.shape)
     if seq_len is None:
         seq_len = [num_frames] * batch
+    else:
+        seq_len = np.atleast_1d(np.asarray(seq_len))
 
     def pad(x, n):
         if n == 0:

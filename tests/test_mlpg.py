@@ -126,6 +126,23 @@ class TestFusedStreams:
                                        np.asarray(separate), atol=1e-5)
 
 
+class TestAPIEdges:
+    def test_numpy_backend_accepts_scalar_seq_len(self, rng):
+        """Both backends accept a scalar/0-d seq_len for unbatched input —
+        the numpy path used to crash indexing a 0-d array."""
+        from morgana_tpu.viz.synthesis import MLPG
+        means = rng.normal(size=(20, 3)).astype(np.float32)
+        var = np.abs(rng.normal(size=(3,))).astype(np.float32) + 0.5
+        got_np = MLPG(means, var, seq_len=16, backend='numpy')
+        got_jax = MLPG(means, var, seq_len=16, backend='jax')
+        np.testing.assert_allclose(np.asarray(got_jax)[:16], got_np[:16],
+                                   atol=2e-4)
+
+    def test_streams_empty_dict(self):
+        from morgana_tpu.viz.synthesis import MLPG_streams
+        assert MLPG_streams({}) == {}
+
+
 class TestGeneralBandwidth:
     def test_bandwidth_three_windows(self, rng):
         """The banded solver generalises beyond the default bandwidth-2
