@@ -14,6 +14,7 @@ import os
 
 import numpy as np
 
+from morgana_tpu.data import file_io
 from morgana_tpu.data.normalisers import _SpeakerDependentNormaliser
 
 __all__ = ['FilesDataset', 'assemble_item', 'bucket_size', 'collate']
@@ -50,8 +51,7 @@ class FilesDataset(object):
         self.data_dir = os.path.join(self.data_root, data_dir)
 
         self.id_list = os.path.join(self.data_root, id_list)
-        with open(self.id_list, 'r') as f:
-            self.file_ids = list(filter(bool, map(str.strip, f.readlines())))
+        self.file_ids = file_io.get_file_ids(self.id_list)
 
         self.normalisers = normalisers or {}
 
@@ -174,14 +174,18 @@ def collate(batch, bucket=True):
             max_len = max(v.shape[0] for v in values)
             if bucket:
                 max_len = bucket_size(max_len)
-            if first.dtype == np.float32:
-                # Parallel native pad-copy when libbatch_io.so is built.
+            if first.dtype == np.float32 and first.ndim == 2:
+                # Parallel native pad-copy when libbatch_io.so is built
+                # (the C++ path is (seq_len, feat_dim)-only).
                 from morgana_tpu.data import native_io
                 batched[key] = native_io.pad_collate(
                     [np.ascontiguousarray(v) for v in values], max_len)
             else:
-                feat_dim = first.shape[-1]
-                out = np.zeros((batch_size, max_len, feat_dim), dtype=first.dtype)
+                # Generic path: zero-pad the leading (time) axis, keeping
+                # any trailing shape — (seq_len, H, W) features pad to
+                # (batch, max_len, H, W).
+                out = np.zeros((batch_size, max_len) + first.shape[1:],
+                               dtype=first.dtype)
                 for i, v in enumerate(values):
                     out[i, :v.shape[0]] = v
                 batched[key] = out

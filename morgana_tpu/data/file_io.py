@@ -100,7 +100,10 @@ def save_wav(wav, file_path, sample_rate=16000):
         # scaled a second time and wrapped in the int16 cast.
         normalised = wav.min() >= -1.5 and wav.max() <= 1.5
         if normalised:
-            wav = np.clip(wav, -1.0, 1.0) * 32767.0
+            # Scale by 2^15 (the WavSource load convention): powers of two
+            # are exact in float32, so int16 -> float -> int16 round trips
+            # bit-exactly, including full-scale -32768.
+            wav = np.clip(wav * 32768.0, -32768.0, 32767.0)
         else:
             wav = np.clip(wav, -32768, 32767)
     pcm = wav.astype(np.int16)

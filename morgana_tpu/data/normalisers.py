@@ -26,12 +26,24 @@ __all__ = [
 ]
 
 
+def _align(param, feature):
+    """Aligns ``(..., D)`` params to the feature for broadcasting: the time
+    axis is inserted only when the feature actually HAS one (more dims than
+    the params). Sentence-level ``(D,)`` / scalar features broadcast
+    directly like the reference (``morgana/data.py:533-538``) — inserting
+    an axis unconditionally would turn a ``(D,)`` feature into ``(1, D)``,
+    which collate then zero-pads as a bogus one-frame sequence."""
+    if np.ndim(feature) > np.ndim(param):
+        return param[..., None, :]
+    return param
+
+
 def normalise_mvn(feature, mean, std_dev):
-    return (feature - mean[..., None, :]) / (std_dev[..., None, :] + 1e-8)
+    return (feature - _align(mean, feature)) / (_align(std_dev, feature) + 1e-8)
 
 
 def denormalise_mvn(feature, mean, std_dev):
-    return (feature * std_dev[..., None, :]) + mean[..., None, :]
+    return (feature * _align(std_dev, feature)) + _align(mean, feature)
 
 
 def _safe_scale(mmin, mmax):
@@ -45,12 +57,12 @@ def _safe_scale(mmin, mmax):
 
 def normalise_minmax(feature, mmin, mmax):
     scale = _safe_scale(mmin, mmax)
-    return (feature - mmin[..., None, :]) / scale[..., None, :]
+    return (feature - _align(mmin, feature)) / _align(scale, feature)
 
 
 def denormalise_minmax(feature, mmin, mmax):
     scale = _safe_scale(mmin, mmax)
-    return (feature * scale[..., None, :]) + mmin[..., None, :]
+    return (feature * _align(scale, feature)) + _align(mmin, feature)
 
 
 def fit_mvn_params(features):
@@ -70,7 +82,10 @@ class _FeatureNormaliser(object):
     r"""Abstract feature normaliser; exposes ``normalise``/``denormalise``.
 
     Parameters are loaded from JSON (``load_params``) into float32 numpy
-    arrays; ``as_device_params`` returns jnp copies for use inside jit.
+    arrays; jit-side use needs no explicit placement (jax moves the host
+    arrays at trace time), so ``load_params``'s ``device`` argument —
+    kept for the reference's call signature
+    (``morgana/data.py:362-385``) — is accepted and ignored.
     """
 
     def __init__(self, name, use_deltas=False, file_pattern='{name}.json'):
@@ -95,9 +110,12 @@ class _FeatureNormaliser(object):
     def fetch_params(self, deltas=False):
         params = self.delta_params if deltas else self.params
         if params is None:
+            hint = ('construct the normaliser with use_deltas=True'
+                    if deltas and not self.use_deltas else 'call load_params')
             raise RuntimeError(
-                f'Normaliser {self.name!r}: parameters not loaded '
-                f'(call load_params, or set use_deltas={self.use_deltas})')
+                f'Normaliser {self.name!r}: '
+                f'{"delta " if deltas else ""}parameters not loaded '
+                f'({hint})')
         return params
 
     @staticmethod
@@ -161,11 +179,32 @@ class _SpeakerDependentNormaliser(_FeatureNormaliser):
                               for k, v in params.items()}
 
     def fetch_params(self, speaker_ids, deltas=False):
+        if isinstance(speaker_ids, np.ndarray):
+            # A collated batch of ids arrives as an array; .tolist() turns
+            # it into hashable python scalars/strings (listify would wrap
+            # the whole array as ONE unhashable key).
+            speaker_ids = np.atleast_1d(speaker_ids).tolist()
         speaker_ids = listify(speaker_ids)
         speaker_params = self.delta_params if deltas else self.params
+        if speaker_params is None:
+            # Same informative guard as the base class (delta params need
+            # use_deltas=True; everything needs load_params first).
+            hint = ('construct the normaliser with use_deltas=True'
+                    if deltas and not self.use_deltas else 'call load_params')
+            raise RuntimeError(
+                f'Normaliser {self.name!r}: '
+                f'{"delta " if deltas else ""}parameters not loaded '
+                f'({hint})')
 
         sd_params = {}
         for speaker_id in speaker_ids:
+            if speaker_id not in speaker_params:
+                raise KeyError(
+                    f'Normaliser {self.name!r}: no parameters for speaker '
+                    f'{speaker_id!r} (loaded speakers: '
+                    f'{sorted(speaker_params)[:8]}; speaker ids must match '
+                    'the speaker_id_list entries — string ids, not numeric '
+                    'features)')
             for name, param in speaker_params[speaker_id].items():
                 sd_params.setdefault(name, []).append(param)
 

@@ -136,7 +136,11 @@ class WavSource(_DataSource):
         wav, sr = file_io.load_wav(self.file_path(base_name, data_dir))
         if self.sample_rate is not None and sr != self.sample_rate:
             raise ValueError(f'{base_name}: expected sample rate {self.sample_rate}, got {sr}')
-        return (wav.astype(np.float32) / 32767.0)[:, None]
+        # 1/32768: a full-scale negative sample (-32768) must stay within
+        # the documented [-1, 1] range (dividing by 32767 puts it at
+        # -1.000031, and save_wav's clip would then lose exactness on a
+        # load->save round trip).
+        return (wav.astype(np.float32) / 32768.0)[:, None]
 
 
 class SyntheticSource(_DataSource):

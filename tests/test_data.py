@@ -24,6 +24,16 @@ class TestFileIO:
         assert sr == 16000
         np.testing.assert_allclose(loaded / 32767.0, wav, atol=1e-4)
 
+    def test_full_scale_int16_roundtrip_exact(self, tmp_path):
+        """2^15 scaling: int16 -> float -> int16 is bit-exact, including
+        full-scale -32768 (a 32767 divisor put it at -1.000031 and a later
+        save clipped it)."""
+        path = str(tmp_path / 'full.wav')
+        pcm = np.array([-32768, -1, 0, 1, 32767], np.int16)
+        file_io.save_wav(pcm.astype(np.float32) / 32768.0, path)
+        loaded, _ = file_io.load_wav(path)
+        np.testing.assert_array_equal(loaded, pcm)
+
     def test_get_file_ids(self, tmp_path):
         path = str(tmp_path / 'ids.scp')
         file_io.save_lines(['a', ' b ', '', 'c'], path)
@@ -77,6 +87,24 @@ class TestNormalisers:
         np.testing.assert_allclose(norm.denormalise(normalised), x, atol=1e-4)
         assert os.path.exists(tmp_path / 'feat_minmax.json')
 
+    def test_sentence_level_feature_keeps_shape(self):
+        """Normalising a sentence-level (D,) or scalar-ish feature must NOT
+        grow a bogus time axis — collate would zero-pad the (1, D) result
+        into a fake one-frame sequence (reference broadcasts flat,
+        morgana/data.py:533-538)."""
+        mean, std = np.full(4, 2.0, np.float32), np.full(4, 0.5, np.float32)
+        flat = np.arange(4, dtype=np.float32)
+        out = data.normalise_mvn(flat, mean, std)
+        assert out.shape == (4,)
+        np.testing.assert_allclose(
+            data.denormalise_mvn(out, mean, std), flat, atol=1e-5)
+        seq = np.arange(12, dtype=np.float32).reshape(3, 4)
+        assert data.normalise_mvn(seq, mean, std).shape == (3, 4)
+        out = data.normalise_minmax(flat, mean, mean + std)
+        assert out.shape == (4,)
+        np.testing.assert_allclose(
+            data.denormalise_minmax(out, mean, mean + std), flat, atol=1e-5)
+
     def test_minmax_zero_range_guard(self):
         from morgana_tpu.data.normalisers import normalise_minmax
         x = np.ones((3, 2), np.float32)
@@ -126,6 +154,17 @@ class TestBucketing:
         out = data.collate(items)
         assert out['x'].shape == (3, bucket_size(17), 2)
         np.testing.assert_allclose(out['x'][0, 5:], 0.)
+
+    def test_collate_pads_higher_rank_features(self, rng):
+        """ndim > 2 sequence features (e.g. (seq_len, H, W)) pad on the
+        time axis keeping the trailing shape (used to crash with a
+        broadcast error in both the float32 and generic paths)."""
+        items = [{'x': rng.normal(size=(n, 2, 3)).astype(np.float32)}
+                 for n in (5, 9)]
+        out = data.collate(items, bucket=False)
+        assert out['x'].shape == (2, 9, 2, 3)
+        np.testing.assert_allclose(out['x'][0, 5:], 0.)
+        np.testing.assert_allclose(out['x'][1], items[1]['x'])
 
     def test_collate_passthrough_and_scalars(self):
         items = [{'name': 'a', 'n': np.float32(3.)}, {'name': 'b', 'n': np.float32(5.)}]
