@@ -18,6 +18,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <thread>
@@ -49,6 +50,10 @@ bool ParseNpyHeader(FILE* f, NpyInfo* info) {
     header_len = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24);
     info->data_offset = 12 + header_len;
   }
+  // header_len comes from the FILE: a corrupt/truncated .npy could name a
+  // ~4 GB header whose allocation throws bad_alloc inside a worker thread
+  // (std::terminate). Real numpy headers are < 64 KiB even for huge shapes.
+  if (header_len == 0 || header_len > (1u << 20)) return false;
   std::string header(header_len, '\0');
   if (fread(header.data(), 1, header_len, f) != header_len) return false;
 

@@ -523,9 +523,11 @@ class InferenceEngine(object):
         the flush). Requires a model whose streaming outputs cover the full
         WORLD parameter set (lf0, vuv, mcep, bap).
 
-        The waveform equals batch synthesis of the streamed features
-        (:class:`morgana_tpu.vocoder.StreamingSynthesizer`, bitwise up to
-        the batch path's global clip-protection rescale) with ONE
+        The waveform equals the NUMPY batch synthesis of the streamed
+        features (:class:`morgana_tpu.vocoder.StreamingSynthesizer`,
+        bitwise vs ``_synthesize_numpy`` with the same seed, up to the
+        batch path's global clip-protection rescale; the native batch
+        library's noise stream differs) with ONE
         deliberate recipe difference from the analysis hooks: f0 is NOT
         ``smooth_f0``'d — that Savitzky-Golay filter needs future frames,
         so it cannot run causally; streamed f0 carries the model's raw

@@ -12,6 +12,8 @@
 // Build: g++ -O3 -march=native -shared -fPIC -std=c++17 world_synth.cpp
 //        -o ../libworld_synth.so -pthread
 
+#include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -145,15 +147,19 @@ long long morgana_world_synth_abi() { return 2; }
 
 // Synthesises a waveform. Returns the number of output samples, or -1 on
 // unsupported input (caller falls back to the NumPy path).
-long long world_synthesize(const double* f0, const double* sp, const double* ap,
-                           long long num_frames, long long num_bins,
-                           long long fs, double frame_period, long long seed,
-                           double* out, long long out_capacity) {
+static long long world_synthesize_impl(
+    const double* f0, const double* sp, const double* ap,
+    long long num_frames, long long num_bins,
+    long long fs, double frame_period, long long seed,
+    double* out, long long out_capacity) {
   const int fft_size = (int)(num_bins - 1) * 2;
   if (fft_size <= 0 || (fft_size & (fft_size - 1)) != 0) return -1;  // need pow2
   const int hop = (int)(fs * frame_period / 1000.0);
+  // hop <= 0 would make num_samples negative: the capacity check below
+  // would pass and std::vector's size_t conversion would throw (or worse).
+  if (hop <= 0 || num_frames < 0) return -1;
   const long long num_samples = num_frames * hop;
-  if (num_samples > out_capacity) return -1;
+  if (num_samples < 0 || num_samples > out_capacity) return -1;
 
   FFTPlan plan(fft_size);
 
@@ -200,15 +206,35 @@ long long world_synthesize(const double* f0, const double* sp, const double* ap,
   std::vector<std::vector<double>> partials(num_threads);
   std::vector<std::thread> workers;
 
+  // Contiguous frame ranges per thread: each partial accumulator spans only
+  // its own range (+ fft_size of overlap), not the whole signal — strided
+  // frames would multiply peak memory by num_threads on long utterances.
+  const long long frames_per = (num_frames + num_threads - 1) / num_threads;
+
+  // A throw inside a std::thread (e.g. bad_alloc sizing a partial) would
+  // std::terminate the process; trap it and fail the call instead.
+  std::atomic<bool> failed{false};
+
   auto work = [&](int tid) {
+   try {
+    const long long t_begin = (long long)tid * frames_per;
+    const long long t_end = std::min(num_frames, t_begin + frames_per);
+    if (t_begin >= t_end) return;
     std::vector<double> h_re(num_bins), h_im(num_bins);
     std::vector<double> s_re(fft_size), s_im(fft_size);
     std::vector<double> fr_re(fft_size), fr_im(fft_size);
     std::vector<double> power(num_bins);
+    // Hoisted out of the frame loop (like h_re/s_re above): per-frame
+    // vector construction is 6 allocator round-trips per frame, contended
+    // across threads. y needs a per-frame zero fill (it accumulates +=).
+    std::vector<double> y_re(fft_size), y_im(fft_size);
+    std::vector<double> g_re(num_bins), g_im(num_bins);
+    std::vector<double> tmp_re(fft_size), tmp_im(fft_size);
     std::vector<double>& acc = partials[tid];
-    acc.assign(num_samples + fft_size, 0.0);
+    const long long acc_base = t_begin * hop;
+    acc.assign((t_end - t_begin) * hop + fft_size, 0.0);
 
-    for (long long t = tid; t < num_frames; t += num_threads) {
+    for (long long t = t_begin; t < t_end; ++t) {
       const double* sp_t = sp + t * num_bins;
       const double* ap_t = ap + t * num_bins;
       long long start = t * hop;
@@ -234,7 +260,8 @@ long long world_synthesize(const double* f0, const double* sp, const double* ap,
 
       // Separate the two real signals' spectra from the packed FFT:
       //   P(k) = (F(k) + conj(F(n-k))) / 2 ; N(k) = (F(k) - conj(F(n-k))) / 2i
-      std::vector<double> y_re(fft_size, 0.0), y_im(fft_size, 0.0);
+      std::fill(y_re.begin(), y_re.end(), 0.0);
+      std::fill(y_im.begin(), y_im.end(), 0.0);
       for (int k = 0; k < num_bins; ++k) {
         int km = (fft_size - k) % fft_size;
         double pr = 0.5 * (fr_re[k] + fr_re[km]);
@@ -259,12 +286,8 @@ long long world_synthesize(const double* f0, const double* sp, const double* ap,
         double a = ap_t[k];
         power[k] = sp_t[k] * (a * a > 1e-12 ? a * a : 1e-12);
       }
-      std::vector<double> g_re(num_bins), g_im(num_bins);
-      {
-        std::vector<double> tmp_re(fft_size), tmp_im(fft_size);
-        MinimumPhase(power.data(), (int)num_bins, plan, tmp_re.data(),
-                     tmp_im.data(), g_re.data(), g_im.data());
-      }
+      MinimumPhase(power.data(), (int)num_bins, plan, tmp_re.data(),
+                   tmp_im.data(), g_re.data(), g_im.data());
       for (int k = 0; k < num_bins; ++k) {
         int km = (fft_size - k) % fft_size;
         double br = s_re[k] * g_re[k] - s_im[k] * g_im[k];
@@ -278,15 +301,21 @@ long long world_synthesize(const double* f0, const double* sp, const double* ap,
       }
 
       plan.run(y_re.data(), y_im.data(), true);
-      for (int i = 0; i < fft_size; ++i) acc[start + i] += y_re[i];
+      for (int i = 0; i < fft_size; ++i) acc[start - acc_base + i] += y_re[i];
     }
+   } catch (...) {
+    failed.store(true);
+   }
   };
 
   for (int tid = 0; tid < num_threads; ++tid) workers.emplace_back(work, tid);
   for (auto& th : workers) th.join();
-  for (int tid = 0; tid < num_threads; ++tid)
-    for (long long i = 0; i < (long long)out_acc.size(); ++i)
-      out_acc[i] += partials[tid][i];
+  if (failed.load()) return -1;
+  for (int tid = 0; tid < num_threads; ++tid) {
+    const long long base = (long long)tid * frames_per * hop;
+    for (long long i = 0; i < (long long)partials[tid].size(); ++i)
+      out_acc[base + i] += partials[tid][i];
+  }
 
   double peak = 0.0;
   for (long long i = 0; i < num_samples; ++i) {
@@ -296,6 +325,21 @@ long long world_synthesize(const double* f0, const double* sp, const double* ap,
   double scale = peak > 1e-12 && peak > 0.9 ? 0.9 / peak : 1.0;
   for (long long i = 0; i < num_samples; ++i) out[i] = out_acc[i] * scale;
   return num_samples;
+}
+
+// C-ABI entry point: exceptions must not cross the extern "C" boundary —
+// an escaping std::bad_alloc/length_error would std::terminate the whole
+// host process instead of letting the caller fall back to the NumPy path.
+long long world_synthesize(const double* f0, const double* sp, const double* ap,
+                           long long num_frames, long long num_bins,
+                           long long fs, double frame_period, long long seed,
+                           double* out, long long out_capacity) {
+  try {
+    return world_synthesize_impl(f0, sp, ap, num_frames, num_bins, fs,
+                                 frame_period, seed, out, out_capacity);
+  } catch (...) {
+    return -1;
+  }
 }
 
 }  // extern "C"

@@ -95,6 +95,7 @@ def _freqt_recursion(c, order_out, alpha):
 
 
 _FREQT_MATRICES = {}
+_BAP_INTERP_MATRICES = {}
 
 
 def _freqt(c, order_out, alpha):
@@ -171,11 +172,19 @@ def bap_to_aperiodicity(bap, fft_size=1024, fs=16000):
     bap = np.atleast_2d(np.asarray(bap, np.float64))
     num_bins = fft_size // 2 + 1
     num_bands = bap.shape[-1]
-    band_pos = (np.arange(num_bands) + 0.5) / num_bands * (num_bins - 1)
-    bins = np.arange(num_bins)
-    ap = np.empty((bap.shape[0], num_bins))
-    for t in range(bap.shape[0]):
-        ap[t] = np.interp(bins, band_pos, bap[t])
+    # The interpolation is a CONSTANT linear map per (num_bands, num_bins):
+    # one cached (B, K) weight matrix turns the per-frame np.interp loop
+    # into a single BLAS matmul (same caching as _FREQT_MATRICES; this runs
+    # per chunk on the streaming-serving hot path).
+    key = (num_bands, num_bins)
+    weights = _BAP_INTERP_MATRICES.get(key)
+    if weights is None:
+        band_pos = (np.arange(num_bands) + 0.5) / num_bands * (num_bins - 1)
+        bins = np.arange(num_bins)
+        weights = np.stack([np.interp(bins, band_pos, row)
+                            for row in np.eye(num_bands)])
+        _BAP_INTERP_MATRICES[key] = weights
+    ap = bap @ weights
     return np.clip(np.exp(ap), 1e-16, 1.0)
 
 
@@ -214,7 +223,16 @@ def synthesize(f0, sp, ap, fs, frame_period=5.0, seed=0):
     ap = np.atleast_2d(np.asarray(ap, np.float64))
     num_frames, num_bins = sp.shape
     ap = np.broadcast_to(ap, (num_frames, num_bins))
+    # Validate BEFORE the native call: the C library trusts these (a short
+    # f0 buffer would be read out of bounds); the numpy path would raise a
+    # clean IndexError, but the fast path must not turn a caller mistake
+    # into memory corruption.
+    if f0.shape[0] != num_frames:
+        raise ValueError(f'{f0.shape[0]} f0 frames vs {num_frames} sp rows')
     hop = int(fs * frame_period / 1000.0)
+    if hop <= 0:
+        raise ValueError(f'frame_period {frame_period} ms at fs {fs} gives a '
+                         f'non-positive hop ({hop})')
     num_samples = num_frames * hop
 
     lib = _load_native()
@@ -320,10 +338,13 @@ class StreamingSynthesizer(object):
     per-frame minimum-phase filters, same overlap-add — with all
     cross-chunk coupling carried as explicit state: the phase accumulator,
     the noise RNG mid-stream, unconsumed excitation samples, and the
-    overlap-add tail. The streamed waveform equals the batch synthesis of
-    the concatenated features exactly (up to the batch path's final
-    clip-protection rescale, which needs the global peak and is therefore
-    skipped here; apply your own gain control downstream).
+    overlap-add tail. The streamed waveform equals the NUMPY batch path
+    (``_synthesize_numpy`` with the same seed) on the concatenated features
+    exactly, up to the batch path's final clip-protection rescale (which
+    needs the global peak and is therefore skipped here; apply your own
+    gain control downstream). The native library's batch output differs in
+    its noise stream (XorShift vs numpy's PCG64), so :func:`synthesize`
+    with the native backend matches in spectrum, not sample-for-sample.
 
     A frame is synthesisable once its excitation window (``min(fft_size,
     4*hop)`` samples) is available, so emission lags the pushed features by
@@ -377,7 +398,12 @@ class StreamingSynthesizer(object):
                              f'{self.fft_size // 2 + 1} for fft_size {self.fft_size}')
         if f0.shape[0]:
             self._extend_excitation(f0)
-            self._pending.extend(zip(sp, ap))
+            # Copy: atleast_2d/broadcast_to can alias the CALLER's buffer,
+            # and these rows sit in _pending for up to 4 frames — a client
+            # reusing one preallocated chunk buffer would silently corrupt
+            # the deferred frames' spectra.
+            self._pending.extend(zip(np.array(sp, copy=True),
+                                     np.array(ap, copy=True)))
             self._frames_pushed += f0.shape[0]
         self._process(exc_end=self._frames_pushed * self.hop)
         return self._emit(final_upto=self._frames_done * self.hop)

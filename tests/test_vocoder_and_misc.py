@@ -68,6 +68,22 @@ class TestVocoder:
         ap = world.bap_to_aperiodicity(bap, fft_size=fft_size)
         assert ap[0, 0] == pytest.approx(1.0)
 
+    def test_synthesize_rejects_mismatched_f0(self, rng):
+        """The native library trusts len(f0) == num_frames — the Python
+        wrapper must reject the mismatch BEFORE the call (an OOB heap read
+        otherwise; the numpy path raised a clean IndexError)."""
+        sp = np.full((8, 129), 1e-3)
+        ap = np.full((8, 129), 0.1)
+        with pytest.raises(ValueError, match='f0 frames'):
+            world.synthesize(np.full(2, 120.0), sp, ap, 16000)
+
+    def test_synthesize_rejects_non_positive_hop(self):
+        sp = np.full((8, 129), 1e-3)
+        ap = np.full((8, 129), 0.1)
+        with pytest.raises(ValueError, match='hop'):
+            world.synthesize(np.full(8, 120.0), sp, ap, 16000,
+                             frame_period=-0.5)
+
     def test_synthesize_world_feats(self, rng):
         frames = 40
         f0 = np.full(frames, 120.0)
