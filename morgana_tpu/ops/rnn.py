@@ -46,6 +46,11 @@ def reverse_sequences(x, seq_len=None):
     if seq_len is None:
         return jnp.flip(x, axis=1)
     seq_len = jnp.asarray(seq_len).reshape(batch).astype(jnp.int32)
+    # Clamp: a seq_len > time (caller sliced x without re-clamping lengths)
+    # would make rev_idx out of bounds, and take_along_axis fills OOB reads
+    # with NaN — poisoning VALID frames silently. Clamped, invalid input
+    # degrades gracefully like the forward kernels.
+    seq_len = jnp.minimum(seq_len, time)
     t = jnp.arange(time, dtype=jnp.int32)
     rev_idx = seq_len[:, None] - 1 - t[None, :]
     idx = jnp.where(t[None, :] < seq_len[:, None], rev_idx, t[None, :])
@@ -56,6 +61,30 @@ def _cast_for_matmul(x, w, compute_dtype):
     if compute_dtype is None:
         return x, w
     return x.astype(compute_dtype), w.astype(compute_dtype)
+
+
+def _lstm_cell(gates, c):
+    """The LSTM cell equations (torch gate order i, f, g, o), shared by the
+    scan and wavefront backends so the gate math cannot drift between them
+    (their bit-for-bit equality is a tested contract). ``gates`` is the
+    (B, 4H) pre-activation sum of input- and hidden-side projections."""
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+    g = jnp.tanh(g)
+    c_new = f * c + i * g
+    return o * jnp.tanh(c_new), c_new
+
+
+def _gru_cell(xg, hg, h):
+    """The GRU cell equations (torch formulation: the hidden-side bias sits
+    inside the reset product via ``hg``), shared by the scan and wavefront
+    backends. ``xg``/``hg`` are the (B, 3H) input-/hidden-side gate sums."""
+    xr, xz, xn = jnp.split(xg, 3, axis=-1)
+    hr, hz, hn = jnp.split(hg, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1. - z) * n + z * h
 
 
 def lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None, unroll=8,
@@ -98,11 +127,7 @@ def lstm(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, c0=None, unroll=8,
         xg_t, m = inp
         h_c = h if compute_dtype is None else h.astype(compute_dtype)
         gates = xg_t + jnp.dot(h_c, w_hh_c, preferred_element_type=dtype)
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
-        g = jnp.tanh(g)
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
+        h_new, c_new = _lstm_cell(gates, c)
         h_out = h_new * m
         h_keep = jnp.where(m > 0, h_new, h)
         c_keep = jnp.where(m > 0, c_new, c)
@@ -260,12 +285,7 @@ def lstm_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None,
 
     def cell_step(gates_in, hg, state):
         _h, c = state
-        gates = gates_in + hg
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
-        g = jnp.tanh(g)
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
+        h_new, c_new = _lstm_cell(gates_in + hg, c)
         return h_new, (h_new, c_new)
 
     # LSTM: both biases fold into the input-side gate projections.
@@ -299,12 +319,7 @@ def gru_stack(x, layers, seq_len=None, h0s=None, unroll=8, compute_dtype=None,
 
     def cell_step(gates_in, hg, state):
         (h,) = state
-        xr, xz, xn = jnp.split(gates_in, 3, axis=-1)
-        hr, hz, hn = jnp.split(hg, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1. - z) * n + z * h
+        h_new = _gru_cell(gates_in, hg, h)
         return h_new, (h_new,)
 
     y, (h_all,) = _wavefront(
@@ -341,12 +356,7 @@ def gru(x, w_ih, w_hh, b_ih, b_hh, seq_len=None, h0=None, unroll=8,
         xg_t, m = inp
         h_c = h if compute_dtype is None else h.astype(compute_dtype)
         hg = jnp.dot(h_c, w_hh_c, preferred_element_type=dtype) + b_hh
-        xr, xz, xn = jnp.split(xg_t, 3, axis=-1)
-        hr, hz, hn = jnp.split(hg, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1. - z) * n + z * h
+        h_new = _gru_cell(xg_t, hg, h)
         h_out = h_new * m
         h_keep = jnp.where(m > 0, h_new, h)
         return h_keep, h_out

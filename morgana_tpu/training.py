@@ -101,6 +101,10 @@ def build_optimizer(name='adam', weight_decay=0., b1=0.9, b2=0.999, eps=1e-8,
         if weight_decay:
             transforms.append(optax.add_decayed_weights(weight_decay))
     elif name == 'sgd':
+        if nesterov and not momentum:
+            # torch.optim.SGD raises the same way: Nesterov needs momentum,
+            # and silently training plain SGD would misreport the config.
+            raise ValueError('SGD: nesterov=True requires momentum > 0')
         if weight_decay:
             transforms.append(optax.add_decayed_weights(weight_decay))
         if momentum:
@@ -245,12 +249,16 @@ class TrainLoop(object):
             # Per-item weighting: each micro-gradient is a mean over its
             # (static) item count n, so acc accumulates n * grad and the
             # apply step divides by the cycle's total item count.
-            weight = jnp.float32(batch_items(batch))
+            weight = float(batch_items(batch))
             batch = dict(batch, global_step=global_step)
             loss, staged, outputs, grads = staged_value_and_grad(
                 model, params, batch, rng)
+            # Weight in each leaf's own dtype: an f32 scalar would promote
+            # non-f32 gradients, mismatching the donated accumulator's
+            # dtype (donation silently defeated + a retrace).
             acc_grads = jax.tree_util.tree_map(
-                lambda a, g: a + weight * g, acc_grads, grads)
+                lambda a, g: a + jnp.asarray(weight, g.dtype) * g,
+                acc_grads, grads)
             return acc_grads, loss, staged, outputs
 
         return jax.jit(accum_step, donate_argnums=(1,))
@@ -265,12 +273,13 @@ class TrainLoop(object):
 
         def apply_step(params, opt_state, ema_params, acc_grads, batch, lr,
                        inv_items, global_step, rng):
-            weight = jnp.float32(batch_items(batch))
+            weight = float(batch_items(batch))
             batch = dict(batch, global_step=global_step)
             loss, staged, outputs, grads = staged_value_and_grad(
                 model, params, batch, rng)
             grads = jax.tree_util.tree_map(
-                lambda a, g: (a + weight * g) * inv_items, acc_grads, grads)
+                lambda a, g: (a + jnp.asarray(weight, g.dtype) * g)
+                * jnp.asarray(inv_items, g.dtype), acc_grads, grads)
             params, opt_state, ema_params = apply_updates(
                 optimizer, ema_decay, params, opt_state, ema_params, grads, lr)
             acc_grads = jax.tree_util.tree_map(jnp.zeros_like, grads)
@@ -330,8 +339,11 @@ class TrainLoop(object):
         # Traced global-step scalar (passed outside the batch-sharded dict —
         # it is replicated): models can schedule (e.g. KL annealing) without
         # retracing — `self.step` on the model is a trace-time python int and
-        # must not be used inside jitted code.
-        global_step = jnp.asarray(self.step_count, jnp.float32)
+        # must not be used inside jitted code. int32 (not f32): past 2^24
+        # steps consecutive f32 values collide and step schedules would
+        # stall; arithmetic like `global_step / anneal_steps` promotes to
+        # float inside the model as needed.
+        global_step = jnp.asarray(self.step_count, jnp.int32)
         if self.grad_accum_steps > 1:
             if self._acc_grads is None:
                 # zeros_like preserves each leaf's sharding under dp/tp.
@@ -368,15 +380,25 @@ class TrainLoop(object):
         self.step_count += 1
         return loss, staged, outputs
 
+    def _resolve_params(self, use_ema):
+        if use_ema:
+            if self.ema_params is None:
+                # Falling back silently would report raw-parameter metrics
+                # as EMA numbers.
+                raise ValueError('use_ema=True but this loop tracks no EMA '
+                                 'parameters (construct with ema_decay > 0)')
+            return self.ema_params
+        return self.params
+
     def eval_step(self, features, use_ema=False):
         batch = numeric_features(features)
-        params = self.ema_params if (use_ema and self.ema_params is not None) else self.params
-        global_step = jnp.asarray(self.step_count, jnp.float32)
+        params = self._resolve_params(use_ema)
+        global_step = jnp.asarray(self.step_count, jnp.int32)
         return self._eval_step(params, batch, global_step, self._next_rng())
 
     def predict_step(self, features, use_ema=False):
         batch = numeric_features(features)
-        params = self.ema_params if (use_ema and self.ema_params is not None) else self.params
+        params = self._resolve_params(use_ema)
         return self._predict_step(params, batch, self._next_rng())
 
     # -- state sync ------------------------------------------------------------

@@ -196,6 +196,17 @@ def test_reverse_sequences(rng):
     np.testing.assert_allclose(out[1, 2:], np.asarray(x)[1, 2:])  # padding in place
 
 
+def test_reverse_sequences_clamps_overlong_lengths(rng):
+    """seq_len > time must degrade gracefully (clamped), not poison valid
+    frames with take_along_axis's out-of-bounds NaN fill."""
+    from morgana_tpu.ops.rnn import reverse_sequences
+    x = jnp.array(rng.normal(size=(2, 4, 3)).astype(np.float32))
+    out = np.asarray(reverse_sequences(x, jnp.array([5, 4])))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[0], np.asarray(x)[0, ::-1])  # clamped to 4
+    np.testing.assert_allclose(out[1], np.asarray(x)[1, ::-1])
+
+
 class TestWavefrontStack:
     """lstm_stack (diagonal wavefront) must match the sequential per-layer
     scan exactly: outputs, final states, and gradients, on ragged batches."""

@@ -114,6 +114,12 @@ class TestTorchParity:
             lambda p: torch.optim.SGD(p, lr=LR, momentum=0.9, nesterov=True),
             build_optimizer('sgd', momentum=0.9, nesterov=True))
 
+    def test_sgd_nesterov_requires_momentum(self):
+        """torch parity: nesterov without momentum is a config error, not
+        silent plain SGD."""
+        with pytest.raises(ValueError, match='momentum'):
+            build_optimizer('sgd', nesterov=True)
+
 
 class TestLamb:
     def test_trust_ratio_rescales_adamw_update(self):

@@ -52,6 +52,40 @@ def _make_loop():
     return model, TrainLoop(model, build_optimizer(), seed=0)
 
 
+def test_use_ema_without_ema_params_raises():
+    """Silently falling back to raw params would report raw-parameter
+    metrics as EMA numbers."""
+    import pytest
+    model, loop = _make_loop()  # ema_decay defaults to 0 -> no EMA tracked
+    batch = {'x': np.ones((2, 4, 3), np.float32),
+             'n_frames': np.array([4., 4.], np.float32)}
+    with pytest.raises(ValueError, match='EMA'):
+        loop.eval_step(batch, use_ema=True)
+    with pytest.raises(ValueError, match='EMA'):
+        loop.predict_step(batch, use_ema=True)
+
+
+def test_global_step_is_integer_precise():
+    """global_step rides as an integer: an f32 scalar collides past 2^24
+    steps ((1<<24) + 1 rounds to 1<<24) and step schedules would stall."""
+    model, loop = _make_loop()
+    batch = {'x': np.ones((2, 4, 3), np.float32),
+             'n_frames': np.array([4., 4.], np.float32)}
+    model.mode = 'valid'
+    captured = {}
+    orig = loop._eval_step
+
+    def spy(params, b, global_step, rng):
+        captured['gs'] = global_step
+        return orig(params, b, global_step, rng)
+
+    loop._eval_step = spy
+    loop.step_count = (1 << 24) + 1  # not representable in f32
+    loss, _, _ = loop.eval_step(batch)
+    assert int(captured['gs']) == (1 << 24) + 1
+    assert np.isfinite(float(loss))
+
+
 def test_eval_step_receives_global_step():
     """Validation must weight step-scheduled losses (KL annealing) exactly
     as the current training step does — not at the fully-annealed value."""
