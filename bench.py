@@ -603,6 +603,47 @@ def main():
         except Exception:
             pass
 
+    best_backend = max(results, key=lambda b: results[b]['frames_per_sec'])
+    result = results[best_backend]
+
+    # Throttle-episode retries: when the sustained reading is wildly slower
+    # than the burst (or, when the roofline probe is available, achieved
+    # compute is far below the measured peak), the window was a throttling
+    # episode, not the chip's real pace. Re-measure after escalating
+    # cooldowns while the budget allows, keeping the best readings (each
+    # still a genuine >= 3 x 15-step readback-barriered measurement). A
+    # throttled window also makes the best-BACKEND choice pure noise, so
+    # retries cover the documented headline config too, and the winner is
+    # re-picked afterwards. This runs BEFORE the secondary stages (e2e,
+    # transformer): the headline is the artifact that matters, and in a
+    # throttled window the secondaries would burn the retry budget
+    # measuring noise.
+    def _throttled(res):
+        if res['ms_per_step'] > 5 * res['burst_ms_per_step']:
+            return True
+        return bool(measured_peak) and \
+            res['achieved_tflops'] / measured_peak < 0.15
+
+    if not degraded:
+        retry_names = [best_backend]
+        if 'scan_bf16_u64' in results and 'scan_bf16_u64' not in retry_names:
+            retry_names.append('scan_bf16_u64')
+        for cooldown in (60, 180, 300, 300, 300):
+            if not _throttled(result) or remaining() < cooldown + 240:
+                break
+            time.sleep(cooldown)
+            for name in retry_names:
+                cfg = next(c for c in CONFIGS if c[0] == name)
+                try:
+                    retry = _bench_subprocess(cfg[1], cfg[2], cfg[3])
+                except Exception:
+                    continue
+                if retry['frames_per_sec'] > results[name]['frames_per_sec']:
+                    retry['throttle_retry'] = True
+                    results[name] = retry
+            best_backend = max(results, key=lambda b: results[b]['frames_per_sec'])
+            result = results[best_backend]
+
     # End-to-end disk->device epoch throughput (loader + prefetch + device).
     e2e = None
     if not degraded and remaining() > 300:
@@ -625,44 +666,6 @@ def main():
                 'bt.measure(512, 6, 8, 2048, "bfloat16", 32, 640)))')
         except Exception:
             pass
-
-    best_backend = max(results, key=lambda b: results[b]['frames_per_sec'])
-    result = results[best_backend]
-
-    # Throttle-episode retries: when the sustained reading is wildly slower
-    # than the burst (or, when the roofline probe is available, achieved
-    # compute is far below the measured peak), the window was a throttling
-    # episode, not the chip's real pace. Re-measure after escalating
-    # cooldowns while the budget allows, keeping the best readings (each
-    # still a genuine >= 3 x 15-step readback-barriered measurement). A
-    # throttled window also makes the best-BACKEND choice pure noise, so
-    # retries cover the documented headline config too, and the winner is
-    # re-picked afterwards.
-    def _throttled(res):
-        if res['ms_per_step'] > 5 * res['burst_ms_per_step']:
-            return True
-        return bool(measured_peak) and \
-            res['achieved_tflops'] / measured_peak < 0.15
-
-    if not degraded:
-        retry_names = [best_backend]
-        if 'scan_bf16_u64' in results and 'scan_bf16_u64' not in retry_names:
-            retry_names.append('scan_bf16_u64')
-        for cooldown in (60, 180, 300):
-            if not _throttled(result) or remaining() < cooldown + 240:
-                break
-            time.sleep(cooldown)
-            for name in retry_names:
-                cfg = next(c for c in CONFIGS if c[0] == name)
-                try:
-                    retry = _bench_subprocess(cfg[1], cfg[2], cfg[3])
-                except Exception:
-                    continue
-                if retry['frames_per_sec'] > results[name]['frames_per_sec']:
-                    retry['throttle_retry'] = True
-                    results[name] = retry
-            best_backend = max(results, key=lambda b: results[b]['frames_per_sec'])
-            result = results[best_backend]
 
     line = {
         'metric': 'rnn_spss_train_frames_per_sec',

@@ -41,9 +41,11 @@ __all__ = [
     'Recurrent', 'SequentialWithRecurrent', 'Sigmoid', 'Tanh', 'ReLU', 'GELU',
     'LayerNorm',
     'MultiHeadAttention', 'TransformerEncoderLayer', 'TransformerEncoder',
+    'LSTM', 'GRU', 'MoEFeedForward',
     'manual_seed', 'parameters', 'named_parameters', 'load_parameters',
     'state_dict', 'load_state_dict', 'bind', 'next_rng', 'is_training',
-    'ExponentialMovingAverage',
+    'aux_loss', 'collected_aux_loss',
+    'ExponentialMovingAverage', 'ema_update',
 ]
 
 # ---------------------------------------------------------------------------
@@ -105,6 +107,20 @@ def manual_seed(seed):
     _INIT_RNG = np.random.default_rng(seed)
 
 
+def _matmul(x, w):
+    """The compute-dtype matmul recipe shared by every dense projection
+    (Linear, the cross-attention projections): inputs cast to the global
+    compute dtype (bf16 MXU matmuls), accumulation/output in ``x.dtype``.
+    One definition so the mixed-precision recipe cannot drift per call
+    site. (The MoE router deliberately does NOT use it — its softmax
+    balance statistics must stay exact f32.)"""
+    cd = _DEFAULT_COMPUTE_DTYPE
+    if cd is not None:
+        return jnp.dot(x.astype(cd), w.astype(cd),
+                       preferred_element_type=x.dtype)
+    return x @ w
+
+
 def _uniform(shape, bound, dtype=np.float32):
     return jnp.asarray(_INIT_RNG.uniform(-bound, bound, size=shape).astype(dtype))
 
@@ -141,6 +157,10 @@ class Module:
             yield name, value
 
     def named_parameters(self, prefix=''):
+        # Bare Params inside containers are traversed too: silently skipping
+        # them would leave those weights untrained, unsaved and un-bound
+        # with no error (only layers with a hand-written override, like
+        # Recurrent's, would escape the trap).
         for name, value in self._children():
             full = f'{prefix}{name}'
             if isinstance(value, Param):
@@ -149,11 +169,15 @@ class Module:
                 yield from value.named_parameters(prefix=full + '.')
             elif isinstance(value, (list, tuple)):
                 for i, item in enumerate(value):
-                    if isinstance(item, Module):
+                    if isinstance(item, Param):
+                        yield f'{full}.{i}', item
+                    elif isinstance(item, Module):
                         yield from item.named_parameters(prefix=f'{full}.{i}.')
             elif isinstance(value, dict):
                 for k, item in value.items():
-                    if isinstance(item, Module):
+                    if isinstance(item, Param):
+                        yield f'{full}.{k}', item
+                    elif isinstance(item, Module):
                         yield from item.named_parameters(prefix=f'{full}.{k}.')
 
     def modules(self):
@@ -259,6 +283,7 @@ def bind(module, params=None, rng=None, train=False):
                 return model(batch)
     """
     saved = None
+    slots = None
     if params is not None:
         slots = named_parameters(module)
         unknown = [name for name in params if name not in slots]
@@ -277,7 +302,10 @@ def bind(module, params=None, rng=None, train=False):
     finally:
         _ctx().pop()
         if saved is not None:
-            slots = named_parameters(module)
+            # Restore through the install-time slot objects, not a fresh
+            # traversal: if the body renamed/deleted a submodule and then
+            # raised, a re-traversal KeyError would mask the original
+            # exception and leave the remaining Params holding bound values.
             for name, value in saved.items():
                 slots[name].value = value
 
@@ -337,12 +365,7 @@ class Linear(Module):
         self.bias = Param(_uniform((out_features,), bound)) if bias else None
 
     def forward(self, x):
-        w = self.weight.value
-        cd = _DEFAULT_COMPUTE_DTYPE
-        if cd is not None:
-            y = jnp.dot(x.astype(cd), w.astype(cd), preferred_element_type=x.dtype)
-        else:
-            y = x @ w
+        y = _matmul(x, self.weight.value)
         if self.bias is not None:
             y = y + self.bias.value
         return y
@@ -362,6 +385,11 @@ class Embedding(Module):
 
 class Dropout(Module):
     def __init__(self, p=0.5):
+        if not 0.0 <= p <= 1.0:
+            # torch parity: a typo like p=1.5 must fail at construction,
+            # not silently zero (or mis-scale) every activation in training.
+            raise ValueError(f'dropout probability must be in [0, 1], '
+                             f'got {p}')
         self.p = float(p)
 
     def forward(self, x):
@@ -520,6 +548,12 @@ class Recurrent(Module):
             if any(isinstance(p.value, QuantizedArray)
                    for layer in self.layers for p in layer.values()):
                 backend = 'scan'
+        if self.backend == 'pallas' and backend == 'scan':
+            # The kernels do all math in f32 (no compute_dtype knob), so
+            # the 'numerically equivalent' fallback must not inherit a bf16
+            # default — it would diverge from the pallas run far beyond
+            # platform epsilon and break cross-platform parity audits.
+            compute_dtype = None
 
         remat = self.remat if self.remat is not None else _DEFAULT_REMAT
 
@@ -710,6 +744,12 @@ class MultiHeadAttention(Module):
         cross-attention (queries from ``x``, keys/values from ``kv``).
         ``window`` (with ``causal=True``) restricts each query to the last
         ``window`` keys — the streamable sliding-window form."""
+        if window is not None and not causal:
+            # Silently computing FULL attention here would make batch
+            # forward(window=W) diverge from step()'s always-windowed
+            # streaming (same check TransformerEncoder does at build time).
+            raise ValueError('window (sliding-window attention) requires '
+                             'causal=True')
         batch, q_len, _ = x.shape
         compute_dtype = _DEFAULT_COMPUTE_DTYPE
 
@@ -723,24 +763,14 @@ class MultiHeadAttention(Module):
                                  'causal masking needs a query/key position '
                                  'alignment that cross-attention lacks')
             # Cross-attention reuses the fused projection's three slices,
-            # in the same compute dtype Linear would use.
+            # in the same compute dtype Linear would use (_matmul).
             w = self.in_proj.weight.value
             b = self.in_proj.bias.value if self.in_proj.bias is not None else None
             wq, wk, wv = jnp.split(w, 3, axis=-1)
             bq, bk, bv = (jnp.split(b, 3) if b is not None else (0., 0., 0.))
-
-            def proj(t, w_part, b_part):
-                if compute_dtype is not None:
-                    y = jnp.dot(t.astype(compute_dtype),
-                                w_part.astype(compute_dtype),
-                                preferred_element_type=t.dtype)
-                else:
-                    y = t @ w_part
-                return y + b_part
-
-            q = proj(x, wq, bq)
-            k = proj(kv, wk, bk)
-            v = proj(kv, wv, bv)
+            q = _matmul(x, wq) + bq
+            k = _matmul(kv, wk) + bk
+            v = _matmul(kv, wv) + bv
             k_len, k_seq_len = kv.shape[1], kv_seq_len
 
         def to_heads(t, length):
@@ -1161,6 +1191,11 @@ class SequentialWithRecurrent(Module):
     def forward(self, input, hiddens=None, seq_len=None, return_hiddens=False):
         if hiddens is None:
             hiddens = [None] * len(self.items)
+        else:
+            # Never mutate the caller's state list: a streaming client that
+            # keeps the previous chunk's state for retry/rollback must not
+            # find it silently overwritten with the post-chunk state.
+            hiddens = list(hiddens)
         for i, module in enumerate(self.items):
             if isinstance(module, Recurrent):
                 input, hiddens[i] = module(input, hiddens[i], seq_len)

@@ -56,6 +56,54 @@ class TestParams:
         w = np.asarray(lin.weight.value)
         assert np.abs(w).max() <= 0.1 + 1e-6  # 1/sqrt(100)
 
+    def test_container_held_params_are_traversed(self):
+        """Bare Params inside list/dict attributes must be discovered —
+        silently skipping them would leave weights untrained, unsaved and
+        un-bound with no error."""
+        class Containers(nn.Module):
+            def __init__(self):
+                self.scales = [nn.Param(jnp.ones(3)), nn.Param(jnp.zeros(3))]
+                self.table = {'gain': nn.Param(jnp.full(2, 2.0))}
+
+            def forward(self, x):
+                return x * self.scales[0].value
+
+        m = Containers()
+        names = set(dict(m.named_parameters()))
+        assert names == {'scales.0', 'scales.1', 'table.gain'}
+        sd = nn.state_dict(m)
+        assert set(sd) == names
+
+    def test_dropout_probability_validated(self):
+        with pytest.raises(ValueError, match='0, 1'):
+            nn.Dropout(p=1.5)
+        with pytest.raises(ValueError, match='0, 1'):
+            nn.Dropout(p=-0.1)
+
+    def test_attention_window_requires_causal(self):
+        nn.manual_seed(0)
+        mha = nn.MultiHeadAttention(8, 2)
+        x = jnp.ones((1, 4, 8))
+        with pytest.raises(ValueError, match='causal'):
+            mha(x, window=2)
+
+    def test_sequential_does_not_mutate_caller_hiddens(self):
+        """A streaming client keeping the previous chunk's state for
+        retry/rollback must not find it overwritten in place."""
+        nn.manual_seed(1)
+        model = nn.SequentialWithRecurrent(
+            nn.Linear(3, 4), nn.Recurrent('gru', 4, 4))
+        x = jnp.ones((1, 2, 3))
+        prev = [None] * 2
+        _, new = model(x, hiddens=list(prev), seq_len=jnp.asarray([2]),
+                       return_hiddens=True)
+        before = [None] * 2
+        _, after = model(x, hiddens=before, seq_len=jnp.asarray([2]),
+                         return_hiddens=True)
+        assert after is not before
+        assert before == [None, None]  # caller's list untouched
+        np.testing.assert_allclose(np.asarray(after[1]), np.asarray(new[1]))
+
 
 class TestBind:
     def test_bind_installs_and_restores(self):
@@ -156,6 +204,27 @@ class TestEMA:
 
 
 class TestComputeOptions:
+    def test_pallas_fallback_ignores_bf16_default(self, rng):
+        """Off-TPU the pallas backend demotes to the 'numerically
+        equivalent' scan path; the kernels are f32-only, so the fallback
+        must not inherit a global bf16 compute default — it must match the
+        f32 scan exactly."""
+        import jax.numpy as jnp
+        nn.manual_seed(3)
+        r_pallas = nn.Recurrent('lstm', 4, 4, backend='pallas')
+        nn.manual_seed(3)
+        r_scan = nn.Recurrent('lstm', 4, 4)
+        x = jnp.array(rng.normal(size=(2, 6, 4)).astype(np.float32))
+        seq_len = jnp.asarray([6, 4])
+        nn.set_default_compute_dtype('bfloat16')
+        try:
+            y_pallas, _ = r_pallas(x, seq_len=seq_len)
+        finally:
+            nn.set_default_compute_dtype(None)
+        y_scan, _ = r_scan(x, seq_len=seq_len)
+        np.testing.assert_array_equal(np.asarray(y_pallas),
+                                      np.asarray(y_scan))
+
     def test_bf16_compute_close_to_f32(self, rng):
         import jax.numpy as jnp
         nn.manual_seed(3)
