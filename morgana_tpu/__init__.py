@@ -27,6 +27,7 @@ def __getattr__(name):
         'data': 'morgana_tpu.data',
         'experiment_builder': 'morgana_tpu.experiment_builder',
         'lr_schedules': 'morgana_tpu.lr_schedules',
+        'memory': 'morgana_tpu.memory',
         'metrics': 'morgana_tpu.metrics',
         'sampling': 'morgana_tpu.sampling',
         'viz': 'morgana_tpu.viz',

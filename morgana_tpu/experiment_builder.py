@@ -30,6 +30,7 @@ from morgana_tpu import _logging
 from morgana_tpu import checkpointing
 from morgana_tpu import data
 from morgana_tpu import lr_schedules
+from morgana_tpu import memory
 from morgana_tpu import nn
 from morgana_tpu import utils
 from morgana_tpu import viz
@@ -330,6 +331,12 @@ class ExperimentBuilder(object):
                                  'divergence guard. Compiles without fusion optimisations '
                                  'and re-runs failing steps op-by-op — much slower; '
                                  'diagnosis only, never production.')
+        parser.add_argument('--memory_report', dest='memory_report', action='store_true',
+                            default=False,
+                            help='Write memory_report.txt (compile-time HBM breakdown of the '
+                                 'fused train step at the first batch\'s shapes + live device '
+                                 'allocator stats) after the first training step. Costs one '
+                                 'extra XLA compile of the step program.')
 
     def __init__(self, model_class, experiment_name, **kwargs):
         self.model_class = model_class
@@ -391,6 +398,8 @@ class ExperimentBuilder(object):
         self.data_parallel = kwargs.get('data_parallel', False)
         self.log_interval = kwargs.get('log_interval', 1)
         self.profile_dir = kwargs.get('profile_dir')
+        self.memory_report = kwargs.get('memory_report', False)
+        self._memory_report_written = False
         self.compute_dtype = kwargs.get('compute_dtype', 'float32')
         self.transfer_dtype = kwargs.get('transfer_dtype')
         self.length_sort_window = kwargs.get('length_sort_window', 0)
@@ -1083,6 +1092,27 @@ class ExperimentBuilder(object):
                 lr_schedule.step()
 
             losses.append(batch_loss)
+
+            if self.memory_report and not self._memory_report_written \
+                    and self.is_lead_host:
+                # After the first step so training isn't delayed behind the
+                # analysis compile; shapes are this batch's bucket (noted in
+                # the report — other buckets are separate programs).
+                self._memory_report_written = True
+                report_path = os.path.join(self.experiment_dir,
+                                           'memory_report.txt')
+                program = memory.write_report(
+                    report_path, self.loop, features, lr=float(lr),
+                    header=f'{type(self.model).__name__} fused train step')
+                if program and 'peak_bytes' in program:
+                    self.logger.info(
+                        'Train-step peak device memory %.2f MiB '
+                        '(report: %s)', program['peak_bytes'] / 2**20,
+                        report_path)
+                else:
+                    self.logger.info('Memory report written to %s '
+                                     '(no compile-time analysis on this '
+                                     'backend)', report_path)
 
             self.model.metrics.apply_staged(staged, tag='train')
             self.model.metrics.accumulate(self.model.mode, loss=batch_loss)

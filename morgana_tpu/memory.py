@@ -1,0 +1,238 @@
+"""Device-memory observability and compile-time batch-size capacity search.
+
+TPU-native counterpart of the CUDA memory tooling torch users reach for
+(``torch.cuda.max_memory_allocated`` / nvidia-smi). The reference has no
+memory tooling at all — OOM discovery there is run-and-crash inside the eager
+epoch loop (``morgana/experiment_builder.py:431-505``). Under XLA the story
+is structurally better: the fused train step (``training.py``) is ONE
+compiled program with a static buffer assignment, so its peak HBM use is a
+*compile-time fact* (``jax.stages.Compiled.memory_analysis()``) available
+before any step executes — capacity questions ("what batch size fits?") are
+answered by compiling, not by crashing.
+
+Pieces:
+
+- :func:`program_memory` — per-program byte breakdown (arguments / outputs /
+  temporaries / donated-aliased / peak) for any jitted function at given
+  arg shapes (accepts concrete arrays or ``jax.ShapeDtypeStruct`` trees —
+  the latter allocate nothing).
+- :func:`train_step_memory` — that breakdown for a ``TrainLoop``'s fused
+  train step at the exact shapes of a given feature batch (picks the
+  gradient-accumulation apply step when accumulation is on: it is the
+  cycle's largest program — it holds the gradient accumulator too).
+- :func:`device_memory_stats` — live allocator numbers where the backend
+  reports them (TPU HBM: ``bytes_in_use`` / ``peak_bytes_in_use`` /
+  ``bytes_limit``; CPU reports none).
+- :func:`find_max_batch_size` — largest batch whose compile-time peak fits a
+  byte budget: doubling probe then binary search, never an OOM crash loop.
+- :func:`write_report` — the one-page ``memory_report.txt`` behind the
+  builder's ``--memory_report`` flag.
+
+Note on cost: every probe is an XLA compile. ``jit_fn.lower(...).compile()``
+does not reuse the in-process jit execution cache, so a report on an
+already-trained step compiles the program a second time (the persistent
+compilation cache, ``--compilation_cache_dir``, removes that cost across
+runs). That is why ``--memory_report`` is opt-in.
+"""
+import jax
+import jax.numpy as jnp
+
+__all__ = ['program_memory', 'train_step_memory', 'device_memory_stats',
+           'find_max_batch_size', 'format_report', 'write_report']
+
+# (report name, CompiledMemoryStats attribute)
+_FIELDS = (
+    ('arguments', 'argument_size_in_bytes'),
+    ('outputs', 'output_size_in_bytes'),
+    ('temporaries', 'temp_size_in_bytes'),
+    ('aliased', 'alias_size_in_bytes'),
+    ('generated_code', 'generated_code_size_in_bytes'),
+    ('peak', 'peak_memory_in_bytes'),
+)
+
+
+def _stats_dict(analysis):
+    if analysis is None:
+        return None
+    out = {}
+    for name, attr in _FIELDS:
+        value = getattr(analysis, attr, None)
+        if value is not None:
+            out[name + '_bytes'] = int(value)
+    return out or None
+
+
+def program_memory(jit_fn, *args, **kwargs):
+    """Compile-time memory breakdown of ``jit_fn`` called with ``args``.
+
+    ``args`` may be concrete arrays or ``jax.ShapeDtypeStruct`` trees (only
+    shapes/dtypes matter; abstract args allocate no device memory). Returns
+    a dict of ``*_bytes`` fields, or None when the backend's compiler does
+    not report a memory analysis for this program.
+    """
+    lowered = jit_fn.lower(*args, **kwargs)
+    try:
+        analysis = lowered.compile().memory_analysis()
+    except NotImplementedError:
+        return None
+    return _stats_dict(analysis)
+
+
+def abstract_shapes(tree):
+    """Maps every array leaf to a ``ShapeDtypeStruct`` (allocation-free
+    stand-in for lowering); non-array leaves pass through."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, 'shape') and hasattr(x, 'dtype') else x, tree)
+
+
+def train_step_memory(loop, features, lr=0.01):
+    """Memory breakdown of ``loop``'s fused train step at ``features``'
+    shapes.
+
+    Lowers with abstract (shape-only) arguments, so nothing is allocated —
+    but the program IS compiled (see module note on cost). With gradient
+    accumulation active this analyses the cycle's *apply* step, which is the
+    peak program of the cycle (it carries the gradient accumulator alongside
+    the optimiser update).
+    """
+    from morgana_tpu import training
+    batch = abstract_shapes(training.numeric_features(features))
+    params = abstract_shapes(loop.params)
+    opt_state = abstract_shapes(loop.opt_state)
+    ema = abstract_shapes(loop.ema_params)
+    scalar_f32 = jax.ShapeDtypeStruct((), jnp.float32)
+    scalar_i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    rng = abstract_shapes(loop._train_rng())
+    if loop.grad_accum_steps > 1:
+        return program_memory(
+            loop._apply_step, params, opt_state, ema, params, batch,
+            scalar_f32, scalar_f32, scalar_i32, rng)
+    return program_memory(
+        loop._train_step, params, opt_state, ema, batch,
+        scalar_f32, scalar_i32, rng)
+
+
+def device_memory_stats(device=None):
+    """Live allocator statistics for ``device`` (default: first local
+    device), or None where the backend does not report them (CPU)."""
+    if device is None:
+        device = jax.local_devices()[0]
+    try:
+        stats = device.memory_stats()
+    except Exception:  # noqa: BLE001 — optional API, varies by plugin
+        return None
+    if not stats:
+        return None
+    return {key: int(value) for key, value in stats.items()
+            if isinstance(value, (int, float))}
+
+
+def find_max_batch_size(peak_bytes_fn, limit_bytes, start=1, max_batch=4096):
+    """Largest batch size in ``[start, max_batch]`` whose compile-time peak
+    fits ``limit_bytes``.
+
+    ``peak_bytes_fn(batch_size) -> bytes`` is typically a closure over
+    :func:`train_step_memory` (build the step at that batch size, return
+    ``['peak_bytes']``). A probe that *raises* (e.g. the compiler itself
+    reports the program cannot be assigned buffers) counts as over-limit.
+    Returns ``(best_batch_or_None, probes)`` where ``probes`` maps each
+    probed batch size to its peak bytes (None for raised probes) —
+    ``best_batch_or_None`` is None when even ``start`` does not fit.
+
+    Probe count is O(log(max_batch / start)): doubling to bracket the
+    boundary, then binary search inside the bracket.
+    """
+    if start < 1 or max_batch < start:
+        raise ValueError(f'need 1 <= start <= max_batch, got '
+                         f'start={start} max_batch={max_batch}')
+    probes = {}
+
+    def fits(b):
+        if b not in probes:
+            try:
+                probes[b] = int(peak_bytes_fn(b))
+            except Exception:  # noqa: BLE001 — a failing compile IS the signal
+                probes[b] = None
+        return probes[b] is not None and probes[b] <= limit_bytes
+
+    if not fits(start):
+        return None, probes
+    lo, hi = start, None  # lo always fits; hi is the smallest known misfit
+    while hi is None and lo < max_batch:
+        nxt = min(lo * 2, max_batch)
+        if fits(nxt):
+            lo = nxt
+        else:
+            hi = nxt
+    while hi is not None and hi - lo > 1:
+        mid = (lo + hi) // 2
+        if fits(mid):
+            lo = mid
+        else:
+            hi = mid
+    return lo, probes
+
+
+def _fmt_bytes(n):
+    for unit in ('B', 'KiB', 'MiB', 'GiB', 'TiB'):
+        if abs(n) < 1024 or unit == 'TiB':
+            return f'{n:.2f} {unit}' if unit != 'B' else f'{n:d} B'
+        n /= 1024.0
+    return f'{n:.2f} TiB'
+
+
+def format_report(program, device_stats=None, batch_shapes=None, header=''):
+    """Human-readable memory report (the ``memory_report.txt`` body)."""
+    lines = []
+    if header:
+        lines += [header, '=' * len(header), '']
+    if batch_shapes:
+        lines.append('Batch shapes (the analysed program is specific to '
+                     'these; other length buckets compile separate programs):')
+        for key, shape in sorted(batch_shapes.items()):
+            lines.append(f'  {key}: {tuple(shape)}')
+        lines.append('')
+    if program:
+        lines.append('Fused train step — compile-time buffer assignment:')
+        for name, _ in _FIELDS:
+            key = name + '_bytes'
+            if key in program:
+                lines.append(f'  {name:>15}: {_fmt_bytes(program[key]):>12}')
+        lines.append('')
+        lines.append('  peak = high-water mark XLA reserves while the step '
+                     'runs; aliased = donated in/out buffers (params, '
+                     'optimiser state) counted once.')
+    else:
+        lines.append('This backend reports no compile-time memory analysis.')
+    lines.append('')
+    if device_stats:
+        lines.append('Device allocator (live, includes params/optimiser '
+                     'state and any other resident programs):')
+        for key in ('bytes_in_use', 'peak_bytes_in_use', 'bytes_limit',
+                    'largest_free_block_bytes'):
+            if key in device_stats:
+                lines.append(f'  {key:>24}: {_fmt_bytes(device_stats[key]):>12}')
+        extra = sorted(set(device_stats) - {'bytes_in_use', 'peak_bytes_in_use',
+                                            'bytes_limit',
+                                            'largest_free_block_bytes'})
+        for key in extra:
+            lines.append(f'  {key:>24}: {device_stats[key]}')
+    else:
+        lines.append('Device allocator stats: not reported by this backend '
+                     '(CPU backends report none; TPU reports HBM use).')
+    return '\n'.join(lines) + '\n'
+
+
+def write_report(path, loop, features, lr=0.01, header=''):
+    """Analyses ``loop``'s train step at ``features`` and writes the report
+    to ``path``. Returns the program breakdown dict (or None)."""
+    from morgana_tpu import training
+    program = train_step_memory(loop, features, lr=lr)
+    batch_shapes = {key: value.shape for key, value
+                    in training.numeric_features(features).items()}
+    text = format_report(program, device_memory_stats(),
+                         batch_shapes=batch_shapes, header=header)
+    with open(path, 'w') as f:
+        f.write(text)
+    return program
