@@ -476,62 +476,92 @@ class TestDynamicBatching:
 
     def test_backpressure_raises_overloaded(self, voice_data, trained):
         """A full pending queue rejects with Overloaded instead of queueing
-        without bound; an empty queue admits any request size."""
+        without bound.
+
+        Staged deterministically (an earlier version raced: two of four
+        concurrent requests could be rejected while the first two were still
+        queued, after which the worker drained both at once and the queue
+        never refilled): (1) one request is enqueued and the worker provably
+        picks it up and blocks on the held device gate — the gate lock
+        signals an Event on the worker's acquire attempt; (2) exactly
+        max_queue requests fill the queue behind the blocked worker, which
+        cannot drain them; (3) the probe must then be rejected, not enqueued
+        (enqueueing would block this test forever behind the gate)."""
         import threading
+        import time as _time
 
         from morgana_tpu.serve import DynamicBatcher, Overloaded
+
+        class SignallingGate:
+            """Lock whose acquire() signals before (possibly) blocking."""
+
+            def __init__(self):
+                self._inner = threading.Lock()
+                self.acquire_attempted = threading.Event()
+
+            def __enter__(self):
+                self.acquire_attempted.set()
+                self._inner.acquire()
+
+            def __exit__(self, *exc):
+                self._inner.release()
 
         engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
                                  data_root=voice_data['data_root'],
                                  batch_size=2)
         rng = np.random.default_rng(11)
-        # Block the device lock so queued requests cannot drain.
-        gate = threading.Lock()
-        gate.acquire()
+        gate = SignallingGate()
+        gate._inner.acquire()  # held: the worker blocks inside _execute
         batcher = DynamicBatcher(engine, max_wait_ms=0.0, max_batch=2,
                                  max_queue=2, lock=gate)
         # Items are prebuilt on this thread (numpy Generators are not
         # thread-safe) and the probe item is ready before any blocking.
-        queued_items = [[self._item(rng, f'q{i}', 12)] for i in range(4)]
+        queued_items = [[self._item(rng, f'q{i}', 12)] for i in range(3)]
         probe_item = [self._item(rng, 'rejected', 12)]
+        results = [None] * 3
+        threads = []
         try:
-            # The worker takes at most one max_batch=2 group before blocking
-            # on the gate, so 4 requests guarantee >= 2 stay pending (late
-            # ones may themselves be rejected — also a valid outcome).
-            outcomes = [None] * 4
-
             def enqueue(i):
-                try:
-                    outcomes[i] = batcher.predict_items(queued_items[i])
-                except Overloaded as exc:
-                    outcomes[i] = exc
+                results[i] = batcher.predict_items(queued_items[i])
 
-            threads = [threading.Thread(target=enqueue, args=(i,),
-                                        daemon=True) for i in range(4)]
-            for t in threads:
+            # Stage 1: the worker pops request 0 (emptying the queue) and
+            # blocks on the gate — proven by the acquire signal.
+            t0 = threading.Thread(target=enqueue, args=(0,), daemon=True)
+            t0.start()
+            threads.append(t0)
+            assert gate.acquire_attempted.wait(timeout=120), \
+                'worker never reached the device gate'
+            with batcher._cv:
+                assert not batcher._pending  # request 0 is in-flight
+
+            # Stage 2: fill the queue to exactly max_queue behind the
+            # blocked worker; both admissions see queued + 1 <= max_queue,
+            # so neither can be rejected.
+            for i in (1, 2):
+                t = threading.Thread(target=enqueue, args=(i,), daemon=True)
                 t.start()
-            # Wait until the worker is stuck on the gate and >= max_queue
-            # utterances are pending behind it.
-            import time as _time
-            deadline = _time.monotonic() + 60
+                threads.append(t)
+            deadline = _time.monotonic() + 120
             pending = 0
             while _time.monotonic() < deadline:
                 with batcher._cv:
                     pending = sum(len(r['items']) for r in batcher._pending)
                 if pending >= batcher.max_queue:
                     break
-                _time.sleep(0.01)
-            # Guard the probe: if the queue never filled, predict_items
-            # would ENQUEUE and block forever behind the held gate.
-            assert pending >= batcher.max_queue, \
+                _time.sleep(0.005)
+            assert pending == batcher.max_queue, \
                 f'queue never filled ({pending} pending)'
+
+            # Stage 3: full queue -> immediate rejection.
             with pytest.raises(Overloaded, match='pending'):
                 batcher.predict_items(probe_item)
         finally:
-            gate.release()
+            gate._inner.release()
             for t in threads:
                 t.join(timeout=600)
             batcher.close()
+        # Once the gate opened, every admitted request was served.
+        assert all(isinstance(r, dict) and r for r in results)
 
     def test_http_stats_and_503(self, voice_data, trained):
         """GET /stats reports counters/latency; Overloaded maps to 503 with
