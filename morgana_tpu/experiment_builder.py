@@ -337,6 +337,13 @@ class ExperimentBuilder(object):
                                  'fused train step at the first batch\'s shapes + live device '
                                  'allocator stats) after the first training step. Costs one '
                                  'extra XLA compile of the step program.')
+        parser.add_argument('--search_batch_size', dest='search_batch_size', action='store',
+                            type=float, default=0.,
+                            help='If > 0: instead of training, binary-search the largest batch '
+                                 'size whose fused-train-step compile-time peak fits this many '
+                                 'GiB of device memory (at the first batch\'s length bucket), '
+                                 'write batch_size_search.txt, and exit. Each probe is one XLA '
+                                 'compile; no step is executed and no OOM is risked.')
 
     def __init__(self, model_class, experiment_name, **kwargs):
         self.model_class = model_class
@@ -400,6 +407,7 @@ class ExperimentBuilder(object):
         self.profile_dir = kwargs.get('profile_dir')
         self.memory_report = kwargs.get('memory_report', False)
         self._memory_report_written = False
+        self.search_batch_size = float(kwargs.get('search_batch_size', 0.) or 0.)
         self.compute_dtype = kwargs.get('compute_dtype', 'float32')
         self.transfer_dtype = kwargs.get('transfer_dtype')
         self.length_sort_window = kwargs.get('length_sort_window', 0)
@@ -1430,8 +1438,62 @@ class ExperimentBuilder(object):
 
     # ------------------------------------------------------------------- run
 
+    def _run_batch_size_search(self):
+        """--search_batch_size: compile-time capacity search instead of
+        training. Writes batch_size_search.txt and logs the result."""
+        limit_bytes = int(self.search_batch_size * 2 ** 30)
+        host_batch = next(iter(self.train_loader.data_loader))
+        # The step program traces metric staging keyed by the model's mode
+        # tag, exactly as train_epoch sets it up.
+        self.model.mode = 'train'
+        self.model.metrics.reset_state('train')
+        try:
+            best, probes = memory.search_train_batch_size(
+                self.loop, host_batch, limit_bytes)
+        finally:
+            self.model.mode = ''
+        stats = memory.device_memory_stats()
+        lines = [f'Batch-size capacity search: limit '
+                 f'{self.search_batch_size:g} GiB '
+                 f'({limit_bytes} bytes) for the fused train step of '
+                 f'{type(self.model).__name__}', '']
+        max_len = max((v.shape[1] for v in host_batch.values()
+                       if hasattr(v, 'shape') and v.ndim >= 2), default=None)
+        lines.append(f'Probed at the first batch\'s length bucket '
+                     f'(max_len={max_len}); longer buckets compile larger '
+                     'programs — leave headroom or probe with the longest '
+                     'bucket (--length_sort_window 0 and a full corpus '
+                     'pass reach it).')
+        if stats and 'bytes_limit' in stats:
+            lines.append(f'Device reports bytes_limit = '
+                         f'{stats["bytes_limit"] / 2 ** 30:.2f} GiB.')
+        lines.append('')
+        if best is None:
+            lines.append('No batch size fits: even batch 1 exceeds the '
+                         'limit.')
+        else:
+            lines.append(f'Largest fitting batch size: {best}')
+        lines.append('')
+        lines.append('Probes (batch size -> compile-time peak bytes; '
+                     '"-" = compiler refused):')
+        for b in sorted(probes):
+            peak = probes[b]
+            lines.append(f'  {b:>6}: ' + (
+                '-' if peak is None else f'{peak / 2 ** 20:.1f} MiB'))
+        text = '\n'.join(lines) + '\n'
+        path = os.path.join(self.experiment_dir, 'batch_size_search.txt')
+        if self.is_lead_host:
+            with open(path, 'w') as f:
+                f.write(text)
+        self.logger.info('Batch-size search: largest fitting batch = %s '
+                         '(limit %.3g GiB, %d probes; %s)', best,
+                         self.search_batch_size, len(probes), path)
+        return best
+
     def run_experiment(self):
         r"""Runs all procedures requested for the experiment."""
+        if self.train and self.search_batch_size > 0:
+            return self._run_batch_size_search()
         if self.train:
             try:
                 self.run_train()

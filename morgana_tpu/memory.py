@@ -38,7 +38,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ['program_memory', 'train_step_memory', 'device_memory_stats',
-           'find_max_batch_size', 'format_report', 'write_report']
+           'find_max_batch_size', 'search_train_batch_size',
+           'batch_shapes_at', 'format_report', 'write_report']
 
 # (report name, CompiledMemoryStats attribute)
 _FIELDS = (
@@ -86,6 +87,24 @@ def abstract_shapes(tree):
         if hasattr(x, 'shape') and hasattr(x, 'dtype') else x, tree)
 
 
+def _step_memory(loop, abstract_batch):
+    """Memory breakdown of ``loop``'s train step at an already-abstract
+    batch (a dict of ``ShapeDtypeStruct``)."""
+    params = abstract_shapes(loop.params)
+    opt_state = abstract_shapes(loop.opt_state)
+    ema = abstract_shapes(loop.ema_params)
+    scalar_f32 = jax.ShapeDtypeStruct((), jnp.float32)
+    scalar_i32 = jax.ShapeDtypeStruct((), jnp.int32)
+    rng = abstract_shapes(loop._train_rng())
+    if loop.grad_accum_steps > 1:
+        return program_memory(
+            loop._apply_step, params, opt_state, ema, params, abstract_batch,
+            scalar_f32, scalar_f32, scalar_i32, rng)
+    return program_memory(
+        loop._train_step, params, opt_state, ema, abstract_batch,
+        scalar_f32, scalar_i32, rng)
+
+
 def train_step_memory(loop, features, lr=0.01):
     """Memory breakdown of ``loop``'s fused train step at ``features``'
     shapes.
@@ -97,20 +116,42 @@ def train_step_memory(loop, features, lr=0.01):
     the optimiser update).
     """
     from morgana_tpu import training
-    batch = abstract_shapes(training.numeric_features(features))
-    params = abstract_shapes(loop.params)
-    opt_state = abstract_shapes(loop.opt_state)
-    ema = abstract_shapes(loop.ema_params)
-    scalar_f32 = jax.ShapeDtypeStruct((), jnp.float32)
-    scalar_i32 = jax.ShapeDtypeStruct((), jnp.int32)
-    rng = abstract_shapes(loop._train_rng())
-    if loop.grad_accum_steps > 1:
-        return program_memory(
-            loop._apply_step, params, opt_state, ema, params, batch,
-            scalar_f32, scalar_f32, scalar_i32, rng)
-    return program_memory(
-        loop._train_step, params, opt_state, ema, batch,
-        scalar_f32, scalar_i32, rng)
+    return _step_memory(
+        loop, abstract_shapes(training.numeric_features(features)))
+
+
+def batch_shapes_at(features, batch_size):
+    """Abstract copy of a numeric feature batch with the leading (batch)
+    axis of every array replaced by ``batch_size``; time/feature axes stay
+    fixed (the first batch's length bucket)."""
+    from morgana_tpu import training
+    out = {}
+    for key, value in training.numeric_features(features).items():
+        shape = (int(batch_size),) + tuple(value.shape[1:])
+        out[key] = jax.ShapeDtypeStruct(shape, value.dtype)
+    return out
+
+
+def search_train_batch_size(loop, features, limit_bytes, start=1,
+                            max_batch=4096):
+    """Largest batch size whose fused-train-step compile-time peak fits
+    ``limit_bytes``, probing ``loop``'s step at ``features``' per-item
+    shapes (see :func:`find_max_batch_size` for the search contract).
+
+    Caveats the caller should surface: probes hold the TIME axis at this
+    batch's length bucket — longer buckets compile larger programs, so leave
+    headroom (or probe with the longest bucket); each probe is one XLA
+    compile of the full step.
+    """
+    def peak(b):
+        stats = _step_memory(loop, batch_shapes_at(features, b))
+        if stats is None:
+            raise RuntimeError('backend reports no compile-time memory '
+                               'analysis; cannot search batch size')
+        return stats['peak_bytes']
+
+    return find_max_batch_size(peak, limit_bytes, start=start,
+                               max_batch=max_batch)
 
 
 def device_memory_stats(device=None):

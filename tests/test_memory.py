@@ -127,6 +127,61 @@ class TestFindMaxBatchSize:
             memory.find_max_batch_size(lambda b: b, 10, start=8, max_batch=4)
 
 
+class TestSearchTrainBatchSize:
+    def test_batch_shapes_at_rewrites_leading_axis(self, rng):
+        batch = _synthetic_batch(rng, batch=4)
+        shapes = memory.batch_shapes_at(batch, 32)
+        assert shapes['normalised_lab'].shape == (32, 6, 600)
+        assert shapes['n_frames'].shape == (32,)
+        assert shapes['dur'].dtype == batch['dur'].dtype
+
+    def test_search_brackets_limit(self, rng):
+        loop = _make_loop()
+        batch = _synthetic_batch(rng, batch=4)
+        limit = memory.train_step_memory(loop, batch)['peak_bytes'] + 1
+        best, probes = memory.search_train_batch_size(
+            loop, batch, limit, max_batch=64)
+        assert best >= 4
+        assert probes[best] <= limit
+
+
+class TestSearchBatchSizeFlag:
+    def test_search_replaces_training(self, voice_data, tmp_path):
+        args = builder_args(voice_data['data_root'],
+                            str(tmp_path / 'experiments'),
+                            end_epoch=3, valid=False,
+                            search_batch_size=1.0)  # placeholder; set below
+        nn.manual_seed(args['seed'])
+        exp = ExperimentBuilder(TinyF0Model, experiment_name='bsearch', **args)
+        # Budget relative to a measured peak so the test is backend-robust:
+        # 4x the first batch's peak guarantees something fits and the
+        # doubling phase exceeds the limit after a handful of compiles.
+        host_batch = next(iter(exp.train_loader.data_loader))
+        exp.model.mode = 'train'
+        exp.model.metrics.reset_state('train')
+        try:
+            peak = memory.train_step_memory(
+                exp.loop, host_batch)['peak_bytes']
+        finally:
+            exp.model.mode = ''
+        exp.search_batch_size = (4 * peak) / 2 ** 30
+        best = exp.run_experiment()
+        assert best is not None and best >= 1
+        path = os.path.join(exp.experiment_dir, 'batch_size_search.txt')
+        text = open(path).read()
+        assert f'Largest fitting batch size: {best}' in text
+        assert 'length bucket' in text
+        # Search mode must not have trained or checkpointed anything.
+        ckpt_dir = os.path.join(exp.experiment_dir, 'checkpoints')
+        assert not os.path.isdir(ckpt_dir) or not os.listdir(ckpt_dir)
+        assert exp.loop.step_count == 0
+
+    def test_flag_default_off(self):
+        args = ExperimentBuilder.get_experiment_args(
+            ['--experiment_name', 'x'])
+        assert args['search_batch_size'] == 0.
+
+
 class TestMemoryReportFlag:
     def test_report_written_once(self, voice_data, tmp_path):
         args = builder_args(voice_data['data_root'],
