@@ -331,6 +331,13 @@ class ExperimentBuilder(object):
                                  'divergence guard. Compiles without fusion optimisations '
                                  'and re-runs failing steps op-by-op — much slower; '
                                  'diagnosis only, never production.')
+        parser.add_argument('--log_norms', dest='log_norms', action='store_true',
+                            default=False,
+                            help='Log grad_norm (raw, pre-clip), param_norm and update_norm '
+                                 '(actual parameter change, lr included) per applied optimiser '
+                                 'step as train metrics: per-epoch means land in metrics.json '
+                                 'and tensorboard. Computed inside the fused step — three '
+                                 'extra scalars per step, no host syncs.')
         parser.add_argument('--memory_report', dest='memory_report', action='store_true',
                             default=False,
                             help='Write memory_report.txt (compile-time HBM breakdown of the '
@@ -557,6 +564,12 @@ class ExperimentBuilder(object):
             raise ValueError('--shard_map_step requires --data_parallel '
                              '(it is the explicit-collective formulation of '
                              'the data-parallel step).')
+        self.log_norms = kwargs.get('log_norms', False)
+        if self.log_norms and self.shard_map_step:
+            raise ValueError('--log_norms is not supported with '
+                             '--shard_map_step; drop --shard_map_step (the '
+                             'default GSPMD data-parallel path supports '
+                             'norm logging).')
         self.grad_accum_steps = max(1, int(kwargs.get('grad_accum_steps', 1) or 1))
         if self.grad_accum_steps > 1 and self.shard_map_step:
             raise ValueError('--grad_accum_steps > 1 is not supported with '
@@ -587,7 +600,8 @@ class ExperimentBuilder(object):
         self.loop = TrainLoop(self.model, optimizer, ema_decay=self.ema_decay,
                               seed=self.seed, ema_model=self.ema.model if self.ema else None,
                               shard_map_mesh=self.mesh if self.shard_map_step else None,
-                              grad_accum_steps=self.grad_accum_steps)
+                              grad_accum_steps=self.grad_accum_steps,
+                              log_norms=self.log_norms)
         if self.shard_map_step:
             self.logger.info('Using explicit shard_map train step over mesh %s', self.mesh)
         if self.tensor_parallel > 1:

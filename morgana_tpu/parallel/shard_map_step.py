@@ -45,7 +45,7 @@ def build_shard_map_train_step(model, optimizer, mesh, axis='data', ema_decay=0.
         grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, axis), grads)
         staged = jax.tree_util.tree_map(lambda s: jax.lax.psum(s, axis), staged)
 
-        params, opt_state, ema_params = training.apply_updates(
+        params, opt_state, ema_params, _updates = training.apply_updates(
             optimizer, ema_decay, params, opt_state, ema_params, grads, lr)
         return params, opt_state, ema_params, loss, staged, outputs
 

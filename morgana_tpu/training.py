@@ -50,12 +50,41 @@ def staged_value_and_grad(model, params, batch, rng):
 def apply_updates(optimizer, ema_decay, params, opt_state, ema_params,
                   grads, lr):
     """Optimiser + EMA tail shared by every step that updates parameters.
-    ``lr`` is a traced scalar so schedules never retrace."""
+    ``lr`` is a traced scalar so schedules never retrace. Also returns the
+    raw optimiser ``updates`` (pre-lr) so callers can observe them (e.g.
+    ``log_norms``) without recomputing the transform chain."""
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = jax.tree_util.tree_map(lambda p, u: p - lr * u, params, updates)
     if ema_decay:
         ema_params = nn.ema_update(ema_params, params, ema_decay)
-    return params, opt_state, ema_params
+    return params, opt_state, ema_params, updates
+
+
+def stage_norms(handler, staged, grads, params, updates, lr):
+    """Appends global L2-norm diagnostics to an already-drained staged-metric
+    dict (jit-side; the builder's ``apply_staged`` merges them like any other
+    staged partial). Three scalars per applied optimiser step:
+
+    - ``grad_norm``: raw global gradient norm, BEFORE any clipping — the
+      quantity torch's ``clip_grad_norm_`` returns, and the one to watch for
+      recurrent-net explosions.
+    - ``param_norm``: global norm of the post-update parameters.
+    - ``update_norm``: global norm of the actual parameter change
+      ``lr * update`` (the effective step size in parameter space).
+
+    The metrics must already be registered in the handler's ``'train'``
+    collection (see :class:`TrainLoop` ``log_norms``); keys extend the
+    drained dict's ``'NNN|collection|name'`` scheme so identity rides with
+    each value."""
+    diags = (('grad_norm', optax.global_norm(grads)),
+             ('param_norm', optax.global_norm(params)),
+             ('update_norm', lr * optax.global_norm(updates)))
+    out = dict(staged)
+    idx = len(staged)
+    for name, value in diags:
+        out[f'{idx:04d}|train|{name}'] = handler['train'][name].partials(value)
+        idx += 1
+    return out
 
 
 #: Optimiser registry, mirroring the LR-schedule registry
@@ -158,11 +187,28 @@ class TrainLoop(object):
     """
 
     def __init__(self, model, optimizer, ema_decay=0., seed=1234567890,
-                 ema_model=None, shard_map_mesh=None, grad_accum_steps=1):
+                 ema_model=None, shard_map_mesh=None, grad_accum_steps=1,
+                 log_norms=False):
         self.model = model
         self.optimizer = optimizer
         self.ema_decay = float(ema_decay)
         self.ema_model = ema_model
+        # Gradient observability: stage grad/param/update global norms out
+        # of every APPLIED step (accumulation micro-steps have no update and
+        # their micro-gradient norm is not the applied-gradient norm, so
+        # they stage nothing — the dict-keyed staging protocol tolerates the
+        # differing key sets across executables).
+        self.log_norms = bool(log_norms)
+        if self.log_norms and shard_map_mesh is not None:
+            raise ValueError('log_norms is not supported with the explicit '
+                             'shard_map step; use the default GSPMD '
+                             '(--data_parallel) path.')
+        if self.log_norms:
+            from morgana_tpu import metrics as metrics_mod
+            for name in ('grad_norm', 'param_norm', 'update_norm'):
+                if name not in model.metrics['train']:
+                    model.metrics.add_metrics(
+                        ('train',), **{name: metrics_mod.Mean()})
         # When set, the train step uses the explicit-collective shard_map
         # formulation over this mesh instead of relying on GSPMD.
         self.shard_map_mesh = shard_map_mesh
@@ -228,13 +274,17 @@ class TrainLoop(object):
                 ema_decay=self.ema_decay)
 
         model, optimizer, ema_decay = self.model, self.optimizer, self.ema_decay
+        log_norms = self.log_norms
 
         def train_step(params, opt_state, ema_params, batch, lr, global_step, rng):
             batch = dict(batch, global_step=global_step)
             loss, staged, outputs, grads = staged_value_and_grad(
                 model, params, batch, rng)
-            params, opt_state, ema_params = apply_updates(
+            params, opt_state, ema_params, updates = apply_updates(
                 optimizer, ema_decay, params, opt_state, ema_params, grads, lr)
+            if log_norms:
+                staged = stage_norms(model.metrics, staged, grads, params,
+                                     updates, lr)
             return params, opt_state, ema_params, loss, staged, outputs
 
         return jax.jit(train_step, donate_argnums=(0, 1, 2))
@@ -270,6 +320,7 @@ class TrainLoop(object):
         EMA update. Returns a zeroed accumulator for the next cycle
         (device-side, no host transfer)."""
         model, optimizer, ema_decay = self.model, self.optimizer, self.ema_decay
+        log_norms = self.log_norms
 
         def apply_step(params, opt_state, ema_params, acc_grads, batch, lr,
                        inv_items, global_step, rng):
@@ -280,8 +331,13 @@ class TrainLoop(object):
             grads = jax.tree_util.tree_map(
                 lambda a, g: (a + jnp.asarray(weight, g.dtype) * g)
                 * jnp.asarray(inv_items, g.dtype), acc_grads, grads)
-            params, opt_state, ema_params = apply_updates(
+            params, opt_state, ema_params, updates = apply_updates(
                 optimizer, ema_decay, params, opt_state, ema_params, grads, lr)
+            if log_norms:
+                # grads here is the cycle's full averaged gradient — the
+                # quantity actually fed to the optimiser.
+                staged = stage_norms(model.metrics, staged, grads, params,
+                                     updates, lr)
             acc_grads = jax.tree_util.tree_map(jnp.zeros_like, grads)
             return params, opt_state, ema_params, acc_grads, loss, staged, outputs
 

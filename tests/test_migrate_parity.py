@@ -301,7 +301,7 @@ class TestTrainingTrajectoryParity:
                     pred = model(x, seq_len)
                 return losses.mse(pred, y, seq_len=seq_len)
             loss, grads = jax.value_and_grad(loss_fn)(params)
-            params, opt_state, _ = apply_updates(
+            params, opt_state, _, _u = apply_updates(
                 optimizer, 0., params, opt_state, None, grads,
                 jnp.float32(self.LR))
             return params, opt_state, loss

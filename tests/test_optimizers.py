@@ -70,7 +70,7 @@ def _run_jax(optimizer):
                 pred = model(xb)
             return jnp.mean((pred - yb) ** 2)
         grads = jax.grad(loss_fn)(params)
-        params, opt_state, _ = apply_updates(
+        params, opt_state, _, _u = apply_updates(
             optimizer, 0., params, opt_state, None, grads, jnp.float32(LR))
         return params, opt_state
 
@@ -161,7 +161,7 @@ class TestLamb:
         first = float(loss_fn(params, x[0], y[0]))
         for i in range(STEPS):
             grads = jax.grad(loss_fn)(params, x[i % STEPS], y[i % STEPS])
-            params, opt_state, _ = apply_updates(
+            params, opt_state, _, _u = apply_updates(
                 optimizer, 0., params, opt_state, None, grads,
                 jnp.float32(LR))
         assert float(loss_fn(params, x[0], y[0])) < first
