@@ -724,6 +724,14 @@ def main():
         line['mfu_note'] = ('mfu > 1 vs the measured peak: the probe and '
                             'the bench hit different chip windows (see '
                             'throttle_ratio); rerun for a comparable pair')
+    if not degraded and _throttled(result):
+        line['throttle_note'] = (
+            'entire bench window was a tunnel throttling episode (sustained '
+            f'{line["sustained_vs_burst"]}x slower than burst despite '
+            'cooldown retries); burst_ms_per_step shows the program\'s '
+            'dispatch pace and healthy-window sustained numbers are in '
+            'BASELINE.md — rerun in another window for a representative '
+            'sustained reading')
     for backend, res in results.items():
         if backend != best_backend:
             line[f'{backend}_frames_per_sec'] = round(res['frames_per_sec'], 1)

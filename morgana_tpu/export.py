@@ -189,9 +189,10 @@ def main(argv=None):
                         help="Platform to compile FOR ('cpu' or 'tpu') — "
                              'exported artifacts are platform-specific.')
     parser.add_argument('--compute_dtype', default=None)
-    parser.add_argument('--quantize', default=None, choices=(None, 'int8'),
-                        help='Bake int8 weight-only quantization into the '
-                             'bundle (params.pkl stores the int8 pytree).')
+    parser.add_argument('--quantize', default=None,
+                        choices=('int8', 'int4'),
+                        help='Bake weight-only quantization into the bundle '
+                             '(params.pkl stores the int8/int4 pytree).')
     args = parser.parse_args(argv)
 
     import ast

@@ -195,12 +195,14 @@ def make_server(engine, host='127.0.0.1', port=0, dynamic_batch_ms=0.0,
                 payload = stats.snapshot()
 
                 def engine_info(name, eng):
-                    from morgana_tpu.quantize import QuantizedArray
+                    from morgana_tpu.quantize import (
+                        Int4QuantizedArray, QuantizedArray)
                     info = {
                         'model': type(eng.model).__name__,
                         'batch_size': eng.batch_size,
                         'quantized': any(
-                            isinstance(v, QuantizedArray)
+                            isinstance(v, (QuantizedArray,
+                                           Int4QuantizedArray))
                             for v in getattr(eng, '_params', {}).values()),
                         'data_parallel': getattr(eng, '_mesh', None)
                         is not None}

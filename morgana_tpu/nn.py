@@ -542,10 +542,10 @@ class Recurrent(Module):
             backend = 'scan'
         if backend == 'pallas':
             # Quantized serving: the kernels take raw weight buffers, so
-            # int8 pytree leaves route to the numerically equivalent scan
-            # path (which dequantises through ordinary jnp ops).
-            from morgana_tpu.quantize import QuantizedArray
-            if any(isinstance(p.value, QuantizedArray)
+            # int8/int4 pytree leaves route to the numerically equivalent
+            # scan path (which dequantises through ordinary jnp ops).
+            from morgana_tpu.quantize import Int4QuantizedArray, QuantizedArray
+            if any(isinstance(p.value, (QuantizedArray, Int4QuantizedArray))
                    for layer in self.layers for p in layer.values()):
                 backend = 'scan'
         if self.backend == 'pallas' and backend == 'scan':

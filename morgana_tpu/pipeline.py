@@ -309,9 +309,10 @@ def main(argv=None):
     parser.add_argument('--batch_size', type=int, default=8)
     parser.add_argument('--device', default=None)
     parser.add_argument('--compute_dtype', default=None)
-    parser.add_argument('--quantize', default=None, choices=['int8'],
-                        help='Serve both stages with int8 weight-only '
-                             'quantized parameters.')
+    parser.add_argument('--quantize', default=None,
+                        choices=['int8', 'int4'],
+                        help='Serve both stages with weight-only quantized '
+                             'parameters (int8, or packed group-wise int4).')
     parser.add_argument('--data_parallel', action='store_true', default=False,
                         help='Shard both stages\' prediction batches over '
                              'all local devices.')

@@ -117,9 +117,11 @@ class InferenceEngine(object):
     quantize : str, optional
         ``'int8'`` serves weight-only quantized parameters
         (:mod:`morgana_tpu.quantize`): 4x less parameter HBM/host memory,
-        dequantisation fused into the consuming matmuls. A checkpoint
-        produced by ``python -m morgana_tpu.quantize`` is detected and
-        served quantized automatically (no flag needed).
+        dequantisation fused into the consuming matmuls. ``'int4'`` packs
+        two weights per byte with group-wise scales (~8x less weight
+        memory, slightly higher error). A checkpoint produced by
+        ``python -m morgana_tpu.quantize`` is detected and served
+        quantized automatically (no flag needed).
     data_parallel : bool
         Shard prediction batches over ALL local devices (params replicated,
         batch dim over a 'data' mesh axis — the GSPMD recipe the trainer
@@ -133,8 +135,9 @@ class InferenceEngine(object):
                  compute_dtype=None, batch_size=8, num_data_threads=0,
                  analysis_kwargs=None, seed=0, compilation_cache_dir=None,
                  stream_configs=None, quantize=None, data_parallel=False):
-        if quantize not in (None, 'int8'):
-            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        if quantize not in (None, 'int8', 'int4'):
+            raise ValueError(
+                f"quantize must be None, 'int8' or 'int4', got {quantize!r}")
         if device:
             _platform.select_platform(device)
         if compute_dtype:
@@ -209,8 +212,9 @@ class InferenceEngine(object):
         else:
             self.model.load_parameters(checkpoint_path)
             params = nn.parameters(self.model)
-        if self._quantize == 'int8':
-            params = quantize_mod.quantize_params(params)
+        if self._quantize in ('int8', 'int4'):
+            params = quantize_mod.quantize_params(
+                params, bits=4 if self._quantize == 'int4' else 8)
         if self._mesh is not None:
             from morgana_tpu import parallel
             params = jax.device_put(
@@ -942,12 +946,15 @@ def main(argv=None):
                         help='Shard prediction batches over all local devices '
                              '(params replicated): corpus generation '
                              'throughput scales with the slice.')
-    parser.add_argument('--quantize', default=None, choices=['int8'],
-                        help='Serve weight-only int8-quantized parameters '
-                             '(4x less parameter memory; dequantisation is '
-                             'fused into the matmuls). Pre-quantized '
-                             'checkpoints (python -m morgana_tpu.quantize) '
-                             'are detected without this flag.')
+    parser.add_argument('--quantize', default=None,
+                        choices=['int8', 'int4'],
+                        help='Serve weight-only quantized parameters: int8 '
+                             '(4x less parameter memory) or int4 (packed '
+                             'nibbles + group-wise scales, ~8x). '
+                             'Dequantisation is fused into the matmuls. '
+                             'Pre-quantized checkpoints (python -m '
+                             'morgana_tpu.quantize) are detected without '
+                             'this flag.')
     parser.add_argument('--compilation_cache_dir', default=None,
                         help='Persistent JAX compile cache: restarted serving '
                              'processes reload compiled programs from here '

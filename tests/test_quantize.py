@@ -14,9 +14,9 @@ from tiny_models import TinyF0Model, TinyStreamModel
 from morgana_tpu import nn
 from morgana_tpu.experiment_builder import ExperimentBuilder
 from morgana_tpu.quantize import (
-    QuantizedArray, dequantize_params, is_quantized_checkpoint,
-    load_quantized_checkpoint, quantize_array, quantize_params,
-    save_quantized_checkpoint,
+    Int4QuantizedArray, QuantizedArray, dequantize_params,
+    is_quantized_checkpoint, load_quantized_checkpoint, quantize_array,
+    quantize_array_int4, quantize_params, save_quantized_checkpoint,
 )
 from morgana_tpu.serve import InferenceEngine
 
@@ -325,4 +325,141 @@ class TestQuantizedServing:
         with pytest.raises(ValueError):
             InferenceEngine(TinyStreamModel, trained_q,
                             data_root=voice_data['data_root'],
-                            quantize='int4')
+                            quantize='int2')
+
+
+class TestInt4:
+    def test_group_scales_and_error_bound(self, rng):
+        w = rng.normal(0., 0.3, size=(128, 24)).astype(np.float32)
+        qa = quantize_array_int4(w, group_size=32)
+        assert qa.shape == (128, 24)
+        assert np.asarray(qa.packed).shape == (64, 24)   # two rows per byte
+        assert np.asarray(qa.packed).dtype == np.int8
+        assert qa.scale.shape == (4, 24)                 # 128 / 32 groups
+        # Group scale really is that group's absmax / 7.
+        expect = np.abs(w.reshape(4, 32, 24)).max(axis=1) / 7.0
+        np.testing.assert_allclose(np.asarray(qa.scale), expect, rtol=1e-6)
+        # Symmetric rounding: per-element error <= its group scale / 2.
+        err = np.abs(np.asarray(qa.dequantize()) - w)
+        bound = np.repeat(np.asarray(qa.scale), 32, axis=0) / 2 + 1e-7
+        assert (err <= bound).all()
+
+    def test_odd_rows_and_ragged_group(self, rng):
+        w = rng.normal(size=(13, 5)).astype(np.float32)
+        qa = quantize_array_int4(w, group_size=4)
+        assert qa.shape == (13, 5)
+        deq = np.asarray(qa.dequantize())
+        assert deq.shape == (13, 5)
+        err = np.abs(deq - w)
+        scale_rows = np.repeat(np.asarray(qa.scale), 4, axis=0)[:13]
+        assert (err <= scale_rows / 2 + 1e-7).all()
+
+    def test_negative_extreme_preserved(self):
+        """The packed low nibble must sign-extend: -7 survives the trip."""
+        w = np.array([[-7.0, 7.0], [7.0, -7.0], [-1.0, 1.0], [0.0, 0.0]],
+                     np.float32)
+        qa = quantize_array_int4(w, group_size=4)
+        np.testing.assert_allclose(np.asarray(qa.dequantize()), w, atol=1e-6)
+
+    def test_presents_as_float_and_jit_leaves(self, rng):
+        import jax
+        import jax.numpy as jnp
+        w = rng.normal(size=(16, 8)).astype(np.float32)
+        qa = quantize_array_int4(w, group_size=8)
+        assert qa.dtype == np.float32 and qa.size == 128
+        leaves = jax.tree_util.tree_leaves(qa)
+        assert {np.asarray(l).dtype.name for l in leaves} == {'int8', 'float32'}
+
+        @jax.jit
+        def f(q, x):
+            return jnp.dot(x, q)
+
+        y = f(qa, jnp.ones((2, 16)))
+        np.testing.assert_allclose(
+            np.asarray(y), np.ones((2, 16)) @ np.asarray(qa.dequantize()),
+            rtol=1e-5)
+
+    def test_quantize_params_bits4_mixed_leaves(self, rng):
+        params = {
+            'w': rng.normal(size=(64, 32)).astype(np.float32),
+            'b': rng.normal(size=(32,)).astype(np.float32),
+            'w3': rng.normal(size=(4, 8, 16)).astype(np.float32),
+        }
+        out = quantize_params(params, bits=4, group_size=16)
+        assert isinstance(out['w'], Int4QuantizedArray)
+        assert isinstance(out['w3'], QuantizedArray)   # int8 fallback (3-d)
+        assert not isinstance(out['b'], (QuantizedArray, Int4QuantizedArray))
+        # Idempotent + rejects silly bit widths.
+        again = quantize_params(out, bits=4)
+        assert again['w'] is out['w']
+        with pytest.raises(ValueError, match='bits'):
+            quantize_params(params, bits=2)
+
+    def test_int4_checkpoint_roundtrip(self, rng, tmp_path):
+        params = {'w': rng.normal(size=(96, 40)).astype(np.float32),
+                  'b': rng.normal(size=(40,)).astype(np.float32)}
+        qpath = str(tmp_path / 'q4.npz')
+        save_quantized_checkpoint(params, qpath, bits=4, group_size=32)
+        assert is_quantized_checkpoint(qpath)
+        loaded = load_quantized_checkpoint(qpath)
+        fresh = quantize_params(params, bits=4, group_size=32)
+        assert isinstance(loaded['w'], Int4QuantizedArray)
+        np.testing.assert_array_equal(np.asarray(loaded['w'].packed),
+                                      np.asarray(fresh['w'].packed))
+        np.testing.assert_allclose(np.asarray(loaded['w'].scale),
+                                   np.asarray(fresh['w'].scale))
+        assert loaded['w'].rows == 96 and loaded['w'].group_size == 32
+        np.testing.assert_array_equal(np.asarray(loaded['b']), params['b'])
+
+    def test_weight_dominated_checkpoint_compresses_7x(self, rng, tmp_path):
+        params = {f'w{i}': rng.normal(size=(512, 2048)).astype(np.float32)
+                  for i in range(4)}
+        float_path = str(tmp_path / 'f32.npz')
+        np.savez(float_path, **params)
+        qpath = str(tmp_path / 'q4.npz')
+        save_quantized_checkpoint(params, qpath, bits=4)
+        ratio = os.path.getsize(float_path) / os.path.getsize(qpath)
+        assert ratio > 6.5, ratio
+
+    def test_engine_int4_serving_close_to_float(self, voice_data, trained_q):
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            ids = [l.strip() for l in f if l.strip()]
+        f32 = InferenceEngine(TinyStreamModel, trained_q,
+                              data_root=voice_data['data_root'], batch_size=2)
+        q4 = InferenceEngine(TinyStreamModel, trained_q,
+                             data_root=voice_data['data_root'], batch_size=2,
+                             quantize='int4')
+        out32 = f32.predict_ids(ids, data_dir='test')
+        out4 = q4.predict_ids(ids, data_dir='test')
+        for utt in ids:
+            a = out32[utt]['normalised_lf0_deltas']
+            b = out4[utt]['normalised_lf0_deltas']
+            rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+            # Wider bound than int8's 2e-2: a hidden-16 recurrent net is the
+            # WORST case for 4-bit weights (few units to average rounding
+            # over, error compounding through the recurrence). The
+            # array-level scale/2 bounds above are the exactness guarantee;
+            # this asserts end-to-end sanity, not production fidelity —
+            # validate int4 per-voice with morgana_tpu.evaluate.
+            assert 0 < rel < 0.15, (utt, rel)
+
+    def test_cli_bits4(self, rng, tmp_path):
+        import subprocess
+        import sys
+        params = {'w': rng.normal(size=(256, 128)).astype(np.float32)}
+        src = str(tmp_path / 'epoch_1.npz')
+        np.savez(src, **params)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, PYTHONPATH=repo + os.pathsep
+                   + os.environ.get('PYTHONPATH', ''))
+        proc = subprocess.run(
+            [sys.executable, '-m', 'morgana_tpu.quantize',
+             '--checkpoint', src, '--bits', '4'],
+            capture_output=True, text=True, env=env, timeout=300)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        stats = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert stats['out'].endswith('_q4.npz')
+        assert stats['compression'] > 5.0
+        loaded = load_quantized_checkpoint(stats['out'])
+        assert isinstance(loaded['w'], Int4QuantizedArray)
