@@ -344,6 +344,15 @@ class ExperimentBuilder(object):
                                  'fused train step at the first batch\'s shapes + live device '
                                  'allocator stats) after the first training step. Costs one '
                                  'extra XLA compile of the step program.')
+        parser.add_argument('--find_lr', dest='find_lr', action='store',
+                            type=str, default=None,
+                            help="LR range test instead of training: 'MIN,MAX[,STEPS]' "
+                                 '(e.g. 1e-6,1.0,100) sweeps the learning rate '
+                                 'exponentially over real fused train steps, records the '
+                                 'smoothed loss, stops early on divergence (smoothed > 4x '
+                                 'best), writes lr_find.json + lr_find.png with a '
+                                 'steepest-descent suggestion, and exits. With '
+                                 '--grad_accum_steps the sweep advances per micro-batch.')
         parser.add_argument('--search_batch_size', dest='search_batch_size', action='store',
                             type=float, default=0.,
                             help='If > 0: instead of training, binary-search the largest batch '
@@ -415,6 +424,7 @@ class ExperimentBuilder(object):
         self.memory_report = kwargs.get('memory_report', False)
         self._memory_report_written = False
         self.search_batch_size = float(kwargs.get('search_batch_size', 0.) or 0.)
+        self.find_lr = kwargs.get('find_lr')
         self.compute_dtype = kwargs.get('compute_dtype', 'float32')
         self.transfer_dtype = kwargs.get('transfer_dtype')
         self.length_sort_window = kwargs.get('length_sort_window', 0)
@@ -1504,8 +1514,121 @@ class ExperimentBuilder(object):
                          self.search_batch_size, len(probes), path)
         return best
 
+    def _run_lr_find(self):
+        """``--find_lr``: exponential LR range test (Smith 2015) instead of
+        training. Runs real fused train steps with the lr swept from MIN to
+        MAX geometrically (lr is a traced scalar, so the sweep never
+        retraces), tracks a bias-corrected EMA of the loss, stops early on
+        divergence, and writes ``lr_find.json`` + ``lr_find.png`` with a
+        steepest-descent suggestion. The model's parameters are consumed by
+        the probe steps — the process exits afterwards, nothing is saved."""
+        parts = [p.strip() for p in str(self.find_lr).split(',')]
+        if len(parts) not in (2, 3):
+            raise ValueError(f"--find_lr takes 'MIN,MAX[,STEPS]', got "
+                             f'{self.find_lr!r}')
+        lr_min, lr_max = float(parts[0]), float(parts[1])
+        steps = int(parts[2]) if len(parts) == 3 else 100
+        if not (0 < lr_min < lr_max) or steps < 10:
+            raise ValueError(f'--find_lr needs 0 < MIN < MAX and STEPS >= '
+                             f'10, got {self.find_lr!r}')
+
+        self.model.mode = 'train'
+        self.model.metrics.reset_state('train')
+        records = []
+        beta = 0.98
+        avg, best = 0.0, float('inf')
+        stop_reason = f'completed all {steps} steps'
+        try:
+            done = False
+            while not done:
+                for features in self.train_loader:
+                    i = len(records)
+                    if i >= steps:
+                        done = True
+                        break
+                    lr = lr_min * (lr_max / lr_min) ** (i / max(steps - 1, 1))
+                    loss, _staged, _ = self.loop.train_step(features, lr)
+                    raw = float(np.asarray(loss))
+                    if not np.isfinite(raw):
+                        records.append({'lr': lr, 'loss': None,
+                                        'smoothed': None})
+                        stop_reason = (f'stopped at step {i}: non-finite '
+                                       f'loss at lr {lr:.3g}')
+                        done = True
+                        break
+                    avg = beta * avg + (1 - beta) * raw
+                    smoothed = avg / (1 - beta ** (i + 1))
+                    records.append({'lr': lr, 'loss': raw,
+                                    'smoothed': smoothed})
+                    best = min(best, smoothed)
+                    if i >= 10 and smoothed > 4 * best:
+                        stop_reason = (f'stopped at step {i}: smoothed loss '
+                                       f'{smoothed:.4g} > 4x best {best:.4g} '
+                                       f'(divergence) at lr {lr:.3g}')
+                        done = True
+                        break
+        finally:
+            self.model.mode = ''
+
+        finite = [r for r in records if r['smoothed'] is not None]
+        suggestion = None
+        if len(finite) >= 5:
+            lrs = np.array([r['lr'] for r in finite])
+            smooth = np.array([r['smoothed'] for r in finite])
+            # Steepest descent of the smoothed curve in log-lr, restricted
+            # to at/before the minimum (past it the curve is diverging).
+            lo = int(np.argmin(smooth)) + 1
+            grad = np.gradient(smooth[:lo], np.log(lrs[:lo])) \
+                if lo >= 3 else None
+            if grad is not None and np.isfinite(grad).any():
+                suggestion = float(lrs[:lo][int(np.nanargmin(grad))])
+
+        result = {'lr_min': lr_min, 'lr_max': lr_max,
+                  'steps_requested': steps, 'steps_run': len(records),
+                  'stop_reason': stop_reason, 'suggestion': suggestion,
+                  'records': records}
+        if self.is_lead_host:
+            with open(os.path.join(self.experiment_dir,
+                                   'lr_find.json'), 'w') as f:
+                json.dump(result, f, indent=2)
+            if len(finite) >= 2:
+                try:
+                    import matplotlib
+                    matplotlib.use('Agg')
+                    import matplotlib.pyplot as plt
+                    fig, ax = plt.subplots(figsize=(7, 4))
+                    ax.plot([r['lr'] for r in finite],
+                            [r['loss'] for r in finite],
+                            alpha=0.35, label='loss')
+                    ax.plot([r['lr'] for r in finite],
+                            [r['smoothed'] for r in finite],
+                            label='smoothed')
+                    if suggestion:
+                        ax.axvline(suggestion, color='tab:red', ls='--',
+                                   label=f'suggestion {suggestion:.2e}')
+                    ax.set_xscale('log')
+                    ax.set_xlabel('learning rate')
+                    ax.set_ylabel('train loss')
+                    ax.legend()
+                    fig.savefig(os.path.join(self.experiment_dir,
+                                             'lr_find.png'),
+                                bbox_inches='tight')
+                    plt.close(fig)
+                except Exception:  # noqa: BLE001 - the JSON is the artifact
+                    self.logger.exception('lr_find plot failed')
+        if suggestion:
+            self.logger.info(
+                'LR range test: suggestion %.3g (steepest smoothed descent; '
+                '%s); details in lr_find.json', suggestion, stop_reason)
+        else:
+            self.logger.info('LR range test: no confident suggestion (%s); '
+                             'inspect lr_find.json', stop_reason)
+        return result
+
     def run_experiment(self):
         r"""Runs all procedures requested for the experiment."""
+        if self.train and self.find_lr:
+            return self._run_lr_find()
         if self.train and self.search_batch_size > 0:
             return self._run_batch_size_search()
         if self.train:
