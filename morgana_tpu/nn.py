@@ -39,7 +39,7 @@ __all__ = [
     'set_default_compute_dtype', 'default_compute_dtype',
     'set_default_remat', 'default_remat',
     'Recurrent', 'SequentialWithRecurrent', 'Sigmoid', 'Tanh', 'ReLU', 'GELU',
-    'LayerNorm',
+    'LayerNorm', 'Conv1d',
     'MultiHeadAttention', 'TransformerEncoderLayer', 'TransformerEncoder',
     'LSTM', 'GRU', 'MoEFeedForward',
     'manual_seed', 'parameters', 'named_parameters', 'load_parameters',
@@ -422,6 +422,114 @@ class LayerNorm(Module):
 
     def __repr__(self):
         return f'LayerNorm({self.weight.value.shape[0]})'
+
+
+class Conv1d(Module):
+    """1-d convolution over ``(batch, time, channels)`` sequences — the
+    MXU-native sequence mixer (a k-tap conv is k batched matmuls with O(1)
+    sequential depth, vs the RNN's O(T) recurrence; XLA tiles it onto the
+    systolic array directly).
+
+    ``padding='same'`` keeps the time length (torch ``Conv1d(padding=
+    'same')`` parity, incl. even kernels); ``padding='causal'`` left-pads
+    ``dilation * (kernel - 1)`` so frame ``t`` sees only frames ``<= t`` —
+    the streamable form (the layer then carries a context-tail state
+    through ``step``, like a recurrent member).
+
+    When ``seq_len`` is passed (the ``SequentialWithRecurrent`` container
+    forwards it), padded frames are zeroed BEFORE the convolution: without
+    this, batch-padding garbage (e.g. an upstream Linear's bias at
+    zero-padded inputs) bleeds into the last valid frames, making an
+    utterance's output depend on which length bucket it was collated into.
+
+    Init matches ``torch.nn.Conv1d``: U(-b, b), b = 1/sqrt(in/groups * k).
+    Weight stored ``(kernel, in/groups, out)`` (lax 'WIO' layout).
+    """
+
+    accepts_seq_len = True
+
+    def __init__(self, in_channels, out_channels, kernel_size, dilation=1,
+                 groups=1, bias=True, padding='same'):
+        if padding not in ('same', 'causal'):
+            raise ValueError(f"padding must be 'same' or 'causal', got "
+                             f'{padding!r}')
+        if in_channels % groups or out_channels % groups:
+            raise ValueError(f'groups={groups} must divide in_channels='
+                             f'{in_channels} and out_channels={out_channels}')
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = int(kernel_size)
+        self.dilation = int(dilation)
+        self.groups = int(groups)
+        self.padding = padding
+        bound = 1.0 / math.sqrt(in_channels // groups * kernel_size)
+        self.weight = Param(_uniform(
+            (self.kernel_size, in_channels // groups, out_channels), bound))
+        self.bias = Param(_uniform((out_channels,), bound)) if bias else None
+
+    @property
+    def context(self):
+        """Receptive-field tail: frames of left context one output needs."""
+        return self.dilation * (self.kernel_size - 1)
+
+    def _conv(self, x, pad_low, pad_high):
+        w = self.weight.value
+        cd = _DEFAULT_COMPUTE_DTYPE
+        out_dtype = x.dtype
+        if cd is not None:
+            x, w = x.astype(cd), jnp.asarray(w).astype(cd)
+        y = jax.lax.conv_general_dilated(
+            x, jnp.asarray(w), window_strides=(1,),
+            padding=[(pad_low, pad_high)], rhs_dilation=(self.dilation,),
+            dimension_numbers=('NWC', 'WIO', 'NWC'),
+            feature_group_count=self.groups,
+            preferred_element_type=out_dtype)
+        if self.bias is not None:
+            y = y + self.bias.value
+        return y
+
+    def forward(self, x, seq_len=None):
+        if seq_len is not None:
+            from morgana_tpu.ops.masking import sequence_mask
+            x = x * sequence_mask(seq_len, max_len=x.shape[1], dtype=x.dtype)
+        total = self.context
+        if self.padding == 'causal':
+            return self._conv(x, total, 0)
+        return self._conv(x, total // 2, total - total // 2)
+
+    # ------------------------------------------------------------- streaming
+    def init_stream_state(self):
+        """Streaming protocol marker (the container feeds ``step`` a None
+        state on the first chunk); only causal convolutions can stream."""
+        return None
+
+    def step(self, chunk, state):
+        """One streamed chunk: convolves ``[context tail | chunk]`` with
+        VALID padding — exactly the causal conv's output for these frames —
+        and returns the new context tail as the carried state."""
+        if self.padding != 'causal':
+            raise NotImplementedError(
+                "Conv1d(padding='same') cannot stream (needs future "
+                "frames); build streaming models with padding='causal'.")
+        ctx = self.context
+        if ctx == 0:
+            return self._conv(chunk, 0, 0), state
+        if state is None:
+            state = jnp.zeros((chunk.shape[0], ctx, self.in_channels),
+                              chunk.dtype)
+        x = jnp.concatenate([state, chunk], axis=1)
+        y = self._conv(x, 0, 0)
+        return y, x[:, x.shape[1] - ctx:]
+
+    def __repr__(self):
+        extras = []
+        if self.dilation != 1:
+            extras.append(f'dilation={self.dilation}')
+        if self.groups != 1:
+            extras.append(f'groups={self.groups}')
+        extra = (', ' + ', '.join(extras)) if extras else ''
+        return (f'Conv1d(in={self.in_channels}, out={self.out_channels}, '
+                f'k={self.kernel_size}, {self.padding}{extra})')
 
 
 class Sigmoid(Module):
