@@ -125,6 +125,46 @@ class TestConv1dMaskingAndStreaming:
                                    atol=1e-6)
 
 
+class TestConvEngineStreaming:
+    def test_engine_stream_matches_batch_predict(self, voice_data, tmp_path):
+        """A causal ConvAcousticModel streams through the SAME serving
+        engine as the LSTM/transformer flagships, streamed == batch."""
+        from conv_spss import ConvAcousticModel
+        from morgana_tpu.serve import InferenceEngine
+
+        exp_base = str(tmp_path / 'experiments')
+        args = builder_args(voice_data['data_root'], exp_base, end_epoch=1,
+                            valid=False,
+                            model_kwargs={'num_layers': 2, 'hidden_size': 16,
+                                          'kernel_size': 3, 'causal': True})
+        nn.manual_seed(args['seed'])
+        exp = ExperimentBuilder(ConvAcousticModel, experiment_name='cstream',
+                                **args)
+        exp.run_experiment()
+        ckpt = os.path.join(exp_base, 'cstream', 'checkpoints', 'epoch_1.npz')
+
+        engine = InferenceEngine(
+            ConvAcousticModel, ckpt, data_root=voice_data['data_root'],
+            batch_size=2,
+            model_kwargs={'num_layers': 2, 'hidden_size': 16,
+                          'kernel_size': 3, 'causal': True})
+        with open(os.path.join(voice_data['data_root'],
+                               'test/test_file_id_list.scp')) as f:
+            ids = [l.strip() for l in f if l.strip()]
+        batch_out = engine.predict_ids(ids, data_dir='test')
+        utt = ids[0]
+        chunks = list(engine.stream_id(utt, data_dir='test', chunk_frames=16,
+                                       context=32, lookahead=32))
+        assert len(chunks) > 1
+        # The stream spec exposes vuv + the MLPG trajectories: vuv is exact
+        # (pure state carry), lf0 is the windowed-MLPG approximation.
+        for key, atol in (('vuv', 1e-6), ('lf0', 1e-4)):
+            streamed = np.concatenate([c[key] for c in chunks], axis=0)
+            ref = np.asarray(batch_out[utt][key])
+            assert streamed.shape == ref.shape, key
+            np.testing.assert_allclose(streamed, ref, atol=atol)
+
+
 class TestConvAcousticModel:
     def test_trains_and_generates(self, voice_data, tmp_path):
         from conv_spss import ConvAcousticModel
