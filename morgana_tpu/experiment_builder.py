@@ -1134,7 +1134,7 @@ class ExperimentBuilder(object):
                 report_path = os.path.join(self.experiment_dir,
                                            'memory_report.txt')
                 program = memory.write_report(
-                    report_path, self.loop, features, lr=float(lr),
+                    report_path, self.loop, features,
                     header=f'{type(self.model).__name__} fused train step')
                 if program and 'peak_bytes' in program:
                     self.logger.info(
@@ -1466,14 +1466,18 @@ class ExperimentBuilder(object):
         """--search_batch_size: compile-time capacity search instead of
         training. Writes batch_size_search.txt and logs the result."""
         limit_bytes = int(self.search_batch_size * 2 ** 30)
-        host_batch = next(iter(self.train_loader.data_loader))
+        # Pull the batch through the full loader path (ToDeviceWrapper), not
+        # data_loader: the probe must see the post---transfer_dtype dtypes
+        # and the data-parallel sharding, or it compiles a different program
+        # than training runs (f32 unsharded vs bf16 sharded).
+        probe_batch = next(iter(self.train_loader))
         # The step program traces metric staging keyed by the model's mode
         # tag, exactly as train_epoch sets it up.
         self.model.mode = 'train'
         self.model.metrics.reset_state('train')
         try:
             best, probes = memory.search_train_batch_size(
-                self.loop, host_batch, limit_bytes)
+                self.loop, probe_batch, limit_bytes)
         finally:
             self.model.mode = ''
         stats = memory.device_memory_stats()
@@ -1481,7 +1485,7 @@ class ExperimentBuilder(object):
                  f'{self.search_batch_size:g} GiB '
                  f'({limit_bytes} bytes) for the fused train step of '
                  f'{type(self.model).__name__}', '']
-        max_len = max((v.shape[1] for v in host_batch.values()
+        max_len = max((v.shape[1] for v in probe_batch.values()
                        if hasattr(v, 'shape') and v.ndim >= 2), default=None)
         lines.append(f'Probed at the first batch\'s length bucket '
                      f'(max_len={max_len}); longer buckets compile larger '
@@ -1493,8 +1497,9 @@ class ExperimentBuilder(object):
                          f'{stats["bytes_limit"] / 2 ** 30:.2f} GiB.')
         lines.append('')
         if best is None:
-            lines.append('No batch size fits: even batch 1 exceeds the '
-                         'limit.')
+            smallest = min(probes) if probes else 1
+            lines.append(f'No batch size fits: even batch {smallest} '
+                         'exceeds the limit.')
         else:
             lines.append(f'Largest fitting batch size: {best}')
         lines.append('')
@@ -1541,6 +1546,7 @@ class ExperimentBuilder(object):
         try:
             done = False
             while not done:
+                pass_start = len(records)
                 for features in self.train_loader:
                     i = len(records)
                     if i >= steps:
@@ -1561,12 +1567,21 @@ class ExperimentBuilder(object):
                     records.append({'lr': lr, 'loss': raw,
                                     'smoothed': smoothed})
                     best = min(best, smoothed)
-                    if i >= 10 and smoothed > 4 * best:
+                    # Divergence = smoothed loss 4x its best-so-far RANGE
+                    # above the best. Scale by |best| (not 4*best, which is
+                    # wrong for non-positive losses: 4x a negative best is
+                    # BELOW it, tripping on any value).
+                    if i >= 10 and smoothed > best + 4 * abs(best) + 1e-12:
                         stop_reason = (f'stopped at step {i}: smoothed loss '
-                                       f'{smoothed:.4g} > 4x best {best:.4g} '
-                                       f'(divergence) at lr {lr:.3g}')
+                                       f'{smoothed:.4g} diverged above best '
+                                       f'{best:.4g} at lr {lr:.3g}')
                         done = True
                         break
+                if not done and len(records) == pass_start:
+                    raise RuntimeError(
+                        '--find_lr: the train loader yielded no batches '
+                        '(empty corpus or batch size larger than the split '
+                        'with drop_remainder); nothing to sweep')
         finally:
             self.model.mode = ''
 

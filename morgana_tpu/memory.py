@@ -39,7 +39,8 @@ import jax.numpy as jnp
 
 __all__ = ['program_memory', 'train_step_memory', 'device_memory_stats',
            'find_max_batch_size', 'search_train_batch_size',
-           'batch_shapes_at', 'format_report', 'write_report']
+           'batch_shapes_at', 'batch_granularity', 'format_report',
+           'write_report', 'MemoryAnalysisUnavailable']
 
 # (report name, CompiledMemoryStats attribute)
 _FIELDS = (
@@ -79,12 +80,30 @@ def program_memory(jit_fn, *args, **kwargs):
     return _stats_dict(analysis)
 
 
+class MemoryAnalysisUnavailable(RuntimeError):
+    """The backend's compiler reports no memory analysis — capacity search
+    cannot run (distinct from a probe whose compile legitimately fails)."""
+
+
 def abstract_shapes(tree):
     """Maps every array leaf to a ``ShapeDtypeStruct`` (allocation-free
-    stand-in for lowering); non-array leaves pass through."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-        if hasattr(x, 'shape') and hasattr(x, 'dtype') else x, tree)
+    stand-in for lowering); non-array leaves pass through.
+
+    Mesh shardings are preserved: a leaf carrying a ``NamedSharding`` (e.g.
+    FSDP-sharded params, a data-parallel batch) lowers with that sharding,
+    so the analysed program is the real SPMD program and the reported bytes
+    are PER-DEVICE — without this, --memory_report/--search_batch_size under
+    --data_parallel would analyse an unsharded single-device program and
+    overstate per-device HBM by roughly the device count."""
+    def to_abstract(x):
+        if hasattr(x, 'shape') and hasattr(x, 'dtype'):
+            sharding = getattr(x, 'sharding', None)
+            if isinstance(sharding, jax.sharding.NamedSharding):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=sharding)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+        return x
+    return jax.tree_util.tree_map(to_abstract, tree)
 
 
 def _step_memory(loop, abstract_batch):
@@ -105,7 +124,7 @@ def _step_memory(loop, abstract_batch):
         scalar_f32, scalar_i32, rng)
 
 
-def train_step_memory(loop, features, lr=0.01):
+def train_step_memory(loop, features):
     """Memory breakdown of ``loop``'s fused train step at ``features``'
     shapes.
 
@@ -120,15 +139,42 @@ def train_step_memory(loop, features, lr=0.01):
         loop, abstract_shapes(training.numeric_features(features)))
 
 
+def batch_granularity(features):
+    """Number of batch-axis shards the features' shardings imply (1 when
+    unsharded): probe batch sizes must be multiples of this for the resized
+    abstract batch to keep its ``NamedSharding``."""
+    from morgana_tpu import training
+    g = 1
+    for value in training.numeric_features(features).values():
+        sharding = getattr(value, 'sharding', None)
+        if (isinstance(sharding, jax.sharding.NamedSharding)
+                and sharding.spec and sharding.spec[0] is not None):
+            axes = sharding.spec[0]
+            axes = (axes,) if isinstance(axes, str) else axes
+            shards = 1
+            for axis in axes:
+                shards *= sharding.mesh.shape[axis]
+            g = max(g, shards)
+    return g
+
+
 def batch_shapes_at(features, batch_size):
     """Abstract copy of a numeric feature batch with the leading (batch)
     axis of every array replaced by ``batch_size``; time/feature axes stay
-    fixed (the first batch's length bucket)."""
+    fixed (the first batch's length bucket). Batch-axis ``NamedSharding``s
+    are preserved when ``batch_size`` divides evenly over their shards (see
+    :func:`batch_granularity`)."""
     from morgana_tpu import training
     out = {}
     for key, value in training.numeric_features(features).items():
         shape = (int(batch_size),) + tuple(value.shape[1:])
-        out[key] = jax.ShapeDtypeStruct(shape, value.dtype)
+        sharding = getattr(value, 'sharding', None)
+        if (isinstance(sharding, jax.sharding.NamedSharding)
+                and int(batch_size) % batch_granularity({key: value}) == 0):
+            out[key] = jax.ShapeDtypeStruct(shape, value.dtype,
+                                            sharding=sharding)
+        else:
+            out[key] = jax.ShapeDtypeStruct(shape, value.dtype)
     return out
 
 
@@ -146,12 +192,14 @@ def search_train_batch_size(loop, features, limit_bytes, start=1,
     def peak(b):
         stats = _step_memory(loop, batch_shapes_at(features, b))
         if stats is None:
-            raise RuntimeError('backend reports no compile-time memory '
-                               'analysis; cannot search batch size')
+            raise MemoryAnalysisUnavailable(
+                'backend reports no compile-time memory analysis; cannot '
+                'search batch size')
         return stats['peak_bytes']
 
     return find_max_batch_size(peak, limit_bytes, start=start,
-                               max_batch=max_batch)
+                               max_batch=max_batch,
+                               granularity=batch_granularity(features))
 
 
 def device_memory_stats(device=None):
@@ -169,17 +217,22 @@ def device_memory_stats(device=None):
             if isinstance(value, (int, float))}
 
 
-def find_max_batch_size(peak_bytes_fn, limit_bytes, start=1, max_batch=4096):
+def find_max_batch_size(peak_bytes_fn, limit_bytes, start=1, max_batch=4096,
+                        granularity=1):
     """Largest batch size in ``[start, max_batch]`` whose compile-time peak
     fits ``limit_bytes``.
 
     ``peak_bytes_fn(batch_size) -> bytes`` is typically a closure over
     :func:`train_step_memory` (build the step at that batch size, return
     ``['peak_bytes']``). A probe that *raises* (e.g. the compiler itself
-    reports the program cannot be assigned buffers) counts as over-limit.
-    Returns ``(best_batch_or_None, probes)`` where ``probes`` maps each
-    probed batch size to its peak bytes (None for raised probes) —
-    ``best_batch_or_None`` is None when even ``start`` does not fit.
+    reports the program cannot be assigned buffers) counts as over-limit —
+    EXCEPT :class:`MemoryAnalysisUnavailable`, which propagates ("cannot
+    search" must not masquerade as "nothing fits"). Returns
+    ``(best_batch_or_None, probes)`` where ``probes`` maps each probed batch
+    size to its peak bytes (None for raised probes) —
+    ``best_batch_or_None`` is None when even the smallest probe does not
+    fit. With ``granularity`` g > 1 (a sharded batch axis: see
+    :func:`batch_granularity`) only multiples of g are probed.
 
     Probe count is O(log(max_batch / start)): doubling to bracket the
     boundary, then binary search inside the bracket.
@@ -187,21 +240,31 @@ def find_max_batch_size(peak_bytes_fn, limit_bytes, start=1, max_batch=4096):
     if start < 1 or max_batch < start:
         raise ValueError(f'need 1 <= start <= max_batch, got '
                          f'start={start} max_batch={max_batch}')
+    g = max(int(granularity), 1)
+    # Search in units of g: b = k * g with k in [k_start, k_max].
+    k_start = max((start + g - 1) // g, 1)
+    k_max = max_batch // g
+    if k_max < k_start:
+        raise ValueError(f'granularity {g} leaves no probe sizes in '
+                         f'[{start}, {max_batch}]')
     probes = {}
 
-    def fits(b):
+    def fits(k):
+        b = k * g
         if b not in probes:
             try:
                 probes[b] = int(peak_bytes_fn(b))
+            except MemoryAnalysisUnavailable:
+                raise
             except Exception:  # noqa: BLE001 — a failing compile IS the signal
                 probes[b] = None
         return probes[b] is not None and probes[b] <= limit_bytes
 
-    if not fits(start):
+    if not fits(k_start):
         return None, probes
-    lo, hi = start, None  # lo always fits; hi is the smallest known misfit
-    while hi is None and lo < max_batch:
-        nxt = min(lo * 2, max_batch)
+    lo, hi = k_start, None  # lo always fits; hi is the smallest known misfit
+    while hi is None and lo < k_max:
+        nxt = min(lo * 2, k_max)
         if fits(nxt):
             lo = nxt
         else:
@@ -212,7 +275,7 @@ def find_max_batch_size(peak_bytes_fn, limit_bytes, start=1, max_batch=4096):
             lo = mid
         else:
             hi = mid
-    return lo, probes
+    return lo * g, probes
 
 
 def _fmt_bytes(n):
@@ -265,11 +328,11 @@ def format_report(program, device_stats=None, batch_shapes=None, header=''):
     return '\n'.join(lines) + '\n'
 
 
-def write_report(path, loop, features, lr=0.01, header=''):
+def write_report(path, loop, features, header=''):
     """Analyses ``loop``'s train step at ``features`` and writes the report
     to ``path``. Returns the program breakdown dict (or None)."""
     from morgana_tpu import training
-    program = train_step_memory(loop, features, lr=lr)
+    program = train_step_memory(loop, features)
     batch_shapes = {key: value.shape for key, value
                     in training.numeric_features(features).items()}
     text = format_report(program, device_memory_stats(),

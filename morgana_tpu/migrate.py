@@ -1,4 +1,4 @@
-"""Migration from reference (PyTorch) checkpoints.
+"""Migration from reference (PyTorch) checkpoints (API + CLI).
 
 Users switching from the torch reference can load their trained
 ``state_dict``s directly: this module maps torch parameter names/layouts onto
@@ -15,14 +15,29 @@ Users switching from the torch reference can load their trained
 
 Works on ``.pt`` files (requires torch importable) or already-loaded
 ``{name: tensor/ndarray}`` dicts.
+
+CLI: one-command checkpoint conversion for users porting from the torch
+reference (see docs/porting_guide) —
+
+    python -m morgana_tpu.migrate --model models/rnn_spss.py:LSTMAcousticModel \\
+        --torch_checkpoint experiments/x/checkpoints/epoch_50.pt \\
+        --out epoch_50.npz
+
+writes an ``epoch_{N}.npz`` loadable by ``--checkpoint_path`` / the serving
+CLIs. ``--print_map`` shows the our-name -> torch-name parameter mapping
+without converting anything.
 """
+import argparse
+import ast
+import json
 import os
 
 import numpy as np
 
 from morgana_tpu import nn
 
-__all__ = ['torch_name_map', 'convert_torch_state_dict', 'load_torch_state_dict']
+__all__ = ['torch_name_map', 'convert_torch_state_dict',
+           'load_torch_state_dict', 'main']
 
 
 def _is_transposed_matrix(name):
@@ -181,3 +196,71 @@ def load_torch_state_dict(model, state_dict_or_path, strict=True):
     converted = convert_torch_state_dict(model, state_dict_or_path, strict=strict)
     nn.load_state_dict(model, converted, strict=strict)
     return converted
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description='Convert a torch reference checkpoint (.pt state dict) '
+                    'into a morgana_tpu epoch_{N}.npz checkpoint.')
+    parser.add_argument('--model', required=True,
+                        help="Model spec 'path/to/file.py:ClassName' (the "
+                             'morgana_tpu port of the torch model).')
+    parser.add_argument('--model_kwargs', default='{}',
+                        help='Python dict literal of model constructor '
+                             'kwargs (must match the torch architecture).')
+    parser.add_argument('--torch_checkpoint', default=None,
+                        help='The .pt state-dict file to convert (required '
+                             'unless --print_map).')
+    parser.add_argument('--out', default=None,
+                        help="Output .npz path (default: the torch file's "
+                             "name with .npz — e.g. epoch_50.pt -> "
+                             'epoch_50.npz next to it).')
+    parser.add_argument('--non_strict', action='store_true',
+                        help='Skip (with a warning) parameters the torch '
+                             'checkpoint is missing instead of failing — '
+                             'their fresh initialisation is saved.')
+    parser.add_argument('--seed', type=int, default=1234567890,
+                        help='Init seed for parameters NOT in the torch '
+                             'checkpoint (only relevant with --non_strict).')
+    parser.add_argument('--print_map', action='store_true',
+                        help='Print the our-name -> torch-name mapping as '
+                             'JSON and exit (no checkpoint needed).')
+    args = parser.parse_args(argv)
+
+    # Host-side file transform: never initialise an accelerator backend.
+    from morgana_tpu import platform as _platform
+    _platform.force_cpu()
+    from morgana_tpu.serve import load_model_class
+    from morgana_tpu import checkpointing
+
+    model_kwargs = ast.literal_eval(args.model_kwargs)
+    if not isinstance(model_kwargs, dict):
+        parser.error('--model_kwargs must be a dict literal')
+    nn.manual_seed(args.seed)
+    model = load_model_class(args.model)(**model_kwargs)
+
+    if args.print_map:
+        print(json.dumps(torch_name_map(model), indent=2))
+        return 0
+    if not args.torch_checkpoint:
+        parser.error('--torch_checkpoint is required (or use --print_map)')
+
+    converted = load_torch_state_dict(model, args.torch_checkpoint,
+                                      strict=not args.non_strict)
+    out = args.out
+    if out is None:
+        out = os.path.splitext(args.torch_checkpoint)[0] + '.npz'
+    out = checkpointing.save_state_dict(nn.state_dict(model), out)
+    total = len(nn.state_dict(model))
+    print(json.dumps({
+        'torch_checkpoint': args.torch_checkpoint,
+        'out': out,
+        'parameters_converted': len(converted),
+        'parameters_total': total,
+        'bytes_out': os.path.getsize(out),
+    }))
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

@@ -62,7 +62,13 @@ __all__ = [
     'load_quantized_checkpoint', 'is_quantized_checkpoint', 'main',
 ]
 
+# v1 files hold only int8/raw leaves and stay readable by every release;
+# files containing int4 leaves carry the v2 marker so a pre-int4 reader
+# rejects them with a clear format error instead of KeyError-ing on the
+# missing '{name}.q' array.
 QUANTIZED_FORMAT = 'morgana_tpu.int8.v1'
+QUANTIZED_FORMAT_V2 = 'morgana_tpu.quant.v2'
+_ACCEPTED_FORMATS = (QUANTIZED_FORMAT, QUANTIZED_FORMAT_V2)
 _MARKER = '__quantized_format__'
 DEFAULT_INT4_GROUP = 64
 
@@ -322,7 +328,10 @@ def save_quantized_checkpoint(params, path, should_quantize=None, bits=8,
         path = path + '.npz'
     qparams = quantize_params(params, should_quantize=should_quantize,
                               bits=bits, group_size=group_size)
-    arrays = {_MARKER: np.array(QUANTIZED_FORMAT)}
+    has_int4 = any(isinstance(v, Int4QuantizedArray)
+                   for v in qparams.values())
+    marker = QUANTIZED_FORMAT_V2 if has_int4 else QUANTIZED_FORMAT
+    arrays = {_MARKER: np.array(marker)}
     manifest = {}
     for name, value in qparams.items():
         if isinstance(value, Int4QuantizedArray):
@@ -359,7 +368,7 @@ def is_quantized_checkpoint(path):
     try:
         with np.load(path, allow_pickle=False) as data:
             return _MARKER in data.files \
-                and str(data[_MARKER]) == QUANTIZED_FORMAT
+                and str(data[_MARKER]) in _ACCEPTED_FORMATS
     except (OSError, ValueError, KeyError):
         return False
 
@@ -368,7 +377,8 @@ def load_quantized_checkpoint(path):
     """Loads a quantized checkpoint back into a ``{name: QuantizedArray |
     array}`` pytree ready to feed a jitted predict program."""
     with np.load(path, allow_pickle=False) as data:
-        if _MARKER not in data.files or str(data[_MARKER]) != QUANTIZED_FORMAT:
+        if _MARKER not in data.files \
+                or str(data[_MARKER]) not in _ACCEPTED_FORMATS:
             raise ValueError(
                 f'{path} is not a morgana_tpu quantized checkpoint '
                 f'(write one with python -m morgana_tpu.quantize)')

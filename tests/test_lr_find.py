@@ -53,6 +53,14 @@ class TestFindLR:
         assert result['steps_run'] < 200, result['stop_reason']
         assert 'stopped at step' in result['stop_reason']
 
+    def test_empty_loader_raises(self, voice_data, tmp_path):
+        """A loader that never yields must fail loudly, not spin forever in
+        the multi-pass sweep loop."""
+        exp = _build(voice_data, tmp_path, '1e-5,1e-2,20', 'lrempty')
+        exp.train_loader = []
+        with pytest.raises(RuntimeError, match='no batches'):
+            exp.run_experiment()
+
     def test_bad_spec_rejected(self, voice_data, tmp_path):
         for spec in ('0.1', '1e-3,1e-4', '1e-6,1,5', 'a,b'):
             exp = _build(voice_data, tmp_path, spec, f'bad{hash(spec) % 100}')

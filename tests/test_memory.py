@@ -126,6 +126,30 @@ class TestFindMaxBatchSize:
         with pytest.raises(ValueError):
             memory.find_max_batch_size(lambda b: b, 10, start=8, max_batch=4)
 
+    def test_granularity_probes_multiples_only(self):
+        """With a sharded batch axis only multiples of the shard count are
+        valid program shapes — the search must respect that."""
+        best, probes = memory.find_max_batch_size(
+            lambda b: b * 100, limit_bytes=1950, start=1, max_batch=4096,
+            granularity=8)
+        assert best == 16  # largest multiple of 8 with peak <= 1950
+        assert all(b % 8 == 0 for b in probes)
+
+    def test_granularity_nothing_fits(self):
+        best, probes = memory.find_max_batch_size(
+            lambda b: b * 100, limit_bytes=50, start=1, max_batch=64,
+            granularity=4)
+        assert best is None
+        assert probes == {4: 400}
+
+    def test_analysis_unavailable_propagates(self):
+        """'Backend cannot report memory' must surface as an error, not be
+        swallowed into a confidently-wrong 'nothing fits' answer."""
+        def peak(b):
+            raise memory.MemoryAnalysisUnavailable('no analysis')
+        with pytest.raises(memory.MemoryAnalysisUnavailable):
+            memory.find_max_batch_size(peak, limit_bytes=10**9)
+
 
 class TestSearchTrainBatchSize:
     def test_batch_shapes_at_rewrites_leading_axis(self, rng):
@@ -143,6 +167,49 @@ class TestSearchTrainBatchSize:
             loop, batch, limit, max_batch=64)
         assert best >= 4
         assert probes[best] <= limit
+
+    def test_abstract_shapes_preserve_named_sharding(self, rng):
+        """The analysed program must be the real SPMD program: a NamedSharding
+        on a leaf survives abstraction, so per-device HBM is reported, not
+        the single-device ~N x overestimate."""
+        from morgana_tpu import parallel
+        mesh = parallel.make_mesh()
+        batch = parallel.shard_batch(_synthetic_batch(rng, batch=8), mesh)
+        abstract = memory.abstract_shapes(batch)
+        leaf = abstract['normalised_lab']
+        assert isinstance(leaf.sharding, jax.sharding.NamedSharding)
+        assert leaf.sharding.spec[0] == 'data'
+
+    def test_batch_granularity_and_sharded_shapes(self, rng):
+        from morgana_tpu import parallel
+        mesh = parallel.make_mesh()  # 8 virtual CPU devices on the data axis
+        host = _synthetic_batch(rng, batch=8)
+        assert memory.batch_granularity(host) == 1
+        sharded = parallel.shard_batch(host, mesh)
+        g = memory.batch_granularity(sharded)
+        assert g == mesh.shape['data']
+        shapes = memory.batch_shapes_at(sharded, 2 * g)
+        leaf = shapes['normalised_lab']
+        assert leaf.shape[0] == 2 * g
+        assert isinstance(leaf.sharding, jax.sharding.NamedSharding)
+
+    def test_sharded_search_reports_per_device_peak(self, rng):
+        """Data-parallel capacity search: at the same global batch, the
+        sharded program's peak is well below the unsharded one (the batch
+        and its activations split over 8 devices)."""
+        from morgana_tpu import parallel
+        mesh = parallel.make_mesh()
+        loop = _make_loop()
+        host = _synthetic_batch(rng, batch=16)
+        sharded = parallel.shard_batch(host, mesh)
+        unsharded_peak = memory.train_step_memory(loop, host)['peak_bytes']
+        sharded_peak = memory.train_step_memory(loop, sharded)['peak_bytes']
+        assert sharded_peak < unsharded_peak
+        # And the search only probes device-count multiples.
+        best, probes = memory.search_train_batch_size(
+            loop, sharded, sharded_peak + 1, max_batch=128)
+        assert best is not None and best % mesh.shape['data'] == 0
+        assert all(b % mesh.shape['data'] == 0 for b in probes)
 
 
 class TestSearchBatchSizeFlag:

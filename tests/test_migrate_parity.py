@@ -422,6 +422,54 @@ class TestMigrationEdgeCases:
         np.testing.assert_array_equal(out['weight'],
                                       np.arange(6).reshape(2, 3).T)
 
+    def test_cli_converts_checkpoint(self, rng, tmp_path):
+        """python -m morgana_tpu.migrate: .pt in, loadable epoch_{N}.npz out,
+        with forward parity against the torch source network."""
+        import json
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        torch.manual_seed(7)
+        ref = _build_torch_f0_net()
+        pt = str(tmp_path / 'epoch_5.pt')
+        torch.save(ref.state_dict(), pt)
+        out = str(tmp_path / 'epoch_5.npz')
+        proc = subprocess.run(
+            [sys.executable, '-m', 'morgana_tpu.migrate',
+             '--model', os.path.join(repo, 'models', 'f0_test_model.py')
+             + ':F0Model',
+             '--torch_checkpoint', pt, '--out', out],
+            capture_output=True, text=True, cwd=repo)
+        assert proc.returncode == 0, proc.stderr
+        stats = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert stats['parameters_converted'] == stats['parameters_total']
+        assert stats['out'] == out
+
+        from f0_test_model import F0Model
+        nn.manual_seed(0)
+        model = F0Model()
+        model.load_parameters(out)
+        x = rng.normal(size=(2, 30, 609)).astype(np.float32)
+        with torch.no_grad():
+            y_ref = ref(torch.tensor(x)).numpy()
+        y_ours = np.asarray(model.layers(jnp.array(x),
+                                         seq_len=jnp.array([30, 30])))
+        np.testing.assert_allclose(y_ours, y_ref, atol=2e-5)
+
+    def test_cli_print_map(self):
+        import json
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [sys.executable, '-m', 'morgana_tpu.migrate',
+             '--model', os.path.join(repo, 'models', 'f0_test_model.py')
+             + ':F0Model', '--print_map'],
+            capture_output=True, text=True, cwd=repo)
+        assert proc.returncode == 0, proc.stderr
+        mapping = json.loads(proc.stdout)
+        assert mapping['layers.3.w_ih_l0'] == 'layers.3.layer.weight_ih_l0'
+
     def test_strict_false_allows_missing(self):
         from f0_test_model import F0Model
         nn.manual_seed(0)

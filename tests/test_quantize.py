@@ -411,6 +411,26 @@ class TestInt4:
         assert loaded['w'].rows == 96 and loaded['w'].group_size == 32
         np.testing.assert_array_equal(np.asarray(loaded['b']), params['b'])
 
+    def test_int4_files_carry_v2_marker(self, rng, tmp_path):
+        """Files with int4 leaves must NOT reuse the int8 v1 marker: a
+        pre-int4 reader would accept the file and KeyError on '{name}.q'
+        instead of failing with a clear format-version message. Pure-int8
+        files keep v1 so every release still reads them."""
+        from morgana_tpu.quantize import (QUANTIZED_FORMAT,
+                                          QUANTIZED_FORMAT_V2, _MARKER)
+        params = {'w': rng.normal(size=(64, 32)).astype(np.float32)}
+        p4 = save_quantized_checkpoint(params, str(tmp_path / 'q4'), bits=4)
+        p8 = save_quantized_checkpoint(params, str(tmp_path / 'q8'), bits=8)
+        with np.load(p4, allow_pickle=False) as data:
+            assert str(data[_MARKER]) == QUANTIZED_FORMAT_V2
+        with np.load(p8, allow_pickle=False) as data:
+            assert str(data[_MARKER]) == QUANTIZED_FORMAT
+        # Both markers are accepted by this release's reader/detector.
+        assert is_quantized_checkpoint(p4) and is_quantized_checkpoint(p8)
+        assert isinstance(load_quantized_checkpoint(p4)['w'],
+                          Int4QuantizedArray)
+        assert load_quantized_checkpoint(p8)['w'].dequantize().shape == (64, 32)
+
     def test_weight_dominated_checkpoint_compresses_7x(self, rng, tmp_path):
         params = {f'w{i}': rng.normal(size=(512, 2048)).astype(np.float32)
                   for i in range(4)}
