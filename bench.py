@@ -415,13 +415,16 @@ def bench_generate(rnn_backend='scan', compute_dtype='bfloat16', unroll=64,
             'generate_ms_per_batch': best / num_batches * 1e3}
 
 
-def bench_e2e(num_utts=512, epochs=4, num_data_threads=8, transfer_dtype=None):
+def bench_e2e(num_utts=512, epochs=4, num_data_threads=8, transfer_dtype=None,
+              device_normalise=False, model_kwargs=None):
     """End-to-end disk->device training throughput: a REAL epoch over an
     on-disk synthetic corpus at bench shapes through the actual user path
     (ExperimentBuilder: FilesDataset + threaded/native reads + prefetch +
     fused step). Reports the best post-compile epoch's frames/sec — the
     number a user training on real data sees, next to the compute-only
-    headline (VERDICT r2 item 2).
+    headline (VERDICT r2 item 2). ``device_normalise`` moves normalisation
+    + delta windows on-device so only raw streams ride the (measured
+    bottleneck) host->device link.
     """
     import shutil
     import tempfile
@@ -451,11 +454,13 @@ def bench_e2e(num_utts=512, epochs=4, num_data_threads=8, transfer_dtype=None):
             train_id_list='train/train_file_id_list.scp',
             valid_id_list='valid/valid_file_id_list.scp',
             test_id_list='test/test_file_id_list.scp',
-            model_kwargs={'rnn_backend': 'scan', 'rnn_unroll': 64},
+            model_kwargs=model_kwargs
+            or {'rnn_backend': 'scan', 'rnn_unroll': 64},
             compute_dtype='bfloat16', batch_size=BATCH,
             num_data_threads=num_data_threads, end_epoch=epochs,
             valid=False, test=False, model_checkpoint_interval=10 ** 6,
-            ema_decay=0., transfer_dtype=transfer_dtype)
+            ema_decay=0., transfer_dtype=transfer_dtype,
+            device_normalise=device_normalise)
         name = args.pop('experiment_name')
         exp = ExperimentBuilder(LSTMAcousticModel, experiment_name=name, **args)
         exp.run_experiment()
@@ -488,14 +493,17 @@ def bench_e2e(num_utts=512, epochs=4, num_data_threads=8, transfer_dtype=None):
                'e2e_frames_per_batch': batch_frames}
         if transfer_dtype:
             out['e2e_transfer_dtype'] = str(transfer_dtype)
+        if device_normalise:
+            out['e2e_device_normalise'] = True
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _e2e_subprocess():
+def _e2e_subprocess(device_normalise=False):
     return _run_bench_code(
-        'import bench, json; print("BENCH_JSON:" + json.dumps(bench.bench_e2e()))')
+        'import bench, json; print("BENCH_JSON:" + json.dumps('
+        f'bench.bench_e2e(device_normalise={bool(device_normalise)})))')
 
 
 # (name, rnn_backend, compute_dtype, scan unroll). Scan unroll 64 amortises
@@ -645,10 +653,18 @@ def main():
             result = results[best_backend]
 
     # End-to-end disk->device epoch throughput (loader + prefetch + device).
-    e2e = None
+    e2e = e2e_devnorm = None
     if not degraded and remaining() > 300:
         try:
             e2e = _e2e_subprocess()
+        except Exception:
+            pass
+    # Same epoch with --device_normalise: only raw streams cross the wire
+    # (normalisation + delta windows reconstructed on device), ~5x fewer
+    # upload bytes — the recommended config when the link bounds e2e.
+    if not degraded and remaining() > 300:
+        try:
+            e2e_devnorm = _e2e_subprocess(device_normalise=True)
         except Exception:
             pass
 
@@ -706,6 +722,10 @@ def main():
             ceiling = (transfer_bw / e2e['e2e_batch_mb']
                        * e2e.get('e2e_frames_per_batch', 32 * 640.0))
             line['e2e_transfer_ceiling_frames_per_sec'] = round(ceiling, 1)
+    if e2e_devnorm:
+        line['e2e_devnorm_frames_per_sec'] = round(
+            e2e_devnorm['e2e_frames_per_sec'], 1)
+        line['e2e_devnorm_batch_mb'] = e2e_devnorm.get('e2e_batch_mb')
     if transformer:
         line['transformer_frames_per_sec'] = round(
             transformer['frames_per_sec'], 1)

@@ -38,7 +38,8 @@ class FilesDataset(object):
     Parameters mirror the reference (``morgana/data.py:87-104``).
     """
 
-    def __init__(self, data_sources, data_dir, id_list, normalisers, data_root='.'):
+    def __init__(self, data_sources, data_dir, id_list, normalisers, data_root='.',
+                 device_normalise=False):
         for name, normaliser in (normalisers or {}).items():
             if isinstance(normaliser, _SpeakerDependentNormaliser) and 'speaker_id' not in data_sources:
                 raise KeyError(
@@ -54,6 +55,16 @@ class FilesDataset(object):
         self.file_ids = file_io.get_file_ids(self.id_list)
 
         self.normalisers = normalisers or {}
+        # Streams whose normalised/delta keys are computed ON DEVICE by the
+        # loader's post-device_put transform instead of here (see
+        # data/device_normalise.py) — items emit only the raw stream plus a
+        # tiny per-item length sidecar for those names.
+        if device_normalise:
+            from morgana_tpu.data.device_normalise import eligible_names
+            self.device_names = frozenset(
+                eligible_names(self.data_sources, self.normalisers))
+        else:
+            self.device_names = frozenset()
 
     def __len__(self):
         return len(self.file_ids)
@@ -72,7 +83,8 @@ class FilesDataset(object):
             return data_source(base_name, self.data_dir)
 
         return assemble_item(self.data_sources, self.normalisers,
-                             get_packaged, base_name)
+                             get_packaged, base_name,
+                             device_names=self.device_names)
 
     @property
     def supports_native_preload(self):
@@ -115,7 +127,8 @@ class FilesDataset(object):
         return collate(batch, bucket=bucket)
 
 
-def assemble_item(data_sources, normalisers, get_packaged, base_name):
+def assemble_item(data_sources, normalisers, get_packaged, base_name,
+                  device_names=()):
     """Builds one utterance's feature dict from packaged source features:
     adds ``normalised_{name}`` (+``_deltas``) keys exactly as the reference's
     ``FilesDataset.__getitem__`` (``morgana/data.py:106-154``).
@@ -123,6 +136,10 @@ def assemble_item(data_sources, normalisers, get_packaged, base_name):
     ``get_packaged(name, data_source)`` supplies each source's packaged dict —
     from disk (:class:`FilesDataset`), a native batch preload, or in-memory
     raw features (``serve.InferenceEngine.predict_items``).
+
+    Streams in ``device_names`` skip the host normalised/delta keys (the
+    loader recomputes them on device — ``data/device_normalise.py``) and
+    gain a ``{name}_seq_len`` sidecar instead.
     """
     features = {'name': base_name}
 
@@ -144,11 +161,16 @@ def assemble_item(data_sources, normalisers, get_packaged, base_name):
         data_source_features = get_packaged(name, data_source)
 
         if name in normalisers:
-            data_source_features[f'normalised_{name}'] = \
-                _normalise_feature(name, data_source_features[name])
-            if normalisers[name].use_deltas:
-                data_source_features[f'normalised_{name}_deltas'] = \
-                    _normalise_feature(name, data_source_features[f'{name}_deltas'], is_deltas=True)
+            if name in device_names:
+                from morgana_tpu.data.device_normalise import strip_host_keys
+                strip_host_keys(data_source_features, name,
+                                data_source_features[name])
+            else:
+                data_source_features[f'normalised_{name}'] = \
+                    _normalise_feature(name, data_source_features[name])
+                if normalisers[name].use_deltas:
+                    data_source_features[f'normalised_{name}_deltas'] = \
+                        _normalise_feature(name, data_source_features[f'{name}_deltas'], is_deltas=True)
 
         features.update(data_source_features)
 

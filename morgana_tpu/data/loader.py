@@ -249,7 +249,7 @@ class ToDeviceWrapper(object):
     """
 
     def __init__(self, data_loader, sharding=None, prefetch=2, device=None,
-                 transfer_dtype=None):
+                 transfer_dtype=None, device_transform=None):
         self.data_loader = data_loader
         self.sharding = sharding
         self.device = device  # explicit placement when no sharding is given
@@ -260,6 +260,11 @@ class ToDeviceWrapper(object):
         # analysis). Scalar/per-utterance floats (n_frames, ...) stay f32:
         # they parameterise masks and must stay exact.
         self.transfer_dtype = np.dtype(transfer_dtype) if transfer_dtype else None
+        # Optional jitted post-put transform (device-side normalisation /
+        # delta expansion — data/device_normalise.py): runs on already-placed
+        # (and sharded) arrays; purely elementwise, so it issues no
+        # collectives and is safe on whichever thread runs _put.
+        self.device_transform = device_transform
 
     def __len__(self):
         return len(self.data_loader)
@@ -325,6 +330,8 @@ class ToDeviceWrapper(object):
                     out[key] = jax.device_put(value, self.device)
             else:
                 out[key] = value
+        if self.device_transform is not None:
+            out = self.device_transform(out)
         return out
 
     def __iter__(self):
@@ -387,7 +394,7 @@ class ToDeviceWrapper(object):
 
 def batch(data_generator, batch_size=32, shuffle=True, num_data_threads=0,
           device=None, sharding=None, seed=0, drop_remainder=False, prefetch=2,
-          length_sort_window=0, transfer_dtype=None):
+          length_sort_window=0, transfer_dtype=None, device_transform=None):
     r"""Creates the batched, device-prefetching loader for a dataset
     (reference API: ``morgana/data.py:29-57``)."""
     loader = DataLoader(data_generator, batch_size=batch_size, shuffle=shuffle,
@@ -395,4 +402,5 @@ def batch(data_generator, batch_size=32, shuffle=True, num_data_threads=0,
                         drop_remainder=drop_remainder,
                         length_sort_window=length_sort_window)
     return ToDeviceWrapper(loader, sharding=sharding, prefetch=prefetch,
-                           device=device, transfer_dtype=transfer_dtype)
+                           device=device, transfer_dtype=transfer_dtype,
+                           device_transform=device_transform)

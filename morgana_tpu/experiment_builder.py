@@ -325,6 +325,13 @@ class ExperimentBuilder(object):
                                  "host->device transfer, e.g. 'bfloat16' (halves batch "
                                  'upload bytes; the win when the device link, not '
                                  'compute, bounds throughput). Scalar features stay f32.')
+        parser.add_argument('--device_normalise', dest='device_normalise',
+                            action='store_true', default=False,
+                            help='Compute feature normalisation and delta windows ON DEVICE '
+                                 '(inside XLA, after the transfer) instead of on the host: '
+                                 'only raw streams cross the host->device wire (~5x fewer '
+                                 'bytes at flagship shapes), reconstructed exactly on device. '
+                                 'Speaker-dependent normalisers keep the host path.')
         parser.add_argument('--debug_nans', dest='debug_nans', action='store_true', default=False,
                             help='Debugging: raise at the FIRST operation producing a NaN/Inf '
                                  '(jax_debug_nans) instead of tripping the end-of-epoch '
@@ -427,6 +434,7 @@ class ExperimentBuilder(object):
         self.find_lr = kwargs.get('find_lr')
         self.compute_dtype = kwargs.get('compute_dtype', 'float32')
         self.transfer_dtype = kwargs.get('transfer_dtype')
+        self.device_normalise = kwargs.get('device_normalise', False)
         self.length_sort_window = kwargs.get('length_sort_window', 0)
         nn.set_default_compute_dtype(self.compute_dtype)
         if kwargs.get('debug_nans'):
@@ -1022,7 +1030,16 @@ class ExperimentBuilder(object):
         """
         self.logger.info('Loading %s data using %s from\n\t%s/%s',
                          name, id_list, self.data_root, data_dir)
-        dataset = data.FilesDataset(data_sources, data_dir, id_list, normalisers, self.data_root)
+        dataset = data.FilesDataset(data_sources, data_dir, id_list, normalisers, self.data_root,
+                                    device_normalise=self.device_normalise)
+        device_transform = None
+        if dataset.device_names:
+            from morgana_tpu.data.device_normalise import make_device_transform
+            device_transform, engaged = make_device_transform(
+                data_sources, normalisers)
+            self.logger.info(
+                '%s: device-side normalisation for %s (raw streams only on '
+                'the host->device wire)', name, sorted(engaged))
         if self.process_count > 1:
             from morgana_tpu import parallel
             dataset.file_ids = parallel.shard_id_list(
@@ -1050,7 +1067,8 @@ class ExperimentBuilder(object):
                           sharding=self.batch_sharding, seed=self.seed,
                           drop_remainder=drop_remainder,
                           length_sort_window=self.length_sort_window if shuffle else 0,
-                          transfer_dtype=self.transfer_dtype)
+                          transfer_dtype=self.transfer_dtype,
+                          device_transform=device_transform)
 
     # ----------------------------------------------------------------- train
 

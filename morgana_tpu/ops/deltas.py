@@ -60,12 +60,19 @@ def compute_deltas(feature, windows=DEFAULT_WINDOWS):
     return np.concatenate(outs, axis=-1)
 
 
-def compute_deltas_jax(feature, windows=DEFAULT_WINDOWS):
+def compute_deltas_jax(feature, windows=DEFAULT_WINDOWS, seq_len=None):
     r"""jnp version of :func:`compute_deltas` operating on batched sequences.
 
     Parameters
     ----------
     feature : jnp.ndarray, shape (batch, seq_len, feat_dim)
+    seq_len : jnp.ndarray, shape (batch,), optional
+        True per-item lengths. When given, edge replication clamps to each
+        item's OWN last real frame (index ``seq_len - 1``) — matching the
+        host path, which computes deltas per utterance before padding. When
+        omitted, the batch's padded tail frame is replicated (only correct
+        for unpadded/equal-length batches). Frames at/after ``seq_len`` are
+        NOT zeroed here; mask downstream if the padding region matters.
 
     Returns
     -------
@@ -73,14 +80,25 @@ def compute_deltas_jax(feature, windows=DEFAULT_WINDOWS):
     """
     feature = jnp.asarray(feature)
     num_frames = feature.shape[1]
+    max_l = max(l for l, _, _ in windows)
+    max_u = max(u for _, u, _ in windows)
+    if seq_len is not None:
+        # One gather builds the edge-replicated frame window per item:
+        # position t in [-max_l, T+max_u) reads frame clip(t, 0, len-1).
+        pos = jnp.arange(-max_l, num_frames + max_u)
+        idx = jnp.clip(pos[None, :], 0,
+                       jnp.asarray(seq_len).reshape(-1, 1) - 1)
+        gathered = jnp.take_along_axis(feature, idx[:, :, None], axis=1)
+    else:
+        gathered = jnp.concatenate(
+            [jnp.repeat(feature[:, :1], max_l, axis=1), feature,
+             jnp.repeat(feature[:, -1:], max_u, axis=1)], axis=1)
     outs = []
     for l, u, coeffs in windows:
-        padded = jnp.concatenate(
-            [jnp.repeat(feature[:, :1], l, axis=1), feature, jnp.repeat(feature[:, -1:], u, axis=1)],
-            axis=1)
         acc = jnp.zeros_like(feature)
         for k, c in enumerate(coeffs):
             if c != 0.0:
-                acc = acc + c * padded[:, k:k + num_frames]
+                start = max_l - l + k
+                acc = acc + c * gathered[:, start:start + num_frames]
         outs.append(acc)
     return jnp.concatenate(outs, axis=-1)
