@@ -352,6 +352,128 @@ class TestTrainingTrajectoryParity:
         assert lf0_rmse <= 1e-3, f'post-training lf0 RMSE {lf0_rmse}'
 
 
+class TestTransformerTrajectoryParity:
+    """Same claim as TestTrainingTrajectoryParity for the SECOND flagship
+    family: training the attention path (pre-LN transformer encoder) from a
+    migrated torch init follows the torch trajectory — masking, GELU FFN,
+    LayerNorm grads and Adam semantics all agree, not just the forward."""
+
+    LR = 0.003
+    EPOCHS = 5
+    BATCHES = 6
+    B, T, IN_DIM, D, HEADS, FF = 4, 18, 10, 24, 3, 48
+
+    def _build_torch_net(self):
+        class RefNet(torch.nn.Module):
+            def __init__(self, cfg):
+                super().__init__()
+                self.inp = torch.nn.Linear(cfg.IN_DIM, cfg.D)
+                layer = torch.nn.TransformerEncoderLayer(
+                    cfg.D, cfg.HEADS, dim_feedforward=cfg.FF, dropout=0.0,
+                    activation='gelu', batch_first=True, norm_first=True)
+                self.encoder = torch.nn.TransformerEncoder(
+                    layer, 2, norm=torch.nn.LayerNorm(cfg.D))
+                self.out = torch.nn.Linear(cfg.D, 3)
+
+            def forward(self, x, seq_len):
+                h = self.inp(x)
+                pad = torch.arange(x.shape[1])[None, :] \
+                    >= torch.as_tensor(seq_len)[:, None]
+                h = self.encoder(h, src_key_padding_mask=pad)
+                return self.out(h)
+
+        return RefNet(self)
+
+    def _build_jax_net(self):
+        cfg = self
+
+        class Net(nn.Module):
+            def __init__(self):
+                self.inp = nn.Linear(cfg.IN_DIM, cfg.D)
+                # add_positions=False: the torch reference net has no
+                # positional table, and the trajectory claim is about
+                # training semantics, not the (constant) position encoding.
+                self.encoder = nn.TransformerEncoder(
+                    2, cfg.D, cfg.HEADS, cfg.FF, add_positions=False)
+                self.out = nn.Linear(cfg.D, 3)
+
+            def forward(self, x, seq_len):
+                return self.out(self.encoder(self.inp(x), seq_len=seq_len))
+
+        nn.manual_seed(0)
+        return Net()
+
+    def test_five_epoch_trajectory_matches(self):
+        import jax
+        from morgana_tpu import losses
+        from morgana_tpu.training import apply_updates, build_optimizer
+
+        torch.manual_seed(11)
+        ref = self._build_torch_net()
+        model = self._build_jax_net()
+        migrate.load_torch_state_dict(model, ref.state_dict())
+
+        maker = TestTrainingTrajectoryParity()
+        maker.BATCHES, maker.B, maker.T, maker.IN_DIM = \
+            self.BATCHES, self.B, self.T, self.IN_DIM
+        data = maker._make_data(np.random.default_rng(321))
+
+        opt_t = torch.optim.Adam(ref.parameters(), lr=self.LR)
+        torch_epoch_losses = []
+        for _ in range(self.EPOCHS):
+            total = 0.
+            for x, y, seq_len in data:
+                opt_t.zero_grad()
+                loss = TestTrainingTrajectoryParity._torch_masked_mse(
+                    ref(torch.tensor(x), torch.as_tensor(seq_len)),
+                    torch.tensor(y), seq_len)
+                loss.backward()
+                opt_t.step()
+                total += float(loss)
+            torch_epoch_losses.append(total / len(data))
+
+        params = nn.parameters(model)
+        optimizer = build_optimizer()
+        opt_state = optimizer.init(params)
+
+        def step(params, opt_state, x, y, seq_len):
+            def loss_fn(p):
+                with nn.bind(model, p, train=True):
+                    pred = model(x, seq_len)
+                return losses.mse(pred, y, seq_len=seq_len)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            params, opt_state, _, _u = apply_updates(
+                optimizer, 0., params, opt_state, None, grads,
+                jnp.float32(self.LR))
+            return params, opt_state, loss
+
+        step = jax.jit(step)
+        jax_epoch_losses = []
+        for _ in range(self.EPOCHS):
+            total = 0.
+            for x, y, seq_len in data:
+                params, opt_state, loss = step(
+                    params, opt_state, jnp.array(x), jnp.array(y),
+                    jnp.array(seq_len))
+                total += float(loss)
+            jax_epoch_losses.append(total / len(data))
+
+        assert torch_epoch_losses[-1] < torch_epoch_losses[0]
+        assert jax_epoch_losses[-1] < jax_epoch_losses[0]
+        np.testing.assert_allclose(jax_epoch_losses, torch_epoch_losses,
+                                   rtol=1e-3)
+
+        # Final-net agreement on held-out data (valid regions).
+        x, _, seq_len = maker._make_data(np.random.default_rng(77))[0]
+        with torch.no_grad():
+            out_ref = ref(torch.tensor(x), torch.as_tensor(seq_len)).numpy()
+        with nn.bind(model, params, train=False):
+            out_ours = np.asarray(model(jnp.array(x), jnp.array(seq_len)))
+        for b, n in enumerate(seq_len):
+            np.testing.assert_allclose(out_ours[b, :n], out_ref[b, :n],
+                                       rtol=2e-3, atol=2e-3)
+
+
 class TestMigrationEdgeCases:
     def test_square_embedding_not_transposed(self):
         """Embeddings share torch's (num_embeddings, dim) orientation; the
