@@ -142,17 +142,29 @@ def measure_transfer_bandwidth(mbytes=64, rounds=5):
     """Host->device transfer bandwidth (MB/s). On a tunnelled device this is
     network bandwidth, not PCIe — measured explicitly because it bounds any
     end-to-end (disk->device) throughput number and is a property of the
-    environment, not of the framework's input pipeline."""
+    environment, not of the framework's input pipeline.
+
+    Barrier discipline: a scalar READBACK of the placed buffer, not
+    ``block_until_ready`` (which on the tunnelled runtime can credit
+    scheduling rather than completion — the same pathology as step timing).
+    The null round trip (tiny-buffer put + readback) is measured and
+    subtracted so the figure reflects the transfer itself."""
     import jax
 
-    n = mbytes * (1 << 20) // 4
-    best = float('inf')
-    for r in range(rounds):
-        host = np.full((n,), float(r), np.float32)  # fresh contents per round
+    def put_timed(num_floats, fill):
+        host = np.full((num_floats,), fill, np.float32)  # fresh per round
         t0 = time.perf_counter()
-        jax.device_put(host).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    return mbytes / best
+        placed = jax.device_put(host)
+        got = float(placed[-1])  # data-dependent readback: true barrier
+        dt = time.perf_counter() - t0
+        if got != fill:
+            raise RuntimeError(f'transfer readback wrong: {got} != {fill}')
+        return dt
+
+    null = min(put_timed(8, float(r + 1)) for r in range(rounds))
+    n = mbytes * (1 << 20) // 4
+    best = min(put_timed(n, float(r + 1)) for r in range(rounds))
+    return mbytes / max(best - null, 1e-9)
 
 
 def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,

@@ -305,11 +305,22 @@ class ToDeviceWrapper(object):
     def _put(self, features):
         if self.sharding is not None:
             features = self._harmonise_shapes(features)
+        # Lossy wire dtype + device normalisation: the transform's host-side
+        # hook swaps shiftable raw streams for centered residuals so the
+        # cast below rounds |x - center|, not |x| (data/device_normalise.py).
+        pre_put = getattr(self.device_transform, 'pre_put', None)
+        if pre_put is not None:
+            features = pre_put(features)
+        # Streams the device transform insists on receiving in f32 (delta'd
+        # device-normalised streams: wire rounding would be amplified by
+        # sigma_x/sigma_delta in their normalised-delta keys).
+        keep_f32 = getattr(self.device_transform, 'keep_f32', ())
         out = {}
         for key, value in features.items():
             if (self.transfer_dtype is not None
                     and isinstance(value, np.ndarray)
-                    and value.dtype == np.float32 and value.ndim >= 3):
+                    and value.dtype == np.float32 and value.ndim >= 3
+                    and key not in keep_f32):
                 value = value.astype(self.transfer_dtype)
             if isinstance(value, np.ndarray) and (value.dtype.kind in 'fiub'
                                                   or value.dtype == self.transfer_dtype):

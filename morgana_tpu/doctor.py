@@ -11,9 +11,13 @@ FAILs. ``--json`` prints a machine-readable report instead,
 Checks, in dependency order:
 
 1. ``environment``  — interpreter + jax/numpy versions.
+   (+ ``platform`` under ``--device cpu``: forcing the CPU backend is itself
+   a contained check — if it fails, every backend-touching check SKIPs
+   rather than contacting the accelerator the flag promised to avoid.)
 2. ``device``       — backend init, device count/kind, a tiny matmul timed
                       to a host readback (catches a wedged tunnel).
-3. ``transfer``     — host->device bandwidth probe (8 MB): the number that
+3. ``transfer``     — host->device bandwidth probe (8 MB, readback-barriered
+                      with the null round trip subtracted): the number that
                       bounds end-to-end training on link-limited setups.
 4. ``native_libs``  — the two C++ libraries build/load (vocoder synthesis,
                       GIL-free batch IO); degraded pure-python fallbacks
@@ -40,24 +44,20 @@ import time
 __all__ = ['run_checks', 'main']
 
 
-class _Result(dict):
-    pass
-
-
 def _check(name, fn, results, skip=None):
     if skip:
-        results.append(_Result(name=name, status='SKIP', detail=skip,
-                               seconds=0.0))
-        return None
+        results.append(dict(name=name, status='SKIP', detail=skip,
+                            seconds=0.0))
+        return results[-1]
     t0 = time.perf_counter()
     try:
         detail = fn() or 'ok'
-        results.append(_Result(name=name, status='PASS', detail=str(detail),
-                               seconds=round(time.perf_counter() - t0, 3)))
+        results.append(dict(name=name, status='PASS', detail=str(detail),
+                            seconds=round(time.perf_counter() - t0, 3)))
     except Exception as e:  # noqa: BLE001 — each check is contained
-        results.append(_Result(name=name, status='FAIL',
-                               detail=f'{type(e).__name__}: {e}',
-                               seconds=round(time.perf_counter() - t0, 3)))
+        results.append(dict(name=name, status='FAIL',
+                            detail=f'{type(e).__name__}: {e}',
+                            seconds=round(time.perf_counter() - t0, 3)))
     return results[-1]
 
 
@@ -73,9 +73,18 @@ def run_checks(device=None):
 
     _check('environment', environment, results)
 
+    # When force_cpu fails (a non-CPU backend already owns the process),
+    # every later check that touches the backend must SKIP — running them
+    # would contact the very accelerator `--device cpu` promised to avoid.
+    backend_skip = None
     if device == 'cpu':
-        from morgana_tpu import platform as _platform
-        _platform.force_cpu()
+        def platform_cpu():
+            from morgana_tpu import platform as _platform
+            _platform.force_cpu()
+            return 'cpu backend forced (host-only validation)'
+
+        if _check('platform', platform_cpu, results)['status'] != 'PASS':
+            backend_skip = 'cpu backend could not be forced'
 
     def device_check():
         import jax
@@ -91,23 +100,39 @@ def run_checks(device=None):
         return (f'{len(devices)} x {kind} ({devices[0].platform}), '
                 f'256^2 matmul readback {ms:.0f} ms')
 
-    dev = _check('device', device_check, results)
+    dev = _check('device', device_check, results, skip=backend_skip)
 
     def transfer():
         import jax
         import numpy as np
-        mb = 8
-        n = mb * (1 << 20) // 4
-        best = float('inf')
-        for r in range(3):
-            host = np.full((n,), float(r), np.float32)
+
+        def put_timed(num_floats, fill):
+            host = np.full((num_floats,), fill, np.float32)
             t0 = time.perf_counter()
-            jax.device_put(host).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        return f'host->device {mb / best:.0f} MB/s ({mb} MB probe)'
+            placed = jax.device_put(host)
+            # Scalar READBACK as the barrier: a data-dependent device value
+            # cannot be produced before the transfer lands, whereas
+            # block_until_ready on a tunnelled runtime can credit
+            # scheduling, not completion (see CLAUDE.md / bench.py).
+            got = float(placed[-1])
+            dt = time.perf_counter() - t0
+            if got != fill:
+                raise RuntimeError(f'transfer readback wrong: {got}')
+            return dt
+
+        mb = 8
+        rounds = 3
+        # Null round trip (dispatch + readback latency on a tiny buffer),
+        # subtracted so the bandwidth figure reflects the transfer itself.
+        null = min(put_timed(8, float(r + 1)) for r in range(rounds))
+        n = mb * (1 << 20) // 4
+        best = min(put_timed(n, float(r + 1)) for r in range(rounds))
+        bw = mb / max(best - null, 1e-9)
+        return (f'host->device {bw:.0f} MB/s ({mb} MB probe, readback-'
+                f'barriered, {null * 1000:.0f} ms round trip subtracted)')
 
     _check('transfer', transfer, results,
-           skip=None if dev['status'] == 'PASS' else 'device check failed')
+           skip=None if dev['status'] == 'PASS' else 'device check not PASS')
 
     def native_libs():
         from morgana_tpu.data import native_io
@@ -176,7 +201,7 @@ def run_checks(device=None):
                 f'{losses_seen[-1]:.4f} over 4 steps')
 
     _check('train_step', train_step, results,
-           skip=None if dev['status'] == 'PASS' else 'device check failed')
+           skip=None if dev['status'] == 'PASS' else 'device check not PASS')
 
     def sharding():
         import jax
@@ -194,7 +219,7 @@ def run_checks(device=None):
 
     sharding_skip = None
     if dev['status'] != 'PASS':
-        sharding_skip = 'device check failed'
+        sharding_skip = 'device check not PASS'
     else:
         import jax
         if len(jax.devices()) < 2:
@@ -241,7 +266,7 @@ def run_checks(device=None):
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    _check('data_pipeline', data_pipeline, results)
+    _check('data_pipeline', data_pipeline, results, skip=backend_skip)
 
     def vocoder():
         import numpy as np

@@ -1036,7 +1036,8 @@ class ExperimentBuilder(object):
         if dataset.device_names:
             from morgana_tpu.data.device_normalise import make_device_transform
             device_transform, engaged = make_device_transform(
-                data_sources, normalisers)
+                data_sources, normalisers, names=dataset.device_names,
+                wire_dtype=self.transfer_dtype)
             self.logger.info(
                 '%s: device-side normalisation for %s (raw streams only on '
                 'the host->device wire)', name, sorted(engaged))

@@ -66,7 +66,8 @@ def _loader(voice_data, sources, norms, device_normalise, **kwargs):
                                 device_normalise=device_normalise)
     transform = None
     if device_normalise:
-        transform, _ = make_device_transform(sources, norms)
+        transform, _ = make_device_transform(
+            sources, norms, wire_dtype=kwargs.get('transfer_dtype'))
     return data.batch(dataset, batch_size=4, shuffle=False,
                       device_transform=transform, **kwargs)
 
@@ -120,6 +121,70 @@ class TestLoaderEquality:
                  'b': SpeakerDependentMeanVarianceNormaliser('b', ['s1']),
                  'c': MeanVarianceNormaliser('c')}  # no source named c
         assert eligible_names(sources, norms) == ['a']
+
+    def test_source_deltas_without_normaliser_deltas_stay_on_host(self):
+        """A source emitting deltas under a NON-delta normaliser must keep
+        the host path: the device transform would never rebuild the
+        ``{name}_deltas`` key it strips."""
+        from morgana_tpu.data.normalisers import MeanVarianceNormaliser
+        from morgana_tpu.data.sources import NumpyBinarySource
+        sources = {'x': NumpyBinarySource('x', use_deltas=True)}
+        norms = {'x': MeanVarianceNormaliser('x')}  # use_deltas=False
+        assert eligible_names(sources, norms) == []
+        transform, engaged = make_device_transform(sources, norms)
+        assert transform is None and engaged == []
+
+    def test_extra_trailing_dims_are_masked(self, rng):
+        """(B, T, H, D) collates are legal; the padding mask must broadcast
+        over the extra trailing dims instead of crashing at trace time."""
+        from morgana_tpu.data.normalisers import MeanVarianceNormaliser
+        from morgana_tpu.data.sources import NumpyBinarySource
+        norm = MeanVarianceNormaliser('x')
+        norm.params = {'mean': np.full(3, 2.0, np.float32),
+                       'std_dev': np.full(3, 0.5, np.float32)}
+        sources = {'x': NumpyBinarySource('x')}
+        transform, engaged = make_device_transform(sources, {'x': norm})
+        assert engaged == ['x']
+        lens = np.array([5, 3], np.int32)
+        x = np.zeros((2, 5, 4, 3), np.float32)
+        for i, l in enumerate(lens):
+            x[i, :l] = rng.normal(size=(l, 4, 3)).astype(np.float32)
+        out = transform({'x': jnp.array(x), seq_len_key('x'): jnp.array(lens)})
+        got = np.asarray(out['normalised_x'])
+        assert got.shape == x.shape
+        expect = (x - 2.0) / 0.5
+        for i, l in enumerate(lens):
+            np.testing.assert_allclose(got[i, :l], expect[i, :l],
+                                       rtol=1e-6, atol=1e-6)
+            assert np.all(got[i, l:] == 0)
+
+    def test_bf16_wire_composition(self, voice_data):
+        """--transfer_dtype bfloat16 + --device_normalise: every key arrives
+        in bf16 and matches the host path to bf16 precision. Non-delta'd
+        streams (lab) ship as CENTERED residuals (rounding ~ |x - center|,
+        the host path's own magnitude); delta'd streams (lf0, |x| ~ 5,
+        std ~ 0.2 — raw bf16 shipping would inject ~0.2 sigma of noise, and
+        delta keys would amplify it by sigma_x/sigma_delta) ship raw f32
+        with derived keys cast to bf16 on device."""
+        model, norms = _f0_setup(voice_data)
+        sources = model.valid_data_sources()
+        host_batches = list(_loader(voice_data, sources, norms, False,
+                                    transfer_dtype='bfloat16'))
+        dev_batches = list(_loader(voice_data, sources, norms, True,
+                                   transfer_dtype='bfloat16'))
+        checked = 0
+        for host, dev in zip(host_batches, dev_batches):
+            assert set(host) == set(dev)  # incl. no leftover *_wire keys
+            for key in ('lf0', 'normalised_lf0', 'lf0_deltas',
+                        'normalised_lf0_deltas', 'lab', 'normalised_lab'):
+                h, d = np.asarray(host[key]), np.asarray(dev[key])
+                assert d.dtype == jnp.bfloat16, key
+                assert h.shape == d.shape
+                np.testing.assert_allclose(
+                    h.astype(np.float32), d.astype(np.float32),
+                    atol=0.04, rtol=0.02, err_msg=key)
+                checked += 1
+        assert checked > 0
 
     def test_seq_len_key_emitted_then_consumed(self, voice_data):
         model, norms = _f0_setup(voice_data)

@@ -33,7 +33,28 @@ class TestDoctor:
         assert proc.returncode == 0, proc.stderr
         report = json.loads(proc.stdout.strip().splitlines()[-1])
         assert report['ok'] is True
-        assert len(report['checks']) == 9
+        # --device cpu adds the contained 'platform' (force-cpu) check.
+        assert len(report['checks']) == 10
+        by_name = {r['name']: r for r in report['checks']}
+        assert by_name['platform']['status'] == 'PASS'
+        assert 'readback' in by_name['transfer']['detail']
+
+    def test_failed_cpu_force_skips_backend_checks(self, monkeypatch):
+        """--device cpu with a backend already owning the process must
+        report a contained FAIL and SKIP every backend-touching check."""
+        from morgana_tpu import platform as platform_mod
+
+        def boom():
+            raise platform_mod.PlatformError('backend already initialised')
+        monkeypatch.setattr(platform_mod, 'force_cpu', boom)
+        results = doctor.run_checks(device='cpu')
+        by_name = {r['name']: r for r in results}
+        assert by_name['platform']['status'] == 'FAIL'
+        for name in ('device', 'transfer', 'train_step', 'sharding',
+                     'data_pipeline'):
+            assert by_name[name]['status'] == 'SKIP', by_name[name]
+        # Host-only checks still run.
+        assert by_name['checkpoint']['status'] == 'PASS'
 
     def test_failures_set_exit_code(self, monkeypatch):
         def boom():
