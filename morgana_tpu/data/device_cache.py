@@ -1,0 +1,260 @@
+"""Device-resident corpus cache (``--device_cache``).
+
+The measured end-to-end training bottleneck on link-limited deployments is
+the per-batch host->device transfer (BASELINE.md: the tunnel link bounds e2e
+an order of magnitude below compute; ``--device_normalise`` cut the bytes 5x
+but every batch still crosses the wire). This module removes the wire from
+the steady state entirely, the TPU-native way: the whole corpus lives in HBM
+as per-stream arenas, and every batch is assembled ON DEVICE by a gather —
+the only per-batch upload is a handful of ``(B,)`` int32 vectors (~8 bytes
+per utterance, vs megabytes for the collated batch).
+
+Layout (built once, at loader construction):
+
+- sequence streams (``ndim > 1`` per item — the collate rule,
+  ``data/dataset.py::collate``): one ``(sum_T, ...)`` arena per key
+  (utterances concatenated along time) + host-side ``(N,)`` offset/length
+  tables;
+- scalar / per-utterance streams: one stacked ``(N, ...)`` array per key;
+- non-numeric values (utterance names, speaker ids): host lists.
+
+Batch assembly for indices ``idxs``: for each sequence key, gather rows
+``offset[i] + t`` for ``t < len[i]`` (clamped to 0 and masked back to
+exact zero where padded — collate's zero-padding semantics), padded to the
+same bucketed length :func:`~morgana_tpu.data.dataset.bucket_size` would
+give, so compiled-program reuse matches the host path batch for batch. The
+whole batch is ONE jitted call (compiled per ``(B, per-key bucket)``
+signature, the same granularity the fused train step already recompiles
+at); under ``--data_parallel`` the arenas are replicated over the mesh and
+the gather writes straight into the batch's ``NamedSharding`` layout
+(``out_shardings`` — no post-hoc resharding).
+
+Composition: with ``--device_normalise`` only the RAW streams are cached
+(the dataset already strips the host keys) and the loader's device
+transform reconstructs the rest after assembly — the corpus footprint
+shrinks by the same ~5-8x as the wire bytes did. ``--transfer_dtype`` is
+moot (there is no per-batch wire) and the arenas stay f32: the cache is
+strictly MORE faithful than a lossy wire. Everything here is single-host
+(multi-host training shards the corpus across hosts; the builder refuses
+the combination).
+
+The reference has no analogue: its ``DataLoader`` re-reads and re-collates
+from disk every epoch (``morgana/data.py:29-57``).
+"""
+import numpy as np
+
+from morgana_tpu.data.dataset import bucket_size
+
+__all__ = ['DeviceCorpusCache', 'CacheOverBudget']
+
+
+class CacheOverBudget(RuntimeError):
+    """The corpus would exceed the configured device-cache byte budget."""
+
+
+def _iter_items(dataset, chunk=64):
+    """Yields every item dict in dataset-index order, using the native
+    batch preloader (GIL-free C++ reads) in chunks when available."""
+    preload = getattr(dataset, 'preload_batch', None)
+    build = getattr(dataset, 'build_item', None)
+    n = len(dataset)
+    for start in range(0, n, chunk):
+        idxs = list(range(start, min(start + chunk, n)))
+        pre = preload(idxs) if preload is not None and build is not None \
+            else None
+        if pre:
+            for j, i in enumerate(idxs):
+                yield build(i, {name: arrs[j] for name, arrs in pre.items()})
+        else:
+            for i in idxs:
+                yield dataset[i]
+
+
+class DeviceCorpusCache(object):
+    """Packs a dataset into device-resident arenas and assembles batches
+    on device. See the module docstring for the design.
+
+    Parameters
+    ----------
+    dataset : FilesDataset (or any indexable yielding feature dicts)
+    max_bytes : int or None
+        Raise :class:`CacheOverBudget` (BEFORE touching the device) if the
+        packed corpus exceeds this.
+    sharding : jax.sharding.NamedSharding or None
+        The training batch sharding; arenas are replicated over its mesh
+        and full batches assemble directly into this layout.
+    device : jax.Device or None
+        Explicit placement when no sharding is given.
+    """
+
+    def __init__(self, dataset, max_bytes=None, sharding=None, device=None):
+        import jax
+
+        self._sharding = sharding
+        self._device = device
+        self._fns = {}
+
+        seq_data = {}       # key -> list of (T, ...) arrays
+        stack_data = {}     # key -> list of scalars / small arrays
+        host_data = {}      # key -> list of non-numeric values
+        item_lens = []      # per-item max sequence length (for length-sort)
+
+        n_items = 0
+        for item in _iter_items(dataset):
+            n_items += 1
+            max_len = 0
+            for key, value in item.items():
+                if isinstance(value, np.ndarray) and value.ndim > 1:
+                    seq_data.setdefault(key, []).append(value)
+                    max_len = max(max_len, value.shape[0])
+                elif isinstance(value, np.ndarray):
+                    stack_data.setdefault(key, []).append(value)
+                elif isinstance(value, bool):
+                    # bool before int: Python bool subclasses int (collate's
+                    # uint8 rule, reference dtype map morgana/data.py:25).
+                    stack_data.setdefault(key, []).append(
+                        np.asarray(value, np.uint8))
+                elif isinstance(value, (int, np.integer)):
+                    stack_data.setdefault(key, []).append(
+                        np.asarray(value, np.int64))
+                elif isinstance(value, (float, np.floating)):
+                    stack_data.setdefault(key, []).append(
+                        np.asarray(value, np.float32))
+                else:
+                    host_data.setdefault(key, []).append(value)
+            item_lens.append(max_len)
+
+        for key, values in {**seq_data, **stack_data, **host_data}.items():
+            if len(values) != n_items:
+                raise ValueError(
+                    f'device_cache: key {key!r} present in only '
+                    f'{len(values)}/{n_items} items (uniform keys required, '
+                    'as for collate)')
+
+        self.num_items = n_items
+        self.item_lengths = np.asarray(item_lens, np.int64)
+        self._host = host_data
+
+        arenas = {}
+        self._offsets = {}
+        self._lens = {}
+        total_bytes = 0
+        for key, values in seq_data.items():
+            lens = np.asarray([v.shape[0] for v in values], np.int64)
+            offsets = np.zeros(len(values), np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            arena = np.concatenate(values, axis=0) if values else \
+                np.zeros((0,), np.float32)
+            if offsets[-1] + lens[-1] > np.iinfo(np.int32).max:
+                raise CacheOverBudget(
+                    f'device_cache: stream {key!r} exceeds int32 row '
+                    'addressing; corpus too large to cache')
+            arenas[key] = arena
+            self._offsets[key] = offsets.astype(np.int32)
+            self._lens[key] = lens
+            total_bytes += arena.nbytes
+        stacked = {}
+        for key, values in stack_data.items():
+            stacked[key] = np.stack(values)
+            total_bytes += stacked[key].nbytes
+
+        self.bytes = int(total_bytes)
+        if max_bytes is not None and total_bytes > max_bytes:
+            raise CacheOverBudget(
+                f'device_cache: corpus needs {total_bytes / 2**30:.2f} GiB '
+                f'on device, budget is {max_bytes / 2**30:.2f} GiB '
+                '(raise --device_cache_gb or drop --device_cache)')
+
+        # One-time placement. Replicated over the mesh when the batches are
+        # sharded (each device gathers its batch shard from a local arena
+        # copy — no collective in the assemble program).
+        if sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            replicated = NamedSharding(sharding.mesh, PartitionSpec())
+            put = lambda x: jax.device_put(x, replicated)  # noqa: E731
+        elif device is not None:
+            put = lambda x: jax.device_put(x, device)  # noqa: E731
+        else:
+            put = jax.device_put
+        self._arenas = {k: put(v) for k, v in arenas.items()}
+        self._stacked = {k: put(v) for k, v in stacked.items()}
+        self._seq_keys = sorted(arenas)
+        self._stack_keys = sorted(stacked)
+
+    def __len__(self):
+        return self.num_items
+
+    def describe(self):
+        return (f'{self.num_items} items, {len(self._seq_keys)} sequence + '
+                f'{len(self._stacked)} stacked streams, '
+                f'{self.bytes / 2**20:.1f} MiB device-resident')
+
+    def _divides(self, batch):
+        """True when the batch sharding can actually split ``batch`` items
+        (a partial eval batch may not divide the data axis — assemble it
+        replicated instead, mirroring ``ToDeviceWrapper._put``'s fallback)."""
+        try:
+            self._sharding.shard_shape((batch, 1))
+            return True
+        except (ValueError, ZeroDivisionError):
+            return False
+
+    # -- assembly ---------------------------------------------------------
+
+    def _make_fn(self, batch, lengths, shard_out):
+        """Builds the jitted assemble program for one shape signature:
+        ``batch`` items, ``lengths[key]`` padded frames per sequence key."""
+        import jax
+        import jax.numpy as jnp
+
+        seq_keys = self._seq_keys
+        stack_keys = self._stack_keys
+
+        def fn(arenas, stacked, offs, lens, idxs):
+            out = {}
+            for key in seq_keys:
+                T = lengths[key]
+                pos = jnp.arange(T, dtype=jnp.int32)
+                valid = pos[None, :] < lens[key][:, None]
+                rows = jnp.where(valid, offs[key][:, None] + pos[None, :], 0)
+                gathered = arenas[key][rows]          # (B, T, ...)
+                mask = valid.reshape(valid.shape
+                                     + (1,) * (gathered.ndim - 2))
+                # Exact zero in the padding region (collate semantics).
+                out[key] = jnp.where(mask, gathered,
+                                     jnp.zeros((), gathered.dtype))
+            for key in stack_keys:
+                out[key] = stacked[key][idxs]
+            return out
+
+        kwargs = {}
+        if shard_out:
+            kwargs['out_shardings'] = self._sharding
+        return jax.jit(fn, **kwargs)
+
+    def assemble(self, idxs, bucket=True):
+        """Builds the device batch for dataset indices ``idxs`` — the cached
+        equivalent of load + collate + device_put."""
+        idxs = np.asarray(idxs)
+        batch = len(idxs)
+        offs, lens, lengths = {}, {}, {}
+        for key in self._seq_keys:
+            key_lens = self._lens[key][idxs]
+            padded = int(key_lens.max()) if batch else 0
+            if bucket:
+                padded = bucket_size(padded)
+            offs[key] = self._offsets[key][idxs]
+            lens[key] = key_lens.astype(np.int32)
+            lengths[key] = padded
+
+        shard_out = self._sharding is not None and self._divides(batch)
+        sig = (batch, bool(shard_out),
+               tuple(sorted(lengths.items())))
+        fn = self._fns.get(sig)
+        if fn is None:
+            fn = self._fns[sig] = self._make_fn(batch, lengths, shard_out)
+        out = dict(fn(self._arenas, self._stacked, offs, lens,
+                      idxs.astype(np.int32)))
+        for key, values in self._host.items():
+            out[key] = [values[int(i)] for i in idxs]
+        return out

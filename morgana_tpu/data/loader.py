@@ -196,7 +196,11 @@ class DataLoader(object):
         at the checkpointed batch in O(1)."""
         self.skip_batches = int(n)
 
-    def __iter__(self):
+    def iter_batch_indices(self):
+        """Yields the epoch's batch index arrays — the ordering half of
+        ``__iter__`` (shuffle, length-sorted windows, remainder dropping,
+        mid-epoch skip), shared with the device-cached path where batch
+        CONTENT never leaves the device (``data/device_cache.py``)."""
         order = self._order()
         self.epoch += 1
 
@@ -210,6 +214,10 @@ class DataLoader(object):
         skip, self.skip_batches = self.skip_batches, 0
         if skip:
             batches = batches[skip:]
+        return batches
+
+    def __iter__(self):
+        batches = self.iter_batch_indices()
 
         # Pipeline WHOLE batches across the thread pool (not just items
         # within one batch): while batch N is consumed, batches N+1..N+depth
@@ -249,11 +257,19 @@ class ToDeviceWrapper(object):
     """
 
     def __init__(self, data_loader, sharding=None, prefetch=2, device=None,
-                 transfer_dtype=None, device_transform=None):
+                 transfer_dtype=None, device_transform=None,
+                 device_cache=None):
         self.data_loader = data_loader
         self.sharding = sharding
         self.device = device  # explicit placement when no sharding is given
         self.prefetch = max(1, prefetch)
+        # Device-resident corpus (data/device_cache.py): batches assemble ON
+        # device from HBM arenas; the underlying loader supplies only the
+        # index order. Mutually exclusive with multi-host iteration (the
+        # corpus would be host-sharded).
+        self.device_cache = device_cache
+        if device_cache is not None and jax.process_count() > 1:
+            raise ValueError('device_cache is single-host only')
         # Optional wire dtype for float32 SEQUENCE features (ndim >= 3):
         # bf16 halves host->device bytes — the binding term when the device
         # sits behind a bandwidth-limited link (see BASELINE.md e2e
@@ -345,11 +361,37 @@ class ToDeviceWrapper(object):
             out = self.device_transform(out)
         return out
 
+    def _iter_cached(self):
+        """Device-cache iteration: batch indices from the loader's ordering
+        machinery (shuffle / length-sort / skip all apply), content gathered
+        from the HBM arenas — nothing but (B,) index vectors on the wire."""
+        loader = self.data_loader
+        cache = self.device_cache
+        for idxs in loader.iter_batch_indices():
+            if loader.length_sort_window:
+                # The host path learns lengths as it loads items; the cache
+                # knows them outright. Record at the same per-batch cadence
+                # so epoch orders match the host path exactly (epoch 1 is
+                # plain-shuffled either way, epoch 2+ length-sorted).
+                for i in idxs:
+                    loader._lengths[int(i)] = int(cache.item_lengths[int(i)])
+            out = cache.assemble(idxs, bucket=loader.bucket)
+            if self.device_transform is not None:
+                out = self.device_transform(out)
+            yield out
+
     def __iter__(self):
         q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error = []
         stop = threading.Event()
+
+        if self.device_cache is not None:
+            source = self._iter_cached()
+            stage = lambda features: features  # noqa: E731 — already placed
+        else:
+            source = self.data_loader
+            stage = self._put
 
         # Multi-host: _put issues a cross-host collective (the pad-harmonising
         # allgather). Collectives MUST all be enqueued from one thread in one
@@ -373,8 +415,8 @@ class ToDeviceWrapper(object):
 
         def producer():
             try:
-                for features in self.data_loader:
-                    staged = self._put(features) if put_in_producer else features
+                for features in source:
+                    staged = stage(features) if put_in_producer else features
                     if not put_or_stop(staged):
                         return
             except BaseException as e:  # noqa: BLE001 - must surface in consumer
@@ -391,7 +433,7 @@ class ToDeviceWrapper(object):
                     if error:
                         raise error[0]
                     return
-                yield item if put_in_producer else self._put(item)
+                yield item if put_in_producer else stage(item)
         finally:
             # Runs on generator close/GC as well as normal exit: release the
             # producer and drop any staged batches.
@@ -405,7 +447,8 @@ class ToDeviceWrapper(object):
 
 def batch(data_generator, batch_size=32, shuffle=True, num_data_threads=0,
           device=None, sharding=None, seed=0, drop_remainder=False, prefetch=2,
-          length_sort_window=0, transfer_dtype=None, device_transform=None):
+          length_sort_window=0, transfer_dtype=None, device_transform=None,
+          device_cache=None):
     r"""Creates the batched, device-prefetching loader for a dataset
     (reference API: ``morgana/data.py:29-57``)."""
     loader = DataLoader(data_generator, batch_size=batch_size, shuffle=shuffle,
@@ -414,4 +457,5 @@ def batch(data_generator, batch_size=32, shuffle=True, num_data_threads=0,
                         length_sort_window=length_sort_window)
     return ToDeviceWrapper(loader, sharding=sharding, prefetch=prefetch,
                            device=device, transfer_dtype=transfer_dtype,
-                           device_transform=device_transform)
+                           device_transform=device_transform,
+                           device_cache=device_cache)

@@ -332,6 +332,20 @@ class ExperimentBuilder(object):
                                  'only raw streams cross the host->device wire (~5x fewer '
                                  'bytes at flagship shapes), reconstructed exactly on device. '
                                  'Speaker-dependent normalisers keep the host path.')
+        parser.add_argument('--device_cache', dest='device_cache',
+                            action='store_true', default=False,
+                            help='Keep the WHOLE corpus resident in device memory (per-stream '
+                                 'arenas) and assemble every batch on device by gather: after '
+                                 'the one-time upload, only tiny (B,) index vectors cross the '
+                                 'host->device wire (~8 bytes/utterance vs megabytes). The '
+                                 'answer to link-bound training when the corpus fits in HBM; '
+                                 'falls back to the streaming loader (with a warning) when it '
+                                 'does not. Single-host only. Composes with '
+                                 '--device_normalise (only raw streams are cached).')
+        parser.add_argument('--device_cache_gb', dest='device_cache_gb',
+                            action='store', type=float, default=4.0,
+                            help='Device-memory budget for --device_cache in GiB (default 4.0). '
+                                 'A corpus over budget falls back to the streaming loader.')
         parser.add_argument('--debug_nans', dest='debug_nans', action='store_true', default=False,
                             help='Debugging: raise at the FIRST operation producing a NaN/Inf '
                                  '(jax_debug_nans) instead of tripping the end-of-epoch '
@@ -435,6 +449,8 @@ class ExperimentBuilder(object):
         self.compute_dtype = kwargs.get('compute_dtype', 'float32')
         self.transfer_dtype = kwargs.get('transfer_dtype')
         self.device_normalise = kwargs.get('device_normalise', False)
+        self.device_cache = kwargs.get('device_cache', False)
+        self.device_cache_gb = float(kwargs.get('device_cache_gb', 4.0) or 0.)
         self.length_sort_window = kwargs.get('length_sort_window', 0)
         nn.set_default_compute_dtype(self.compute_dtype)
         if kwargs.get('debug_nans'):
@@ -1006,6 +1022,11 @@ class ExperimentBuilder(object):
                 raise ValueError(
                     "To use the 'plateau' learning rate schedule you must turn on the validation process.")
 
+        if self.device_cache and self.multihost:
+            raise ValueError(
+                '--device_cache is single-host only (each multi-host process '
+                'loads a different corpus shard); drop one of the flags.')
+
         if (not self.train) and (self.valid or self.test):
             if self.checkpoint_path:
                 self.epoch = utils.get_epoch_from_checkpoint_path(self.checkpoint_path)
@@ -1063,13 +1084,30 @@ class ExperimentBuilder(object):
                     '%s: final partial batch of %d utterance(s) is dropped '
                     '(sharded %s batches must be full-size)',
                     name, dropped, name)
+        device_cache = None
+        if self.device_cache:
+            from morgana_tpu.data.device_cache import (CacheOverBudget,
+                                                       DeviceCorpusCache)
+            try:
+                device_cache = DeviceCorpusCache(
+                    dataset,
+                    max_bytes=int(self.device_cache_gb * 2**30) or None,
+                    sharding=self.batch_sharding or None)
+                self.logger.info('%s: device cache built — %s; per-batch '
+                                 'wire traffic is now index vectors only',
+                                 name, device_cache.describe())
+            except CacheOverBudget as e:
+                self.logger.warning(
+                    '%s: --device_cache falls back to the streaming loader '
+                    '(%s)', name, e)
         return data.batch(dataset, batch_size=self.local_batch_size, shuffle=shuffle,
                           num_data_threads=self.num_data_threads,
                           sharding=self.batch_sharding, seed=self.seed,
                           drop_remainder=drop_remainder,
                           length_sort_window=self.length_sort_window if shuffle else 0,
                           transfer_dtype=self.transfer_dtype,
-                          device_transform=device_transform)
+                          device_transform=device_transform,
+                          device_cache=device_cache)
 
     # ----------------------------------------------------------------- train
 
