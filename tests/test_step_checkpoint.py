@@ -86,6 +86,45 @@ class TestMidEpochResume:
                 np.testing.assert_array_equal(
                     ref[key], res[key], err_msg=f'{fname}:{key}')
 
+    def test_device_cache_mid_epoch_resume_is_exact(self, voice_data,
+                                                    tmp_path):
+        """--device_cache shares the ordering machinery (iter_batch_indices)
+        with the streaming loader, so an interrupted cached run must resume
+        to BITWISE-identical parameters too — and match the uninterrupted
+        STREAMING run (batches are bitwise equal across the two paths)."""
+        exp_a = _build(voice_data, tmp_path, 'dcstep_a', end_epoch=2)
+        exp_a.run_experiment()
+        dir_a = os.path.join(str(tmp_path / 'experiments'), 'dcstep_a')
+
+        exp_b = _build(voice_data, tmp_path, 'dcstep_b', end_epoch=2,
+                       step_checkpoint_interval=2, device_cache=True)
+        orig_step = exp_b.loop.train_step
+        calls = {'n': 0}
+
+        def interrupting(features, lr, force_apply=False):
+            calls['n'] += 1
+            if calls['n'] == 7:
+                raise KeyboardInterrupt
+            return orig_step(features, lr, force_apply=force_apply)
+
+        exp_b.loop.train_step = interrupting
+        with pytest.raises(KeyboardInterrupt):
+            exp_b.run_experiment()
+
+        exp_b2 = _build(voice_data, tmp_path, 'dcstep_b', end_epoch=2,
+                        step_checkpoint_interval=2, device_cache=True,
+                        checkpoint_path='latest')
+        assert exp_b2._resume_batches_done == 2
+        exp_b2.run_experiment()
+
+        dir_b = os.path.join(str(tmp_path / 'experiments'), 'dcstep_b')
+        for fname in ('epoch_2.npz', 'epoch_2_ema.npz'):
+            ref, res = _params(dir_a, fname), _params(dir_b, fname)
+            assert set(ref) == set(res)
+            for key in ref:
+                np.testing.assert_array_equal(
+                    ref[key], res[key], err_msg=f'{fname}:{key}')
+
     def test_torn_step_pair_resumes_from_sidecar(self, voice_data, tmp_path):
         """step.npz and its sidecar are each written atomically but
         sequentially: a crash BETWEEN the two leaves a newer step.npz beside
