@@ -1523,6 +1523,17 @@ class ExperimentBuilder(object):
         """--search_batch_size: compile-time capacity search instead of
         training. Writes batch_size_search.txt and logs the result."""
         limit_bytes = int(self.search_batch_size * 2 ** 30)
+        # --device_cache holds the corpus arenas in HBM alongside the step
+        # program: they are real, persistent allocations the search must
+        # leave room for.
+        cache_bytes = 0
+        for loader in (self.train_loader, getattr(self, 'valid_loader', None),
+                       getattr(self, 'test_loader', None)):
+            cache = getattr(loader, 'device_cache', None)
+            if cache is not None:
+                cache_bytes += cache.bytes
+        if cache_bytes:
+            limit_bytes = max(limit_bytes - cache_bytes, 0)
         # Pull the batch through the full loader path (ToDeviceWrapper), not
         # data_loader: the probe must see the post---transfer_dtype dtypes
         # and the data-parallel sharding, or it compiles a different program
@@ -1542,6 +1553,10 @@ class ExperimentBuilder(object):
                  f'{self.search_batch_size:g} GiB '
                  f'({limit_bytes} bytes) for the fused train step of '
                  f'{type(self.model).__name__}', '']
+        if cache_bytes:
+            lines.append(f'--device_cache arenas reserve '
+                         f'{cache_bytes / 2 ** 20:.1f} MiB of the budget '
+                         '(already subtracted from the limit above).')
         max_len = max((v.shape[1] for v in probe_batch.values()
                        if hasattr(v, 'shape') and v.ndim >= 2), default=None)
         lines.append(f'Probed at the first batch\'s length bucket '

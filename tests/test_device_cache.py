@@ -216,6 +216,22 @@ class TestTraining:
         with pytest.raises(ValueError, match='single-host'):
             ExperimentBuilder(TinyF0Model, experiment_name='dc_mh', **args)
 
+    def test_capacity_search_reserves_arena_bytes(self, voice_data, tmp_path):
+        """--search_batch_size must leave room for the resident arenas."""
+        import os
+        args = builder_args(voice_data['data_root'],
+                            str(tmp_path / 'experiments'),
+                            device_cache=True, search_batch_size=2.0,
+                            valid=False)
+        nn.manual_seed(args['seed'])
+        exp = ExperimentBuilder(TinyF0Model, experiment_name='dc_search',
+                                **args)
+        exp.run_experiment()
+        report = os.path.join(exp.experiment_dir, 'batch_size_search.txt')
+        with open(report) as f:
+            text = f.read()
+        assert 'device_cache arenas reserve' in text
+
     def test_flag_surface(self):
         args = ExperimentBuilder.get_experiment_args(['--experiment_name', 'x'])
         assert args['device_cache'] is False
