@@ -472,7 +472,11 @@ def bench_e2e(num_utts=512, epochs=4, num_data_threads=8, transfer_dtype=None,
             num_data_threads=num_data_threads, end_epoch=epochs,
             valid=False, test=False, model_checkpoint_interval=10 ** 6,
             ema_decay=0., transfer_dtype=transfer_dtype,
-            device_normalise=device_normalise, device_cache=device_cache)
+            device_normalise=device_normalise, device_cache=device_cache,
+            # The recommended throughput config: reading metrics every batch
+            # forces a host sync per read; staged merges are lazy, so the
+            # sync cadence follows the log cadence (docs/design.md).
+            log_interval=25)
         name = args.pop('experiment_name')
         exp = ExperimentBuilder(LSTMAcousticModel, experiment_name=name, **args)
         exp.run_experiment()

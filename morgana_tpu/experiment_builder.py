@@ -1244,7 +1244,9 @@ class ExperimentBuilder(object):
         self._log_metrics_to_tensorboard('train')
 
         self.model.mode = ''
-        return float(np.mean([float(l) for l in losses])) if losses else 0.0
+        # One bulk transfer, not a readback per batch scalar (each float()
+        # of a device array is a full round trip on a tunnelled device).
+        return float(np.mean(jax.device_get(losses))) if losses else 0.0
 
     def run_train(self):
         r"""Runs training from ``start_epoch`` to ``end_epoch``: checkpointing
@@ -1450,7 +1452,9 @@ class ExperimentBuilder(object):
 
         model.mode = ''
         self.model.mode = ''
-        return float(np.mean([float(l) for l in losses])) if losses else 0.0
+        # One bulk transfer, not a readback per batch scalar (each float()
+        # of a device array is a full round trip on a tunnelled device).
+        return float(np.mean(jax.device_get(losses))) if losses else 0.0
 
     def run_valid(self, gen_output):
         r"""Runs evaluation for the current epoch (EMA weights if enabled,

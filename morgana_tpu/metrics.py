@@ -91,9 +91,17 @@ class Handler(StatefulMetric):
         # separate tags keep interleaved traces of different compiled step
         # functions (train/eval/predict) from clobbering each other's keys.
         self._keys_by_tag = {}
+        # Staged batches awaiting their host merge: [(keys, device pytree)].
+        # apply_staged only STASHES; flush_staged does one bulk device_get.
+        self._pending = []
+        self._flushing = False
 
     def __getitem__(self, name):
         if name in self.collections:
+            # Public access point: anyone grabbing a collection is about to
+            # READ metric state, so pending staged batches merge first
+            # (internal hot paths index self.collections directly).
+            self.flush_staged()
             return self.collections[name]
         raise ValueError(f'No collection found by the name {name}')
 
@@ -114,6 +122,9 @@ class Handler(StatefulMetric):
             self[collection].update(self[from_collection])
 
     def reset_state(self, collection, *args):
+        # Pending batches belong to the PREVIOUS read window: merge them
+        # before the reset so nothing re-surfaces in the fresh epoch.
+        self.flush_staged()
         for metric in self[collection].values():
             metric.reset_state()
 
@@ -147,32 +158,74 @@ class Handler(StatefulMetric):
         return vals
 
     def apply_staged(self, values, tag='default'):
-        """Merges concrete staged values into their accumulators. Values
-        come as the keyed dict :meth:`drain_staged_values` builds (identity
-        rides in the keys); a bare list (legacy form) is paired with the
-        tag's recorded key sequence instead."""
+        """Records one step's staged partials for merging. Values come as
+        the keyed dict :meth:`drain_staged_values` builds (identity rides in
+        the keys); a bare list (legacy form) is paired with the tag's
+        recorded key sequence instead.
+
+        The merge itself is LAZY: values are stashed as device arrays and
+        merged by :meth:`flush_staged` (one bulk ``jax.device_get``) the
+        next time any result is read. Per-metric eager merges each forced a
+        tiny device->host readback every batch — on a tunnelled device a
+        full network round trip per metric per step, which dominated
+        end-to-end training once batch uploads were eliminated
+        (``--device_cache``). Reads (results/str/reset) flush first, so the
+        observable accumulator semantics are unchanged; the sync cadence is
+        now set by how often results are READ (``--log_interval``), not by
+        the batch rate."""
         if isinstance(values, dict):
+            keys = []
+            vals = []
             for key in sorted(values):
                 _, collection, name = key.split('|', 2)
-                metric = self[collection][name]
-                metric.hidden = metric._hidden
-                metric.merge(values[key])
+                keys.append((collection, name))
+                vals.append(values[key])
+            self._pending.append((keys, vals))
             return
         keys = self._keys_by_tag.get(tag, [])
         if len(keys) != len(values):
             # The legacy list form has no per-value identity; the key list
             # records the LAST trace's sequence, so a length mismatch means
             # another executable is feeding this tag — zip would silently
-            # mispair values into the wrong accumulators.
+            # mispair values into the wrong accumulators. (Validated NOW,
+            # against the tag state at apply time, not at flush.)
             raise ValueError(
                 f"staged-metric mismatch for tag {tag!r}: {len(values)} "
                 f"values vs {len(keys)} recorded keys. Accumulate the same "
                 f"metrics on every trace of a step (use zero-valued inputs "
                 f"instead of skipping the call).")
-        for (collection, name), val in zip(keys, values):
-            metric = self[collection][name]
-            metric.hidden = metric._hidden
-            metric.merge(val)
+        self._pending.append((list(keys), list(values)))
+
+    @staticmethod
+    def _to_host(tree):
+        """Fetches every jax array in ``tree`` with one batched async
+        round (all copies issued before any wait); host objects (numpy,
+        strings, python scalars) pass through untouched."""
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        for leaf in leaves:
+            if isinstance(leaf, jax.Array):
+                leaf.copy_to_host_async()
+        out = [np.asarray(leaf) if isinstance(leaf, jax.Array) else leaf
+               for leaf in leaves]
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def flush_staged(self):
+        """Merges every pending batch into its accumulators with ONE bulk
+        host transfer. Idempotent; called automatically by every read path
+        (result/results_as_*/__str__/reset_state)."""
+        if not self._pending or self._flushing:
+            return
+        self._flushing = True
+        try:
+            pending, self._pending = self._pending, []
+            all_vals = self._to_host([vals for _, vals in pending])
+            for (keys, _), vals in zip(pending, all_vals):
+                for (collection, name), val in zip(keys, vals):
+                    metric = self.collections[collection][name]
+                    metric.hidden = metric._hidden
+                    metric.merge(val)
+        finally:
+            self._flushing = False
 
     # -- accumulate ----------------------------------------------------------
 
@@ -184,21 +237,31 @@ class Handler(StatefulMetric):
             else:
                 kwinputs = dict()
 
-            metric = self[collection][metric_name]
+            metric = self.collections[collection][metric_name]
             if self._staging:
                 self._staged_keys.append((collection, metric_name))
                 self._staged_vals.append(metric.partials(*inputs, **kwinputs))
             else:
-                metric.accumulate(*inputs, **kwinputs)
+                # Host-path accumulation is LAZY too (the epoch loop feeds
+                # device scalars like batch_loss every step): partials are
+                # computed now, the merge's host readback joins the next
+                # flush_staged bulk transfer.
+                metric.hidden = metric._hidden
+                self._pending.append(
+                    ([(collection, metric_name)],
+                     [metric.partials(*inputs, **kwinputs)]))
 
     def result(self, collection='all', *args):
+        self.flush_staged()
         return {name: metric.result(*args) for name, metric in self[collection].items()}
 
     def results_as_json_dict(self, collection='all', prefix=''):
+        self.flush_staged()
         return {prefix + name: metric.result_as_json()
                 for name, metric in self[collection].items() if not metric.hidden}
 
     def results_as_str_dict(self, collection='all', prefix=''):
+        self.flush_staged()
         return {prefix + name: str(metric)
                 for name, metric in self[collection].items() if not metric.hidden}
 
