@@ -685,21 +685,22 @@ def main():
             e2e = _e2e_subprocess()
         except Exception:
             pass
-    # Same epoch with --device_normalise: only raw streams cross the wire
-    # (normalisation + delta windows reconstructed on device), ~5x fewer
-    # upload bytes — the recommended config when the link bounds e2e.
-    if not degraded and remaining() > 300:
-        try:
-            e2e_devnorm = _e2e_subprocess(device_normalise=True)
-        except Exception:
-            pass
-    # And with the corpus device-RESIDENT (--device_cache --device_normalise):
+    # With the corpus device-RESIDENT (--device_cache --device_normalise):
     # steady-state epochs upload only (B,) index vectors — the wire leaves
     # the picture entirely (one-time arena upload amortised over training).
+    # Runs before the devnorm-only row: it is the headline e2e config.
     if not degraded and remaining() > 300:
         try:
             e2e_devcache = _e2e_subprocess(device_normalise=True,
                                            device_cache=True)
+        except Exception:
+            pass
+    # Same epoch with --device_normalise only: raw streams cross the wire
+    # (normalisation + delta windows reconstructed on device), ~5x fewer
+    # upload bytes — the recommended config when the corpus exceeds HBM.
+    if not degraded and remaining() > 300:
+        try:
+            e2e_devnorm = _e2e_subprocess(device_normalise=True)
         except Exception:
             pass
 
