@@ -178,6 +178,12 @@ class DeviceCorpusCache(object):
             put = jax.device_put
         self._arenas = {k: put(v) for k, v in arenas.items()}
         self._stacked = {k: put(v) for k, v in stacked.items()}
+        # Offset/length tables also live on device: per-batch assembly then
+        # uploads ONE (B,) index vector and gathers everything else locally
+        # (host copies stay for the static padded-shape computation).
+        self._offsets_dev = {k: put(v) for k, v in self._offsets.items()}
+        self._lens_dev = {k: put(v.astype(np.int32))
+                          for k, v in self._lens.items()}
         self._seq_keys = sorted(arenas)
         self._stack_keys = sorted(stacked)
 
@@ -201,22 +207,28 @@ class DeviceCorpusCache(object):
 
     # -- assembly ---------------------------------------------------------
 
-    def _make_fn(self, batch, lengths, shard_out):
+    def _make_fn(self, batch, lengths, shard_out, post=None):
         """Builds the jitted assemble program for one shape signature:
-        ``batch`` items, ``lengths[key]`` padded frames per sequence key."""
+        ``batch`` items, ``lengths[key]`` padded frames per sequence key.
+        ``post`` (the loader's device transform) is fused INTO the program
+        so assembly + normalisation/deltas run as ONE dispatch."""
         import jax
         import jax.numpy as jnp
 
         seq_keys = self._seq_keys
         stack_keys = self._stack_keys
+        offsets_dev = self._offsets_dev
+        lens_dev = self._lens_dev
 
-        def fn(arenas, stacked, offs, lens, idxs):
+        def fn(arenas, stacked, idxs):
             out = {}
             for key in seq_keys:
                 T = lengths[key]
+                offs = offsets_dev[key][idxs]
+                lens = lens_dev[key][idxs]
                 pos = jnp.arange(T, dtype=jnp.int32)
-                valid = pos[None, :] < lens[key][:, None]
-                rows = jnp.where(valid, offs[key][:, None] + pos[None, :], 0)
+                valid = pos[None, :] < lens[:, None]
+                rows = jnp.where(valid, offs[:, None] + pos[None, :], 0)
                 gathered = arenas[key][rows]          # (B, T, ...)
                 mask = valid.reshape(valid.shape
                                      + (1,) * (gathered.ndim - 2))
@@ -225,6 +237,8 @@ class DeviceCorpusCache(object):
                                      jnp.zeros((), gathered.dtype))
             for key in stack_keys:
                 out[key] = stacked[key][idxs]
+            if post is not None:
+                out = post(out)
             return out
 
         kwargs = {}
@@ -232,29 +246,31 @@ class DeviceCorpusCache(object):
             kwargs['out_shardings'] = self._sharding
         return jax.jit(fn, **kwargs)
 
-    def assemble(self, idxs, bucket=True):
+    def assemble(self, idxs, bucket=True, post=None):
         """Builds the device batch for dataset indices ``idxs`` — the cached
-        equivalent of load + collate + device_put."""
+        equivalent of load + collate + device_put (+ the device transform,
+        when ``post`` is given — one fused program, one dispatch, and the
+        only per-batch host->device transfer is the (B,) index vector).
+        ``post`` must be the same callable across calls (it is baked into
+        the compiled program per shape signature)."""
         idxs = np.asarray(idxs)
         batch = len(idxs)
-        offs, lens, lengths = {}, {}, {}
+        lengths = {}
         for key in self._seq_keys:
             key_lens = self._lens[key][idxs]
             padded = int(key_lens.max()) if batch else 0
             if bucket:
                 padded = bucket_size(padded)
-            offs[key] = self._offsets[key][idxs]
-            lens[key] = key_lens.astype(np.int32)
             lengths[key] = padded
 
         shard_out = self._sharding is not None and self._divides(batch)
-        sig = (batch, bool(shard_out),
+        sig = (batch, bool(shard_out), post is not None,
                tuple(sorted(lengths.items())))
         fn = self._fns.get(sig)
         if fn is None:
-            fn = self._fns[sig] = self._make_fn(batch, lengths, shard_out)
-        out = dict(fn(self._arenas, self._stacked, offs, lens,
-                      idxs.astype(np.int32)))
+            fn = self._fns[sig] = self._make_fn(batch, lengths, shard_out,
+                                                post=post)
+        out = dict(fn(self._arenas, self._stacked, idxs.astype(np.int32)))
         for key, values in self._host.items():
             out[key] = [values[int(i)] for i in idxs]
         return out

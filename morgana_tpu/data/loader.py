@@ -375,10 +375,10 @@ class ToDeviceWrapper(object):
                 # plain-shuffled either way, epoch 2+ length-sorted).
                 for i in idxs:
                     loader._lengths[int(i)] = int(cache.item_lengths[int(i)])
-            out = cache.assemble(idxs, bucket=loader.bucket)
-            if self.device_transform is not None:
-                out = self.device_transform(out)
-            yield out
+            # The device transform fuses INTO the assemble program (one
+            # dispatch per batch; see DeviceCorpusCache.assemble).
+            yield cache.assemble(idxs, bucket=loader.bucket,
+                                 post=self.device_transform)
 
     def __iter__(self):
         q = queue.Queue(maxsize=self.prefetch)
