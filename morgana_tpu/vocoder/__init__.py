@@ -8,7 +8,11 @@ implementations with identical semantics:
 
 * a native C++ library (``csrc/world_synth.cpp``) loaded via ctypes — the
   production path for host-side post-processing;
-* a NumPy fallback used when the shared library has not been built.
+* a NumPy fallback used when the shared library has not been built;
+* an on-device jax implementation (``jax_world``, lazily imported) that
+  synthesises a whole batch of utterances as ONE compiled XLA program on
+  the accelerator (``synthesize_batch`` / ``synthesize_world_feats_jax``)
+  — see ``benchmarks/bench_vocoder.py`` for the host-vs-device numbers.
 
 Synthesis model: per-frame excitation (glottal pulses at f0, white noise for
 the aperiodic band) filtered by the minimum-phase reconstruction of the
