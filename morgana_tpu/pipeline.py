@@ -119,12 +119,18 @@ class TTSPipeline(object):
 
     def __init__(self, duration_engine, acoustic_engine,
                  min_frames_per_phone=1, max_total_frames=None,
-                 sample_rate=16000, counter_fn=None):
+                 sample_rate=16000, counter_fn=None, device_vocoder=False):
         self.duration_engine = duration_engine
         self.acoustic_engine = acoustic_engine
         self.min_frames_per_phone = int(min_frames_per_phone)
         self.max_total_frames = max_total_frames
         self.sample_rate = int(sample_rate)
+        # device_vocoder: synthesise ALL waveforms as one batched XLA
+        # program on the accelerator (vocoder/jax_world.py, ~12x the
+        # per-utterance host loop on the bench chip) instead of the host
+        # C++/numpy path. Same algorithm; the excitation noise comes from a
+        # jax PRNG rather than the host path's per-utterance numpy seed.
+        self.device_vocoder = bool(device_vocoder)
         if counter_fn is None:
             # The data-prep CLI's definition — train/serve identical for
             # corpora prepared by `python -m morgana_tpu.data.prepare`. A
@@ -207,12 +213,16 @@ class TTSPipeline(object):
             out = dict(acoustic[name])
             out['dur'] = durs[name]
             out['n_frames'] = int(np.asarray(item['n_frames']).ravel()[0])
-            wav = self._synthesize_wav(out)
-            if wav is not None:
-                out['wav'] = wav
-            if out_dir:
-                self._dump_outputs(name, out, out_dir)
+            if not self.device_vocoder:
+                wav = self._synthesize_wav(out)
+                if wav is not None:
+                    out['wav'] = wav
             results[name] = out
+        if self.device_vocoder:
+            self._synthesize_wavs_device(results)
+        if out_dir:
+            for name, out in results.items():
+                self._dump_outputs(name, out, out_dir)
         return results
 
     def _dump_outputs(self, name, out, out_dir):
@@ -271,6 +281,49 @@ class TTSPipeline(object):
 
     # ------------------------------------------------------------- vocoder
 
+    def _synthesize_wavs_device(self, results):
+        """Adds ``'wav'`` to every result carrying the full WORLD parameter
+        set, via ONE batched on-device synthesis program
+        (``vocoder.jax_world.synthesize_batch``). f0 smoothing (a tiny (T,)
+        host filter) stays on host, matching the host recipe."""
+        from morgana_tpu import vocoder
+        from morgana_tpu.vocoder import jax_world
+        from morgana_tpu.data.dataset import bucket_size
+
+        names = [n for n, out in results.items()
+                 if all(k in out for k in ('lf0', 'vuv', 'mcep', 'bap'))]
+        if not names:
+            return
+        f0s, vuvs, lens = [], [], []
+        for name in names:
+            out = results[name]
+            lf0 = np.asarray(out['lf0'], np.float64).reshape(-1)
+            f0s.append(vocoder.smooth_f0(np.exp(lf0)))
+            vuvs.append((np.asarray(out['vuv']).reshape(-1) > 0.5)
+                        .astype(np.float32))
+            lens.append(lf0.shape[0])
+        T = bucket_size(max(lens))
+        mcep_dim = np.asarray(results[names[0]]['mcep']).shape[-1]
+        bap_dim = np.asarray(results[names[0]]['bap']).shape[-1]
+        batch = len(names)
+        f0_b = np.zeros((batch, T), np.float32)
+        vuv_b = np.zeros((batch, T), np.float32)
+        mcep_b = np.zeros((batch, T, mcep_dim), np.float32)
+        bap_b = np.zeros((batch, T, bap_dim), np.float32)
+        for i, name in enumerate(names):
+            l = lens[i]
+            f0_b[i, :l] = f0s[i][:l]
+            vuv_b[i, :l] = vuvs[i][:l]
+            mcep_b[i, :l] = np.asarray(results[name]['mcep'],
+                                       np.float32)[:l]
+            bap_b[i, :l] = np.asarray(results[name]['bap'], np.float32)[:l]
+        waves, wave_lens = jax_world.synthesize_batch(
+            f0_b, vuv_b, mcep_b, bap_b, np.asarray(lens), self.sample_rate)
+        waves = np.asarray(waves)
+        wave_lens = np.asarray(wave_lens)
+        for i, name in enumerate(names):
+            results[name]['wav'] = waves[i, :int(wave_lens[i])]
+
     def _synthesize_wav(self, outputs):
         """WORLD synthesis when the full parameter set is present — the same
         recipe as ``models/rnn_spss.py``'s analysis hook."""
@@ -316,6 +369,12 @@ def main(argv=None):
     parser.add_argument('--data_parallel', action='store_true', default=False,
                         help='Shard both stages\' prediction batches over '
                              'all local devices.')
+    parser.add_argument('--device_vocoder', action='store_true',
+                        default=False,
+                        help='Synthesise all waveforms as one batched XLA '
+                             'program on the accelerator instead of the '
+                             'per-utterance host vocoder (bulk-generation '
+                             'throughput; see benchmarks/bench_vocoder.py).')
     parser.add_argument('--duration_model_kwargs', default='{}')
     parser.add_argument('--acoustic_model_kwargs', default='{}')
     parser.add_argument('--evaluate_against', default=None,
@@ -353,7 +412,8 @@ def main(argv=None):
     pipeline = TTSPipeline(duration_engine, acoustic_engine,
                            min_frames_per_phone=args.min_frames_per_phone,
                            max_total_frames=args.max_total_frames,
-                           sample_rate=args.sample_rate)
+                           sample_rate=args.sample_rate,
+                           device_vocoder=args.device_vocoder)
     start = time.perf_counter()
     results = pipeline.synthesize_ids(ids, data_dir=args.data_dir,
                                       out_dir=args.out_dir)

@@ -126,6 +126,30 @@ class TestTTSPipeline:
             assert os.path.exists(os.path.join(out_dir, 'synth',
                                                f'{utt}.wav'))
 
+    def test_device_vocoder_matches_host_structure(self, engines, tmp_path):
+        """device_vocoder=True: the SAME pipeline synthesises every wav as
+        one batched on-device program. Lengths match the host vocoder
+        exactly; the waveform differs only in the excitation noise draw, so
+        energies agree to within a small factor."""
+        ids = _test_ids(engines['root'])
+        host = TTSPipeline(engines['duration'],
+                           engines['acoustic']).synthesize_ids(
+            ids, data_dir='test')
+        out_dir = str(tmp_path / 'tts_dev')
+        dev = TTSPipeline(engines['duration'], engines['acoustic'],
+                          device_vocoder=True).synthesize_ids(
+            ids, data_dir='test', out_dir=out_dir)
+        assert set(dev) == set(ids)
+        for utt in ids:
+            h, d = host[utt]['wav'], dev[utt]['wav']
+            assert len(d) == len(h)
+            assert np.isfinite(d).all()
+            h_rms = np.sqrt(np.mean(np.asarray(h) ** 2))
+            d_rms = np.sqrt(np.mean(np.asarray(d, np.float64) ** 2))
+            assert 0.3 < d_rms / h_rms < 3.0, (utt, d_rms, h_rms)
+            assert os.path.exists(os.path.join(out_dir, 'synth',
+                                               f'{utt}.wav'))
+
     def test_counters_match_data_prep_definition(self, engines):
         """The pipeline rebuilds 'counters' with data/prepare.py's exact
         function, keeping the train/serve feature definition identical."""
