@@ -503,10 +503,10 @@ def bench_e2e(num_utts=512, epochs=4, num_data_threads=8, transfer_dtype=None,
                           if isinstance(v, np.ndarray))
         cache = getattr(exp.train_loader, 'device_cache', None)
         if cache is not None:
-            # Per-batch wire traffic is the (B,) offset/length/index vectors
-            # only; the corpus itself was a one-time arena upload.
-            n_seq = len(cache._seq_keys)
-            batch_bytes = 4 * BATCH * (2 * n_seq + 1)
+            # Per-batch wire traffic is ONE (B,) int32 index vector (offset/
+            # length tables live on device); the corpus itself was a
+            # one-time arena upload.
+            batch_bytes = 4 * BATCH
         batch_frames = float(np.asarray(host_batch['n_frames']).sum())
         out = {'e2e_frames_per_sec': float(best),
                'e2e_utts': num_utts, 'e2e_epochs_measured': epochs - 1,

@@ -53,21 +53,16 @@ class CacheOverBudget(RuntimeError):
 
 
 def _iter_items(dataset, chunk=64):
-    """Yields every item dict in dataset-index order, using the native
-    batch preloader (GIL-free C++ reads) in chunks when available."""
-    preload = getattr(dataset, 'preload_batch', None)
-    build = getattr(dataset, 'build_item', None)
+    """Yields every item dict in dataset-index order, reading through the
+    loader's item-load dispatch (``loader.load_items`` — native batch
+    preloader when available) so the cache sees exactly what the streaming
+    path would."""
+    from morgana_tpu.data.loader import load_items
     n = len(dataset)
     for start in range(0, n, chunk):
         idxs = list(range(start, min(start + chunk, n)))
-        pre = preload(idxs) if preload is not None and build is not None \
-            else None
-        if pre:
-            for j, i in enumerate(idxs):
-                yield build(i, {name: arrs[j] for name, arrs in pre.items()})
-        else:
-            for i in idxs:
-                yield dataset[i]
+        for item in load_items(dataset, idxs):
+            yield item
 
 
 class DeviceCorpusCache(object):
@@ -104,10 +99,18 @@ class DeviceCorpusCache(object):
             n_items += 1
             max_len = 0
             for key, value in item.items():
+                # Mirror ToDeviceWrapper._put's dtype filter: only numeric
+                # arrays are device-residable; string/object arrays stay on
+                # host exactly as the streaming loader passes them through.
+                numeric = isinstance(value, np.ndarray) \
+                    and value.dtype.kind in 'fiub'
                 if isinstance(value, np.ndarray) and value.ndim > 1:
-                    seq_data.setdefault(key, []).append(value)
+                    # Length recording matches DataLoader._record_lengths
+                    # (ANY ndim>1 array counts, numeric or not).
                     max_len = max(max_len, value.shape[0])
-                elif isinstance(value, np.ndarray):
+                if numeric and value.ndim > 1:
+                    seq_data.setdefault(key, []).append(value)
+                elif numeric:
                     stack_data.setdefault(key, []).append(value)
                 elif isinstance(value, bool):
                     # bool before int: Python bool subclasses int (collate's
@@ -272,5 +275,9 @@ class DeviceCorpusCache(object):
                                                 post=post)
         out = dict(fn(self._arenas, self._stacked, idxs.astype(np.int32)))
         for key, values in self._host.items():
-            out[key] = [values[int(i)] for i in idxs]
+            picked = [values[int(i)] for i in idxs]
+            # collate semantics for host-kept values: ndarrays (e.g. string
+            # arrays) stack to (B, ...); other objects pass through as lists.
+            out[key] = np.stack(picked) \
+                if isinstance(picked[0], np.ndarray) else picked
         return out

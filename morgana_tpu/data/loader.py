@@ -20,7 +20,25 @@ from concurrent.futures import ThreadPoolExecutor
 import jax
 import numpy as np
 
-__all__ = ['DataLoader', 'batch', 'ToDeviceWrapper']
+__all__ = ['DataLoader', 'batch', 'ToDeviceWrapper', 'load_items']
+
+
+def load_items(dataset, idxs, pool=None):
+    """Loads the items at ``idxs``, preferring the dataset's native batch
+    preloader (GIL-free C++ reads in one parallel call); otherwise per-item
+    loads, optionally spread over ``pool``. The ONE implementation of the
+    preload/fallback dispatch — shared by the streaming loader and the
+    device-cache builder so both paths read items identically."""
+    preload = getattr(dataset, 'preload_batch', None)
+    build = getattr(dataset, 'build_item', None)
+    preloaded = preload(idxs) if preload is not None and build is not None \
+        else None
+    if preloaded:
+        return [build(i, {name: arrs[j] for name, arrs in preloaded.items()})
+                for j, i in enumerate(idxs)]
+    if pool is not None:
+        return list(pool.map(dataset.__getitem__, idxs))
+    return [dataset[i] for i in idxs]
 
 
 class DataLoader(object):
@@ -134,15 +152,8 @@ class DataLoader(object):
         ``use_pool`` spreads the per-item Python file loads over the thread
         pool (the pre-pipelining strategy, still right for the pure-Python
         path where batch-level workers would just contend on the GIL)."""
-        preload = getattr(self.dataset, 'preload_batch', None)
-        preloaded = preload(idxs) if preload is not None else None
-        if preloaded:
-            return [self.dataset.build_item(
-                        i, {name: arrs[j] for name, arrs in preloaded.items()})
-                    for j, i in enumerate(idxs)]
-        if use_pool and self._pool is not None:
-            return list(self._pool.map(self.dataset.__getitem__, idxs))
-        return [self.dataset[i] for i in idxs]
+        return load_items(self.dataset, idxs,
+                          pool=self._pool if use_pool else None)
 
     def _build_batch(self, idxs, use_pool=False):
         """One complete batch: load + (optional) length recording + collate.

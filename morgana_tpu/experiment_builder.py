@@ -1088,14 +1088,23 @@ class ExperimentBuilder(object):
         if self.device_cache:
             from morgana_tpu.data.device_cache import (CacheOverBudget,
                                                        DeviceCorpusCache)
+            # The budget is for the PROCESS: every split's arenas coexist
+            # in HBM, so each successive cache builds against what is left.
+            budget = int(self.device_cache_gb * 2**30) or None
+            used = getattr(self, '_device_cache_bytes_used', 0)
+            remaining_budget = None if budget is None \
+                else max(budget - used, 0)
             try:
                 device_cache = DeviceCorpusCache(
-                    dataset,
-                    max_bytes=int(self.device_cache_gb * 2**30) or None,
+                    dataset, max_bytes=remaining_budget,
                     sharding=self.batch_sharding or None)
+                self._device_cache_bytes_used = used + device_cache.bytes
                 self.logger.info('%s: device cache built — %s; per-batch '
-                                 'wire traffic is now index vectors only',
-                                 name, device_cache.describe())
+                                 'wire traffic is now index vectors only '
+                                 '(%.2f/%s GiB budget used across splits)',
+                                 name, device_cache.describe(),
+                                 self._device_cache_bytes_used / 2**30,
+                                 f'{self.device_cache_gb:g}')
             except CacheOverBudget as e:
                 self.logger.warning(
                     '%s: --device_cache falls back to the streaming loader '
@@ -1246,7 +1255,11 @@ class ExperimentBuilder(object):
         self.model.mode = ''
         # One bulk transfer, not a readback per batch scalar (each float()
         # of a device array is a full round trip on a tunnelled device).
-        return float(np.mean(jax.device_get(losses))) if losses else 0.0
+        # Accumulate in f64: under compute_dtype='bfloat16' the per-batch
+        # losses arrive as bf16 and numpy would reduce IN bf16, adding
+        # ~0.1-1% noise to the value plateau LR scheduling thresholds on.
+        return float(np.mean(np.asarray(jax.device_get(losses),
+                                        np.float64))) if losses else 0.0
 
     def run_train(self):
         r"""Runs training from ``start_epoch`` to ``end_epoch``: checkpointing
@@ -1454,7 +1467,11 @@ class ExperimentBuilder(object):
         self.model.mode = ''
         # One bulk transfer, not a readback per batch scalar (each float()
         # of a device array is a full round trip on a tunnelled device).
-        return float(np.mean(jax.device_get(losses))) if losses else 0.0
+        # Accumulate in f64: under compute_dtype='bfloat16' the per-batch
+        # losses arrive as bf16 and numpy would reduce IN bf16, adding
+        # ~0.1-1% noise to the value plateau LR scheduling thresholds on.
+        return float(np.mean(np.asarray(jax.device_get(losses),
+                                        np.float64))) if losses else 0.0
 
     def run_valid(self, gen_output):
         r"""Runs evaluation for the current epoch (EMA weights if enabled,

@@ -301,7 +301,11 @@ class TTSPipeline(object):
             f0s.append(vocoder.smooth_f0(np.exp(lf0)))
             vuvs.append((np.asarray(out['vuv']).reshape(-1) > 0.5)
                         .astype(np.float32))
-            lens.append(lf0.shape[0])
+            # Host semantics (synthesize_world_feats): streams of unequal
+            # frame counts trim to the common length.
+            lens.append(min(lf0.shape[0], vuvs[-1].shape[0],
+                            np.asarray(out['mcep']).shape[0],
+                            np.asarray(out['bap']).shape[0]))
         T = bucket_size(max(lens))
         mcep_dim = np.asarray(results[names[0]]['mcep']).shape[-1]
         bap_dim = np.asarray(results[names[0]]['bap']).shape[-1]

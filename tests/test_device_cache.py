@@ -124,6 +124,34 @@ class TestLoaderEquality:
             DeviceCorpusCache(_dataset(voice_data, sources, norms),
                               max_bytes=64)
 
+    def test_non_numeric_array_streams_stay_on_host(self):
+        """String/object ndarrays are not device-residable: they must take
+        the host route (stacked, like collate) instead of crashing the
+        cache build — mirroring ToDeviceWrapper._put's dtype filter."""
+        class TinyDataset:
+            def __len__(self):
+                return 3
+
+            def __getitem__(self, i):
+                return {'name': f'utt_{i}',
+                        'x': np.full((4 + i, 2), float(i), np.float32),
+                        'tag': np.array(f'spk{i}')}
+
+            @staticmethod
+            def collate_fn(items, bucket=True):
+                from morgana_tpu.data.dataset import collate
+                return collate(items, bucket=bucket)
+
+        cache = DeviceCorpusCache(TinyDataset())
+        out = cache.assemble(np.array([2, 0]), bucket=False)
+        assert out['name'] == ['utt_2', 'utt_0']
+        tags = np.asarray(out['tag'])
+        assert tags.dtype.kind == 'U'
+        np.testing.assert_array_equal(tags, np.array(['spk2', 'spk0']))
+        x = np.asarray(out['x'])
+        assert x.shape == (2, 6, 2)
+        assert np.all(x[1, 4:] == 0)  # utt_0 padded to utt_2's length
+
     def test_describe_and_bytes(self, voice_data):
         model, norms = _f0_setup(voice_data)
         sources = model.valid_data_sources()
@@ -208,6 +236,29 @@ class TestTraining:
         losses = self._losses(voice_data, tmp_path, 'dc_tiny',
                               device_cache=True, device_cache_gb=1e-7)
         assert np.isfinite(losses).all()
+
+    def test_budget_is_cumulative_across_splits(self, voice_data, tmp_path):
+        """--device_cache_gb bounds the PROCESS's total arena bytes: later
+        splits build against what the earlier ones left, falling back to
+        streaming instead of silently exceeding the budget."""
+        args = builder_args(voice_data['data_root'],
+                            str(tmp_path / 'experiments'),
+                            end_epoch=1, valid=True, device_cache=True)
+        nn.manual_seed(args['seed'])
+        probe = ExperimentBuilder(TinyF0Model, experiment_name='dc_probe',
+                                  **args)
+        train_bytes = probe.train_loader.device_cache.bytes
+        valid_bytes = probe.valid_loader.device_cache.bytes
+        assert train_bytes > 0 and valid_bytes > 0
+
+        # A budget that fits train alone but NOT train + valid.
+        budget_gb = (train_bytes + valid_bytes / 2) / 2**30
+        nn.manual_seed(args['seed'])
+        exp = ExperimentBuilder(TinyF0Model, experiment_name='dc_budget',
+                                device_cache_gb=budget_gb, **args)
+        assert exp.train_loader.device_cache is not None
+        assert exp.valid_loader.device_cache is None  # streamed fallback
+        exp.run_experiment()  # and the run still completes
 
     def test_multihost_conflict_raises(self, voice_data, tmp_path):
         args = builder_args(voice_data['data_root'],

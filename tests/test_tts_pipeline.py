@@ -150,6 +150,27 @@ class TestTTSPipeline:
             assert os.path.exists(os.path.join(out_dir, 'synth',
                                                f'{utt}.wav'))
 
+    def test_device_vocoder_trims_unequal_streams_like_host(self, engines):
+        """Host semantics: synthesize_world_feats trims WORLD streams to the
+        common frame count; the batched device path must do the same
+        instead of crashing on the fill."""
+        pipe = TTSPipeline(engines['duration'], engines['acoustic'],
+                           device_vocoder=True)
+        T = 40
+        rng = np.random.default_rng(0)
+        results = {'utt': {
+            'lf0': np.log(np.full((T, 1), 140.0, np.float32)),
+            'vuv': np.ones((T, 1), np.float32),
+            'mcep': rng.normal(scale=0.01, size=(T - 3, 60)).astype(
+                np.float32),
+            'bap': np.full((T, 5), -8.0, np.float32),
+        }}
+        pipe._synthesize_wavs_device(results)
+        wav = results['utt']['wav']
+        hop = int(16000 * 5.0 / 1000.0)
+        assert len(wav) == (T - 3) * hop
+        assert np.isfinite(wav).all()
+
     def test_counters_match_data_prep_definition(self, engines):
         """The pipeline rebuilds 'counters' with data/prepare.py's exact
         function, keeping the train/serve feature definition identical."""
