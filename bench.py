@@ -704,6 +704,23 @@ def main():
         except Exception:
             pass
 
+    # On-device vocoder (vocoder/jax_world.py): batch waveform synthesis
+    # on the accelerator vs the per-utterance host loop.
+    vocoder_row = None
+    if not degraded and remaining() > 240:
+        try:
+            vocoder_row = _run_bench_code(
+                'import json, sys, os;'
+                'sys.path.insert(0, os.path.join(os.getcwd(), "benchmarks"));'
+                'import bench_vocoder as bv;'
+                'f0, vuv, mcep, bap, seq_len = bv.make_batch(32, 600);'
+                'host = bv.bench_host(f0, vuv, mcep, bap);'
+                'dev = bv.bench_device(f0, vuv, mcep, bap, seq_len);'
+                'print("BENCH_JSON:" + json.dumps('
+                '{"host": host, "device": dev}))')
+        except Exception:
+            pass
+
     # The attention-path flagship (models/transformer_spss.py): the MXU
     # showcase number — O(1) sequential depth, so MFU is bounded by
     # arithmetic intensity rather than the LSTM's per-timestep loop latency.
@@ -769,6 +786,11 @@ def main():
         line['e2e_devcache_corpus_mb'] = e2e_devcache.get('e2e_cache_mb')
         line['e2e_devcache_of_compute'] = round(
             e2e_devcache['e2e_frames_per_sec'] / result['frames_per_sec'], 3)
+    if vocoder_row:
+        line['vocoder_device_frames_per_sec'] = round(vocoder_row['device'], 1)
+        line['vocoder_host_frames_per_sec'] = round(vocoder_row['host'], 1)
+        line['vocoder_device_vs_host'] = round(
+            vocoder_row['device'] / vocoder_row['host'], 2)
     if transformer:
         line['transformer_frames_per_sec'] = round(
             transformer['frames_per_sec'], 1)
