@@ -25,14 +25,17 @@ generate_voice_data('data', num_train=16, num_valid=4, num_test=2, seed=1)
 print('dataset written to ./data')"
 
 # 2. Train + validate; every 2nd epoch the analysis hook synthesises wavs
-#    into experiments/quickstart/valid/epoch_N/synth/.
+#    into experiments/quickstart/valid/epoch_N/synth/. The corpus rides in
+#    device memory (--device_cache: batches assemble on device, only index
+#    vectors cross the wire) with normalisation computed on device too.
 python "$REPO/models/f0_test_model.py" \
   --experiment_name quickstart --data_root data \
   --train_id_list train/train_file_id_list.scp \
   --valid_id_list valid/valid_file_id_list.scp \
   --test_id_list test/test_file_id_list.scp \
   --batch_size 4 --end_epoch 4 --learning_rate 0.01 \
-  --ema_decay 0.99 --valid_output_interval 2 --num_data_threads 2 "${DEVICE_ARGS[@]}"
+  --ema_decay 0.99 --valid_output_interval 2 --num_data_threads 2 \
+  --device_cache --device_normalise "${DEVICE_ARGS[@]}"
 
 # 3. Serve the trained checkpoint (no experiment scaffolding needed):
 #    batch synthesis of the test set with throughput stats.
