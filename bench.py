@@ -428,7 +428,8 @@ def bench_generate(rnn_backend='scan', compute_dtype='bfloat16', unroll=64,
 
 
 def bench_e2e(num_utts=512, epochs=4, num_data_threads=8, transfer_dtype=None,
-              device_normalise=False, device_cache=False, model_kwargs=None):
+              device_normalise=False, device_cache=False, model_kwargs=None,
+              steps_per_dispatch=1, length_sort_window=0):
     """End-to-end disk->device training throughput: a REAL epoch over an
     on-disk synthetic corpus at bench shapes through the actual user path
     (ExperimentBuilder: FilesDataset + threaded/native reads + prefetch +
@@ -473,6 +474,8 @@ def bench_e2e(num_utts=512, epochs=4, num_data_threads=8, transfer_dtype=None,
             valid=False, test=False, model_checkpoint_interval=10 ** 6,
             ema_decay=0., transfer_dtype=transfer_dtype,
             device_normalise=device_normalise, device_cache=device_cache,
+            steps_per_dispatch=steps_per_dispatch,
+            length_sort_window=length_sort_window,
             # The recommended throughput config: reading metrics every batch
             # forces a host sync per read; staged merges are lazy, so the
             # sync cadence follows the log cadence (docs/design.md).
@@ -520,16 +523,21 @@ def bench_e2e(num_utts=512, epochs=4, num_data_threads=8, transfer_dtype=None,
         if cache is not None:
             out['e2e_device_cache'] = True
             out['e2e_cache_mb'] = round(cache.bytes / (1 << 20), 1)
+        if steps_per_dispatch > 1:
+            out['e2e_steps_per_dispatch'] = int(steps_per_dispatch)
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _e2e_subprocess(device_normalise=False, device_cache=False):
+def _e2e_subprocess(device_normalise=False, device_cache=False,
+                    steps_per_dispatch=1, length_sort_window=0):
     return _run_bench_code(
         'import bench, json; print("BENCH_JSON:" + json.dumps('
         f'bench.bench_e2e(device_normalise={bool(device_normalise)}, '
-        f'device_cache={bool(device_cache)})))')
+        f'device_cache={bool(device_cache)}, '
+        f'steps_per_dispatch={int(steps_per_dispatch)}, '
+        f'length_sort_window={int(length_sort_window)})))')
 
 
 # (name, rnn_backend, compute_dtype, scan unroll). Scan unroll 64 amortises
@@ -679,7 +687,21 @@ def main():
             result = results[best_backend]
 
     # End-to-end disk->device epoch throughput (loader + prefetch + device).
-    e2e = e2e_devnorm = e2e_devcache = None
+    e2e = e2e_devnorm = e2e_devcache = e2e_chain = None
+    # The headline e2e config runs FIRST: device-resident corpus
+    # (--device_cache --device_normalise) PLUS chained dispatch
+    # (--steps_per_dispatch 16 with length-sorted batching so consecutive
+    # batches share a bucket): steady-state host work is one dispatch and one
+    # (16, B) index upload per 16 steps — the remaining per-batch cost after
+    # the wire was eliminated was the dispatch round trip itself.
+    if not degraded and remaining() > 300:
+        try:
+            e2e_chain = _e2e_subprocess(device_normalise=True,
+                                        device_cache=True,
+                                        steps_per_dispatch=16,
+                                        length_sort_window=16)
+        except Exception:
+            pass
     if not degraded and remaining() > 300:
         try:
             e2e = _e2e_subprocess()
@@ -688,7 +710,6 @@ def main():
     # With the corpus device-RESIDENT (--device_cache --device_normalise):
     # steady-state epochs upload only (B,) index vectors — the wire leaves
     # the picture entirely (one-time arena upload amortised over training).
-    # Runs before the devnorm-only row: it is the headline e2e config.
     if not degraded and remaining() > 300:
         try:
             e2e_devcache = _e2e_subprocess(device_normalise=True,

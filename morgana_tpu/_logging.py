@@ -135,6 +135,14 @@ class ProgressBar:
                 yield index
                 self._bar.update()
 
+    def advance(self, n=1):
+        """Advances the bar by ``n`` batches without iterating — the chained
+        multi-step dispatch path consumes N batches per program call."""
+        self._bar.update(n)
+
+    def close(self):
+        self._bar.close()
+
     def print(self, mode, epoch, **metrics):
         parts = [f'{mode} | epoch {epoch: >2}']
         if metrics:
@@ -145,7 +153,10 @@ class ProgressBar:
         logging.getLogger(LOGGER_NAME).debug(text, extra={'is_tqdm': True})
         self._bar.set_description(text)
 
-    def maybe_print(self, mode, epoch, metrics_fn):
-        self._calls += 1
-        if self._calls % self._every == 0:
+    def maybe_print(self, mode, epoch, metrics_fn, count=1):
+        """``count`` > 1 credits one call as that many batches (chained
+        dispatch), so ``print_interval`` keeps its per-batch meaning."""
+        before = self._calls
+        self._calls += count
+        if self._calls // self._every > before // self._every:
             self.print(mode, epoch, **metrics_fn())

@@ -160,6 +160,11 @@ class DeviceCorpusCache(object):
         for key, values in stack_data.items():
             stacked[key] = np.stack(values)
             total_bytes += stacked[key].nbytes
+        # Host copies of the stacked (per-utterance) streams: tiny (scalars /
+        # small vectors per item), and they let host-side accounting — e.g.
+        # the chained-dispatch path summing `n_frames` per batch — read
+        # per-item values without a device round trip.
+        self._stacked_host = dict(stacked)
 
         self.bytes = int(total_bytes)
         if max_bytes is not None and total_bytes > max_bytes:
@@ -208,22 +213,62 @@ class DeviceCorpusCache(object):
         except (ValueError, ZeroDivisionError):
             return False
 
+    def can_shard(self, batch):
+        """Public form of :meth:`_divides` (False when unsharded)."""
+        return self._sharding is not None and self._divides(batch)
+
+    def device_buffers(self):
+        """The device-resident ``(arenas, stacked)`` dicts, for callers that
+        compile their own programs over the cache (the chained train step
+        passes them as explicit jit arguments so XLA never clones the
+        arenas into an executable as constants)."""
+        return self._arenas, self._stacked
+
     # -- assembly ---------------------------------------------------------
 
-    def _make_fn(self, batch, lengths, shard_out, post=None):
-        """Builds the jitted assemble program for one shape signature:
-        ``batch`` items, ``lengths[key]`` padded frames per sequence key.
-        ``post`` (the loader's device transform) is fused INTO the program
-        so assembly + normalisation/deltas run as ONE dispatch."""
-        import jax
+    def host_stacked(self, key):
+        """Host-side copy of a stacked per-utterance stream (or None)."""
+        return self._stacked_host.get(key)
+
+    def padded_lengths(self, idxs, bucket=True):
+        """The padded frame count per sequence key for a batch of dataset
+        indices — the static shape half of :meth:`assemble`, computed from
+        the host-side length tables (no device work)."""
+        idxs = np.asarray(idxs)
+        lengths = {}
+        for key in self._seq_keys:
+            key_lens = self._lens[key][idxs]
+            padded = int(key_lens.max()) if len(idxs) else 0
+            if bucket:
+                padded = bucket_size(padded)
+            lengths[key] = padded
+        return lengths
+
+    def batch_signature(self, idxs, bucket=True):
+        """Hashable shape signature of the batch ``idxs`` would assemble to:
+        ``(batch_items, ((seq_key, padded_len), ...))``. Batches sharing a
+        signature run the same compiled program — the grouping key for
+        chained multi-step dispatch (``--steps_per_dispatch``)."""
+        lengths = self.padded_lengths(idxs, bucket=bucket)
+        return (len(np.asarray(idxs)), tuple(sorted(lengths.items())))
+
+    def scan_assemble(self, lengths, post=None):
+        """Pure (traceable) batch-assembly function for one shape signature:
+        ``fn(idxs) -> batch dict`` gathering from the device arenas, with the
+        loader's device transform fused in. Shared by the per-batch jitted
+        assemble (:meth:`assemble`) and the chained train step, which calls
+        it inside ``lax.scan`` (``training.TrainLoop.train_chain``) so N
+        batches assemble inside ONE compiled program."""
         import jax.numpy as jnp
 
         seq_keys = self._seq_keys
         stack_keys = self._stack_keys
         offsets_dev = self._offsets_dev
         lens_dev = self._lens_dev
+        arenas = self._arenas
+        stacked = self._stacked
 
-        def fn(arenas, stacked, idxs):
+        def fn(idxs, arenas=arenas, stacked=stacked):
             out = {}
             for key in seq_keys:
                 T = lengths[key]
@@ -244,6 +289,20 @@ class DeviceCorpusCache(object):
                 out = post(out)
             return out
 
+        return fn
+
+    def _make_fn(self, batch, lengths, shard_out, post=None):
+        """Builds the jitted assemble program for one shape signature:
+        ``batch`` items, ``lengths[key]`` padded frames per sequence key.
+        ``post`` (the loader's device transform) is fused INTO the program
+        so assembly + normalisation/deltas run as ONE dispatch."""
+        import jax
+
+        body = self.scan_assemble(lengths, post=post)
+
+        def fn(arenas, stacked, idxs):
+            return body(idxs, arenas=arenas, stacked=stacked)
+
         kwargs = {}
         if shard_out:
             kwargs['out_shardings'] = self._sharding
@@ -258,13 +317,7 @@ class DeviceCorpusCache(object):
         the compiled program per shape signature)."""
         idxs = np.asarray(idxs)
         batch = len(idxs)
-        lengths = {}
-        for key in self._seq_keys:
-            key_lens = self._lens[key][idxs]
-            padded = int(key_lens.max()) if batch else 0
-            if bucket:
-                padded = bucket_size(padded)
-            lengths[key] = padded
+        lengths = self.padded_lengths(idxs, bucket=bucket)
 
         shard_out = self._sharding is not None and self._divides(batch)
         sig = (batch, bool(shard_out), post is not None,

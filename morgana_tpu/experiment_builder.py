@@ -346,6 +346,14 @@ class ExperimentBuilder(object):
                             action='store', type=float, default=4.0,
                             help='Device-memory budget for --device_cache in GiB (default 4.0). '
                                  'A corpus over budget falls back to the streaming loader.')
+        parser.add_argument('--steps_per_dispatch', dest='steps_per_dispatch',
+                            action='store', type=int, default=1,
+                            help='If > 1, run up to N consecutive same-shape training batches '
+                                 'as ONE compiled program (a lax.scan chaining batch assembly '
+                                 '+ fused step), so one host dispatch covers N steps. Requires '
+                                 '--device_cache; per-step numerics (RNG, LR schedule, EMA, '
+                                 'metrics) are unchanged. The win when per-dispatch latency '
+                                 '(a remote/tunnelled device) bounds training, not compute.')
         parser.add_argument('--debug_nans', dest='debug_nans', action='store_true', default=False,
                             help='Debugging: raise at the FIRST operation producing a NaN/Inf '
                                  '(jax_debug_nans) instead of tripping the end-of-epoch '
@@ -451,6 +459,7 @@ class ExperimentBuilder(object):
         self.device_normalise = kwargs.get('device_normalise', False)
         self.device_cache = kwargs.get('device_cache', False)
         self.device_cache_gb = float(kwargs.get('device_cache_gb', 4.0) or 0.)
+        self.steps_per_dispatch = max(1, int(kwargs.get('steps_per_dispatch', 1) or 1))
         self.length_sort_window = kwargs.get('length_sort_window', 0)
         nn.set_default_compute_dtype(self.compute_dtype)
         if kwargs.get('debug_nans'):
@@ -615,6 +624,20 @@ class ExperimentBuilder(object):
                              '--shard_map_step (the explicit shard_map step '
                              'is data-parallel only); the default GSPMD path '
                              'handles data x model meshes.')
+        if self.steps_per_dispatch > 1:
+            if not self.device_cache:
+                raise ValueError('--steps_per_dispatch > 1 requires '
+                                 '--device_cache (batches must assemble on '
+                                 'device for the chained program to run '
+                                 'without per-batch host data).')
+            if self.grad_accum_steps > 1:
+                raise ValueError('--steps_per_dispatch > 1 is not supported '
+                                 'with --grad_accum_steps > 1 (the chain '
+                                 'applies the optimiser every step).')
+            if self.shard_map_step:
+                raise ValueError('--steps_per_dispatch > 1 is not supported '
+                                 'with --shard_map_step; the GSPMD path '
+                                 'supports chained dispatch.')
         self.fsdp = kwargs.get('fsdp', False)
         if self.fsdp:
             if self.mesh is None or self.mesh.shape['data'] <= 1:
@@ -1152,8 +1175,6 @@ class ExperimentBuilder(object):
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
 
-        losses = []
-        frames_seen = []
         num_batches = len(data_loader)
         # Mid-epoch resume: skip the batches already folded into the restored
         # parameters; step numbering and the epoch-end force_apply account
@@ -1169,68 +1190,28 @@ class ExperimentBuilder(object):
             data_loader.set_skip_batches(skip)
         pbar = _logging.ProgressBar(num_batches - skip, print_interval=self.log_interval)
         epoch_start = time.perf_counter()
-        for i, features in zip(pbar, data_loader):
-            self.model.step = (self.epoch - 1) * num_batches + skip + i + 1
-            if 'n_frames' in features:
-                # Device arrays: summed lazily at epoch end (no per-batch sync).
-                frames_seen.append(features['n_frames'])
 
-            lr = lr_schedule.lr if lr_schedule is not None else self.learning_rate
-            # StepTraceAnnotation groups each step's ops in profiler traces
-            # (--profile_dir); free when no trace is active.
-            with jax.profiler.StepTraceAnnotation('train', step_num=self.model.step):
-                # The last batch closes any open gradient-accumulation cycle
-                # so every epoch ends with fully-applied parameters (eval,
-                # checkpointing and exact resume never see a half cycle).
-                batch_loss, staged, output_features = self.loop.train_step(
-                    features, lr, force_apply=(skip + i == num_batches - 1))
-
-            if lr_schedule is not None and self.loop.last_step_applied and \
-                    self.lr_schedule_name in lr_schedules.BATCH_LR_SCHEDULES:
-                lr_schedule.step()
-
-            losses.append(batch_loss)
-
-            if self.memory_report and not self._memory_report_written \
-                    and self.is_lead_host:
-                # After the first step so training isn't delayed behind the
-                # analysis compile; shapes are this batch's bucket (noted in
-                # the report — other buckets are separate programs).
-                self._memory_report_written = True
-                report_path = os.path.join(self.experiment_dir,
-                                           'memory_report.txt')
-                program = memory.write_report(
-                    report_path, self.loop, features,
-                    header=f'{type(self.model).__name__} fused train step')
-                if program and 'peak_bytes' in program:
-                    self.logger.info(
-                        'Train-step peak device memory %.2f MiB '
-                        '(report: %s)', program['peak_bytes'] / 2**20,
-                        report_path)
-                else:
-                    self.logger.info('Memory report written to %s '
-                                     '(no compile-time analysis on this '
-                                     'backend)', report_path)
-
-            self.model.metrics.apply_staged(staged, tag='train')
-            self.model.metrics.accumulate(self.model.mode, loss=batch_loss)
-            pbar.maybe_print('train', self.epoch, lambda: dict(
-                batch_loss=utils.format_float_tensor(batch_loss),
-                **self.model.metrics.results_as_str_dict('train')))
-
-            # Rolling mid-epoch checkpoint (step-level fault tolerance).
-            # Only at applied-parameter boundaries: a checkpoint inside an
-            # open gradient-accumulation cycle could not resume exactly.
-            if (self.step_checkpoint_interval and self.is_lead_host
-                    and self.loop.last_step_applied
-                    and (skip + i + 1) % self.step_checkpoint_interval == 0):
-                self._save_step_checkpoint(skip + i + 1, num_batches, lr_schedule)
-
-            if gen_output:
-                self.loop.sync_model()
-                self.model.analysis_for_train_batch(
-                    self._for_analysis(features), self._for_analysis(output_features),
-                    out_dir=out_dir, **self.analysis_kwargs)
+        # Chained multi-step dispatch (--steps_per_dispatch): consecutive
+        # same-shape batches run as one compiled scan over the device-cached
+        # corpus. Generation epochs need per-batch outputs for the analysis
+        # hooks, so they fall back to the per-batch loop.
+        use_chain = (self.steps_per_dispatch > 1
+                     and getattr(data_loader, 'device_cache', None) is not None
+                     and not gen_output)
+        if self.steps_per_dispatch > 1 and not use_chain \
+                and not getattr(self, '_chain_fallback_logged', False):
+            self._chain_fallback_logged = True
+            reason = 'generation epochs need per-batch outputs' if gen_output \
+                else 'the device cache fell back to the streaming loader'
+            self.logger.info('--steps_per_dispatch: per-batch loop this '
+                             'epoch (%s)', reason)
+        if use_chain:
+            losses, frames_seen = self._chained_train_batches(
+                data_loader, lr_schedule, skip, num_batches, pbar)
+        else:
+            losses, frames_seen = self._train_batches(
+                data_loader, lr_schedule, gen_output, out_dir, skip,
+                num_batches, pbar)
 
         if gen_output:
             self.model.analysis_for_train_epoch(out_dir=out_dir, **self.analysis_kwargs)
@@ -1258,8 +1239,183 @@ class ExperimentBuilder(object):
         # Accumulate in f64: under compute_dtype='bfloat16' the per-batch
         # losses arrive as bf16 and numpy would reduce IN bf16, adding
         # ~0.1-1% noise to the value plateau LR scheduling thresholds on.
-        return float(np.mean(np.asarray(jax.device_get(losses),
-                                        np.float64))) if losses else 0.0
+        # Chained dispatch appends (chain_len,) vectors; flatten so the
+        # epoch loss stays the mean over BATCHES either way.
+        if not losses:
+            return 0.0
+        flat = np.concatenate([np.atleast_1d(np.asarray(x, np.float64))
+                               for x in jax.device_get(losses)])
+        return float(flat.mean())
+
+    def _train_batches(self, data_loader, lr_schedule, gen_output, out_dir,
+                       skip, num_batches, pbar):
+        """The per-batch training loop: one fused-step dispatch per batch.
+        Returns the per-batch device losses and ``n_frames`` arrays."""
+        losses = []
+        frames_seen = []
+        for i, features in zip(pbar, data_loader):
+            self.model.step = (self.epoch - 1) * num_batches + skip + i + 1
+            if 'n_frames' in features:
+                # Device arrays: summed lazily at epoch end (no per-batch sync).
+                frames_seen.append(features['n_frames'])
+
+            lr = lr_schedule.lr if lr_schedule is not None else self.learning_rate
+            # StepTraceAnnotation groups each step's ops in profiler traces
+            # (--profile_dir); free when no trace is active.
+            with jax.profiler.StepTraceAnnotation('train', step_num=self.model.step):
+                # The last batch closes any open gradient-accumulation cycle
+                # so every epoch ends with fully-applied parameters (eval,
+                # checkpointing and exact resume never see a half cycle).
+                batch_loss, staged, output_features = self.loop.train_step(
+                    features, lr, force_apply=(skip + i == num_batches - 1))
+
+            if lr_schedule is not None and self.loop.last_step_applied and \
+                    self.lr_schedule_name in lr_schedules.BATCH_LR_SCHEDULES:
+                lr_schedule.step()
+
+            losses.append(batch_loss)
+
+            if self.memory_report and not self._memory_report_written \
+                    and self.is_lead_host:
+                self._write_memory_report(features)
+
+            self.model.metrics.apply_staged(staged, tag='train')
+            self.model.metrics.accumulate(self.model.mode, loss=batch_loss)
+            pbar.maybe_print('train', self.epoch, lambda: dict(
+                batch_loss=utils.format_float_tensor(batch_loss),
+                **self.model.metrics.results_as_str_dict('train')))
+
+            # Rolling mid-epoch checkpoint (step-level fault tolerance).
+            # Only at applied-parameter boundaries: a checkpoint inside an
+            # open gradient-accumulation cycle could not resume exactly.
+            if (self.step_checkpoint_interval and self.is_lead_host
+                    and self.loop.last_step_applied
+                    and (skip + i + 1) % self.step_checkpoint_interval == 0):
+                self._save_step_checkpoint(skip + i + 1, num_batches, lr_schedule)
+
+            if gen_output:
+                self.loop.sync_model()
+                self.model.analysis_for_train_batch(
+                    self._for_analysis(features), self._for_analysis(output_features),
+                    out_dir=out_dir, **self.analysis_kwargs)
+        return losses, frames_seen
+
+    def _chain_groups(self, loader, cache):
+        """Groups the epoch's batch index arrays into ``(n, B)`` matrices of
+        CONSECUTIVE equal-shape-signature batches, ``n <=
+        steps_per_dispatch`` — the unit of chained dispatch. Grouping only
+        affects how many batches share one program call; each batch's
+        content, order and step numbering are exactly the streaming path's."""
+        cur, cur_sig = [], None
+        for idxs in loader.iter_batch_indices():
+            if loader.length_sort_window:
+                # Same per-batch length recording as the cached streaming
+                # iterator, so epoch orders match the host path exactly.
+                for i in idxs:
+                    loader._lengths[int(i)] = int(cache.item_lengths[int(i)])
+            sig = cache.batch_signature(idxs, bucket=loader.bucket)
+            if cur and (sig != cur_sig or len(cur) >= self.steps_per_dispatch):
+                yield np.stack(cur)
+                cur = []
+            cur_sig = sig
+            cur.append(idxs)
+        if cur:
+            yield np.stack(cur)
+
+    def _chained_train_batches(self, data_loader, lr_schedule, skip,
+                               num_batches, pbar):
+        """The --steps_per_dispatch training loop: consecutive same-shape
+        batches run as ONE compiled program (``TrainLoop.train_chain``), so
+        steady-state host work per chain is one dispatch and one (n, B)
+        index upload. Per-step numerics (LR schedule, stateless RNG, EMA,
+        metric partials) are identical to the per-batch loop."""
+        cache = data_loader.device_cache
+        loader = data_loader.data_loader
+        post = data_loader.device_transform
+        n_frames_host = cache.host_stacked('n_frames')
+        losses = []
+        frames_seen = []
+        done = 0
+        try:
+            for idx_mat in self._chain_groups(loader, cache):
+                n = len(idx_mat)
+                first_step = (self.epoch - 1) * num_batches + skip + done + 1
+                # Pre-step LR per chained step; batch-level schedules advance
+                # once per applied step, exactly as the per-batch loop does.
+                lrs = []
+                for _ in range(n):
+                    lrs.append(lr_schedule.lr if lr_schedule is not None
+                               else self.learning_rate)
+                    if lr_schedule is not None and \
+                            self.lr_schedule_name in lr_schedules.BATCH_LR_SCHEDULES:
+                        lr_schedule.step()
+
+                with jax.profiler.StepTraceAnnotation('train', step_num=first_step):
+                    if n == 1:
+                        # Singletons (signature changes, remainder batches)
+                        # take the ordinary fused step on an assembled batch —
+                        # identical to the unchained cached path.
+                        features = cache.assemble(idx_mat[0],
+                                                  bucket=loader.bucket, post=post)
+                        batch_loss, staged, _ = self.loop.train_step(
+                            features, lrs[0])
+                        self.model.metrics.apply_staged(staged, tag='train')
+                    else:
+                        batch_loss, staged = self.loop.train_chain(
+                            cache, idx_mat, lrs, post=post,
+                            batch_sharding=self.batch_sharding or None,
+                            bucket=loader.bucket)
+                        self.model.metrics.apply_staged(staged, tag='train',
+                                                        steps=n)
+                losses.append(batch_loss)
+                # A (chain,) loss vector accumulates as n per-batch scalars
+                # (Mean sums elements and counts n).
+                self.model.metrics.accumulate(self.model.mode, loss=batch_loss)
+
+                done += n
+                self.model.step = (self.epoch - 1) * num_batches + skip + done
+                if n_frames_host is not None:
+                    frames_seen.append(
+                        n_frames_host[np.asarray(idx_mat).reshape(-1)].sum())
+
+                if self.memory_report and not self._memory_report_written \
+                        and self.is_lead_host:
+                    self._write_memory_report(
+                        cache.assemble(idx_mat[0], bucket=loader.bucket,
+                                       post=post))
+
+                pbar.advance(n)
+                pbar.maybe_print('train', self.epoch, lambda b=batch_loss: dict(
+                    batch_loss=utils.format_float_tensor(
+                        b if getattr(b, 'ndim', 0) == 0 else b[-1]),
+                    **self.model.metrics.results_as_str_dict('train')), count=n)
+
+                # Mid-epoch checkpoints land at the first chain boundary at or
+                # past each interval multiple (chains need not align).
+                if (self.step_checkpoint_interval and self.is_lead_host
+                        and (skip + done) // self.step_checkpoint_interval
+                        > (skip + done - n) // self.step_checkpoint_interval):
+                    self._save_step_checkpoint(skip + done, num_batches,
+                                               lr_schedule)
+        finally:
+            pbar.close()
+        return losses, frames_seen
+
+    def _write_memory_report(self, features):
+        """One-time compile-time HBM report of the fused train step
+        (--memory_report), on the first batch's shapes."""
+        self._memory_report_written = True
+        report_path = os.path.join(self.experiment_dir, 'memory_report.txt')
+        program = memory.write_report(
+            report_path, self.loop, features,
+            header=f'{type(self.model).__name__} fused train step')
+        if program and 'peak_bytes' in program:
+            self.logger.info('Train-step peak device memory %.2f MiB '
+                             '(report: %s)', program['peak_bytes'] / 2**20,
+                             report_path)
+        else:
+            self.logger.info('Memory report written to %s (no compile-time '
+                             'analysis on this backend)', report_path)
 
     def run_train(self):
         r"""Runs training from ``start_epoch`` to ``end_epoch``: checkpointing

@@ -157,11 +157,17 @@ class Handler(StatefulMetric):
         self._staged_vals = []
         return vals
 
-    def apply_staged(self, values, tag='default'):
+    def apply_staged(self, values, tag='default', steps=None):
         """Records one step's staged partials for merging. Values come as
         the keyed dict :meth:`drain_staged_values` builds (identity rides in
         the keys); a bare list (legacy form) is paired with the tag's
         recorded key sequence instead.
+
+        ``steps=N`` marks a CHAINED batch (``--steps_per_dispatch``): every
+        value leaf is stacked over a leading axis of N per-step partials
+        (the ``lax.scan`` output layout). The flush merges the rows in step
+        order on host — numerically identical to N separate ``apply_staged``
+        calls, with zero extra device dispatches.
 
         The merge itself is LAZY: values are stashed as device arrays and
         merged by :meth:`flush_staged` (one bulk ``jax.device_get``) the
@@ -180,8 +186,11 @@ class Handler(StatefulMetric):
                 _, collection, name = key.split('|', 2)
                 keys.append((collection, name))
                 vals.append(values[key])
-            self._pending.append((keys, vals))
+            self._pending.append((keys, vals, steps))
             return
+        if steps is not None:
+            raise ValueError('steps= (chained partials) requires the keyed '
+                             'dict form from drain_staged_values')
         keys = self._keys_by_tag.get(tag, [])
         if len(keys) != len(values):
             # The legacy list form has no per-value identity; the key list
@@ -194,7 +203,7 @@ class Handler(StatefulMetric):
                 f"values vs {len(keys)} recorded keys. Accumulate the same "
                 f"metrics on every trace of a step (use zero-valued inputs "
                 f"instead of skipping the call).")
-        self._pending.append((list(keys), list(values)))
+        self._pending.append((list(keys), list(values), None))
 
     @staticmethod
     def _to_host(tree):
@@ -218,12 +227,21 @@ class Handler(StatefulMetric):
         self._flushing = True
         try:
             pending, self._pending = self._pending, []
-            all_vals = self._to_host([vals for _, vals in pending])
-            for (keys, _), vals in zip(pending, all_vals):
-                for (collection, name), val in zip(keys, vals):
-                    metric = self.collections[collection][name]
-                    metric.hidden = metric._hidden
-                    metric.merge(val)
+            all_vals = self._to_host([vals for _, vals, _ in pending])
+            for (keys, _, steps), vals in zip(pending, all_vals):
+                if steps is None:
+                    rows = [vals]
+                else:
+                    # Chained batch: each value leaf is stacked over a
+                    # leading per-step axis; merge the rows in step order
+                    # (identical to per-step applies).
+                    rows = [jax.tree_util.tree_map(lambda x, j=j: x[j], vals)
+                            for j in range(steps)]
+                for row in rows:
+                    for (collection, name), val in zip(keys, row):
+                        metric = self.collections[collection][name]
+                        metric.hidden = metric._hidden
+                        metric.merge(val)
         finally:
             self._flushing = False
 
@@ -249,7 +267,7 @@ class Handler(StatefulMetric):
                 metric.hidden = metric._hidden
                 self._pending.append(
                     ([(collection, metric_name)],
-                     [metric.partials(*inputs, **kwinputs)]))
+                     [metric.partials(*inputs, **kwinputs)], None))
 
     def result(self, collection='all', *args):
         self.flush_staged()

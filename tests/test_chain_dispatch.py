@@ -1,0 +1,282 @@
+"""Chained multi-step dispatch (`--steps_per_dispatch`).
+
+N consecutive same-shape batches run as ONE compiled program — a `lax.scan`
+whose body assembles the batch from the device-cached corpus and runs the
+fused train step (`training.TrainLoop.train_chain`). These tests pin the
+chained path to the per-batch path: identical training trajectories
+(including dropout RNG, batch-level LR schedules, EMA and metric values),
+graceful fallback on generation epochs, and the flag/conflict surface.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import builder_args
+from tiny_models import TinyF0Model
+
+from morgana_tpu import nn
+from morgana_tpu.experiment_builder import ExperimentBuilder
+
+
+@pytest.fixture(scope='module')
+def uniform_voice_data(tmp_path_factory):
+    """A corpus with UNIFORM utterance lengths: every batch shares one shape
+    signature, so chains actually form (the shared ragged fixture's batches
+    mostly land in distinct buckets and run as singletons)."""
+    from morgana_tpu.data.synthetic import generate_voice_data
+    root = tmp_path_factory.mktemp('uniform_voice')
+    data_root = str(root / 'data')
+    id_lists = generate_voice_data(data_root, num_train=12, num_valid=4,
+                                   num_test=2, seed=4,
+                                   dur_range=(5, 6), n_phones_range=(12, 13))
+    return {'data_root': data_root, 'id_lists': id_lists}
+
+
+def _run(voice_data, tmp_path, name, **overrides):
+    defaults = dict(end_epoch=2, valid=True, batch_size=2)
+    defaults.update(overrides)
+    args = builder_args(voice_data['data_root'],
+                        str(tmp_path / 'experiments'), **defaults)
+    nn.manual_seed(args['seed'])
+    exp = ExperimentBuilder(TinyF0Model, experiment_name=name, **args)
+    exp.run_experiment()
+    return exp
+
+
+def _valid_losses(exp, epochs=(1, 2)):
+    losses = []
+    for epoch in epochs:
+        with open(os.path.join(exp.experiment_dir, 'valid',
+                               f'epoch_{epoch}', 'metrics.json')) as f:
+            losses.append(json.load(f)['loss'])
+    return losses
+
+
+def _params(exp, epoch=2, ema=False):
+    suffix = '_ema' if ema else ''
+    path = os.path.join(exp.experiment_dir, 'checkpoints',
+                        f'epoch_{epoch}{suffix}.npz')
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def _assert_params_close(a, b, rtol=1e-6, atol=1e-7):
+    assert set(a) == set(b)
+    for key in a:
+        np.testing.assert_allclose(a[key], b[key], rtol=rtol, atol=atol,
+                                   err_msg=key)
+
+
+class TestTrajectoryParity:
+    def test_matches_per_batch_path(self, uniform_voice_data, tmp_path):
+        base = _run(uniform_voice_data, tmp_path, 'chain_off', device_cache=True)
+        chained = _run(uniform_voice_data, tmp_path, 'chain_on', device_cache=True,
+                       steps_per_dispatch=4)
+        # The chain compiled and ran (consecutive same-bucket batches exist
+        # in the tiny corpus) — otherwise this test proves nothing.
+        assert chained.loop._chain_fns, 'no chained program was ever built'
+        np.testing.assert_allclose(_valid_losses(chained),
+                                   _valid_losses(base), rtol=1e-6)
+        _assert_params_close(_params(chained), _params(base))
+
+    def test_dropout_rng_matches(self, uniform_voice_data, tmp_path):
+        """Stateless per-step RNG: fold_in(base, step) inside the scan must
+        draw the SAME dropout masks the per-batch path draws — with dropout
+        on, any RNG drift diverges the parameters immediately."""
+        kwargs = dict(device_cache=True,
+                      model_kwargs={'dropout_prob': 0.5})
+        base = _run(uniform_voice_data, tmp_path, 'chain_do_off', **kwargs)
+        chained = _run(uniform_voice_data, tmp_path, 'chain_do_on',
+                       steps_per_dispatch=3, **kwargs)
+        assert chained.loop._chain_fns
+        _assert_params_close(_params(chained), _params(base))
+
+    def test_batch_level_lr_schedule_matches(self, uniform_voice_data, tmp_path):
+        """noam steps once per applied batch; the chain precomputes the
+        per-step lr vector, which must reproduce the schedule exactly."""
+        kwargs = dict(device_cache=True, lr_schedule_name='noam',
+                      lr_schedule_kwargs={'warmup_steps': 4})
+        base = _run(uniform_voice_data, tmp_path, 'chain_noam_off', **kwargs)
+        chained = _run(uniform_voice_data, tmp_path, 'chain_noam_on',
+                       steps_per_dispatch=4, **kwargs)
+        assert chained.loop._chain_fns
+        _assert_params_close(_params(chained), _params(base))
+
+    def test_ema_matches(self, uniform_voice_data, tmp_path):
+        kwargs = dict(device_cache=True, ema_decay=0.9)
+        base = _run(uniform_voice_data, tmp_path, 'chain_ema_off', **kwargs)
+        chained = _run(uniform_voice_data, tmp_path, 'chain_ema_on',
+                       steps_per_dispatch=4, **kwargs)
+        assert chained.loop._chain_fns
+        _assert_params_close(_params(chained, ema=True),
+                             _params(base, ema=True))
+
+    def test_data_parallel_chain_matches(self, uniform_voice_data, tmp_path):
+        kwargs = dict(device_cache=True, data_parallel=True, batch_size=8)
+        base = _run(uniform_voice_data, tmp_path, 'chain_dp_off', **kwargs)
+        chained = _run(uniform_voice_data, tmp_path, 'chain_dp_on',
+                       steps_per_dispatch=2, **kwargs)
+        np.testing.assert_allclose(_valid_losses(chained),
+                                   _valid_losses(base), rtol=1e-6)
+        _assert_params_close(_params(chained), _params(base))
+
+    def test_log_norms_in_chain(self, uniform_voice_data, tmp_path):
+        base = _run(uniform_voice_data, tmp_path, 'chain_ln_off',
+                    device_cache=True, log_norms=True)
+        chained = _run(uniform_voice_data, tmp_path, 'chain_ln_on',
+                       device_cache=True, log_norms=True,
+                       steps_per_dispatch=4)
+        assert chained.loop._chain_fns
+        for epoch in (1, 2):
+            with open(os.path.join(chained.experiment_dir, 'train',
+                                   f'epoch_{epoch}', 'metrics.json')) as fc, \
+                 open(os.path.join(base.experiment_dir, 'train',
+                                   f'epoch_{epoch}', 'metrics.json')) as fb:
+                got, want = json.load(fc), json.load(fb)
+            for key in ('grad_norm', 'param_norm', 'update_norm', 'loss'):
+                np.testing.assert_allclose(got[key], want[key], rtol=1e-5,
+                                           err_msg=f'epoch {epoch} {key}')
+
+    def test_length_sorted_orders_match(self, uniform_voice_data, tmp_path):
+        """--length_sort_window: the chained grouping records lengths at the
+        same cadence as the cached streaming iterator, so epoch orders (and
+        therefore the trained parameters) agree."""
+        kwargs = dict(device_cache=True, length_sort_window=1)
+        base = _run(uniform_voice_data, tmp_path, 'chain_ls_off', **kwargs)
+        chained = _run(uniform_voice_data, tmp_path, 'chain_ls_on',
+                       steps_per_dispatch=4, **kwargs)
+        _assert_params_close(_params(chained), _params(base))
+
+
+class TestFallbacksAndConflicts:
+    def test_generation_epochs_fall_back(self, voice_data, tmp_path):
+        """train_output_interval epochs need per-batch outputs for the
+        analysis hooks — the chained epoch falls back to the per-batch loop
+        and the run still completes (and matches the unchained run, since
+        fallback epochs ARE the per-batch path)."""
+        kwargs = dict(device_cache=True, train_output_interval=2,
+                      valid=False)
+        base = _run(voice_data, tmp_path, 'chain_gen_off', **kwargs)
+        chained = _run(voice_data, tmp_path, 'chain_gen_on',
+                       steps_per_dispatch=4, **kwargs)
+        _assert_params_close(_params(chained), _params(base))
+
+    def test_streaming_fallback_still_trains(self, voice_data, tmp_path):
+        """Device cache over budget -> streaming loader -> per-batch loop;
+        --steps_per_dispatch must degrade gracefully, not crash."""
+        exp = _run(voice_data, tmp_path, 'chain_nocache',
+                   device_cache=True, device_cache_gb=1e-7,
+                   steps_per_dispatch=4)
+        assert np.isfinite(_valid_losses(exp)).all()
+        assert not exp.loop._chain_fns
+
+    def test_requires_device_cache(self, voice_data, tmp_path):
+        args = builder_args(voice_data['data_root'],
+                            str(tmp_path / 'experiments'),
+                            steps_per_dispatch=4)
+        with pytest.raises(ValueError, match='device_cache'):
+            ExperimentBuilder(TinyF0Model, experiment_name='c_nodc', **args)
+
+    def test_conflicts_with_grad_accum(self, voice_data, tmp_path):
+        args = builder_args(voice_data['data_root'],
+                            str(tmp_path / 'experiments'),
+                            device_cache=True, steps_per_dispatch=4,
+                            grad_accum_steps=2)
+        with pytest.raises(ValueError, match='grad_accum'):
+            ExperimentBuilder(TinyF0Model, experiment_name='c_ga', **args)
+
+    def test_conflicts_with_shard_map_step(self, voice_data, tmp_path):
+        args = builder_args(voice_data['data_root'],
+                            str(tmp_path / 'experiments'),
+                            device_cache=True, steps_per_dispatch=4,
+                            batch_size=8, data_parallel=True,
+                            shard_map_step=True)
+        with pytest.raises(ValueError, match='shard_map'):
+            ExperimentBuilder(TinyF0Model, experiment_name='c_sm', **args)
+
+    def test_flag_surface(self):
+        args = ExperimentBuilder.get_experiment_args(['--experiment_name', 'x'])
+        assert args['steps_per_dispatch'] == 1
+        args = ExperimentBuilder.get_experiment_args(
+            ['--experiment_name', 'x', '--steps_per_dispatch', '16'])
+        assert args['steps_per_dispatch'] == 16
+
+
+class TestUnits:
+    def test_apply_staged_stacked_rows_match_per_step(self):
+        """Handler.apply_staged(steps=N) must merge exactly like N separate
+        per-step applies."""
+        import jax.numpy as jnp
+        from morgana_tpu import metrics as metrics_mod
+
+        def fresh():
+            h = metrics_mod.Handler()
+            h.add_metrics(('train',), m=metrics_mod.Mean(),
+                          r=metrics_mod.RMSE())
+            return h
+
+        # Three steps of partials, staged through the keyed-dict protocol.
+        per_step = []
+        ref = fresh()
+        for step in range(3):
+            ref.begin_staging('train')
+            ref.accumulate('train', m=jnp.float32(step + 1.5))
+            ref.accumulate('train', r=(jnp.full((4,), float(step)),
+                                       jnp.zeros((4,))))
+            per_step.append(ref.drain_staged_values())
+        for staged in per_step:
+            ref.apply_staged(staged, tag='train')
+
+        stacked = {key: jnp.stack([s[key] if not isinstance(s[key], dict)
+                                   else s[key] for s in per_step])
+                   if not isinstance(per_step[0][key], dict) else
+                   {leaf: jnp.stack([s[key][leaf] for s in per_step])
+                    for leaf in per_step[0][key]}
+                   for key in per_step[0]}
+        chained = fresh()
+        chained.apply_staged(stacked, tag='train', steps=3)
+
+        want = ref.results_as_json_dict('train')
+        got = chained.results_as_json_dict('train')
+        assert want and got == pytest.approx(want)
+
+    def test_chain_groups_consecutive_same_signature(self, voice_data,
+                                                     tmp_path):
+        """Groups cap at steps_per_dispatch and break on signature changes;
+        concatenated groups reproduce the loader's batch order exactly."""
+        args = builder_args(voice_data['data_root'],
+                            str(tmp_path / 'experiments'),
+                            device_cache=True, steps_per_dispatch=2,
+                            batch_size=2, train=False, valid=True,
+                            checkpoint_path=None, end_epoch=0)
+        # Builder needs eval-vs-checkpoint conflict satisfied; build the
+        # pieces directly instead.
+        from morgana_tpu import data
+        from morgana_tpu.data.device_cache import DeviceCorpusCache
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+        model = TinyF0Model()
+        norms = model.normaliser_sources()
+        for norm in norms.values():
+            norm.load_params('train', voice_data['data_root'])
+        dataset = data.FilesDataset(
+            model.train_data_sources(), 'train',
+            'train/train_file_id_list.scp', norms, voice_data['data_root'])
+        cache = DeviceCorpusCache(dataset)
+        wrapper = data.batch(dataset, batch_size=2, shuffle=True, seed=11,
+                             device_cache=cache)
+        loader = wrapper.data_loader
+
+        class Host:
+            steps_per_dispatch = 2
+        groups = list(ExperimentBuilder._chain_groups(Host(), loader, cache))
+        assert all(len(g) <= 2 for g in groups)
+        flat = np.concatenate([g.reshape(-1) for g in groups])
+        loader.set_epoch(loader.epoch - 1)  # replay the same shuffle
+        order = np.concatenate(loader.iter_batch_indices())
+        np.testing.assert_array_equal(flat, order)
+        for g in groups:
+            sigs = {cache.batch_signature(row) for row in g}
+            assert len(sigs) == 1
