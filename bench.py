@@ -807,6 +807,13 @@ def main():
         line['e2e_devcache_corpus_mb'] = e2e_devcache.get('e2e_cache_mb')
         line['e2e_devcache_of_compute'] = round(
             e2e_devcache['e2e_frames_per_sec'] / result['frames_per_sec'], 3)
+    if e2e_chain:
+        line['e2e_chain_frames_per_sec'] = round(
+            e2e_chain['e2e_frames_per_sec'], 1)
+        line['e2e_chain_steps_per_dispatch'] = e2e_chain.get(
+            'e2e_steps_per_dispatch')
+        line['e2e_chain_of_compute'] = round(
+            e2e_chain['e2e_frames_per_sec'] / result['frames_per_sec'], 3)
     if vocoder_row:
         line['vocoder_device_frames_per_sec'] = round(vocoder_row['device'], 1)
         line['vocoder_host_frames_per_sec'] = round(vocoder_row['host'], 1)
