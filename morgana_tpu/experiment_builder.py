@@ -348,12 +348,13 @@ class ExperimentBuilder(object):
                                  'A corpus over budget falls back to the streaming loader.')
         parser.add_argument('--steps_per_dispatch', dest='steps_per_dispatch',
                             action='store', type=int, default=1,
-                            help='If > 1, run up to N consecutive same-shape training batches '
-                                 'as ONE compiled program (a lax.scan chaining batch assembly '
-                                 '+ fused step), so one host dispatch covers N steps. Requires '
-                                 '--device_cache; per-step numerics (RNG, LR schedule, EMA, '
-                                 'metrics) are unchanged. The win when per-dispatch latency '
-                                 '(a remote/tunnelled device) bounds training, not compute.')
+                            help='If > 1, run up to N consecutive same-shape training (and '
+                                 'validation) batches as ONE compiled program (a lax.scan '
+                                 'chaining batch assembly + fused step), so one host dispatch '
+                                 'covers N steps. Requires --device_cache; per-step numerics '
+                                 '(RNG, LR schedule, EMA, metrics) are unchanged. The win when '
+                                 'per-dispatch latency (a remote/tunnelled device) bounds '
+                                 'training, not compute.')
         parser.add_argument('--debug_nans', dest='debug_nans', action='store_true', default=False,
                             help='Debugging: raise at the FIRST operation producing a NaN/Inf '
                                  '(jax_debug_nans) instead of tripping the end-of-epoch '
@@ -1585,10 +1586,50 @@ class ExperimentBuilder(object):
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
 
-        losses = []
         num_batches = len(data_loader)
         pbar = _logging.ProgressBar(num_batches, print_interval=self.log_interval)
 
+        # Chained multi-step dispatch applies to validation too: eval epochs
+        # are pure dispatch (no analysis outputs needed), so N same-shape
+        # batches run as one compiled scan when the corpus is device-cached.
+        use_chain = (self.steps_per_dispatch > 1
+                     and getattr(data_loader, 'device_cache', None) is not None
+                     and not gen_output)
+        if use_chain:
+            losses = self._chained_valid_batches(data_loader, use_ema,
+                                                 num_batches, pbar)
+        else:
+            losses = self._valid_batches(data_loader, model, use_ema,
+                                         gen_output, out_dir, num_batches,
+                                         pbar)
+
+        if gen_output:
+            model.analysis_for_valid_epoch(out_dir=out_dir, **self.analysis_kwargs)
+
+        if out_dir and self.is_lead_host:
+            file_io.save_json(self.model.metrics.results_as_json_dict('valid'),
+                              os.path.join(out_dir, 'metrics.json'))
+        self._log_metrics_to_tensorboard('valid')
+
+        model.mode = ''
+        self.model.mode = ''
+        # One bulk transfer, not a readback per batch scalar (each float()
+        # of a device array is a full round trip on a tunnelled device).
+        # Accumulate in f64: under compute_dtype='bfloat16' the per-batch
+        # losses arrive as bf16 and numpy would reduce IN bf16, adding
+        # ~0.1-1% noise to the value plateau LR scheduling thresholds on.
+        # Chained dispatch appends (chain_len,) vectors; flatten so the
+        # epoch loss stays the mean over BATCHES either way.
+        if not losses:
+            return 0.0
+        flat = np.concatenate([np.atleast_1d(np.asarray(x, np.float64))
+                               for x in jax.device_get(losses)])
+        return float(flat.mean())
+
+    def _valid_batches(self, data_loader, model, use_ema, gen_output, out_dir,
+                       num_batches, pbar):
+        """The per-batch validation loop: one eval-step dispatch per batch."""
+        losses = []
         synced = False
         for i, features in zip(pbar, data_loader):
             self.model.step = (self.epoch - 1) * num_batches + i + 1
@@ -1610,24 +1651,47 @@ class ExperimentBuilder(object):
                 model.analysis_for_valid_batch(
                     self._for_analysis(features), self._for_analysis(output_features),
                     out_dir=out_dir, **self.analysis_kwargs)
+        return losses
 
-        if gen_output:
-            model.analysis_for_valid_epoch(out_dir=out_dir, **self.analysis_kwargs)
+    def _chained_valid_batches(self, data_loader, use_ema, num_batches, pbar):
+        """The --steps_per_dispatch validation loop: consecutive same-shape
+        batches evaluate as ONE compiled program (``TrainLoop.eval_chain``).
+        Metric partials and the RNG key stream are identical to the
+        per-batch loop's."""
+        cache = data_loader.device_cache
+        loader = data_loader.data_loader
+        post = data_loader.device_transform
+        losses = []
+        done = 0
+        try:
+            for idx_mat in self._chain_groups(loader, cache):
+                n = len(idx_mat)
+                if n == 1:
+                    features = cache.assemble(idx_mat[0],
+                                              bucket=loader.bucket, post=post)
+                    batch_loss, staged, _ = self.loop.eval_step(
+                        features, use_ema=use_ema)
+                    self.model.metrics.apply_staged(staged, tag='eval')
+                else:
+                    batch_loss, staged = self.loop.eval_chain(
+                        cache, idx_mat, post=post,
+                        batch_sharding=self.batch_sharding or None,
+                        bucket=loader.bucket, use_ema=use_ema)
+                    self.model.metrics.apply_staged(staged, tag='eval',
+                                                    steps=n)
+                losses.append(batch_loss)
+                self.model.metrics.accumulate('valid', loss=batch_loss)
 
-        if out_dir and self.is_lead_host:
-            file_io.save_json(self.model.metrics.results_as_json_dict('valid'),
-                              os.path.join(out_dir, 'metrics.json'))
-        self._log_metrics_to_tensorboard('valid')
-
-        model.mode = ''
-        self.model.mode = ''
-        # One bulk transfer, not a readback per batch scalar (each float()
-        # of a device array is a full round trip on a tunnelled device).
-        # Accumulate in f64: under compute_dtype='bfloat16' the per-batch
-        # losses arrive as bf16 and numpy would reduce IN bf16, adding
-        # ~0.1-1% noise to the value plateau LR scheduling thresholds on.
-        return float(np.mean(np.asarray(jax.device_get(losses),
-                                        np.float64))) if losses else 0.0
+                done += n
+                self.model.step = (self.epoch - 1) * num_batches + done
+                pbar.advance(n)
+                pbar.maybe_print('valid', self.epoch, lambda b=batch_loss: dict(
+                    batch_loss=utils.format_float_tensor(
+                        b if getattr(b, 'ndim', 0) == 0 else b[-1]),
+                    **self.model.metrics.results_as_str_dict('valid')), count=n)
+        finally:
+            pbar.close()
+        return losses
 
     def run_valid(self, gen_output):
         r"""Runs evaluation for the current epoch (EMA weights if enabled,

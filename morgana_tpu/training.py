@@ -264,8 +264,9 @@ class TrainLoop(object):
             self._accum_step = self._build_accum_step()
             self._apply_step = self._build_apply_step()
         # Compiled chained-dispatch programs, keyed by chain shape signature
-        # (see train_chain).
+        # (see train_chain / eval_chain).
         self._chain_fns = {}
+        self._eval_chain_fns = {}
 
     # -- step builders -------------------------------------------------------
 
@@ -435,6 +436,66 @@ class TrainLoop(object):
         self.step_count += chain_len
         self.last_step_applied = True
         return losses, staged
+
+    def _build_eval_chain(self, assemble, chain_len, batch_sharding):
+        """Compiles ``chain_len`` consecutive eval steps (jitted forward, no
+        grads) into ONE program — the validation-epoch analogue of
+        :meth:`_build_chain_step`. The per-batch RNG keys come in as a scan
+        input so the chained epoch consumes exactly the key sequence the
+        per-batch loop's ``_next_rng`` stream would have drawn (stochastic
+        eval elements, e.g. VAE latent sampling, stay bit-identical)."""
+        model = self.model
+
+        def chain_eval(params, arenas, stacked, idx_mat, global_step, rngs):
+            def body(carry, xs):
+                idxs, rng = xs
+                batch = assemble(idxs, arenas=arenas, stacked=stacked)
+                if batch_sharding is not None:
+                    batch = {k: jax.lax.with_sharding_constraint(
+                                 v, batch_sharding)
+                             for k, v in batch.items()}
+                # global_step rides along for step-scheduled losses (e.g.
+                # VAE KL annealing), fixed at the current train step for the
+                # whole epoch exactly like the per-batch eval path.
+                batch = dict(batch, global_step=global_step)
+                with nn.bind(model, params, rng=rng, train=False):
+                    model.metrics.begin_staging('eval')
+                    loss, outputs = model(batch)
+                    staged = model.metrics.drain_staged_values()
+                del outputs  # not scan-stacked; chained epochs skip analysis
+                return carry, (loss, staged)
+
+            _, (losses, staged) = jax.lax.scan(body, (), (idx_mat, rngs))
+            return losses, staged
+
+        return jax.jit(chain_eval)
+
+    def eval_chain(self, cache, idx_mat, post=None, batch_sharding=None,
+                   bucket=True, use_ema=False):
+        """Runs ``len(idx_mat)`` consecutive eval steps as one compiled
+        program over a device-resident corpus (``--steps_per_dispatch`` on
+        validation epochs). Same grouping contract as :meth:`train_chain`;
+        returns ``(losses, staged)`` with per-step-stacked staged partials
+        for ``Handler.apply_staged(..., steps=chain_len)``."""
+        idx_mat = np.asarray(idx_mat, np.int32)
+        chain_len, batch = idx_mat.shape
+        lengths = cache.padded_lengths(idx_mat.reshape(-1), bucket=bucket)
+        if batch_sharding is not None and not cache.can_shard(batch):
+            batch_sharding = None
+        sig = (chain_len, batch, post is not None,
+               batch_sharding is not None, tuple(sorted(lengths.items())))
+        fn = self._eval_chain_fns.get(sig)
+        if fn is None:
+            body = cache.scan_assemble(lengths, post=post)
+            fn = self._eval_chain_fns[sig] = self._build_eval_chain(
+                body, chain_len, batch_sharding)
+        params = self._resolve_params(use_ema)
+        # Draw the chain's keys from the carried stream IN ORDER, so a
+        # chained epoch and a per-batch epoch consume identical keys.
+        rngs = jnp.stack([self._next_rng() for _ in range(chain_len)])
+        arenas, stacked = cache.device_buffers()
+        return fn(params, arenas, stacked, idx_mat,
+                  jnp.asarray(self.step_count, jnp.int32), rngs)
 
     def _build_eval_step(self):
         model = self.model

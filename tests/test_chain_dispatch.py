@@ -280,3 +280,72 @@ class TestUnits:
         for g in groups:
             sigs = {cache.batch_signature(row) for row in g}
             assert len(sigs) == 1
+
+
+class TestChainedValidation:
+    """--steps_per_dispatch applies to validation epochs too: consecutive
+    same-shape batches evaluate as one compiled scan (TrainLoop.eval_chain),
+    with the per-batch RNG key stream reproduced exactly."""
+
+    def test_valid_chain_builds_and_matches(self, uniform_voice_data, tmp_path):
+        base = _run(uniform_voice_data, tmp_path, 'vchain_off',
+                    device_cache=True)
+        chained = _run(uniform_voice_data, tmp_path, 'vchain_on',
+                       device_cache=True, steps_per_dispatch=4)
+        assert chained.loop._eval_chain_fns, \
+            'no chained eval program was ever built'
+        np.testing.assert_allclose(_valid_losses(chained),
+                                   _valid_losses(base), rtol=1e-6)
+
+    def test_vae_stochastic_eval_rng_matches(self, uniform_voice_data,
+                                             tmp_path):
+        """BaseVAE samples a latent from the carried RNG stream during eval;
+        the chained epoch must consume exactly the key sequence the
+        per-batch loop draws, or valid losses drift."""
+        from tiny_models import TinyVAE
+
+        def run(name, **overrides):
+            args = builder_args(uniform_voice_data['data_root'],
+                                str(tmp_path / 'experiments'),
+                                end_epoch=2, valid=True, batch_size=2,
+                                device_cache=True, **overrides)
+            nn.manual_seed(args['seed'])
+            exp = ExperimentBuilder(TinyVAE, experiment_name=name, **args)
+            exp.run_experiment()
+            return exp
+
+        base = run('vchain_vae_off')
+        chained = run('vchain_vae_on', steps_per_dispatch=3)
+        assert chained.loop._eval_chain_fns
+        np.testing.assert_allclose(_valid_losses(chained),
+                                   _valid_losses(base), rtol=1e-6)
+
+    def test_ema_valid_chain_uses_ema_params(self, uniform_voice_data,
+                                             tmp_path):
+        kwargs = dict(device_cache=True, ema_decay=0.9)
+        base = _run(uniform_voice_data, tmp_path, 'vchain_ema_off', **kwargs)
+        chained = _run(uniform_voice_data, tmp_path, 'vchain_ema_on',
+                       steps_per_dispatch=4, **kwargs)
+        assert chained.loop._eval_chain_fns
+        np.testing.assert_allclose(_valid_losses(chained),
+                                   _valid_losses(base), rtol=1e-6)
+
+    def test_valid_metrics_match_per_batch(self, uniform_voice_data,
+                                           tmp_path):
+        """Staged metric partials stacked over the eval scan axis merge to
+        the same per-epoch values as per-batch staging (LF0 RMSE etc., not
+        just the loss column)."""
+        base = _run(uniform_voice_data, tmp_path, 'vchain_m_off',
+                    device_cache=True)
+        chained = _run(uniform_voice_data, tmp_path, 'vchain_m_on',
+                       device_cache=True, steps_per_dispatch=4)
+        for epoch in (1, 2):
+            with open(os.path.join(chained.experiment_dir, 'valid',
+                                   f'epoch_{epoch}', 'metrics.json')) as fc, \
+                 open(os.path.join(base.experiment_dir, 'valid',
+                                   f'epoch_{epoch}', 'metrics.json')) as fb:
+                got, want = json.load(fc), json.load(fb)
+            assert set(got) == set(want)
+            for key in want:
+                np.testing.assert_allclose(got[key], want[key], rtol=1e-5,
+                                           err_msg=f'epoch {epoch} {key}')
