@@ -188,3 +188,52 @@ class TestBuilderFsdp:
                             shard_map_step=True)
         with pytest.raises(ValueError, match='--fsdp is not supported with'):
             ExperimentBuilder(TinyF0Model, experiment_name='bad2', **args)
+
+
+class TestFsdpChainedDispatch:
+    def test_chain_matches_per_batch_under_fsdp(self, rng):
+        """--steps_per_dispatch composes with --fsdp: the chained scan's
+        donated carry keeps the FSDP layout and the trajectory is bitwise
+        the per-batch FSDP path's (the step body is the same program; GSPMD
+        inserts the same all-gather/reduce-scatter inside the scan)."""
+        from morgana_tpu.data.device_cache import DeviceCorpusCache
+
+        mesh = parallel.make_mesh()
+        sharding = parallel.batch_sharding(mesh)
+        B, steps = 8, 3
+        big = _synthetic_batch(rng, batch=B * steps)
+
+        class _Items:
+            def __len__(self):
+                return B * steps
+
+            def __getitem__(self, i):
+                return {k: v[i] for k, v in big.items()}
+
+        cache = DeviceCorpusCache(_Items(), sharding=sharding)
+        idx_mat = np.arange(B * steps, dtype=np.int32).reshape(steps, B)
+
+        results = {}
+        for label in ('per-batch', 'chained'):
+            loop = _make_loop(9, ema_decay=0.9)
+            shardings = _fsdp_place(loop, mesh)
+            sharded_keys = [k for k, s in shardings.items()
+                            if 'data' in tuple(s.spec)]
+            assert sharded_keys
+            if label == 'per-batch':
+                for row in idx_mat:
+                    loop.train_step(cache.assemble(row, bucket=False),
+                                    lr=1e-3)
+            else:
+                loop.train_chain(cache, idx_mat, [1e-3] * steps,
+                                 batch_sharding=sharding, bucket=False)
+            # The FSDP layout must survive the chained program's donation.
+            for key in sharded_keys:
+                assert 'data' in tuple(loop.params[key].sharding.spec), \
+                    f'{label}: {key} lost its FSDP sharding'
+            results[label] = {k: np.asarray(v)
+                              for k, v in loop.params.items()}
+        for k in results['per-batch']:
+            np.testing.assert_array_equal(results['chained'][k],
+                                          results['per-batch'][k],
+                                          err_msg=k)
