@@ -349,3 +349,50 @@ class TestChainedValidation:
             for key in want:
                 np.testing.assert_allclose(got[key], want[key], rtol=1e-5,
                                            err_msg=f'epoch {epoch} {key}')
+
+
+class TestChainParallelCompositions:
+    def test_chain_matches_per_batch_under_tensor_parallel(self, rng):
+        """--steps_per_dispatch composes with --tensor_parallel: 'model'-axis
+        sharded parameters flow through the chained scan unchanged and the
+        trajectory is bitwise the per-batch TP path's."""
+        from morgana_tpu import parallel
+        from morgana_tpu.data.device_cache import DeviceCorpusCache
+        from test_fsdp import _make_loop
+        from test_parallel import _synthetic_batch
+
+        mesh = parallel.make_mesh(num_data=4, num_model=2)
+        sharding = parallel.batch_sharding(mesh)
+        B, steps = 8, 3
+        big = _synthetic_batch(rng, batch=B * steps)
+
+        class _Items:
+            def __len__(self):
+                return B * steps
+
+            def __getitem__(self, i):
+                return {k: v[i] for k, v in big.items()}
+
+        cache = DeviceCorpusCache(_Items(), sharding=sharding)
+        idx_mat = np.arange(B * steps, dtype=np.int32).reshape(steps, B)
+
+        results = {}
+        for label in ('per-batch', 'chained'):
+            loop = _make_loop(9)
+            loop.params = parallel.shard_params(loop.params, mesh,
+                                                tensor_parallel=True)
+            assert any('model' in tuple(v.sharding.spec)
+                       for v in loop.params.values())
+            if label == 'per-batch':
+                for row in idx_mat:
+                    loop.train_step(cache.assemble(row, bucket=False),
+                                    lr=1e-3)
+            else:
+                loop.train_chain(cache, idx_mat, [1e-3] * steps,
+                                 batch_sharding=sharding, bucket=False)
+            results[label] = {k: np.asarray(v)
+                              for k, v in loop.params.items()}
+        for k in results['per-batch']:
+            np.testing.assert_array_equal(results['chained'][k],
+                                          results['per-batch'][k],
+                                          err_msg=k)
