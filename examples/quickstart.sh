@@ -27,7 +27,9 @@ print('dataset written to ./data')"
 # 2. Train + validate; every 2nd epoch the analysis hook synthesises wavs
 #    into experiments/quickstart/valid/epoch_N/synth/. The corpus rides in
 #    device memory (--device_cache: batches assemble on device, only index
-#    vectors cross the wire) with normalisation computed on device too.
+#    vectors cross the wire) with normalisation computed on device too, and
+#    consecutive same-shape train/valid batches run as one compiled program
+#    (--steps_per_dispatch: one host dispatch per N steps).
 python "$REPO/models/f0_test_model.py" \
   --experiment_name quickstart --data_root data \
   --train_id_list train/train_file_id_list.scp \
@@ -35,7 +37,7 @@ python "$REPO/models/f0_test_model.py" \
   --test_id_list test/test_file_id_list.scp \
   --batch_size 4 --end_epoch 4 --learning_rate 0.01 \
   --ema_decay 0.99 --valid_output_interval 2 --num_data_threads 2 \
-  --device_cache --device_normalise "${DEVICE_ARGS[@]}"
+  --device_cache --device_normalise --steps_per_dispatch 4 "${DEVICE_ARGS[@]}"
 
 # 3. Serve the trained checkpoint (no experiment scaffolding needed):
 #    batch synthesis of the test set with throughput stats.
