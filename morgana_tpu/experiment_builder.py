@@ -1666,6 +1666,11 @@ class ExperimentBuilder(object):
         try:
             for idx_mat in self._chain_groups(loader, cache):
                 n = len(idx_mat)
+                # Step book-keeping BEFORE the dispatch, mirroring
+                # _valid_batches (which sets model.step before each batch):
+                # a hook consuming model.step mid-epoch sees the step of the
+                # last batch in the group, never a stale pre-group value.
+                self.model.step = (self.epoch - 1) * num_batches + done + n
                 if n == 1:
                     features = cache.assemble(idx_mat[0],
                                               bucket=loader.bucket, post=post)
@@ -1683,7 +1688,6 @@ class ExperimentBuilder(object):
                 self.model.metrics.accumulate('valid', loss=batch_loss)
 
                 done += n
-                self.model.step = (self.epoch - 1) * num_batches + done
                 pbar.advance(n)
                 pbar.maybe_print('valid', self.epoch, lambda b=batch_loss: dict(
                     batch_loss=utils.format_float_tensor(

@@ -437,7 +437,7 @@ class TrainLoop(object):
         self.last_step_applied = True
         return losses, staged
 
-    def _build_eval_chain(self, assemble, chain_len, batch_sharding):
+    def _build_eval_chain(self, assemble, batch_sharding):
         """Compiles ``chain_len`` consecutive eval steps (jitted forward, no
         grads) into ONE program — the validation-epoch analogue of
         :meth:`_build_chain_step`. The per-batch RNG keys come in as a scan
@@ -488,7 +488,7 @@ class TrainLoop(object):
         if fn is None:
             body = cache.scan_assemble(lengths, post=post)
             fn = self._eval_chain_fns[sig] = self._build_eval_chain(
-                body, chain_len, batch_sharding)
+                body, batch_sharding)
         params = self._resolve_params(use_ema)
         # Draw the chain's keys from the carried stream IN ORDER, so a
         # chained epoch and a per-batch epoch consume identical keys.
