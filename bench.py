@@ -11,8 +11,14 @@ Baseline: the same training step implemented faithfully in PyTorch on CPU
 (the reference's architecture and per-batch host MLPG), measured once and
 cached in BENCH_BASELINE.json.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+Prints the result as a JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N, ...}
+A provisional line is printed (flushed) as soon as the first measurement
+exists and is re-printed, enriched, after every later stage — the LAST
+parseable line is the result, so a hard timeout at any point still captures
+everything measured so far. Stage timeouts are derived from the wall-clock
+budget (MORGANA_BENCH_BUDGET_S, default 1350 s); the secondary rows (full
+e2e ladder, vocoder, transformer) run only under MORGANA_BENCH_FULL=1.
 """
 import json
 import os
@@ -357,35 +363,31 @@ def _run_bench_code(code, timeout=1200):
     raise RuntimeError(f'bench subprocess failed: {proc.stderr[-1000:]}')
 
 
-def _probe_subprocess():
+def _probe_subprocess(timeout=600):
     """Roofline + transfer probes in one clean process (same contention rule
     as the config benches)."""
     return _run_bench_code(
         'import bench, json; print("BENCH_JSON:" + '
         'json.dumps({"peak": bench.measure_peak_tflops(), '
-        '"bw": bench.measure_transfer_bandwidth()}))')
+        '"bw": bench.measure_transfer_bandwidth()}))', timeout=timeout)
 
 
-def _bench_subprocess(backend, compute_dtype=None, unroll=8, sustained_steps=0):
+def _bench_subprocess(backend, compute_dtype=None, unroll=8, sustained_steps=0,
+                      timeout=900):
     """One config per process: a second measurement in the same process
     reads ~30x slow on the shared TPU (runtime contention with the first
-    program's buffers), so each config gets a clean process."""
-    import subprocess
+    program's buffers), so each config gets a clean process.
+
+    ``timeout`` is derived by the caller from the remaining wall-clock
+    budget (round-3 lesson: a fixed generous timeout let a stage started
+    with 301s of budget run 20 minutes, and the driver killed the whole
+    bench before its only JSON line). Cold compiles through the AOT service
+    are cached server-side, so a timed-out first attempt still warms the
+    cache for a rerun."""
     code = (f'import bench, json; print("BENCH_JSON:" + json.dumps('
             f'bench.bench_tpu({backend!r}, compute_dtype={compute_dtype!r}, '
             f'unroll={unroll}, sustained_steps={sustained_steps})))')
-    # Generous timeout: cold compiles through the AOT service take minutes
-    # (results are cached server-side, so only the FIRST run pays it); a
-    # killed subprocess would silently fall back to the ~30x-slow in-process
-    # path for the remaining configs.
-    proc = subprocess.run([sys.executable, '-c', code], capture_output=True,
-                          text=True, timeout=1200,
-                          cwd=os.path.dirname(os.path.abspath(__file__)))
-    for line in proc.stdout.splitlines():
-        if line.startswith('BENCH_JSON:'):
-            return json.loads(line[len('BENCH_JSON:'):])
-    raise RuntimeError(f'bench subprocess failed ({backend}): '
-                       f'{proc.stderr[-1000:]}')
+    return _run_bench_code(code, timeout=timeout)
 
 
 def bench_generate(rnn_backend='scan', compute_dtype='bfloat16', unroll=64,
@@ -531,13 +533,13 @@ def bench_e2e(num_utts=512, epochs=4, num_data_threads=8, transfer_dtype=None,
 
 
 def _e2e_subprocess(device_normalise=False, device_cache=False,
-                    steps_per_dispatch=1, length_sort_window=0):
+                    steps_per_dispatch=1, length_sort_window=0, timeout=1200):
     return _run_bench_code(
         'import bench, json; print("BENCH_JSON:" + json.dumps('
         f'bench.bench_e2e(device_normalise={bool(device_normalise)}, '
         f'device_cache={bool(device_cache)}, '
         f'steps_per_dispatch={int(steps_per_dispatch)}, '
-        f'length_sort_window={int(length_sort_window)})))')
+        f'length_sort_window={int(length_sort_window)})))', timeout=timeout)
 
 
 # (name, rnn_backend, compute_dtype, scan unroll). Scan unroll 64 amortises
@@ -552,12 +554,31 @@ CONFIGS = (
 
 
 def main():
-    # Wall-clock budget: in a heavily throttled chip window every stage can
-    # take 10-20 minutes, and the JSON line must still come out. Stages are
-    # ordered by importance; optional ones are skipped past the deadline.
-    budget_s = float(os.environ.get('MORGANA_BENCH_BUDGET_S', 2700))
+    # Wall-clock budget. Round-3 lesson: the driver's window is FINITE and
+    # bench.py printed its single JSON line only at the very end, so a
+    # driver timeout produced rc=124 with ZERO captured output. The fix is
+    # structural: (a) a provisional headline line is printed (flushed) the
+    # moment the first successful measurement exists, and the line is
+    # RE-emitted, enriched, after every subsequent stage — the driver takes
+    # the last parseable line, so a kill at any point still captures
+    # everything measured so far; (b) every stage's subprocess timeout is
+    # derived from the remaining budget, never fixed; (c) the default
+    # budget is small enough to provably fit, and the secondary rows (e2e
+    # ladder, vocoder, transformer) only run under MORGANA_BENCH_FULL=1.
+    budget_s = float(os.environ.get('MORGANA_BENCH_BUDGET_S', 1350))
+    full = os.environ.get('MORGANA_BENCH_FULL') == '1'
+    if full:
+        budget_s = float(os.environ.get('MORGANA_BENCH_BUDGET_S', 5400))
     t_start = time.monotonic()
     remaining = lambda: budget_s - (time.monotonic() - t_start)
+
+    def stage_timeout(cap, reserve=20):
+        """Subprocess timeout for a stage: its own cap, never past the
+        budget (minus a small reserve so the final emit always happens)."""
+        return max(60.0, min(float(cap), remaining() - reserve))
+
+    def emit(line):
+        print(json.dumps(line), flush=True)
 
     baseline_fps = get_baseline()
 
@@ -567,289 +588,321 @@ def main():
     # and the in-process fallback would hang with no timeout at all — no
     # JSON line would ever come out. Wedges are sometimes transient, so keep
     # re-probing while the budget allows a meaningful measurement afterwards
-    # (headline config needs ~600s).
+    # (headline config needs ~400s).
     probe_waited, reachable, probed = 0.0, False, False
-    while not probed or remaining() > 780:
+    while not probed or remaining() > 500:
         probed = True
         try:
             _run_bench_code(
                 'import json, jax; d = jax.devices();'
                 'print("BENCH_JSON:" + json.dumps({"n": len(d)}))',
-                timeout=180)
+                timeout=stage_timeout(150))
             reachable = True
             break
         except Exception:
             probe_waited = time.monotonic() - t_start
             # Brief pause so a flapping tunnel isn't hammered; the probe
-            # itself already consumed up to 180s of the budget.
-            time.sleep(min(60, max(0, remaining() - 780)))
+            # itself already consumed up to 150s of the budget.
+            time.sleep(min(60, max(0, remaining() - 500)))
     if not reachable:
-        print(json.dumps({
+        emit({
             'metric': 'rnn_spss_train_frames_per_sec', 'value': 0.0,
             'unit': 'frames/sec', 'vs_baseline': 0.0,
             'error': 'device unreachable: jax.devices() did not respond '
-                     f'across {probe_waited:.0f}s of repeated 180s probes '
+                     f'across {probe_waited:.0f}s of repeated probes '
                      '(tunnel wedged); no measurement possible in this '
-                     'window'}))
+                     'window'})
         return
 
+    # Mutable stage state; _build_line snapshots it after every stage.
     results = {}
     degraded = False
     failed = []
-    for name, backend, dtype, unroll in CONFIGS:
-        if results and remaining() < 300:
-            failed.append(name + ':skipped_budget')
-            continue
-        if not results and remaining() < 600:
-            failed.append(name + ':skipped_budget')
-            continue
-        if results and any(r['ms_per_step'] > 5 * r['burst_ms_per_step']
-                           for r in results.values()):
-            # Throttled window: the secondary A/B rows would be noise AND
-            # they'd eat the budget the cooldown retries below need to
-            # catch a healthier window for the headline config.
-            failed.append(name + ':skipped_throttled')
-            continue
-        try:
-            results[name] = _bench_subprocess(backend, dtype, unroll)
-        except Exception:
-            # Report, don't hide: a missing config (subprocess crash or
-            # cold-compile timeout) silently shifting the headline to a
-            # slower backend would read as a perf regression.
-            failed.append(name)
-    if not results:
-        # In-process fallback, ONE config only: a second measurement in the
-        # same interpreter reads ~30x slow (runtime contention), so running
-        # all configs here would pick the best backend by iteration order.
-        name, backend, dtype, unroll = CONFIGS[0]
-        try:
-            results[name] = bench_tpu(rnn_backend=backend, compute_dtype=dtype,
-                                      unroll=unroll, sustained_steps=50)
-            degraded = True
-        except Exception:
-            pass
-    if not results:
-        raise SystemExit('no backend could be benchmarked')
-
-    # Empirical roofline: the measured peak makes MFU well-defined (<= 1 by
-    # construction when probe and bench hit comparable chip windows).
     measured_peak = transfer_bw = None
-    if remaining() > 120:
-        try:
-            if degraded:
-                measured_peak = measure_peak_tflops()
-                transfer_bw = measure_transfer_bandwidth()
-            else:
-                probes = _probe_subprocess()
-                measured_peak, transfer_bw = probes['peak'], probes['bw']
-        except Exception:
-            pass
+    extras = {}  # e2e/vocoder/transformer rows keyed by name
 
-    best_backend = max(results, key=lambda b: results[b]['frames_per_sec'])
-    result = results[best_backend]
-
-    # Throttle-episode retries: when the sustained reading is wildly slower
-    # than the burst (or, when the roofline probe is available, achieved
-    # compute is far below the measured peak), the window was a throttling
-    # episode, not the chip's real pace. Re-measure after escalating
-    # cooldowns while the budget allows, keeping the best readings (each
-    # still a genuine >= 3 x 15-step readback-barriered measurement). A
-    # throttled window also makes the best-BACKEND choice pure noise, so
-    # retries cover the documented headline config too, and the winner is
-    # re-picked afterwards. This runs BEFORE the secondary stages (e2e,
-    # transformer): the headline is the artifact that matters, and in a
-    # throttled window the secondaries would burn the retry budget
-    # measuring noise.
     def _throttled(res):
         if res['ms_per_step'] > 5 * res['burst_ms_per_step']:
             return True
         return bool(measured_peak) and \
             res['achieved_tflops'] / measured_peak < 0.15
 
+    def _build_line():
+        best_backend = max(results,
+                           key=lambda b: results[b]['frames_per_sec'])
+        result = results[best_backend]
+        line = {
+            'metric': 'rnn_spss_train_frames_per_sec',
+            # The headline is the SUSTAINED (readback-barrier) number; the
+            # burst rides along as burst_* (block_until_ready on the
+            # tunnelled runtime can credit scheduling rather than
+            # completion, which is how round 2 printed a physically
+            # impossible MFU of 1.78).
+            'value': round(result['frames_per_sec'], 1),
+            'unit': 'frames/sec',
+            'vs_baseline': round(result['frames_per_sec'] / baseline_fps, 2),
+            'backend': best_backend,
+            'ms_per_step': round(result['ms_per_step'], 2),
+            'sustained_steps': result.get('sustained_steps'),
+            'sustained_spread': result.get('sustained_spread'),
+            'burst_ms_per_step': round(result['burst_ms_per_step'], 2),
+            'sustained_vs_burst': round(
+                result['ms_per_step'] / result['burst_ms_per_step'], 2),
+            'achieved_tflops': round(result['achieved_tflops'], 1),
+            'throttle_ratio': result.get('throttle_ratio'),
+            'nominal_peak_tflops': result['nominal_peak_tflops'],
+            'mfu_vs_nominal': round(result['mfu_vs_nominal'], 3),
+            'device_kind': result.get('device_kind', ''),
+        }
+        if measured_peak is not None:
+            line['measured_peak_tflops'] = round(measured_peak, 1)
+            line['mfu'] = round(result['achieved_tflops'] / measured_peak, 3)
+        if transfer_bw is not None:
+            line['host_to_device_mb_per_sec'] = round(transfer_bw, 1)
+        e2e = extras.get('e2e')
+        if e2e:
+            line.update({k: (round(v, 1) if isinstance(v, float) else v)
+                         for k, v in e2e.items()})
+            line['e2e_of_compute'] = round(
+                e2e['e2e_frames_per_sec'] / result['frames_per_sec'], 3)
+            if transfer_bw is not None and e2e.get('e2e_batch_mb'):
+                # The transfer-bound ceiling for e2e on THIS device link:
+                # when the device sits behind a network tunnel, batch
+                # upload — not the input pipeline — is what bounds
+                # disk->device throughput.
+                ceiling = (transfer_bw / e2e['e2e_batch_mb']
+                           * e2e.get('e2e_frames_per_batch', 32 * 640.0))
+                line['e2e_transfer_ceiling_frames_per_sec'] = round(
+                    ceiling, 1)
+        e2e_devnorm = extras.get('e2e_devnorm')
+        if e2e_devnorm:
+            line['e2e_devnorm_frames_per_sec'] = round(
+                e2e_devnorm['e2e_frames_per_sec'], 1)
+            line['e2e_devnorm_batch_mb'] = e2e_devnorm.get('e2e_batch_mb')
+        e2e_devcache = extras.get('e2e_devcache')
+        if e2e_devcache:
+            line['e2e_devcache_frames_per_sec'] = round(
+                e2e_devcache['e2e_frames_per_sec'], 1)
+            line['e2e_devcache_batch_mb'] = e2e_devcache.get('e2e_batch_mb')
+            line['e2e_devcache_corpus_mb'] = e2e_devcache.get('e2e_cache_mb')
+            line['e2e_devcache_of_compute'] = round(
+                e2e_devcache['e2e_frames_per_sec']
+                / result['frames_per_sec'], 3)
+        e2e_chain = extras.get('e2e_chain')
+        if e2e_chain:
+            line['e2e_chain_frames_per_sec'] = round(
+                e2e_chain['e2e_frames_per_sec'], 1)
+            line['e2e_chain_steps_per_dispatch'] = e2e_chain.get(
+                'e2e_steps_per_dispatch')
+            line['e2e_chain_of_compute'] = round(
+                e2e_chain['e2e_frames_per_sec']
+                / result['frames_per_sec'], 3)
+        vocoder_row = extras.get('vocoder')
+        if vocoder_row:
+            line['vocoder_device_frames_per_sec'] = round(
+                vocoder_row['device'], 1)
+            line['vocoder_host_frames_per_sec'] = round(
+                vocoder_row['host'], 1)
+            line['vocoder_device_vs_host'] = round(
+                vocoder_row['device'] / vocoder_row['host'], 2)
+        transformer = extras.get('transformer')
+        if transformer:
+            line['transformer_frames_per_sec'] = round(
+                transformer['frames_per_sec'], 1)
+            line['transformer_ms_per_step'] = transformer['ms_per_step']
+            line['transformer_achieved_tflops'] = \
+                transformer['achieved_tflops']
+            line['transformer_config'] = transformer['config']
+            if measured_peak is not None:
+                line['transformer_mfu'] = round(
+                    transformer['achieved_tflops'] / measured_peak, 3)
+        if degraded:
+            line['degraded'] = 'subprocess isolation unavailable; single '\
+                               'in-process measurement'
+        if failed:
+            line['failed_configs'] = list(failed)
+        if measured_peak is not None and line.get('mfu', 0) > 1.0:
+            line['mfu_note'] = (
+                'mfu > 1 vs the measured peak: the probe and the bench hit '
+                'different chip windows (see throttle_ratio); rerun for a '
+                'comparable pair')
+        if not degraded and _throttled(result):
+            line['throttle_note'] = (
+                'bench window hit a tunnel throttling episode (sustained '
+                f'{line["sustained_vs_burst"]}x slower than burst); '
+                'burst_ms_per_step shows the program\'s dispatch pace and '
+                'healthy-window sustained numbers are in BASELINE.md — '
+                'rerun in another window for a representative sustained '
+                'reading')
+        for backend, res in results.items():
+            if backend != best_backend:
+                line[f'{backend}_frames_per_sec'] = round(
+                    res['frames_per_sec'], 1)
+                line[f'{backend}_ms_per_step'] = round(
+                    res['ms_per_step'], 2)
+        return line
+
+    # ---- Stage 1: the headline config, then IMMEDIATELY emit. ----
+    name, backend, dtype, unroll = CONFIGS[0]
+    try:
+        results[name] = _bench_subprocess(backend, dtype, unroll,
+                                          timeout=stage_timeout(700))
+    except Exception:
+        failed.append(name)
+    if not results:
+        # In-process fallback, ONE config only: a second measurement in the
+        # same interpreter reads ~30x slow (runtime contention), so running
+        # all configs here would pick the best backend by iteration order.
+        try:
+            results[name] = bench_tpu(rnn_backend=backend,
+                                      compute_dtype=dtype,
+                                      unroll=unroll, sustained_steps=50)
+            degraded = True
+            failed.remove(name)
+        except Exception:
+            pass
+    if not results:
+        emit({'metric': 'rnn_spss_train_frames_per_sec', 'value': 0.0,
+              'unit': 'frames/sec', 'vs_baseline': 0.0,
+              'error': 'headline config failed in both subprocess and '
+                       'in-process modes; see BASELINE.md for the last '
+                       'healthy-window numbers'})
+        raise SystemExit('no backend could be benchmarked')
+    emit(_build_line())  # provisional headline: survives any later kill
+
+    # ---- Stage 2: roofline + transfer probes (make MFU well-defined). ----
+    if remaining() > 90:
+        try:
+            if degraded:
+                measured_peak = measure_peak_tflops()
+                transfer_bw = measure_transfer_bandwidth()
+            else:
+                probes = _probe_subprocess(timeout=stage_timeout(300))
+                measured_peak, transfer_bw = probes['peak'], probes['bw']
+        except Exception:
+            pass
+        emit(_build_line())
+
+    # ---- Stage 3: throttle-episode retries for the headline. ----
+    # When the sustained reading is wildly slower than the burst (or
+    # achieved compute is far below the measured peak), the window was a
+    # throttling episode, not the chip's real pace. Re-measure after
+    # escalating cooldowns while the budget allows, keeping the best
+    # readings (each still a genuine >= 3 x 15-step readback-barriered
+    # measurement).
     if not degraded:
-        retry_names = [best_backend]
-        if 'scan_bf16_u64' in results and 'scan_bf16_u64' not in retry_names:
-            retry_names.append('scan_bf16_u64')
-        for cooldown in (60, 180, 300, 300, 300):
-            if not _throttled(result) or remaining() < cooldown + 240:
+        for cooldown in (60, 180, 300):
+            if not _throttled(results[name]) or \
+                    remaining() < cooldown + 240:
                 break
             time.sleep(cooldown)
-            for name in retry_names:
-                cfg = next(c for c in CONFIGS if c[0] == name)
-                try:
-                    retry = _bench_subprocess(cfg[1], cfg[2], cfg[3])
-                except Exception:
-                    continue
-                if retry['frames_per_sec'] > results[name]['frames_per_sec']:
-                    retry['throttle_retry'] = True
-                    results[name] = retry
-            best_backend = max(results, key=lambda b: results[b]['frames_per_sec'])
-            result = results[best_backend]
+            try:
+                retry = _bench_subprocess(backend, dtype, unroll,
+                                          timeout=stage_timeout(500))
+            except Exception:
+                continue
+            if retry['frames_per_sec'] > results[name]['frames_per_sec']:
+                retry['throttle_retry'] = True
+                results[name] = retry
+                emit(_build_line())
 
-    # End-to-end disk->device epoch throughput (loader + prefetch + device).
-    e2e = e2e_devnorm = e2e_devcache = e2e_chain = None
-    # The headline e2e config runs FIRST: device-resident corpus
-    # (--device_cache --device_normalise) PLUS chained dispatch
-    # (--steps_per_dispatch 16 with length-sorted batching so consecutive
-    # batches share a bucket): steady-state host work is one dispatch and one
-    # (16, B) index upload per 16 steps — the remaining per-batch cost after
-    # the wire was eliminated was the dispatch round trip itself.
-    if not degraded and remaining() > 300:
+    # ---- Stage 4: secondary A/B configs (budget permitting). ----
+    for cfg_name, cfg_backend, cfg_dtype, cfg_unroll in CONFIGS[1:]:
+        if remaining() < 240:
+            failed.append(cfg_name + ':skipped_budget')
+            continue
+        if any(_throttled(r) for r in results.values()):
+            # Throttled window: the A/B rows would be noise.
+            failed.append(cfg_name + ':skipped_throttled')
+            continue
         try:
-            e2e_chain = _e2e_subprocess(device_normalise=True,
-                                        device_cache=True,
-                                        steps_per_dispatch=16,
-                                        length_sort_window=16)
+            results[cfg_name] = _bench_subprocess(
+                cfg_backend, cfg_dtype, cfg_unroll,
+                timeout=stage_timeout(400))
         except Exception:
-            pass
-    if not degraded and remaining() > 300:
-        try:
-            e2e = _e2e_subprocess()
-        except Exception:
-            pass
-    # With the corpus device-RESIDENT (--device_cache --device_normalise):
-    # steady-state epochs upload only (B,) index vectors — the wire leaves
-    # the picture entirely (one-time arena upload amortised over training).
-    if not degraded and remaining() > 300:
-        try:
-            e2e_devcache = _e2e_subprocess(device_normalise=True,
-                                           device_cache=True)
-        except Exception:
-            pass
-    # Same epoch with --device_normalise only: raw streams cross the wire
-    # (normalisation + delta windows reconstructed on device), ~5x fewer
-    # upload bytes — the recommended config when the corpus exceeds HBM.
-    if not degraded and remaining() > 300:
-        try:
-            e2e_devnorm = _e2e_subprocess(device_normalise=True)
-        except Exception:
-            pass
+            # Report, don't hide: a missing config silently shifting the
+            # headline to a slower backend would read as a perf regression.
+            failed.append(cfg_name)
+    emit(_build_line())
 
-    # On-device vocoder (vocoder/jax_world.py): batch waveform synthesis
-    # on the accelerator vs the per-utterance host loop.
-    vocoder_row = None
-    if not degraded and remaining() > 240:
+    # ---- Stage 5: the best e2e row (device-resident + chained dispatch).
+    # The single most important secondary number: a REAL epoch through the
+    # user path with the full TPU-first ladder. Runs in the default budget
+    # when time remains; the rest of the ladder is MORGANA_BENCH_FULL only.
+    if not degraded and remaining() > 420:
         try:
-            vocoder_row = _run_bench_code(
-                'import json, sys, os;'
-                'sys.path.insert(0, os.path.join(os.getcwd(), "benchmarks"));'
-                'import bench_vocoder as bv;'
-                'f0, vuv, mcep, bap, seq_len = bv.make_batch(32, 600);'
-                'host = bv.bench_host(f0, vuv, mcep, bap);'
-                'dev = bv.bench_device(f0, vuv, mcep, bap, seq_len);'
-                'print("BENCH_JSON:" + json.dumps('
-                '{"host": host, "device": dev}))')
+            extras['e2e_chain'] = _e2e_subprocess(
+                device_normalise=True, device_cache=True,
+                steps_per_dispatch=16, length_sort_window=16,
+                timeout=stage_timeout(600))
         except Exception:
             pass
+        emit(_build_line())
 
-    # The attention-path flagship (models/transformer_spss.py): the MXU
-    # showcase number — O(1) sequential depth, so MFU is bounded by
-    # arithmetic intensity rather than the LSTM's per-timestep loop latency.
-    transformer = None
-    if not degraded and remaining() > 300:
-        try:
-            transformer = _run_bench_code(
-                'import json, sys, os;'
-                'sys.path.insert(0, os.path.join(os.getcwd(), "benchmarks"));'
-                'import bench_transformer as bt;'
-                'print("BENCH_JSON:" + json.dumps('
-                'bt.measure(512, 6, 8, 2048, "bfloat16", 32, 640)))')
-        except Exception:
-            pass
+    # ---- Stage 6 (MORGANA_BENCH_FULL=1): full e2e ladder + vocoder +
+    # transformer rows. ----
+    if full and not degraded:
+        if remaining() > 420:
+            try:
+                extras['e2e'] = _e2e_subprocess(
+                    timeout=stage_timeout(600))
+            except Exception:
+                pass
+            emit(_build_line())
+        # Corpus device-RESIDENT: steady-state epochs upload only (B,)
+        # index vectors — the wire leaves the picture entirely.
+        if remaining() > 420:
+            try:
+                extras['e2e_devcache'] = _e2e_subprocess(
+                    device_normalise=True, device_cache=True,
+                    timeout=stage_timeout(600))
+            except Exception:
+                pass
+            emit(_build_line())
+        # --device_normalise only: raw streams cross the wire, ~5x fewer
+        # upload bytes — the recommended config when the corpus exceeds HBM.
+        if remaining() > 420:
+            try:
+                extras['e2e_devnorm'] = _e2e_subprocess(
+                    device_normalise=True, timeout=stage_timeout(600))
+            except Exception:
+                pass
+            emit(_build_line())
+        # On-device vocoder (vocoder/jax_world.py): batch waveform
+        # synthesis on the accelerator vs the per-utterance host loop.
+        if remaining() > 300:
+            try:
+                extras['vocoder'] = _run_bench_code(
+                    'import json, sys, os;'
+                    'sys.path.insert(0, '
+                    'os.path.join(os.getcwd(), "benchmarks"));'
+                    'import bench_vocoder as bv;'
+                    'f0, vuv, mcep, bap, seq_len = bv.make_batch(32, 600);'
+                    'host = bv.bench_host(f0, vuv, mcep, bap);'
+                    'dev = bv.bench_device(f0, vuv, mcep, bap, seq_len);'
+                    'print("BENCH_JSON:" + json.dumps('
+                    '{"host": host, "device": dev}))',
+                    timeout=stage_timeout(450))
+            except Exception:
+                pass
+            emit(_build_line())
+        # The attention-path flagship (models/transformer_spss.py): the MXU
+        # showcase — O(1) sequential depth, so MFU is bounded by arithmetic
+        # intensity rather than the LSTM's per-timestep loop latency.
+        if remaining() > 300:
+            try:
+                extras['transformer'] = _run_bench_code(
+                    'import json, sys, os;'
+                    'sys.path.insert(0, '
+                    'os.path.join(os.getcwd(), "benchmarks"));'
+                    'import bench_transformer as bt;'
+                    'print("BENCH_JSON:" + json.dumps('
+                    'bt.measure(512, 6, 8, 2048, "bfloat16", 32, 640)))',
+                    timeout=stage_timeout(450))
+            except Exception:
+                pass
 
-    line = {
-        'metric': 'rnn_spss_train_frames_per_sec',
-        # The headline is the SUSTAINED (readback-barrier) number; the burst
-        # rides along as burst_* (block_until_ready on the tunnelled runtime
-        # can credit scheduling rather than completion, which is how round 2
-        # printed a physically impossible MFU of 1.78).
-        'value': round(result['frames_per_sec'], 1),
-        'unit': 'frames/sec',
-        'vs_baseline': round(result['frames_per_sec'] / baseline_fps, 2),
-        'backend': best_backend,
-        'ms_per_step': round(result['ms_per_step'], 2),
-        'sustained_steps': result.get('sustained_steps'),
-        'sustained_spread': result.get('sustained_spread'),
-        'burst_ms_per_step': round(result['burst_ms_per_step'], 2),
-        'sustained_vs_burst': round(
-            result['ms_per_step'] / result['burst_ms_per_step'], 2),
-        'achieved_tflops': round(result['achieved_tflops'], 1),
-        'throttle_ratio': result.get('throttle_ratio'),
-        'nominal_peak_tflops': result['nominal_peak_tflops'],
-        'mfu_vs_nominal': round(result['mfu_vs_nominal'], 3),
-        'device_kind': result.get('device_kind', ''),
-    }
-    if measured_peak is not None:
-        line['measured_peak_tflops'] = round(measured_peak, 1)
-        line['mfu'] = round(result['achieved_tflops'] / measured_peak, 3)
-    if transfer_bw is not None:
-        line['host_to_device_mb_per_sec'] = round(transfer_bw, 1)
-    if e2e:
-        line.update({k: (round(v, 1) if isinstance(v, float) else v)
-                     for k, v in e2e.items()})
-        line['e2e_of_compute'] = round(
-            e2e['e2e_frames_per_sec'] / result['frames_per_sec'], 3)
-        if transfer_bw is not None and e2e.get('e2e_batch_mb'):
-            # The transfer-bound ceiling for e2e on THIS device link: when
-            # the device sits behind a network tunnel, batch upload — not
-            # the input pipeline — is what bounds disk->device throughput.
-            ceiling = (transfer_bw / e2e['e2e_batch_mb']
-                       * e2e.get('e2e_frames_per_batch', 32 * 640.0))
-            line['e2e_transfer_ceiling_frames_per_sec'] = round(ceiling, 1)
-    if e2e_devnorm:
-        line['e2e_devnorm_frames_per_sec'] = round(
-            e2e_devnorm['e2e_frames_per_sec'], 1)
-        line['e2e_devnorm_batch_mb'] = e2e_devnorm.get('e2e_batch_mb')
-    if e2e_devcache:
-        line['e2e_devcache_frames_per_sec'] = round(
-            e2e_devcache['e2e_frames_per_sec'], 1)
-        line['e2e_devcache_batch_mb'] = e2e_devcache.get('e2e_batch_mb')
-        line['e2e_devcache_corpus_mb'] = e2e_devcache.get('e2e_cache_mb')
-        line['e2e_devcache_of_compute'] = round(
-            e2e_devcache['e2e_frames_per_sec'] / result['frames_per_sec'], 3)
-    if e2e_chain:
-        line['e2e_chain_frames_per_sec'] = round(
-            e2e_chain['e2e_frames_per_sec'], 1)
-        line['e2e_chain_steps_per_dispatch'] = e2e_chain.get(
-            'e2e_steps_per_dispatch')
-        line['e2e_chain_of_compute'] = round(
-            e2e_chain['e2e_frames_per_sec'] / result['frames_per_sec'], 3)
-    if vocoder_row:
-        line['vocoder_device_frames_per_sec'] = round(vocoder_row['device'], 1)
-        line['vocoder_host_frames_per_sec'] = round(vocoder_row['host'], 1)
-        line['vocoder_device_vs_host'] = round(
-            vocoder_row['device'] / vocoder_row['host'], 2)
-    if transformer:
-        line['transformer_frames_per_sec'] = round(
-            transformer['frames_per_sec'], 1)
-        line['transformer_ms_per_step'] = transformer['ms_per_step']
-        line['transformer_achieved_tflops'] = transformer['achieved_tflops']
-        line['transformer_config'] = transformer['config']
-        if measured_peak is not None:
-            line['transformer_mfu'] = round(
-                transformer['achieved_tflops'] / measured_peak, 3)
-    if degraded:
-        line['degraded'] = 'subprocess isolation unavailable; single '\
-                           'in-process measurement'
-    if failed:
-        line['failed_configs'] = failed
-    if measured_peak is not None and line.get('mfu', 0) > 1.0:
-        line['mfu_note'] = ('mfu > 1 vs the measured peak: the probe and '
-                            'the bench hit different chip windows (see '
-                            'throttle_ratio); rerun for a comparable pair')
-    if not degraded and _throttled(result):
-        line['throttle_note'] = (
-            'entire bench window was a tunnel throttling episode (sustained '
-            f'{line["sustained_vs_burst"]}x slower than burst despite '
-            'cooldown retries); burst_ms_per_step shows the program\'s '
-            'dispatch pace and healthy-window sustained numbers are in '
-            'BASELINE.md — rerun in another window for a representative '
-            'sustained reading')
-    for backend, res in results.items():
-        if backend != best_backend:
-            line[f'{backend}_frames_per_sec'] = round(res['frames_per_sec'], 1)
-            line[f'{backend}_ms_per_step'] = round(res['ms_per_step'], 2)
-    print(json.dumps(line))
+    emit(_build_line())
 
 
 if __name__ == '__main__':
