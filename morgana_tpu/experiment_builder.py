@@ -631,10 +631,12 @@ class ExperimentBuilder(object):
                                  '--device_cache (batches must assemble on '
                                  'device for the chained program to run '
                                  'without per-batch host data).')
-            if self.grad_accum_steps > 1:
-                raise ValueError('--steps_per_dispatch > 1 is not supported '
-                                 'with --grad_accum_steps > 1 (the chain '
-                                 'applies the optimiser every step).')
+            if self.grad_accum_steps > 1 and self.log_norms:
+                raise ValueError('--steps_per_dispatch > 1 with '
+                                 '--grad_accum_steps > 1 does not support '
+                                 '--log_norms (norms are staged only on '
+                                 'applied steps, but a scanned chain must '
+                                 'stage a uniform key set every step).')
             if self.shard_map_step:
                 raise ValueError('--steps_per_dispatch > 1 is not supported '
                                  'with --shard_map_step; the GSPMD path '
@@ -1341,13 +1343,21 @@ class ExperimentBuilder(object):
             for idx_mat in self._chain_groups(loader, cache):
                 n = len(idx_mat)
                 first_step = (self.epoch - 1) * num_batches + skip + done + 1
+                # The last batch of the epoch closes any open gradient-
+                # accumulation cycle (force apply), exactly like the
+                # per-batch loop's force_apply at num_batches - 1.
+                epoch_last = skip + done + n == num_batches
                 # Pre-step LR per chained step; batch-level schedules advance
-                # once per applied step, exactly as the per-batch loop does.
+                # once per APPLIED step, exactly as the per-batch loop does
+                # (with accumulation only every Nth step applies — the
+                # schedule is deterministic, so it is computed up front).
+                apply_flags, _ = self.loop.chain_apply_schedule(
+                    n, idx_mat.shape[1], force_apply_last=epoch_last)
                 lrs = []
-                for _ in range(n):
+                for applied in apply_flags:
                     lrs.append(lr_schedule.lr if lr_schedule is not None
                                else self.learning_rate)
-                    if lr_schedule is not None and \
+                    if applied and lr_schedule is not None and \
                             self.lr_schedule_name in lr_schedules.BATCH_LR_SCHEDULES:
                         lr_schedule.step()
 
@@ -1359,13 +1369,13 @@ class ExperimentBuilder(object):
                         features = cache.assemble(idx_mat[0],
                                                   bucket=loader.bucket, post=post)
                         batch_loss, staged, _ = self.loop.train_step(
-                            features, lrs[0])
+                            features, lrs[0], force_apply=epoch_last)
                         self.model.metrics.apply_staged(staged, tag='train')
                     else:
                         batch_loss, staged = self.loop.train_chain(
                             cache, idx_mat, lrs, post=post,
                             batch_sharding=self.batch_sharding or None,
-                            bucket=loader.bucket)
+                            bucket=loader.bucket, force_apply_last=epoch_last)
                         self.model.metrics.apply_staged(staged, tag='train',
                                                         steps=n)
                 losses.append(batch_loss)
@@ -1392,8 +1402,11 @@ class ExperimentBuilder(object):
                     **self.model.metrics.results_as_str_dict('train')), count=n)
 
                 # Mid-epoch checkpoints land at the first chain boundary at or
-                # past each interval multiple (chains need not align).
+                # past each interval multiple (chains need not align). Only at
+                # applied-parameter boundaries: a checkpoint inside an open
+                # gradient-accumulation cycle could not resume exactly.
                 if (self.step_checkpoint_interval and self.is_lead_host
+                        and self.loop.last_step_applied
                         and (skip + done) // self.step_checkpoint_interval
                         > (skip + done - n) // self.step_checkpoint_interval):
                     self._save_step_checkpoint(skip + done, num_batches,

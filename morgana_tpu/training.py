@@ -403,8 +403,95 @@ class TrainLoop(object):
 
         return jax.jit(chain_step, donate_argnums=(0, 1, 2))
 
+    def _build_chain_accum_step(self, assemble, batch_sharding):
+        """Chained dispatch WITH gradient accumulation: ``chain_len``
+        consecutive micro-batch steps as one ``lax.scan``, where the
+        optimiser/EMA update fires only on the steps the host-computed
+        ``apply_flags`` mark (every Nth micro-batch, plus a forced epoch-end
+        close). The gradient accumulator rides in the scan carry — and in
+        the loop's ``_acc_grads`` between chain calls, so cycles may cross
+        chain boundaries (and mix with singleton per-batch steps) with
+        numerics identical to the unchained accumulation path: micro-
+        gradients are item-count-weighted on accumulation and divided by the
+        cycle's total item count (``inv_items``, host-computed per step) at
+        apply, exactly as :meth:`_build_accum_step`/:meth:`_build_apply_step`
+        do. ``lax.cond`` keeps the non-apply branch a pure pass-through so
+        XLA compiles one program for any apply schedule (flags are traced
+        inputs, not compile-time constants)."""
+        model, optimizer, ema_decay = self.model, self.optimizer, self.ema_decay
+        rng_base = self._train_rng_base
+
+        def chain_step(params, opt_state, ema_params, acc_grads, arenas,
+                       stacked, idx_mat, lrs, apply_flags, inv_items_vec,
+                       step0):
+            def body(carry, xs):
+                params, opt_state, ema_params, acc_grads = carry
+                idxs, lr, apply_flag, inv_items, offset = xs
+                batch = assemble(idxs, arenas=arenas, stacked=stacked)
+                if batch_sharding is not None:
+                    batch = {k: jax.lax.with_sharding_constraint(
+                                 v, batch_sharding)
+                             for k, v in batch.items()}
+                step_count = step0 + offset
+                rng = jax.random.fold_in(rng_base, step_count)
+                weight = float(batch_items(batch))
+                batch = dict(batch, global_step=step_count)
+                loss, staged, outputs, grads = staged_value_and_grad(
+                    model, params, batch, rng)
+                del outputs  # not scan-stacked; chained epochs skip analysis
+                acc_grads = jax.tree_util.tree_map(
+                    lambda a, g: a + jnp.asarray(weight, g.dtype) * g,
+                    acc_grads, grads)
+
+                def do_apply(operand):
+                    params, opt_state, ema_params, acc = operand
+                    avg = jax.tree_util.tree_map(
+                        lambda a: a * jnp.asarray(inv_items, a.dtype), acc)
+                    params, opt_state, ema_params, _ = apply_updates(
+                        optimizer, ema_decay, params, opt_state, ema_params,
+                        avg, lr)
+                    acc = jax.tree_util.tree_map(jnp.zeros_like, acc)
+                    return params, opt_state, ema_params, acc
+
+                params, opt_state, ema_params, acc_grads = jax.lax.cond(
+                    apply_flag, do_apply, lambda op: op,
+                    (params, opt_state, ema_params, acc_grads))
+                return (params, opt_state, ema_params, acc_grads), (loss,
+                                                                    staged)
+
+            offsets = jnp.arange(idx_mat.shape[0], dtype=jnp.int32)
+            carry, (losses, staged) = jax.lax.scan(
+                body, (params, opt_state, ema_params, acc_grads),
+                (idx_mat, lrs, apply_flags, inv_items_vec, offsets))
+            params, opt_state, ema_params, acc_grads = carry
+            return params, opt_state, ema_params, acc_grads, losses, staged
+
+        return jax.jit(chain_step, donate_argnums=(0, 1, 2, 3))
+
+    def chain_apply_schedule(self, chain_len, batch, force_apply_last=False):
+        """The deterministic optimiser-apply schedule for the NEXT
+        ``chain_len`` chained steps of ``batch`` items each, given the
+        currently open accumulation cycle — WITHOUT mutating any state.
+        Returns ``(apply_flags, inv_items)`` (lists of bool / float); with
+        ``grad_accum_steps == 1`` every step applies. The builder uses this
+        to advance batch-level LR schedules exactly on applied steps."""
+        if self.grad_accum_steps <= 1:
+            return [True] * chain_len, [1.0 / float(batch)] * chain_len
+        flags, invs = [], []
+        micro, items = self._micro_count, self._acc_items
+        for i in range(chain_len):
+            micro += 1
+            items += batch
+            apply = micro >= self.grad_accum_steps or \
+                (force_apply_last and i == chain_len - 1)
+            flags.append(bool(apply))
+            invs.append(1.0 / float(items) if apply else 0.0)
+            if apply:
+                micro, items = 0, 0
+        return flags, invs
+
     def train_chain(self, cache, idx_mat, lr_values, post=None,
-                    batch_sharding=None, bucket=True):
+                    batch_sharding=None, bucket=True, force_apply_last=False):
         """Runs ``len(idx_mat)`` consecutive train steps as one compiled
         program over a :class:`~morgana_tpu.data.device_cache.DeviceCorpusCache`
         (``--steps_per_dispatch``). All rows of ``idx_mat`` must share one
@@ -412,29 +499,72 @@ class TrainLoop(object):
         batches; ``cache.batch_signature``). Returns ``(losses, staged)``
         where ``losses`` is the per-step ``(chain_len,)`` loss vector and
         ``staged`` the per-step-stacked metric partials for
-        ``Handler.apply_staged(..., steps=chain_len)``."""
-        if self.grad_accum_steps > 1 or self.shard_map_mesh is not None:
-            raise ValueError('train_chain requires grad_accum_steps == 1 and '
-                             'the default GSPMD step')
+        ``Handler.apply_staged(..., steps=chain_len)``.
+
+        With ``grad_accum_steps=N > 1`` the chain runs micro-batch steps and
+        applies the optimiser every Nth one (and on the last step when
+        ``force_apply_last``, closing the cycle at epoch end); open cycles
+        carry across chain calls and singleton :meth:`train_step` calls via
+        the shared accumulator, so the trajectory is identical to the
+        unchained accumulation path."""
+        if self.shard_map_mesh is not None:
+            raise ValueError('train_chain requires the default GSPMD step')
+        accum = self.grad_accum_steps > 1
+        if accum and self.log_norms:
+            raise ValueError('train_chain with grad_accum_steps > 1 does not '
+                             'support log_norms (norms are staged only on '
+                             'applied steps, but a scanned chain must stage '
+                             'a uniform key set every step); drop '
+                             '--log_norms or --steps_per_dispatch.')
         idx_mat = np.asarray(idx_mat, np.int32)
         chain_len, batch = idx_mat.shape
         lengths = cache.padded_lengths(idx_mat.reshape(-1), bucket=bucket)
         if batch_sharding is not None and not cache.can_shard(batch):
             batch_sharding = None
         sig = (chain_len, batch, post is not None,
-               batch_sharding is not None, tuple(sorted(lengths.items())))
+               batch_sharding is not None, accum,
+               tuple(sorted(lengths.items())))
         fn = self._chain_fns.get(sig)
         if fn is None:
             body = cache.scan_assemble(lengths, post=post)
-            fn = self._chain_fns[sig] = self._build_chain_step(
-                body, chain_len, batch_sharding)
+            if accum:
+                fn = self._build_chain_accum_step(body, batch_sharding)
+            else:
+                fn = self._build_chain_step(body, chain_len, batch_sharding)
+            self._chain_fns[sig] = fn
         arenas, stacked = cache.device_buffers()
-        (self.params, self.opt_state, self.ema_params, losses, staged) = fn(
-            self.params, self.opt_state, self.ema_params, arenas, stacked,
-            idx_mat, jnp.asarray(lr_values, jnp.float32),
-            jnp.asarray(self.step_count, jnp.int32))
+        if accum:
+            flags, invs = self.chain_apply_schedule(
+                chain_len, batch, force_apply_last=force_apply_last)
+            if self._acc_grads is None:
+                # zeros_like preserves each leaf's sharding under dp/tp.
+                self._acc_grads = jax.tree_util.tree_map(
+                    jnp.zeros_like, self.params)
+            (self.params, self.opt_state, self.ema_params, self._acc_grads,
+             losses, staged) = fn(
+                self.params, self.opt_state, self.ema_params,
+                self._acc_grads, arenas, stacked, idx_mat,
+                jnp.asarray(lr_values, jnp.float32),
+                jnp.asarray(flags, jnp.bool_),
+                jnp.asarray(invs, jnp.float32),
+                jnp.asarray(self.step_count, jnp.int32))
+            # Mirror the device-side cycle state on the host (deterministic:
+            # same simulation chain_apply_schedule ran).
+            for applied in flags:
+                if applied:
+                    self._micro_count, self._acc_items = 0, 0
+                else:
+                    self._micro_count += 1
+                    self._acc_items += batch
+            self.last_step_applied = flags[-1]
+        else:
+            (self.params, self.opt_state, self.ema_params, losses,
+             staged) = fn(
+                self.params, self.opt_state, self.ema_params, arenas,
+                stacked, idx_mat, jnp.asarray(lr_values, jnp.float32),
+                jnp.asarray(self.step_count, jnp.int32))
+            self.last_step_applied = True
         self.step_count += chain_len
-        self.last_step_applied = True
         return losses, staged
 
     def _build_eval_chain(self, assemble, batch_sharding):

@@ -150,6 +150,93 @@ class TestTrajectoryParity:
         _assert_params_close(_params(chained), _params(base))
 
 
+class TestChainedAccumulation:
+    """--steps_per_dispatch composed with --grad_accum_steps: the chain runs
+    micro-batch steps and applies the optimiser every Nth one (lax.cond on a
+    host-computed apply schedule), with open cycles carried across chain
+    boundaries. Every test pins the chained-accumulation trajectory to the
+    UNCHAINED accumulation path (which is itself pinned to the big-batch
+    step in test_grad_accum.py)."""
+
+    def test_matches_unchained_accumulation(self, uniform_voice_data,
+                                            tmp_path):
+        kwargs = dict(device_cache=True, grad_accum_steps=2)
+        base = _run(uniform_voice_data, tmp_path, 'acc_chain_off', **kwargs)
+        chained = _run(uniform_voice_data, tmp_path, 'acc_chain_on',
+                       steps_per_dispatch=4, **kwargs)
+        assert chained.loop._chain_fns, 'no chained program was ever built'
+        np.testing.assert_allclose(_valid_losses(chained),
+                                   _valid_losses(base), rtol=1e-6)
+        _assert_params_close(_params(chained), _params(base))
+
+    def test_cycle_crosses_chain_boundary(self, uniform_voice_data,
+                                          tmp_path):
+        """grad_accum_steps=4 with chains of 3: every cycle spans two chain
+        calls, so the accumulator must survive the chain boundary intact.
+        The epoch has 6 batches, so the second cycle is also force-closed
+        at epoch end with only 2 micro-batches (remainder-cycle inv_items)."""
+        kwargs = dict(device_cache=True, grad_accum_steps=4)
+        base = _run(uniform_voice_data, tmp_path, 'acc_cross_off', **kwargs)
+        chained = _run(uniform_voice_data, tmp_path, 'acc_cross_on',
+                       steps_per_dispatch=3, **kwargs)
+        assert chained.loop._chain_fns
+        _assert_params_close(_params(chained), _params(base))
+
+    def test_singleton_and_chain_share_cycle(self, uniform_voice_data,
+                                             tmp_path):
+        """steps_per_dispatch=5 over 6 uniform batches groups as 5 + 1: the
+        trailing singleton goes through the ordinary train_step, which must
+        continue (and force-close) the cycle the chain left open."""
+        kwargs = dict(device_cache=True, grad_accum_steps=2)
+        base = _run(uniform_voice_data, tmp_path, 'acc_single_off', **kwargs)
+        chained = _run(uniform_voice_data, tmp_path, 'acc_single_on',
+                       steps_per_dispatch=5, **kwargs)
+        assert chained.loop._chain_fns
+        _assert_params_close(_params(chained), _params(base))
+
+    def test_ema_updates_only_on_applied_steps(self, uniform_voice_data,
+                                               tmp_path):
+        kwargs = dict(device_cache=True, grad_accum_steps=2, ema_decay=0.9)
+        base = _run(uniform_voice_data, tmp_path, 'acc_ema_off', **kwargs)
+        chained = _run(uniform_voice_data, tmp_path, 'acc_ema_on',
+                       steps_per_dispatch=4, **kwargs)
+        assert chained.loop._chain_fns
+        _assert_params_close(_params(chained, ema=True),
+                             _params(base, ema=True))
+
+    def test_batch_lr_schedule_steps_on_applied_only(self, uniform_voice_data,
+                                                     tmp_path):
+        """noam advances once per APPLIED step under accumulation; the
+        chain's precomputed lr vector must reproduce that cadence."""
+        kwargs = dict(device_cache=True, grad_accum_steps=2,
+                      lr_schedule_name='noam',
+                      lr_schedule_kwargs={'warmup_steps': 2})
+        base = _run(uniform_voice_data, tmp_path, 'acc_noam_off', **kwargs)
+        chained = _run(uniform_voice_data, tmp_path, 'acc_noam_on',
+                       steps_per_dispatch=4, **kwargs)
+        assert chained.loop._chain_fns
+        _assert_params_close(_params(chained), _params(base))
+
+    def test_apply_schedule_unit(self):
+        """chain_apply_schedule: pure simulation of the cycle counters."""
+        from morgana_tpu.training import TrainLoop
+        loop = TrainLoop.__new__(TrainLoop)
+        loop.grad_accum_steps = 3
+        loop._micro_count, loop._acc_items = 1, 4  # open cycle: 1 micro, 4 items
+        flags, invs = loop.chain_apply_schedule(5, 2)
+        assert flags == [False, True, False, False, True]
+        #   items: 4+2=6 (no), 8 -> apply 1/8; then 2 (no), 4 (no), 6 -> 1/6
+        np.testing.assert_allclose(invs, [0.0, 1 / 8, 0.0, 0.0, 1 / 6])
+        # force_apply_last closes a cycle that would otherwise stay open.
+        flags, invs = loop.chain_apply_schedule(2, 2, force_apply_last=True)
+        assert flags == [False, True]
+        np.testing.assert_allclose(invs, [0.0, 1 / 8])
+        # Without accumulation every step applies.
+        loop.grad_accum_steps = 1
+        flags, invs = loop.chain_apply_schedule(3, 4)
+        assert flags == [True, True, True]
+
+
 class TestFallbacksAndConflicts:
     def test_generation_epochs_fall_back(self, voice_data, tmp_path):
         """train_output_interval epochs need per-batch outputs for the
@@ -179,13 +266,16 @@ class TestFallbacksAndConflicts:
         with pytest.raises(ValueError, match='device_cache'):
             ExperimentBuilder(TinyF0Model, experiment_name='c_nodc', **args)
 
-    def test_conflicts_with_grad_accum(self, voice_data, tmp_path):
+    def test_conflicts_with_grad_accum_log_norms(self, voice_data, tmp_path):
+        """Chain + accumulation composes; chain + accumulation + log_norms
+        does not (norms stage only on applied steps, a scanned chain must
+        stage a uniform key set every step)."""
         args = builder_args(voice_data['data_root'],
                             str(tmp_path / 'experiments'),
                             device_cache=True, steps_per_dispatch=4,
-                            grad_accum_steps=2)
-        with pytest.raises(ValueError, match='grad_accum'):
-            ExperimentBuilder(TinyF0Model, experiment_name='c_ga', **args)
+                            grad_accum_steps=2, log_norms=True)
+        with pytest.raises(ValueError, match='log_norms'):
+            ExperimentBuilder(TinyF0Model, experiment_name='c_ga_ln', **args)
 
     def test_conflicts_with_shard_map_step(self, voice_data, tmp_path):
         args = builder_args(voice_data['data_root'],
