@@ -29,7 +29,9 @@ print('dataset written to ./data')"
 #    device memory (--device_cache: batches assemble on device, only index
 #    vectors cross the wire) with normalisation computed on device too, and
 #    consecutive same-shape train/valid batches run as one compiled program
-#    (--steps_per_dispatch: one host dispatch per N steps).
+#    (--steps_per_dispatch: one host dispatch per N steps). On TPU these
+#    are AUTO defaults now; they are spelled out here so the CPU run
+#    (MORGANA_DEVICE=cpu) exercises the same path.
 python "$REPO/models/f0_test_model.py" \
   --experiment_name quickstart --data_root data \
   --train_id_list train/train_file_id_list.scp \

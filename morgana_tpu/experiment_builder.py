@@ -326,14 +326,16 @@ class ExperimentBuilder(object):
                                  'upload bytes; the win when the device link, not '
                                  'compute, bounds throughput). Scalar features stay f32.')
         parser.add_argument('--device_normalise', dest='device_normalise',
-                            action='store_true', default=False,
+                            action=argparse.BooleanOptionalAction, default=None,
                             help='Compute feature normalisation and delta windows ON DEVICE '
                                  '(inside XLA, after the transfer) instead of on the host: '
                                  'only raw streams cross the host->device wire (~5x fewer '
                                  'bytes at flagship shapes), reconstructed exactly on device. '
-                                 'Speaker-dependent normalisers keep the host path.')
+                                 'Speaker-dependent normalisers keep the host path. Default: '
+                                 'AUTO — on for accelerator backends, off on CPU; '
+                                 '--no-device_normalise opts out.')
         parser.add_argument('--device_cache', dest='device_cache',
-                            action='store_true', default=False,
+                            action=argparse.BooleanOptionalAction, default=None,
                             help='Keep the WHOLE corpus resident in device memory (per-stream '
                                  'arenas) and assemble every batch on device by gather: after '
                                  'the one-time upload, only tiny (B,) index vectors cross the '
@@ -341,20 +343,25 @@ class ExperimentBuilder(object):
                                  'answer to link-bound training when the corpus fits in HBM; '
                                  'falls back to the streaming loader (with a warning) when it '
                                  'does not. Single-host only. Composes with '
-                                 '--device_normalise (only raw streams are cached).')
+                                 '--device_normalise (only raw streams are cached). Default: '
+                                 'AUTO — on for single-host accelerator backends, off on CPU; '
+                                 '--no-device_cache opts out.')
         parser.add_argument('--device_cache_gb', dest='device_cache_gb',
                             action='store', type=float, default=4.0,
                             help='Device-memory budget for --device_cache in GiB (default 4.0). '
                                  'A corpus over budget falls back to the streaming loader.')
         parser.add_argument('--steps_per_dispatch', dest='steps_per_dispatch',
-                            action='store', type=int, default=1,
+                            action='store', type=int, default=None,
                             help='If > 1, run up to N consecutive same-shape training (and '
                                  'validation) batches as ONE compiled program (a lax.scan '
                                  'chaining batch assembly + fused step), so one host dispatch '
-                                 'covers N steps. Requires --device_cache; per-step numerics '
+                                 'covers N steps. Implies --device_cache; per-step numerics '
                                  '(RNG, LR schedule, EMA, metrics) are unchanged. The win when '
                                  'per-dispatch latency (a remote/tunnelled device) bounds '
-                                 'training, not compute.')
+                                 'training, not compute. Default: AUTO — when the device cache '
+                                 'is active and a startup probe measures a dispatch round trip '
+                                 '>= 5 ms (a tunnelled/remote device), 16; else 1. '
+                                 '--steps_per_dispatch 1 opts out.')
         parser.add_argument('--debug_nans', dest='debug_nans', action='store_true', default=False,
                             help='Debugging: raise at the FIRST operation producing a NaN/Inf '
                                  '(jax_debug_nans) instead of tripping the end-of-epoch '
@@ -457,10 +464,13 @@ class ExperimentBuilder(object):
         self.find_lr = kwargs.get('find_lr')
         self.compute_dtype = kwargs.get('compute_dtype', 'float32')
         self.transfer_dtype = kwargs.get('transfer_dtype')
-        self.device_normalise = kwargs.get('device_normalise', False)
-        self.device_cache = kwargs.get('device_cache', False)
+        # None = AUTO (resolved against the backend in
+        # _resolve_fast_path_defaults, after platform selection).
+        self.device_normalise = kwargs.get('device_normalise', None)
+        self.device_cache = kwargs.get('device_cache', None)
         self.device_cache_gb = float(kwargs.get('device_cache_gb', 4.0) or 0.)
-        self.steps_per_dispatch = max(1, int(kwargs.get('steps_per_dispatch', 1) or 1))
+        _spd = kwargs.get('steps_per_dispatch', None)
+        self.steps_per_dispatch = None if _spd is None else max(1, int(_spd))
         self.length_sort_window = kwargs.get('length_sort_window', 0)
         nn.set_default_compute_dtype(self.compute_dtype)
         if kwargs.get('debug_nans'):
@@ -520,6 +530,8 @@ class ExperimentBuilder(object):
                                              process_index=self.process_index)
         if platform_warning:
             self.logger.warning(platform_warning)
+
+        self._resolve_fast_path_defaults(kwargs)
 
         self._lr_schedule = lr_schedules.init_lr_schedule(
             self.lr_schedule_name, **self.lr_schedule_kwargs)
@@ -1023,6 +1035,84 @@ class ExperimentBuilder(object):
                     os.remove(os.path.join(ckpt_dir, fname))
                 except OSError:
                     pass
+
+    @staticmethod
+    def _dispatch_rtt_ms(rounds=5):
+        """Median round-trip latency (ms) of one trivial jitted dispatch +
+        scalar host readback — the per-batch overhead a training loop pays
+        on this device link. On a local chip this is well under a
+        millisecond; on a tunnelled/remote device it is a network round
+        trip (~25-30 ms measured), which is exactly when chained dispatch
+        (--steps_per_dispatch) wins. The operand feeds back on itself so
+        repeated dispatches are never deduplicated (tunnel benchmarking
+        rule, docs/design.md)."""
+        import time as _time
+        import jax.numpy as jnp
+        fn = jax.jit(lambda x: x + 1)
+        x = fn(jnp.float32(0))
+        float(x)  # compile + warmup, readback barrier
+        times = []
+        for _ in range(rounds):
+            t0 = _time.perf_counter()
+            x = fn(x)
+            float(x)
+            times.append(_time.perf_counter() - t0)
+        return float(np.median(times) * 1e3)
+
+    def _resolve_fast_path_defaults(self, kwargs):
+        """TPU-first by default: when the user does not say otherwise,
+        training on an accelerator backend auto-enables the measured e2e
+        ladder — --device_normalise, --device_cache (with the existing
+        over-budget streaming fallback) and, when a startup probe finds the
+        device link dispatch-latency-bound, --steps_per_dispatch 16 (the
+        bench headline chain length). Explicit flags always win
+        (--no-device_cache / --no-device_normalise / --steps_per_dispatch 1
+        opt out), and AUTO never creates a conflict: multihost keeps the
+        streaming loader, shard_map_step and log_norms+accumulation keep
+        their per-batch paths. CPU backends keep all three off — there is
+        no device link to save."""
+        try:
+            on_accel = jax.default_backend() != 'cpu'
+        except Exception:
+            on_accel = False
+        auto = []
+        if self.device_normalise is None:
+            self.device_normalise = bool(on_accel)
+            if self.device_normalise:
+                auto.append('--device_normalise')
+        explicit_chain = self.steps_per_dispatch is not None \
+            and self.steps_per_dispatch > 1
+        if self.device_cache is None:
+            # An explicit --steps_per_dispatch N implies the device cache
+            # (chains assemble batches from the device-resident corpus).
+            self.device_cache = bool(
+                explicit_chain or (on_accel and not self.multihost))
+            if self.device_cache and not explicit_chain:
+                auto.append('--device_cache')
+        if self.steps_per_dispatch is None:
+            self.steps_per_dispatch = 1
+            chain_ok = (self.device_cache
+                        and not kwargs.get('shard_map_step', False)
+                        and not (int(kwargs.get('grad_accum_steps', 1) or 1) > 1
+                                 and kwargs.get('log_norms', False)))
+            if chain_ok and on_accel:
+                try:
+                    rtt_ms = self._dispatch_rtt_ms()
+                except Exception:
+                    rtt_ms = None
+                if rtt_ms is not None and rtt_ms >= 5.0:
+                    self.steps_per_dispatch = 16
+                    auto.append(f'--steps_per_dispatch 16 '
+                                f'(dispatch round trip ~{rtt_ms:.1f} ms)')
+                elif rtt_ms is not None:
+                    self.logger.info(
+                        'Dispatch round trip ~%.2f ms (local link): '
+                        'per-batch dispatch, no chaining needed', rtt_ms)
+        if auto:
+            self.logger.info(
+                'TPU-first defaults: %s auto-enabled (opt out with '
+                '--no-device_cache / --no-device_normalise / '
+                '--steps_per_dispatch 1)', ', '.join(auto))
 
     def resolve_setting_conflicts(self):
         r"""Checks and reconciles settings (reference

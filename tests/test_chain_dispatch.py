@@ -259,10 +259,18 @@ class TestFallbacksAndConflicts:
         assert np.isfinite(_valid_losses(exp)).all()
         assert not exp.loop._chain_fns
 
-    def test_requires_device_cache(self, voice_data, tmp_path):
+    def test_steps_imply_device_cache(self, voice_data, tmp_path):
+        """--steps_per_dispatch N implies --device_cache (chains assemble
+        from the device-resident corpus); only an explicit
+        --no-device_cache conflicts."""
         args = builder_args(voice_data['data_root'],
                             str(tmp_path / 'experiments'),
                             steps_per_dispatch=4)
+        exp = ExperimentBuilder(TinyF0Model, experiment_name='c_imp', **args)
+        assert exp.device_cache and exp.steps_per_dispatch == 4
+        args = builder_args(voice_data['data_root'],
+                            str(tmp_path / 'experiments'),
+                            steps_per_dispatch=4, device_cache=False)
         with pytest.raises(ValueError, match='device_cache'):
             ExperimentBuilder(TinyF0Model, experiment_name='c_nodc', **args)
 
@@ -287,8 +295,10 @@ class TestFallbacksAndConflicts:
             ExperimentBuilder(TinyF0Model, experiment_name='c_sm', **args)
 
     def test_flag_surface(self):
+        # Default is AUTO (None): resolved at init — 16 when the device
+        # cache is active and the dispatch round trip is >= 5 ms, else 1.
         args = ExperimentBuilder.get_experiment_args(['--experiment_name', 'x'])
-        assert args['steps_per_dispatch'] == 1
+        assert args['steps_per_dispatch'] is None
         args = ExperimentBuilder.get_experiment_args(
             ['--experiment_name', 'x', '--steps_per_dispatch', '16'])
         assert args['steps_per_dispatch'] == 16

@@ -284,11 +284,16 @@ class TestTraining:
         assert 'device_cache arenas reserve' in text
 
     def test_flag_surface(self):
+        # Default is AUTO (None): resolved against the backend at init —
+        # on for single-host accelerator backends, off on CPU.
         args = ExperimentBuilder.get_experiment_args(['--experiment_name', 'x'])
-        assert args['device_cache'] is False
+        assert args['device_cache'] is None
         assert args['device_cache_gb'] == 4.0
         args = ExperimentBuilder.get_experiment_args(
             ['--experiment_name', 'x', '--device_cache',
              '--device_cache_gb', '0.5'])
         assert args['device_cache'] is True
         assert args['device_cache_gb'] == 0.5
+        args = ExperimentBuilder.get_experiment_args(
+            ['--experiment_name', 'x', '--no-device_cache'])
+        assert args['device_cache'] is False

@@ -235,10 +235,15 @@ class TestTraining:
                            device_normalise=True)
         np.testing.assert_allclose(dev, host, rtol=1e-4)
 
-    def test_flag_default_off(self):
+    def test_flag_default_auto(self):
+        # Default is AUTO (None): resolved against the backend at init —
+        # on for accelerator backends, off on CPU.
         args = ExperimentBuilder.get_experiment_args(
             ['--experiment_name', 'x'])
-        assert args['device_normalise'] is False
+        assert args['device_normalise'] is None
         args = ExperimentBuilder.get_experiment_args(
             ['--experiment_name', 'x', '--device_normalise'])
         assert args['device_normalise'] is True
+        args = ExperimentBuilder.get_experiment_args(
+            ['--experiment_name', 'x', '--no-device_normalise'])
+        assert args['device_normalise'] is False

@@ -1,0 +1,136 @@
+"""TPU-first fast-path defaults (round-3 verdict item 3).
+
+With no perf flags, ExperimentBuilder resolves --device_normalise /
+--device_cache / --steps_per_dispatch automatically: all off on CPU (no
+device link to save), on for single-host accelerator backends, with
+--steps_per_dispatch 16 only when a startup probe measures a
+dispatch-latency-bound link (>= 5 ms round trip). Explicit flags always
+win. The reference has no analogue (its loader always streams from host,
+``morgana/experiment_builder.py:464-484``).
+"""
+import jax
+import numpy as np
+import pytest
+
+from conftest import builder_args
+from tiny_models import TinyF0Model
+
+from morgana_tpu import nn
+from morgana_tpu.experiment_builder import ExperimentBuilder
+
+
+def _build(voice_data, tmp_path, name, **overrides):
+    args = builder_args(voice_data['data_root'],
+                        str(tmp_path / 'experiments'), **overrides)
+    nn.manual_seed(args['seed'])
+    return ExperimentBuilder(TinyF0Model, experiment_name=name, **args)
+
+
+class TestAutoResolution:
+    def test_cpu_backend_keeps_everything_off(self, voice_data, tmp_path):
+        """On the CPU backend AUTO resolves to the plain streaming path —
+        existing CPU behaviour (and every other test in this suite) is
+        unchanged by the new defaults."""
+        exp = _build(voice_data, tmp_path, 'auto_cpu')
+        assert exp.device_cache is False
+        assert exp.device_normalise is False
+        assert exp.steps_per_dispatch == 1
+
+    def test_accelerator_backend_enables_ladder(self, voice_data, tmp_path,
+                                                monkeypatch):
+        """On an accelerator backend with a high-latency (tunnelled) link,
+        AUTO enables the full measured e2e ladder — and the run still
+        trains green (the actual devices here are the CPU mesh, where the
+        device cache and device normalisation work identically)."""
+        monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+        monkeypatch.setattr(ExperimentBuilder, '_dispatch_rtt_ms',
+                            staticmethod(lambda rounds=5: 28.0))
+        exp = _build(voice_data, tmp_path, 'auto_tpu')
+        assert exp.device_cache is True
+        assert exp.device_normalise is True
+        assert exp.steps_per_dispatch == 16
+        exp.run_experiment()
+        assert exp.loop.step_count > 0
+
+    def test_local_link_skips_chaining(self, voice_data, tmp_path,
+                                       monkeypatch):
+        """A local (sub-ms dispatch) accelerator gets the device cache but
+        not chained dispatch — per-batch dispatch is already cheap."""
+        monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+        monkeypatch.setattr(ExperimentBuilder, '_dispatch_rtt_ms',
+                            staticmethod(lambda rounds=5: 0.4))
+        exp = _build(voice_data, tmp_path, 'auto_local')
+        assert exp.device_cache is True
+        assert exp.device_normalise is True
+        assert exp.steps_per_dispatch == 1
+
+    def test_explicit_flags_win(self, voice_data, tmp_path, monkeypatch):
+        monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+        monkeypatch.setattr(ExperimentBuilder, '_dispatch_rtt_ms',
+                            staticmethod(lambda rounds=5: 28.0))
+        exp = _build(voice_data, tmp_path, 'auto_off', device_cache=False,
+                     device_normalise=False, steps_per_dispatch=1)
+        assert exp.device_cache is False
+        assert exp.device_normalise is False
+        assert exp.steps_per_dispatch == 1
+
+    def test_multihost_auto_keeps_streaming(self, voice_data, tmp_path,
+                                            monkeypatch):
+        """--multihost + AUTO must NOT raise the single-host-only conflict:
+        the cache quietly stays off (each process loads a different corpus
+        shard). Only an EXPLICIT --device_cache conflicts."""
+        monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+        # Multihost needs a real coordinator; resolution happens before
+        # distributed init, so probe the resolver directly.
+        exp = _build(voice_data, tmp_path, 'auto_mh_probe')
+        exp.multihost = True
+        exp.device_cache = exp.device_normalise = None
+        exp.steps_per_dispatch = None
+        exp._resolve_fast_path_defaults({})
+        assert exp.device_cache is False
+        assert exp.device_normalise is True
+
+    def test_accum_log_norms_auto_skips_chain(self, voice_data, tmp_path,
+                                              monkeypatch):
+        """log_norms + accumulation cannot chain (non-uniform staged keys);
+        AUTO must leave steps_per_dispatch at 1 instead of raising."""
+        monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+        monkeypatch.setattr(ExperimentBuilder, '_dispatch_rtt_ms',
+                            staticmethod(lambda rounds=5: 28.0))
+        exp = _build(voice_data, tmp_path, 'auto_ln',
+                     grad_accum_steps=2, log_norms=True)
+        assert exp.device_cache is True
+        assert exp.steps_per_dispatch == 1
+
+    def test_dispatch_rtt_probe_runs(self):
+        """The probe itself: a real measurement on the test backend, small
+        and positive (CPU dispatch+readback is well under the 5 ms
+        threshold)."""
+        ms = ExperimentBuilder._dispatch_rtt_ms()
+        assert 0.0 < ms < 5.0
+
+
+class TestAutoMatchesExplicit:
+    def test_auto_ladder_trains_like_flagged_ladder(self, voice_data,
+                                                    tmp_path, monkeypatch):
+        """The auto-resolved config must produce the exact trajectory the
+        explicit flags produce (it IS the same config)."""
+        flagged = _build(voice_data, tmp_path, 'ladder_flagged',
+                         device_cache=True, device_normalise=True,
+                         steps_per_dispatch=16)
+        flagged.run_experiment()
+        monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+        monkeypatch.setattr(ExperimentBuilder, '_dispatch_rtt_ms',
+                            staticmethod(lambda rounds=5: 28.0))
+        auto = _build(voice_data, tmp_path, 'ladder_auto')
+        auto.run_experiment()
+        import os
+        for exp in (flagged, auto):
+            assert os.path.exists(os.path.join(
+                exp.experiment_dir, 'checkpoints', 'epoch_2.npz'))
+        a = np.load(os.path.join(auto.experiment_dir, 'checkpoints',
+                                 'epoch_2.npz'))
+        f = np.load(os.path.join(flagged.experiment_dir, 'checkpoints',
+                                 'epoch_2.npz'))
+        for key in f.files:
+            np.testing.assert_array_equal(a[key], f[key], err_msg=key)
