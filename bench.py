@@ -897,7 +897,7 @@ def main():
                     'os.path.join(os.getcwd(), "benchmarks"));'
                     'import bench_transformer as bt;'
                     'print("BENCH_JSON:" + json.dumps('
-                    'bt.measure(512, 6, 8, 2048, "bfloat16", 32, 640)))',
+                    'bt.measure(512, 6, 4, 2048, "bfloat16", 32, 640)))',
                     timeout=stage_timeout(450))
             except Exception:
                 pass

@@ -45,7 +45,7 @@ def analytical_train_flops(batch, frames, d_model, num_layers, num_heads,
 
 
 def measure(d_model, num_layers, num_heads, d_ff, dtype, batch, frames,
-            remat=False, attention_backend='xla'):
+            remat=False, attention_backend='auto'):
     import jax
     import jax.numpy as jnp
     import bench
@@ -104,7 +104,7 @@ def measure(d_model, num_layers, num_heads, d_ff, dtype, batch, frames,
         'config': f'{num_layers}L d{d_model} h{num_heads} ff{d_ff} {dtype}'
                   + (' remat' if remat else '')
                   + (f' {attention_backend}'
-                     if attention_backend != 'xla' else ''),
+                     if attention_backend != 'auto' else ''),
         'batch': batch, 'frames': frames,
         'frames_per_sec': float(frames_per_batch / step_time),
         'ms_per_step': round(step_time * 1e3, 2),
@@ -128,8 +128,8 @@ def main(argv=None):
     parser.add_argument('--batch', type=int, default=32)
     parser.add_argument('--frames', type=int, default=640)
     parser.add_argument('--remat', action='store_true')
-    parser.add_argument('--attention_backend', default='xla',
-                        choices=['xla', 'flash'])
+    parser.add_argument('--attention_backend', default='auto',
+                        choices=['auto', 'xla', 'flash', 'splash'])
     parser.add_argument('--no-peak', action='store_true',
                         help='skip the roofline probe (reuse a known peak)')
     parser.add_argument('--peak', type=float, default=None,

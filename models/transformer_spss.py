@@ -21,7 +21,10 @@ Training notes: pre-LN tolerates constant learning rates, but transformers
 prefer a gentler peak than the RNN default — ``--learning_rate 0.001`` (or
 ``--lr_schedule_name noam``) is a good starting point.
 ``--model_kwargs "{'causal': True}"`` selects the streamable sliding-window
-configuration; ``{'attention_backend': 'flash'}`` the fused TPU kernel;
+configuration. Attention defaults to ``'auto'`` — the fused TPU splash
+kernel whenever eligible, the exact XLA path otherwise (BASELINE.md
+round-4 A/B; ``{'attention_backend': 'xla'}`` forces the portable path,
+``'flash'`` the older kernel kept as a tested reference);
 ``--remat`` bounds activation memory on long utterances;
 ``{'pipeline_stages': 4}`` executes the encoder blocks as a GPipe pipeline
 over a ('data', 'stage') device mesh (``morgana_tpu.parallel.pipeline``) —
@@ -54,7 +57,7 @@ class TransformerAcousticModel(LSTMAcousticModel):
     def __init__(self, input_dim=600 + 9, output_dims=None, dropout_prob=0.,
                  num_layers=6, d_model=384, num_heads=4, d_ff=None,
                  causal=False, attention_window=None, remat=None,
-                 attention_backend='xla', pipeline_stages=None,
+                 attention_backend='auto', pipeline_stages=None,
                  pipeline_microbatches=8, moe_experts=0, moe_every=2,
                  moe_capacity_factor=1.25, moe_aux_weight=0.01,
                  expert_parallel=False, sequence_parallel=0):

@@ -829,14 +829,35 @@ class MultiHeadAttention(Module):
     single static-shape program. Parameter names (`in_proj.*`, `out_proj.*`)
     mirror ``torch.nn.MultiheadAttention`` so parity tests and
     :mod:`morgana_tpu.migrate` can load torch weights with a transpose.
+
+    Backends (``backend=``):
+
+    - ``'auto'`` (default): ``'splash'`` whenever eligible (on TPU, self-
+      attention, no attention-probability dropout, padded length a multiple
+      of 128), else ``'xla'``. Measured on the flagship shape (B32 x T640,
+      E512): the XLA path is HBM-bound on the materialised T x T tensors
+      (XLA cost analysis: ~52 GB/step over the 6-layer model = the observed
+      ~60 ms), and the splash kernel's online-softmax streaming removes
+      exactly that traffic — 1.3-1.4x faster attention fwd+bwd at dh=64
+      and 1.4x at dh=128 (see BASELINE.md round-4 A/B).
+    - ``'xla'``: two einsums + f32 softmax with additive masking — exact,
+      runs everywhere, and the fallback for every ineligible case.
+    - ``'splash'``: force the fused TPU kernel
+      (``jax.experimental.pallas.ops.tpu.splash_attention``); falls back to
+      ``'xla'`` off-TPU or when ineligible, like ``'auto'``.
+    - ``'flash'``: the older fused kernel
+      (``pallas.ops.tpu.flash_attention``) — kept as a tested reference;
+      measured ~2x SLOWER than the XLA path at acoustic shapes (both in the
+      round-3 throttled window and the round-4 healthy window), so never
+      auto-selected.
     """
 
     def __init__(self, embed_dim, num_heads, dropout=0.0, bias=True,
-                 backend='xla'):
+                 backend='auto'):
         if embed_dim % num_heads != 0:
             raise ValueError(
                 f'embed_dim {embed_dim} not divisible by num_heads {num_heads}')
-        if backend not in ('xla', 'flash'):
+        if backend not in ('auto', 'xla', 'flash', 'splash'):
             raise ValueError(f'Unsupported attention backend {backend!r}')
         self.embed_dim = embed_dim
         self.num_heads = num_heads
@@ -887,12 +908,18 @@ class MultiHeadAttention(Module):
 
         q, k, v = to_heads(q, q_len), to_heads(k, k_len), to_heads(v, k_len)
 
-        # The fused TPU kernel computes exact attention in O(B·T·E) HBM
-        # traffic (no materialised T x T probabilities). Falls back to the
-        # XLA path (same math) off-TPU, for windowed/cross attention, and
-        # when attention-probability dropout is active (the kernel has no
-        # dropout hook).
+        # The fused TPU kernels compute exact attention in O(B·T·E) HBM
+        # traffic (no materialised T x T probabilities). They fall back to
+        # the XLA path (same math) off-TPU, for cross attention, and when
+        # attention-probability dropout is active (no dropout hook).
         dropout_p = self.dropout_p if is_training() else 0.0
+        if (self.backend in ('auto', 'splash') and kv is None
+                and dropout_p == 0.0 and q_len % 128 == 0 and _on_tpu()):
+            out = self._splash(q, k, v, seq_len, causal, window,
+                               compute_dtype)
+            out = out.transpose(0, 2, 1, 3).reshape(batch, q_len,
+                                                    self.embed_dim)
+            return self.out_proj(out)
         if (self.backend == 'flash' and kv is None and window is None
                 and dropout_p == 0.0 and _on_tpu()):
             out = self._flash(q, k, v, seq_len, causal, compute_dtype)
@@ -914,6 +941,86 @@ class MultiHeadAttention(Module):
             compute_dtype=compute_dtype)
         out = out.transpose(0, 2, 1, 3).reshape(batch, q_len, self.embed_dim)
         return self.out_proj(out)
+
+    def _splash_kernel(self, q_len, causal, window):
+        """Builds (and caches) the splash-attention kernel for one padded
+        length / mask shape. Block-size policy, measured on the flagship
+        shape (BASELINE.md round-4 A/B): whole-sequence blocks with the
+        fused backward kernel are the fast configuration at acoustic
+        lengths (14.4 -> 5.2 ms fwd+bwd at T=640 vs 128-blocks) — the
+        kernel then streams KV in one pass per query block with no
+        revisits; past T=1024 blocks cap at the largest 128-multiple
+        divisor so VMEM stays bounded."""
+        cache = getattr(self, '_splash_cache', None)
+        if cache is None:
+            cache = self._splash_cache = {}
+        key = (q_len, self.num_heads, bool(causal), window)
+        kernel = cache.get(key)
+        if kernel is None:
+            from jax.experimental.pallas.ops.tpu.splash_attention import (
+                splash_attention_kernel as sk, splash_attention_mask as sm)
+            if window is not None:
+                head_mask = sm.LocalMask((q_len, q_len),
+                                         window_size=(window - 1, 0),
+                                         offset=0)
+            elif causal:
+                head_mask = sm.CausalMask((q_len, q_len))
+            else:
+                head_mask = sm.FullMask((q_len, q_len))
+            mask = sm.MultiHeadMask([head_mask] * self.num_heads)
+            block = self._splash_block(q_len)
+            bs = sk.BlockSizes(
+                block_q=block, block_kv=block, block_kv_compute=block,
+                block_q_dkv=block, block_kv_dkv=block,
+                block_kv_dkv_compute=block, use_fused_bwd_kernel=True)
+            kernel = cache[key] = sk.make_splash_mha(
+                mask, head_shards=1, q_seq_shards=1, block_sizes=bs)
+        return kernel
+
+    @staticmethod
+    def _splash_block(q_len):
+        """Splash block size for one padded length: the whole sequence at
+        acoustic lengths (the measured-fastest configuration), capped at
+        the largest 128-multiple divisor past 1024 to bound VMEM."""
+        if q_len <= 1024:
+            return q_len
+        return next(b for b in (1024, 896, 768, 640, 512, 384, 256, 128)
+                    if q_len % b == 0)
+
+    def _splash(self, q, k, v, seq_len, causal, window, compute_dtype):
+        """Exact attention via the fused TPU splash kernel
+        (``jax.experimental.pallas.ops.tpu.splash_attention`` — online
+        softmax, no materialised T x T tensors, custom fused backward).
+        Padding enters as segment ids (padded frames form their own
+        segment); the kernel applies no logit scale, so q is pre-scaled by
+        ``1/sqrt(head_dim)``. Fully-masked (padded) query rows return 0 —
+        downstream sequence-masked losses/metrics discard them either way.
+        """
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_kernel as sk)
+
+        out_dtype = q.dtype
+        if compute_dtype is not None:
+            q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
+        q_len = q.shape[2]
+        # Pre-scale in f32: bf16 q values keep their exponent range.
+        q = (q.astype(jnp.float32) / math.sqrt(self.head_dim)).astype(q.dtype)
+        kernel = self._splash_kernel(q_len, causal, window)
+        if seq_len is not None:
+            sl = jnp.asarray(seq_len)
+            if sl.ndim == 2:
+                sl = sl[:, 0]
+            valid = (jnp.arange(q_len)[None, :]
+                     < sl[:, None]).astype(jnp.int32)
+
+            def per_example(q1, k1, v1, valid1):
+                return kernel(q1, k1, v1,
+                              segment_ids=sk.SegmentIds(q=valid1, kv=valid1))
+
+            out = jax.vmap(per_example)(q, k, v, valid)
+        else:
+            out = jax.vmap(lambda q1, k1, v1: kernel(q1, k1, v1))(q, k, v)
+        return out.astype(out_dtype)
 
     def _flash(self, q, k, v, seq_len, causal, compute_dtype):
         """Exact attention via the fused TPU kernel
@@ -1116,7 +1223,7 @@ class TransformerEncoderLayer(Module):
     accepts_seq_len = True
 
     def __init__(self, d_model, num_heads, d_ff, dropout=0.0,
-                 attention_backend='xla', moe=None):
+                 attention_backend='auto', moe=None):
         self.attn_norm = LayerNorm(d_model)
         self.attn = MultiHeadAttention(d_model, num_heads, dropout=dropout,
                                        backend=attention_backend)
@@ -1179,7 +1286,7 @@ class TransformerEncoder(Module):
 
     def __init__(self, num_layers, d_model, num_heads, d_ff, dropout=0.0,
                  add_positions=True, causal=False, window=None, remat=None,
-                 attention_backend='xla', moe=None, moe_every=2,
+                 attention_backend='auto', moe=None, moe_every=2,
                  activation_sharding=None):
         if window is not None and not causal:
             raise ValueError('window (sliding-window attention) requires '

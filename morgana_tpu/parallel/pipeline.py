@@ -243,7 +243,7 @@ class PipelinedTransformerEncoder(nn.TransformerEncoder):
 
     def __init__(self, num_layers, d_model, num_heads, d_ff, dropout=0.0,
                  add_positions=True, causal=False, window=None, remat=None,
-                 attention_backend='xla', num_stages=2, num_microbatches=8,
+                 attention_backend='auto', num_stages=2, num_microbatches=8,
                  mesh=None):
         if dropout:
             raise ValueError(
