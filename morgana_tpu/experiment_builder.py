@@ -19,6 +19,7 @@ import argparse
 import ast
 import json
 import os
+import pickle
 import shutil
 import sys
 import time
@@ -221,8 +222,9 @@ class ExperimentBuilder(object):
                                  '(after a mid-epoch resume, that epoch\'s metrics cover '
                                  'the resumed remainder only; the resumed batch order is '
                                  'exact — incl. --length_sort_window, whose learned '
-                                 'length map rides in the sidecar — except under '
-                                 '--multihost with length sorting).')
+                                 'length map rides in the sidecar, and under --multihost, '
+                                 'where each rank snapshots its own shard\'s map to '
+                                 'checkpoints/step.lengths.pN.pkl).')
         parser.add_argument('--train_output_interval', dest='train_output_interval', action='store',
                             type=int, default=10, help='Epochs between generating output for training data.')
         parser.add_argument('--valid_output_interval', dest='valid_output_interval', action='store',
@@ -779,9 +781,17 @@ class ExperimentBuilder(object):
                             'Mid-epoch resume: epoch %d restarts at batch %d',
                             step_epoch, batches_done + 1)
                         self._resume_loader_lengths = extra.get('loader_lengths')
+                        if self.length_sort_window and self.process_count > 1:
+                            # Each host's loader learned lengths for ITS
+                            # id-list shard only; the lead-host sidecar
+                            # cannot carry them, so every rank snapshotted
+                            # its own map (step.lengths.pN.pkl) at the same
+                            # batch boundary.
+                            self._resume_loader_lengths = \
+                                self._load_rank_lengths(step_epoch,
+                                                        batches_done)
                         if (self.length_sort_window
-                                and self._resume_loader_lengths is not None
-                                and self.process_count == 1):
+                                and self._resume_loader_lengths is not None):
                             lengths = self._resume_loader_lengths
                             self.logger.info(
                                 'Restored the loader length maps (epoch '
@@ -914,12 +924,56 @@ class ExperimentBuilder(object):
     def _step_checkpoint_path(self):
         return os.path.join(self.experiment_dir, 'checkpoints', 'step.npz')
 
+    @property
+    def _rank_saves_lengths(self):
+        """Multihost + --length_sort_window: every rank must snapshot its
+        own shard's learned length map at step-checkpoint boundaries (the
+        lead-host sidecar only describes the lead host's shard)."""
+        return bool(self.length_sort_window) and self.process_count > 1
+
+    def _rank_lengths_path(self):
+        return os.path.join(self.experiment_dir, 'checkpoints',
+                            f'step.lengths.p{self.process_index}.pkl')
+
+    def _load_rank_lengths(self, epoch, batches_done):
+        """This rank's length-map snapshot, iff it was taken at exactly the
+        sidecar's resume position (a crash between the lead host's sidecar
+        write and a rank's snapshot leaves a torn pair — detected here, and
+        the resume degrades to the documented approximate-order warning)."""
+        path = self._rank_lengths_path()
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path, 'rb') as f:
+                payload = pickle.load(f)
+        except Exception:
+            return None
+        if payload.get('epoch') != epoch or \
+                payload.get('batches_done') != batches_done:
+            return None
+        return payload.get('lengths')
+
     def _save_step_checkpoint(self, batches_done, num_batches, lr_schedule):
         """Writes the rolling mid-epoch checkpoint (atomically — a crash
         mid-write must not corrupt the only copy): parameters to
         ``checkpoints/step.npz`` plus a ``.train.pkl`` sidecar carrying the
         full training state and the exact position
-        (epoch, batches_done, num_batches)."""
+        (epoch, batches_done, num_batches). Under multihost with
+        --length_sort_window every rank (lead included) also snapshots its
+        own loader length map; non-lead ranks write nothing else (the
+        parameters are replicated — the lead host's copy is the
+        checkpoint)."""
+        if self._rank_saves_lengths:
+            payload = {'epoch': int(self.epoch),
+                       'batches_done': int(batches_done),
+                       'lengths': self.train_loader.lengths_state()}
+            lpath = self._rank_lengths_path()
+            os.makedirs(os.path.dirname(lpath), exist_ok=True)
+            with open(lpath + '.tmp', 'wb') as f:
+                pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+            os.replace(lpath + '.tmp', lpath)
+        if not self.is_lead_host:
+            return
         self.loop.sync_model()
         path = self._step_checkpoint_path()
         checkpointing.save_state_dict(nn.state_dict(self.model), path, atomic=True)
@@ -933,9 +987,11 @@ class ExperimentBuilder(object):
                    'num_batches': int(num_batches),
                    # With length_sort_window the batch order is a function of
                    # the loader's learned lengths; snapshotting them makes
-                   # the mid-epoch replay exact even for length-sorted runs
-                   # (single-host; lead-host lengths are meaningless for
-                   # other hosts' shards).
+                   # the mid-epoch replay exact even for length-sorted runs.
+                   # Single-host they ride here; under multihost each rank
+                   # (whose loader sees only its own id-list shard) writes
+                   # its own step.lengths.pN.pkl instead — see
+                   # _save_step_checkpoint/_load_rank_lengths.
                    'loader_lengths': (self.train_loader.lengths_state()
                                       if self.length_sort_window
                                       and self.process_count == 1 else None)},
@@ -1381,7 +1437,8 @@ class ExperimentBuilder(object):
             # Rolling mid-epoch checkpoint (step-level fault tolerance).
             # Only at applied-parameter boundaries: a checkpoint inside an
             # open gradient-accumulation cycle could not resume exactly.
-            if (self.step_checkpoint_interval and self.is_lead_host
+            if (self.step_checkpoint_interval
+                    and (self.is_lead_host or self._rank_saves_lengths)
                     and self.loop.last_step_applied
                     and (skip + i + 1) % self.step_checkpoint_interval == 0):
                 self._save_step_checkpoint(skip + i + 1, num_batches, lr_schedule)
@@ -1495,7 +1552,8 @@ class ExperimentBuilder(object):
                 # past each interval multiple (chains need not align). Only at
                 # applied-parameter boundaries: a checkpoint inside an open
                 # gradient-accumulation cycle could not resume exactly.
-                if (self.step_checkpoint_interval and self.is_lead_host
+                if (self.step_checkpoint_interval
+                        and (self.is_lead_host or self._rank_saves_lengths)
                         and self.loop.last_step_applied
                         and (skip + done) // self.step_checkpoint_interval
                         > (skip + done - n) // self.step_checkpoint_interval):

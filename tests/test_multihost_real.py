@@ -95,3 +95,71 @@ def _clean_env(repo):
            if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
     env['PYTHONPATH'] = repo + os.pathsep + env.get('PYTHONPATH', '')
     return env
+
+
+@pytest.mark.slow
+def test_two_process_length_sorted_step_checkpoints(tmp_path):
+    """Multihost + --length_sort_window + --step_checkpoint_interval: every
+    rank snapshots its OWN shard's learned length map
+    (checkpoints/step.lengths.pN.pkl) at the sidecar's batch boundary —
+    the piece that makes length-sorted mid-epoch resume exact across hosts
+    (the exactness math itself is pinned single-process in
+    test_step_checkpoint.py::TestMultihostLengthSortResume)."""
+    import pickle
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), '..'))
+    data_root = str(tmp_path / 'data')
+    subprocess.run(
+        [sys.executable, '-c',
+         'import sys; sys.argv=[""]\n'
+         'from morgana_tpu.data.synthetic import generate_voice_data\n'
+         f'generate_voice_data({data_root!r}, num_train=8, num_valid=4, '
+         'num_test=2, seed=9)'],
+        cwd=repo, check=True, env=_clean_env(repo), timeout=120)
+
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = _clean_env(repo)
+        env.update({
+            'XLA_FLAGS': '--xla_force_host_platform_device_count=2',
+            'MORGANA_COORDINATOR': f'localhost:{port}',
+            'MORGANA_NUM_PROCESSES': '2',
+            'MORGANA_PROCESS_ID': str(rank),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(repo, 'models', 'f0_test_model.py'),
+             '--experiment_name', 'mhls', '--data_root', data_root,
+             '--train_id_list', 'train/train_file_id_list.scp',
+             '--valid_id_list', 'valid/valid_file_id_list.scp',
+             '--test_id_list', 'test/test_file_id_list.scp',
+             '--batch_size', '4', '--end_epoch', '2', '--device', 'cpu',
+             '--multihost', '--data_parallel',
+             '--length_sort_window', '1', '--step_checkpoint_interval', '1'],
+            cwd=str(tmp_path), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+
+    for proc in procs:
+        out, _ = proc.communicate(timeout=420)
+        assert proc.returncode == 0, out[-3000:]
+
+    ckpts = tmp_path / 'experiments' / 'mhls' / 'checkpoints'
+    # Both ranks snapshotted their shard's lengths at the same boundary.
+    payloads = []
+    for rank in range(2):
+        path = ckpts / f'step.lengths.p{rank}.pkl'
+        assert path.is_file(), os.listdir(ckpts)
+        with open(path, 'rb') as f:
+            payloads.append(pickle.load(f))
+    assert payloads[0]['epoch'] == payloads[1]['epoch'] == 2
+    assert payloads[0]['batches_done'] == payloads[1]['batches_done']
+    for p in payloads:
+        assert p['lengths']['live'], p
+    # Each rank learned lengths for ITS shard: 8/2 = 4 utterances each,
+    # keyed by rank-LOCAL dataset index (the coordinate its own loader
+    # replays with).
+    assert len(payloads[0]['lengths']['live']) == 4
+    assert len(payloads[1]['lengths']['live']) == 4
+    # Only the lead host wrote the checkpoint itself.
+    assert (ckpts / 'step.npz').is_file()
+    assert (ckpts / 'step.train.pkl').is_file()

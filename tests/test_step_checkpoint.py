@@ -305,3 +305,94 @@ class TestMidEpochResume:
                       checkpoint_path='latest')
         assert exp2.checkpoint_path.endswith('epoch_1.npz')
         assert exp2._resume_batches_done == 0
+
+
+class TestMultihostLengthSortResume:
+    """Multihost + --length_sort_window exact mid-epoch resume: each rank
+    snapshots ITS shard's learned length map to
+    ``checkpoints/step.lengths.pN.pkl`` at the same batch boundary as the
+    lead host's sidecar, and the resume reads the matching-rank file.
+
+    These tests fake the rank coordinates on a single-process builder
+    (process_count/process_index only steer the checkpoint logic here; the
+    loaders were already built), isolating the per-rank snapshot machinery;
+    ``tests/test_multihost_real.py`` covers the genuinely multi-process
+    write path.
+    """
+
+    def _fake_rank(self, exp, index, count=2):
+        exp.process_index, exp.process_count = index, count
+        exp.is_lead_host = index == 0
+
+    def test_lead_rank_resume_is_exact(self, voice_data, tmp_path):
+        base = _build(voice_data, tmp_path, 'mhls_a', end_epoch=2,
+                      length_sort_window=2)
+        base.run_experiment()
+        dir_a = os.path.join(str(tmp_path / 'experiments'), 'mhls_a')
+
+        exp = _build(voice_data, tmp_path, 'mhls_b', end_epoch=2,
+                     step_checkpoint_interval=2, length_sort_window=2)
+        self._fake_rank(exp, 0)
+        orig_step = exp.loop.train_step
+        calls = {'n': 0}
+
+        def interrupting(features, lr, force_apply=False):
+            calls['n'] += 1
+            if calls['n'] == 7:
+                raise KeyboardInterrupt
+            return orig_step(features, lr, force_apply=force_apply)
+
+        exp.loop.train_step = interrupting
+        with pytest.raises(KeyboardInterrupt):
+            exp.run_experiment()
+        dir_b = os.path.join(str(tmp_path / 'experiments'), 'mhls_b')
+        # The multihost sidecar carries NO lengths; the rank file does.
+        sidecar = checkpointing.load_training_state(os.path.join(
+            dir_b, 'checkpoints', 'step.train.pkl'))
+        assert sidecar['extra']['loader_lengths'] is None
+        assert os.path.exists(os.path.join(
+            dir_b, 'checkpoints', 'step.lengths.p0.pkl'))
+
+        exp2 = _build(voice_data, tmp_path, 'mhls_b', end_epoch=2,
+                      step_checkpoint_interval=2, length_sort_window=2,
+                      checkpoint_path='latest')
+        # The fresh builder resolved the checkpoint at init under the
+        # single-host view (no rank coordinates yet — exactly a real
+        # rank's init order, where jax.distributed supplies them); fake
+        # the rank and re-read the per-rank length snapshot.
+        self._fake_rank(exp2, 0)
+        assert exp2._resume_batches_done == 2
+        assert exp2._load_rank_lengths(2, 2)
+        exp2._resume_loader_lengths = exp2._load_rank_lengths(2, 2)
+        exp2.run_experiment()
+
+        for fname in ('epoch_2.npz', 'epoch_2_ema.npz'):
+            ref, res = _params(dir_a, fname), _params(dir_b, fname)
+            for key in ref:
+                np.testing.assert_array_equal(
+                    ref[key], res[key], err_msg=f'{fname}:{key}')
+
+    def test_non_lead_rank_writes_only_lengths(self, voice_data, tmp_path):
+        exp = _build(voice_data, tmp_path, 'mhls_r1', end_epoch=1,
+                     step_checkpoint_interval=2, length_sort_window=2)
+        self._fake_rank(exp, 1)
+        exp.run_experiment()
+        ckpts = os.path.join(str(tmp_path / 'experiments'), 'mhls_r1',
+                             'checkpoints')
+        assert os.path.exists(os.path.join(ckpts, 'step.lengths.p1.pkl'))
+        assert not os.path.exists(os.path.join(ckpts, 'step.npz'))
+
+    def test_torn_rank_file_degrades_to_approximate(self, voice_data,
+                                                    tmp_path):
+        """A rank file from a DIFFERENT batch boundary than the sidecar
+        (crash between the two writes) must be rejected, not silently used
+        as the wrong order."""
+        exp = _build(voice_data, tmp_path, 'mhls_torn', end_epoch=1,
+                     step_checkpoint_interval=2, length_sort_window=2)
+        self._fake_rank(exp, 0)
+        exp.run_experiment()
+        assert exp._load_rank_lengths(1, 4) is not None
+        assert exp._load_rank_lengths(1, 3) is None   # wrong batch
+        assert exp._load_rank_lengths(2, 4) is None   # wrong epoch
+        self._fake_rank(exp, 1)
+        assert exp._load_rank_lengths(1, 4) is None   # other rank: no file
