@@ -274,7 +274,9 @@ class ExperimentBuilder(object):
                             help='With --data_parallel: shard parameters, optimiser moments and '
                                  'EMA over the "data" axis (ZeRO-3/FSDP storage sharding; GSPMD '
                                  'inserts the weight all_gather / gradient reduce_scatter). '
-                                 'Divides state memory per device by the data-axis size.')
+                                 'Divides state memory per device by the data-axis size. '
+                                 'With --multihost, requires --orbax_dir (Orbax owns '
+                                 'checkpoints; .npz saves are skipped).')
         parser.add_argument('--keep_checkpoints', dest='keep_checkpoints', action='store',
                             type=int, default=0,
                             help='If > 0, keep only the newest N epoch checkpoints '
@@ -664,13 +666,16 @@ class ExperimentBuilder(object):
                 raise ValueError('--fsdp is not supported with '
                                  '--shard_map_step; the GSPMD path owns the '
                                  'FSDP collectives (all_gather/reduce_scatter).')
-            if self.multihost:
-                raise ValueError('--fsdp with --multihost is not supported: '
-                                 'epoch .npz checkpoints gather parameters to '
-                                 'the lead host, which a cross-host-sharded '
-                                 'array cannot do. Use single-host --fsdp, or '
-                                 'multi-host --data_parallel (replicated '
-                                 'params) with --orbax_dir.')
+            if self.multihost and not (kwargs.get('orbax_dir')
+                                       and checkpointing.orbax_available()):
+                raise ValueError('--fsdp with --multihost requires '
+                                 '--orbax_dir: epoch .npz checkpoints gather '
+                                 'parameters to the lead host, which a '
+                                 'cross-host-sharded array cannot do — Orbax '
+                                 'checkpoints write each host\'s shards '
+                                 'natively and own the save/resume path in '
+                                 'this mode (.npz/.pkl epoch and step '
+                                 'checkpoints are skipped).')
         self.loop = TrainLoop(self.model, optimizer, ema_decay=self.ema_decay,
                               seed=self.seed, ema_model=self.ema.model if self.ema else None,
                               shard_map_mesh=self.mesh if self.shard_map_step else None,
@@ -925,6 +930,14 @@ class ExperimentBuilder(object):
         return os.path.join(self.experiment_dir, 'checkpoints', 'step.npz')
 
     @property
+    def _cross_host_params(self):
+        """True when parameter leaves are sharded ACROSS hosts (--fsdp
+        --multihost): no single host can materialise them as numpy, so the
+        .npz/.pkl checkpoint writes are skipped and Orbax (which writes each
+        host's shards natively) owns the save/resume path."""
+        return self.fsdp and self.process_count > 1
+
+    @property
     def _rank_saves_lengths(self):
         """Multihost + --length_sort_window: every rank must snapshot its
         own shard's learned length map at step-checkpoint boundaries (the
@@ -972,7 +985,9 @@ class ExperimentBuilder(object):
             with open(lpath + '.tmp', 'wb') as f:
                 pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
             os.replace(lpath + '.tmp', lpath)
-        if not self.is_lead_host:
+        if not self.is_lead_host or self._cross_host_params:
+            # Cross-host-sharded params cannot be fetched to one host;
+            # epoch-granular Orbax checkpoints cover --fsdp --multihost.
             return
         self.loop.sync_model()
         path = self._step_checkpoint_path()
@@ -1658,7 +1673,14 @@ class ExperimentBuilder(object):
             # save is a COLLECTIVE: every process must call it (Orbax
             # coordinates who writes what), so it sits outside the gate.
             if self.epoch % self.model_checkpoint_interval == 0:
-                if self.is_lead_host:
+                if self.is_lead_host and self._cross_host_params and \
+                        not getattr(self, '_npz_skip_logged', False):
+                    self._npz_skip_logged = True
+                    self.logger.info(
+                        '--fsdp --multihost: epoch .npz checkpoints skipped '
+                        '(parameters are sharded across hosts); Orbax owns '
+                        'checkpoints in this mode (%s)', self.orbax_dir)
+                if self.is_lead_host and not self._cross_host_params:
                     self.logger.info(
                         'epoch %2d: loss %.3f: Saving model to\n\t%s/checkpoints/epoch_%d.npz',
                         self.epoch, train_loss, self.experiment_dir, self.epoch)

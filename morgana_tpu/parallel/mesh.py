@@ -289,16 +289,30 @@ def shard_fsdp_state(params, opt_state, ema_params, mesh,
     """Places (params, opt_state, ema_params) into the FSDP layout.
     Returns the re-placed triple (ema may be None) and the param shardings.
     """
+    multiprocess = len({d.process_index for d in mesh.devices.flat}) > 1
+
+    def place(value, sharding):
+        # A cross-process target sharding cannot be reached by device_put
+        # from a committed process-local jax.Array (backends without DCN
+        # cross-host transfers reject it — seen on multihost Orbax resume,
+        # where the restored leaves are committed local arrays). Drop such
+        # leaves to host numpy first: every process holds the full
+        # (replicated) value, so device_put then places each process's
+        # addressable shards locally, no cross-host transfer needed.
+        if multiprocess and isinstance(value, jax.Array) \
+                and value.is_fully_addressable:
+            value = np.asarray(value)
+        return jax.device_put(value, sharding)
+
     shardings = fsdp_param_shardings(params, mesh,
                                      tensor_parallel=tensor_parallel,
                                      min_size=min_size)
     shapes = {name: tuple(value.shape) for name, value in params.items()}
-    params = {name: jax.device_put(value, shardings[name])
+    params = {name: place(value, shardings[name])
               for name, value in params.items()}
     state_shardings = fsdp_state_shardings(opt_state, shardings, shapes, mesh)
-    opt_state = jax.tree_util.tree_map(jax.device_put, opt_state,
-                                       state_shardings)
+    opt_state = jax.tree_util.tree_map(place, opt_state, state_shardings)
     if ema_params is not None:
-        ema_params = {name: jax.device_put(value, shardings[name])
+        ema_params = {name: place(value, shardings[name])
                       for name, value in ema_params.items()}
     return params, opt_state, ema_params, shardings

@@ -163,3 +163,78 @@ def test_two_process_length_sorted_step_checkpoints(tmp_path):
     # Only the lead host wrote the checkpoint itself.
     assert (ckpts / 'step.npz').is_file()
     assert (ckpts / 'step.train.pkl').is_file()
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_orbax(tmp_path):
+    """--fsdp --multihost: parameters/Adam moments/EMA sharded over the
+    cross-host 'data' axis (4-way over 2 hosts x 2 devices), with Orbax
+    owning checkpoints (each host writes its own shards; .npz saves are
+    skipped). A second invocation resumes from the Orbax step and trains
+    a further epoch."""
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), '..'))
+    data_root = str(tmp_path / 'data')
+    subprocess.run(
+        [sys.executable, '-c',
+         'import sys; sys.argv=[""]\n'
+         'from morgana_tpu.data.synthetic import generate_voice_data\n'
+         f'generate_voice_data({data_root!r}, num_train=8, num_valid=4, '
+         'num_test=2, seed=9)'],
+        cwd=repo, check=True, env=_clean_env(repo), timeout=120)
+
+    def launch(end_epoch):
+        port = _free_port()
+        procs = []
+        for rank in range(2):
+            env = _clean_env(repo)
+            env.update({
+                'XLA_FLAGS': '--xla_force_host_platform_device_count=2',
+                'MORGANA_COORDINATOR': f'localhost:{port}',
+                'MORGANA_NUM_PROCESSES': '2',
+                'MORGANA_PROCESS_ID': str(rank),
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable,
+                 os.path.join(repo, 'models', 'f0_test_model.py'),
+                 '--experiment_name', 'mhfsdp', '--data_root', data_root,
+                 '--train_id_list', 'train/train_file_id_list.scp',
+                 '--valid_id_list', 'valid/valid_file_id_list.scp',
+                 '--test_id_list', 'test/test_file_id_list.scp',
+                 '--batch_size', '4', '--end_epoch', str(end_epoch),
+                 '--device', 'cpu', '--multihost', '--data_parallel',
+                 '--fsdp', '--orbax_dir', 'ob'],
+                cwd=str(tmp_path), env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        outputs = []
+        for proc in procs:
+            out, _ = proc.communicate(timeout=420)
+            outputs.append(out)
+            assert proc.returncode == 0, out[-3000:]
+        return outputs
+
+    outputs = launch(end_epoch=2)
+    # Synchronised FSDP training: both ranks report the SAME losses.
+    losses = [re.findall(r'valid_loss ([\d.]+)', out) for out in outputs]
+    assert losses[0] and losses[0] == losses[1], losses
+
+    expdir = tmp_path / 'experiments' / 'mhfsdp'
+    logs = ''.join(open(expdir / 'log' / f).read()
+                   for f in os.listdir(expdir / 'log')
+                   if f.endswith('.stdout'))
+    assert 'FSDP' in logs
+    assert '.npz checkpoints skipped' in logs
+    # Orbax steps exist; no .npz was written.
+    ob = tmp_path / 'ob'
+    steps = sorted(int(d) for d in os.listdir(ob) if d.isdigit())
+    assert steps == [1, 2], steps
+    ckpt_dir = expdir / 'checkpoints'
+    assert not ckpt_dir.is_dir() or not any(
+        f.endswith('.npz') for f in os.listdir(ckpt_dir))
+
+    # Resume: a fresh invocation restores the Orbax step and trains on.
+    outputs = launch(end_epoch=3)
+    assert any('Restored training state from Orbax' in o for o in outputs[:1])
+    assert re.search(r'epoch  ?3: Training model',
+                     outputs[0]) or 'epoch 3' in outputs[0]
+    steps = sorted(int(d) for d in os.listdir(ob) if d.isdigit())
+    assert steps[-1] == 3, steps
