@@ -778,9 +778,11 @@ class DynamicBatcher(object):
     ----------
     engine : InferenceEngine
     max_wait_ms : float
-        How long the first request in a group waits for company. 0 still
-        coalesces whatever is already queued (opportunistic batching under
-        backlog) but never delays a lone request.
+        How long a forming group waits for more company once AT LEAST TWO
+        requests are pending. A lone request never waits (it dispatches
+        immediately — default-on batching adds zero latency to sequential
+        traffic); 0 disables the window entirely but still coalesces
+        whatever is already queued (opportunistic batching under backlog).
     max_batch : int, optional
         Utterance budget per group (default: the engine's ``batch_size``).
     lock : threading.Lock, optional
@@ -854,7 +856,15 @@ class DynamicBatcher(object):
                     self._cv.wait()
                 if not self._pending:
                     return  # closed and drained
-                if self.max_wait > 0 and not self._closed:
+                # Gather-window policy: a LONE request never waits — it
+                # dispatches immediately, so default-on dynamic batching
+                # adds zero latency to sequential traffic. The max_wait
+                # window only opens with >= 2 requests already pending
+                # (concurrency evidence); requests arriving during a
+                # dispatch queue up and coalesce into the next group
+                # naturally either way.
+                if self.max_wait > 0 and not self._closed \
+                        and len(self._pending) > 1:
                     deadline = time.monotonic() + self.max_wait
                     while sum(len(r['items'])
                               for r in self._pending) < self.max_batch:
@@ -984,13 +994,18 @@ def main(argv=None):
                              'hot-reload it (rolling updates while training '
                              'writes new epochs; HTTP mode only, applies to '
                              'every fleet voice).')
-    parser.add_argument('--dynamic_batch_ms', type=float, default=0.0,
+    parser.add_argument('--dynamic_batch_ms', type=float, default=5.0,
                         help='Coalesce concurrent /predict requests into '
                              'shared device batches, each waiting at most '
-                             'this long for company (0 = serve requests '
-                             'individually). Recommended under concurrent '
-                             'load: N simultaneous clients cost ~one device '
-                             'dispatch instead of N.')
+                             'this long for company (0 opts out and serves '
+                             'requests individually). Default ON (5 ms): N '
+                             'simultaneous clients cost ~one device dispatch '
+                             'instead of N — measured 1.6x throughput at '
+                             '0.6x median latency on a tunnelled TPU, and '
+                             'an improvement even on a 1-core CPU host '
+                             '(BASELINE.md serving table). Sequential '
+                             'clients never wait (a lone request dispatches '
+                             'immediately).')
     args = parser.parse_args(argv)
 
     if args.fleet is None and (args.model is None

@@ -474,6 +474,32 @@ class TestDynamicBatching:
         with pytest.raises(RuntimeError, match='closed'):
             batcher.predict_items([good_item])
 
+    def test_lone_request_never_waits(self, voice_data, trained):
+        """Default-on dynamic batching must add ZERO latency to sequential
+        traffic: a lone request dispatches immediately — the max_wait
+        gather window only opens with >= 2 requests pending. Asserted with
+        a wait far above any plausible dispatch time."""
+        import time as _time
+
+        from morgana_tpu.serve import DynamicBatcher
+
+        engine = InferenceEngine(TinyF0Model, trained['checkpoint'],
+                                 data_root=voice_data['data_root'],
+                                 batch_size=4)
+        rng = np.random.default_rng(13)
+        batcher = DynamicBatcher(engine, max_wait_ms=10_000.0)
+        try:
+            batcher.predict_items([self._item(rng, 'warm', 12)])  # compile
+            t0 = _time.perf_counter()
+            out = batcher.predict_items([self._item(rng, 'solo', 12)])
+            elapsed = _time.perf_counter() - t0
+            assert 'solo' in out
+            assert elapsed < 5.0, \
+                f'lone request waited the batch window ({elapsed:.1f}s)'
+            assert batcher.batches_run == 2
+        finally:
+            batcher.close()
+
     def test_backpressure_raises_overloaded(self, voice_data, trained):
         """A full pending queue rejects with Overloaded instead of queueing
         without bound.
