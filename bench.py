@@ -726,7 +726,7 @@ def main():
                 'mfu > 1 vs the measured peak: the probe and the bench hit '
                 'different chip windows (see throttle_ratio); rerun for a '
                 'comparable pair')
-        if not degraded and _throttled(result):
+        if _throttled(result):
             line['throttle_note'] = (
                 'bench window hit a tunnel throttling episode (sustained '
                 f'{line["sustained_vs_burst"]}x slower than burst); '
