@@ -833,8 +833,9 @@ class MultiHeadAttention(Module):
     Backends (``backend=``):
 
     - ``'auto'`` (default): ``'splash'`` whenever eligible (on TPU, self-
-      attention, no attention-probability dropout, padded length a multiple
-      of 128), else ``'xla'``. Measured on the flagship shape (B32 x T640,
+      attention, no attention-probability dropout, padded length >= 256 —
+      non-128-multiple lengths are padded to the next multiple inside the
+      call, masked and sliced back), else ``'xla'``. Measured on the flagship shape (B32 x T640,
       E512): the XLA path is HBM-bound on the materialised T x T tensors
       (XLA cost analysis: ~52 GB/step over the 6-layer model = the observed
       ~60 ms), and the splash kernel's online-softmax streaming removes
@@ -914,7 +915,7 @@ class MultiHeadAttention(Module):
         # attention-probability dropout is active (no dropout hook).
         dropout_p = self.dropout_p if is_training() else 0.0
         if (self.backend in ('auto', 'splash') and kv is None
-                and dropout_p == 0.0 and q_len % 128 == 0 and _on_tpu()):
+                and dropout_p == 0.0 and q_len >= 256 and _on_tpu()):
             out = self._splash(q, k, v, seq_len, causal, window,
                                compute_dtype)
             out = out.transpose(0, 2, 1, 3).reshape(batch, q_len,
@@ -1003,23 +1004,39 @@ class MultiHeadAttention(Module):
         if compute_dtype is not None:
             q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
         q_len = q.shape[2]
+        # The kernel wants a 128-multiple sequence length; length buckets
+        # (data/dataset.py::bucket_size) often are not (320, 576, ...), so
+        # pad to the next multiple here — the pad frames are masked out as
+        # invalid segment positions and sliced off the output, which keeps
+        # splash engaged for EVERY bucket instead of silently falling back
+        # on non-aligned ones. Worst case +127 frames of masked work,
+        # bounded by the >= 256 eligibility floor in forward().
+        padded_len = -(-q_len // 128) * 128
+        pad = padded_len - q_len
+        if pad:
+            q, k, v = (jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                       for t in (q, k, v))
         # Pre-scale in f32: bf16 q values keep their exponent range.
         q = (q.astype(jnp.float32) / math.sqrt(self.head_dim)).astype(q.dtype)
-        kernel = self._splash_kernel(q_len, causal, window)
+        kernel = self._splash_kernel(padded_len, causal, window)
         if seq_len is not None:
             sl = jnp.asarray(seq_len)
             if sl.ndim == 2:
                 sl = sl[:, 0]
-            valid = (jnp.arange(q_len)[None, :]
-                     < sl[:, None]).astype(jnp.int32)
-
-            def per_example(q1, k1, v1, valid1):
-                return kernel(q1, k1, v1,
-                              segment_ids=sk.SegmentIds(q=valid1, kv=valid1))
-
-            out = jax.vmap(per_example)(q, k, v, valid)
         else:
-            out = jax.vmap(lambda q1, k1, v1: kernel(q1, k1, v1))(q, k, v)
+            # No ragged lengths — but the pad frames (if any) must still be
+            # hidden from every real query/key.
+            sl = jnp.full((q.shape[0],), q_len, jnp.int32)
+        valid = (jnp.arange(padded_len)[None, :]
+                 < sl[:, None]).astype(jnp.int32)
+
+        def per_example(q1, k1, v1, valid1):
+            return kernel(q1, k1, v1,
+                          segment_ids=sk.SegmentIds(q=valid1, kv=valid1))
+
+        out = jax.vmap(per_example)(q, k, v, valid)
+        if pad:
+            out = out[:, :, :q_len]
         return out.astype(out_dtype)
 
     def _flash(self, q, k, v, seq_len, causal, compute_dtype):

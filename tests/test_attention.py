@@ -430,9 +430,11 @@ class TestSplashBackend:
         np.testing.assert_array_equal(outs[0], outs[2])
 
     def test_ineligible_length_falls_back(self, monkeypatch):
-        """Padded lengths not a multiple of 128 must use the XLA path even
-        when the backend claims TPU — running splash here (CPU) would
-        fail, so bitwise equality proves the fallback fired."""
+        """Padded lengths under the 256-frame floor must use the XLA path
+        even when the backend claims TPU — running splash here (CPU) would
+        fail, so bitwise equality proves the fallback fired. (Lengths >=
+        256 that are not 128-multiples are padded inside _splash instead
+        of falling back — see test_splash_pad_alignment.)"""
         monkeypatch.setattr(nn, '_on_tpu', lambda: True)
         rng = np.random.default_rng(22)
         x = _rand(rng, 2, 100, 32)
@@ -479,25 +481,61 @@ class TestSplashBackend:
         assert nn.MultiHeadAttention._splash_block(1280) == 640
         assert nn.MultiHeadAttention._splash_block(1152) == 384
 
+    def test_splash_pad_alignment(self, monkeypatch):
+        """Non-128-multiple lengths (real bucket_size outputs: 320, 576,
+        ...) are padded to the next multiple before the kernel and sliced
+        back after; the pad frames are invalid segment positions."""
+        m = nn.MultiHeadAttention(32, 4, backend='splash')
+        seen = {}
+
+        def fake_kernel(q1, k1, v1, segment_ids=None):
+            seen['shape'] = tuple(q1.shape)
+            seen['seg'] = segment_ids is not None
+            return q1
+
+        monkeypatch.setattr(m, '_splash_kernel',
+                            lambda q_len, causal, window: fake_kernel)
+        rng = np.random.default_rng(25)
+        q = jnp.asarray(rng.standard_normal((2, 4, 320, 8)), jnp.float32)
+        out = m._splash(q, q, q, seq_len=np.array([320, 200], np.int32),
+                        causal=False, window=None, compute_dtype=None)
+        assert out.shape == (2, 4, 320, 8)
+        assert seen['shape'] == (4, 384, 8) and seen['seg']
+        # The fake kernel is identity, so the output must be the
+        # pre-scaled q with the pad frames sliced off.
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(q) / np.sqrt(8), rtol=1e-6)
+        # Aligned lengths pass through unpadded (and a missing seq_len
+        # still gets segment ids once padding would be needed).
+        out = m._splash(q[:, :, :256], q[:, :, :256], q[:, :, :256],
+                        seq_len=None, causal=False, window=None,
+                        compute_dtype=None)
+        assert seen['shape'] == (4, 256, 8)
+        assert out.shape == (2, 4, 256, 8)
+
     @pytest.mark.skipif(not nn._on_tpu(), reason='splash kernel needs TPU')
     def test_splash_matches_xla_on_tpu(self):
         rng = np.random.default_rng(24)
-        x = _rand(rng, 2, 256, 64)
-        lens = np.array([256, 170], np.int32)
-        nn.manual_seed(59)
-        a = nn.MultiHeadAttention(64, 4, backend='xla')
-        nn.manual_seed(59)
-        b = nn.MultiHeadAttention(64, 4, backend='splash')
-        for causal in (False, True):
-            with nn.bind(a):
-                ya = np.asarray(a(jnp.asarray(x), seq_len=lens,
-                                  causal=causal))
-            with nn.bind(b):
-                yb = np.asarray(b(jnp.asarray(x), seq_len=lens,
-                                  causal=causal))
-            for i, n in enumerate(lens):
-                np.testing.assert_allclose(ya[i, :n], yb[i, :n],
-                                           rtol=2e-2, atol=2e-3)
+        # 256 = aligned; 320 = a real bucket_size output that exercises
+        # the internal pad-to-128-multiple path.
+        for T in (256, 320):
+            x = _rand(rng, 2, T, 64)
+            lens = np.array([T, int(0.66 * T)], np.int32)
+            nn.manual_seed(59)
+            a = nn.MultiHeadAttention(64, 4, backend='xla')
+            nn.manual_seed(59)
+            b = nn.MultiHeadAttention(64, 4, backend='splash')
+            for causal in (False, True):
+                with nn.bind(a):
+                    ya = np.asarray(a(jnp.asarray(x), seq_len=lens,
+                                      causal=causal))
+                with nn.bind(b):
+                    yb = np.asarray(b(jnp.asarray(x), seq_len=lens,
+                                      causal=causal))
+                for i, n in enumerate(lens):
+                    np.testing.assert_allclose(
+                        ya[i, :n], yb[i, :n], rtol=2e-2, atol=2e-3,
+                        err_msg=f'T={T} causal={causal} row {i}')
 
 
 class TestMigrateTransformer:
