@@ -200,6 +200,15 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
 
     rng = np.random.default_rng(0)
     batch, frames_per_batch = make_batch(rng, batch=batch_size, frames=frames)
+    # Stage the batch ON DEVICE once: this is a COMPUTE benchmark (the e2e
+    # rows price the wire). Passing the numpy dict per step re-uploads
+    # ~26 MB per dispatch unless the tunnel's content-dedup elides it —
+    # and that dedup has been observed to switch off (whole afternoons
+    # where sustained readings degrade to the ~0.6 s/step upload bound,
+    # masquerading as compute throttling). Staging removes the dependence
+    # on an undocumented runtime behaviour entirely.
+    from morgana_tpu.training import numeric_features
+    batch = jax.device_put(numeric_features(batch))
 
     for _ in range(WARMUP_STEPS):
         loss, _, _ = loop.train_step(batch, lr=1e-3)
