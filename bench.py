@@ -586,8 +586,15 @@ def main():
         budget (minus a small reserve so the final emit always happens)."""
         return max(60.0, min(float(cap), remaining() - reserve))
 
+    _last_emitted = [None]
+
     def emit(line):
-        print(json.dumps(line), flush=True)
+        # Deduplicate: a stage that added nothing (skipped/failed) would
+        # otherwise re-print a byte-identical line.
+        s = json.dumps(line)
+        if s != _last_emitted[0]:
+            print(s, flush=True)
+            _last_emitted[0] = s
 
     baseline_fps = get_baseline()
 

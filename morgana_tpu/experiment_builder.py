@@ -730,7 +730,6 @@ class ExperimentBuilder(object):
                         lr_path = checkpointing.orbax_sidecar_path(
                             self.orbax_dir, restored_epoch)
                         if os.path.exists(lr_path):
-                            import pickle
                             with open(lr_path, 'rb') as f:
                                 self._restored_lr_state = pickle.load(f)
                         else:
@@ -941,8 +940,12 @@ class ExperimentBuilder(object):
     def _rank_saves_lengths(self):
         """Multihost + --length_sort_window: every rank must snapshot its
         own shard's learned length map at step-checkpoint boundaries (the
-        lead-host sidecar only describes the lead host's shard)."""
-        return bool(self.length_sort_window) and self.process_count > 1
+        lead-host sidecar only describes the lead host's shard). Not under
+        --fsdp --multihost: no step sidecar is written there (Orbax owns
+        checkpoints at epoch granularity), so the snapshots would be dead
+        I/O with no resume position to pair against."""
+        return bool(self.length_sort_window) and self.process_count > 1 \
+            and not self._cross_host_params
 
     def _rank_lengths_path(self):
         return os.path.join(self.experiment_dir, 'checkpoints',
@@ -1154,6 +1157,15 @@ class ExperimentBuilder(object):
         explicit_chain = self.steps_per_dispatch is not None \
             and self.steps_per_dispatch > 1
         if self.device_cache is None:
+            if explicit_chain and self.multihost:
+                # Implying the cache here would trip the device_cache/
+                # multihost conflict with an error naming a flag the user
+                # never passed; name the real culprit instead.
+                raise ValueError(
+                    '--steps_per_dispatch > 1 requires the device cache, '
+                    'which is single-host only (each multi-host process '
+                    'loads a different corpus shard); drop '
+                    '--steps_per_dispatch or --multihost.')
             # An explicit --steps_per_dispatch N implies the device cache
             # (chains assemble batches from the device-resident corpus).
             self.device_cache = bool(
@@ -1713,7 +1725,6 @@ class ExperimentBuilder(object):
                     if self.is_lead_host and hasattr(lr_schedule, 'state_dict'):
                         # LR-schedule sidecar for exact Orbax resume (see the
                         # restore path in __init__).
-                        import pickle
                         os.makedirs(self.orbax_dir, exist_ok=True)
                         lr_path = checkpointing.orbax_sidecar_path(
                             self.orbax_dir, self.epoch)

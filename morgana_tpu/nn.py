@@ -833,9 +833,9 @@ class MultiHeadAttention(Module):
     Backends (``backend=``):
 
     - ``'auto'`` (default): ``'splash'`` whenever eligible (on TPU, self-
-      attention, no attention-probability dropout, padded length >= 256 —
-      non-128-multiple lengths are padded to the next multiple inside the
-      call, masked and sliced back), else ``'xla'``. Measured on the flagship shape (B32 x T640,
+      attention, no attention-probability dropout, bucket length >= 256
+      BEFORE alignment — eligible lengths are then padded internally to
+      the kernel's block layout, masked and sliced back), else ``'xla'``. Measured on the flagship shape (B32 x T640,
       E512): the XLA path is HBM-bound on the materialised T x T tensors
       (XLA cost analysis: ~52 GB/step over the 6-layer model = the observed
       ~60 ms), and the splash kernel's online-softmax streaming removes
@@ -943,19 +943,19 @@ class MultiHeadAttention(Module):
         out = out.transpose(0, 2, 1, 3).reshape(batch, q_len, self.embed_dim)
         return self.out_proj(out)
 
-    def _splash_kernel(self, q_len, causal, window):
+    def _splash_kernel(self, q_len, block, causal, window):
         """Builds (and caches) the splash-attention kernel for one padded
-        length / mask shape. Block-size policy, measured on the flagship
-        shape (BASELINE.md round-4 A/B): whole-sequence blocks with the
-        fused backward kernel are the fast configuration at acoustic
-        lengths (14.4 -> 5.2 ms fwd+bwd at T=640 vs 128-blocks) — the
-        kernel then streams KV in one pass per query block with no
-        revisits; past T=1024 blocks cap at the largest 128-multiple
-        divisor so VMEM stays bounded."""
+        length / block / mask shape. Block-size policy (see
+        :meth:`_splash_layout`), measured on the flagship shape
+        (BASELINE.md round-4 A/B): whole-sequence blocks with the fused
+        backward kernel are the fast configuration at acoustic lengths
+        (14.4 -> 5.2 ms fwd+bwd at T=640 vs 128-blocks) — the kernel then
+        streams KV in one pass per query block with no revisits; past
+        T=1024 blocks cap at >= 512 (the length is padded to divide)."""
         cache = getattr(self, '_splash_cache', None)
         if cache is None:
             cache = self._splash_cache = {}
-        key = (q_len, self.num_heads, bool(causal), window)
+        key = (q_len, block, self.num_heads, bool(causal), window)
         kernel = cache.get(key)
         if kernel is None:
             from jax.experimental.pallas.ops.tpu.splash_attention import (
@@ -969,7 +969,6 @@ class MultiHeadAttention(Module):
             else:
                 head_mask = sm.FullMask((q_len, q_len))
             mask = sm.MultiHeadMask([head_mask] * self.num_heads)
-            block = self._splash_block(q_len)
             bs = sk.BlockSizes(
                 block_q=block, block_kv=block, block_kv_compute=block,
                 block_q_dkv=block, block_kv_dkv=block,
@@ -979,14 +978,25 @@ class MultiHeadAttention(Module):
         return kernel
 
     @staticmethod
-    def _splash_block(q_len):
-        """Splash block size for one padded length: the whole sequence at
-        acoustic lengths (the measured-fastest configuration), capped at
-        the largest 128-multiple divisor past 1024 to bound VMEM."""
+    def _splash_layout(q_len):
+        """``(padded_len, block)`` for one raw padded length: pad to the
+        next 128 multiple and use whole-sequence blocks at acoustic
+        lengths (the measured-fastest configuration). Past 1024, pad to
+        the next 512 multiple instead so the block stays >= 512 — blocks
+        must divide the sequence, and narrow 128-wide blocks measured
+        ~2.8x slower (BASELINE.md round-4 A/B); a few extra masked frames
+        are far cheaper (e.g. 1408 -> 1536 with block 768, not 1408 with
+        block 128)."""
         if q_len <= 1024:
-            return q_len
-        return next(b for b in (1024, 896, 768, 640, 512, 384, 256, 128)
-                    if q_len % b == 0)
+            padded = -(-q_len // 128) * 128
+            return padded, padded
+        padded = -(-q_len // 128) * 128
+        for block in (1024, 896, 768, 640, 512):
+            if padded % block == 0:
+                return padded, block
+        padded = -(-padded // 512) * 512
+        block = next(b for b in (1024, 768, 512) if padded % b == 0)
+        return padded, block
 
     def _splash(self, q, k, v, seq_len, causal, window, compute_dtype):
         """Exact attention via the fused TPU splash kernel
@@ -1004,21 +1014,20 @@ class MultiHeadAttention(Module):
         if compute_dtype is not None:
             q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
         q_len = q.shape[2]
-        # The kernel wants a 128-multiple sequence length; length buckets
-        # (data/dataset.py::bucket_size) often are not (320, 576, ...), so
-        # pad to the next multiple here — the pad frames are masked out as
-        # invalid segment positions and sliced off the output, which keeps
-        # splash engaged for EVERY bucket instead of silently falling back
-        # on non-aligned ones. Worst case +127 frames of masked work,
-        # bounded by the >= 256 eligibility floor in forward().
-        padded_len = -(-q_len // 128) * 128
+        # The kernel wants a sequence length its block size divides; length
+        # buckets (data/dataset.py::bucket_size) often are not aligned
+        # (320, 576, ...), so pad to the layout's length — the pad frames
+        # are masked out as invalid segment positions and sliced off the
+        # output, which keeps splash engaged for EVERY bucket instead of
+        # silently falling back on non-aligned ones.
+        padded_len, block = self._splash_layout(q_len)
         pad = padded_len - q_len
         if pad:
             q, k, v = (jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
                        for t in (q, k, v))
         # Pre-scale in f32: bf16 q values keep their exponent range.
         q = (q.astype(jnp.float32) / math.sqrt(self.head_dim)).astype(q.dtype)
-        kernel = self._splash_kernel(padded_len, causal, window)
+        kernel = self._splash_kernel(padded_len, block, causal, window)
         if seq_len is not None:
             sl = jnp.asarray(seq_len)
             if sl.ndim == 2:

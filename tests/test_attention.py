@@ -468,18 +468,25 @@ class TestSplashBackend:
 
     def test_kernel_cache_and_block_policy(self):
         m = nn.MultiHeadAttention(32, 4, backend='splash')
-        k1 = m._splash_kernel(128, causal=False, window=None)
-        assert m._splash_kernel(128, causal=False, window=None) is k1
-        k2 = m._splash_kernel(128, causal=True, window=None)
-        k3 = m._splash_kernel(128, causal=True, window=64)
+        k1 = m._splash_kernel(128, 128, causal=False, window=None)
+        assert m._splash_kernel(128, 128, causal=False, window=None) is k1
+        k2 = m._splash_kernel(128, 128, causal=True, window=None)
+        k3 = m._splash_kernel(128, 128, causal=True, window=64)
         assert len({id(k1), id(k2), id(k3)}) == 3
-        # Block-size policy: whole-sequence blocks at acoustic lengths,
-        # capped at a 128-multiple divisor past 1024.
-        assert nn.MultiHeadAttention._splash_block(640) == 640
-        assert nn.MultiHeadAttention._splash_block(1024) == 1024
-        assert nn.MultiHeadAttention._splash_block(2048) == 1024
-        assert nn.MultiHeadAttention._splash_block(1280) == 640
-        assert nn.MultiHeadAttention._splash_block(1152) == 384
+        # Layout policy: whole-sequence blocks at acoustic lengths (pad to
+        # the next 128 multiple); past 1024, pad to the next 512 multiple
+        # so the block never degrades to the measured-slow 128-wide
+        # configuration (e.g. 1408 -> 1536/768, not 1408/128).
+        layout = nn.MultiHeadAttention._splash_layout
+        assert layout(640) == (640, 640)
+        assert layout(320) == (384, 384)   # blocks must be 128-multiples
+        assert layout(200) == (256, 256)
+        assert layout(1024) == (1024, 1024)
+        assert layout(2048) == (2048, 1024)
+        assert layout(1280) == (1280, 640)   # 640 divides: no extra pad
+        assert layout(1408) == (1536, 768)   # 11*128: pad to 512-multiple
+        assert layout(1152) == (1536, 768)   # 9*128: likewise
+        assert layout(2560) == (2560, 640)
 
     def test_splash_pad_alignment(self, monkeypatch):
         """Non-128-multiple lengths (real bucket_size outputs: 320, 576,
@@ -494,7 +501,7 @@ class TestSplashBackend:
             return q1
 
         monkeypatch.setattr(m, '_splash_kernel',
-                            lambda q_len, causal, window: fake_kernel)
+                            lambda q_len, block, causal, window: fake_kernel)
         rng = np.random.default_rng(25)
         q = jnp.asarray(rng.standard_normal((2, 4, 320, 8)), jnp.float32)
         out = m._splash(q, q, q, seq_len=np.array([320, 200], np.int32),

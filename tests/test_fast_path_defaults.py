@@ -103,11 +103,13 @@ class TestAutoResolution:
         assert exp.steps_per_dispatch == 1
 
     def test_dispatch_rtt_probe_runs(self):
-        """The probe itself: a real measurement on the test backend, small
-        and positive (CPU dispatch+readback is well under the 5 ms
-        threshold)."""
+        """The probe itself: a real measurement on the test backend —
+        positive and sane. (No tight upper bound: CPU dispatch+readback is
+        normally well under 1 ms, but a loaded CI host can stall the
+        scheduler; the AUTO threshold logic is pinned separately with a
+        stubbed probe.)"""
         ms = ExperimentBuilder._dispatch_rtt_ms()
-        assert 0.0 < ms < 5.0
+        assert 0.0 < ms < 1000.0
 
 
 class TestAutoMatchesExplicit:
