@@ -173,9 +173,46 @@ def measure_transfer_bandwidth(mbytes=64, rounds=5):
     return mbytes / max(best - null, 1e-9)
 
 
-def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
-              batch_size=None, frames=None, sustained_steps=0):
+def _build_batch_chain(model, optimizer, ema_decay, rng_base, n):
+    """One jitted program running ``n`` consecutive fused train steps on a
+    (device-resident) batch — the compute-side analogue of
+    ``TrainLoop.train_chain`` without the corpus cache (same
+    staged_value_and_grad / apply_updates building blocks,
+    ``training.py::_build_chain_step``). Measures the per-step pace a
+    ``--steps_per_dispatch`` user sees: one dispatch covers n steps, so
+    per-dispatch round-trip cost (the dominant term when the tunnel stops
+    pipelining dispatches — BASELINE.md round-4 pathology note) is
+    amortised by n."""
     import jax
+    import jax.numpy as jnp
+    from morgana_tpu.training import apply_updates, staged_value_and_grad
+
+    def fn(params, opt_state, ema_params, batch, lr, step0):
+        def body(carry, offset):
+            params, opt_state, ema_params = carry
+            b = dict(batch, global_step=step0 + offset)
+            rng = jax.random.fold_in(rng_base, step0 + offset)
+            loss, staged, outputs, grads = staged_value_and_grad(
+                model, params, b, rng)
+            del staged, outputs
+            params, opt_state, ema_params, _ = apply_updates(
+                optimizer, ema_decay, params, opt_state, ema_params,
+                grads, lr)
+            return (params, opt_state, ema_params), loss
+
+        (params, opt_state, ema_params), losses = jax.lax.scan(
+            body, (params, opt_state, ema_params),
+            jnp.arange(n, dtype=jnp.int32))
+        return params, opt_state, ema_params, losses
+
+    return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+
+def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
+              batch_size=None, frames=None, sustained_steps=0,
+              chained_steps=0):
+    import jax
+    import jax.numpy as jnp
     from morgana_tpu.training import TrainLoop, build_optimizer
     from __graft_entry__ import _make_model
 
@@ -271,6 +308,33 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
     }
     if sustained:
         out.update(sustained)
+
+    # Chained-dispatch pace (--steps_per_dispatch N): N fused steps as ONE
+    # lax.scan program, so the per-dispatch round trip amortises by N.
+    # Secondary, clearly labeled — reported next to the per-dispatch
+    # sustained number, NOT in place of it.
+    if chained_steps:
+        n = int(chained_steps)
+        chain_fn = _build_batch_chain(loop.model, loop.optimizer,
+                                      loop.ema_decay, loop._train_rng_base,
+                                      n)
+        params, opt_state, ema_params = (loop.params, loop.opt_state,
+                                         loop.ema_params)
+        lr = jnp.float32(1e-3)
+        step0 = jnp.int32(0)
+        params, opt_state, ema_params, losses = chain_fn(
+            params, opt_state, ema_params, batch, lr, step0)  # compile
+        float(losses[-1])
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            params, opt_state, ema_params, losses = chain_fn(
+                params, opt_state, ema_params, batch, lr, step0)
+            float(losses[-1])  # readback barrier
+            best = min(best, (time.perf_counter() - t0) / n)
+        out['chained_steps_per_dispatch'] = n
+        out['chained_ms_per_step'] = best * 1e3
+        out['chained_frames_per_sec'] = float(frames_per_batch / best)
     return out
 
 
@@ -382,7 +446,7 @@ def _probe_subprocess(timeout=600):
 
 
 def _bench_subprocess(backend, compute_dtype=None, unroll=8, sustained_steps=0,
-                      timeout=900):
+                      chained_steps=0, timeout=900):
     """One config per process: a second measurement in the same process
     reads ~30x slow on the shared TPU (runtime contention with the first
     program's buffers), so each config gets a clean process.
@@ -395,7 +459,8 @@ def _bench_subprocess(backend, compute_dtype=None, unroll=8, sustained_steps=0,
     cache for a rerun."""
     code = (f'import bench, json; print("BENCH_JSON:" + json.dumps('
             f'bench.bench_tpu({backend!r}, compute_dtype={compute_dtype!r}, '
-            f'unroll={unroll}, sustained_steps={sustained_steps})))')
+            f'unroll={unroll}, sustained_steps={sustained_steps}, '
+            f'chained_steps={chained_steps})))')
     return _run_bench_code(code, timeout=timeout)
 
 
@@ -666,6 +731,7 @@ def main():
                 result['ms_per_step'] / result['burst_ms_per_step'], 2),
             'achieved_tflops': round(result['achieved_tflops'], 1),
             'throttle_ratio': result.get('throttle_ratio'),
+
             'nominal_peak_tflops': result['nominal_peak_tflops'],
             'mfu_vs_nominal': round(result['mfu_vs_nominal'], 3),
             'device_kind': result.get('device_kind', ''),
@@ -750,6 +816,15 @@ def main():
                 'healthy-window sustained numbers are in BASELINE.md — '
                 'rerun in another window for a representative sustained '
                 'reading')
+        if 'chained_ms_per_step' in result:
+            # The pace a --steps_per_dispatch user sees: N fused steps per
+            # dispatch, so per-dispatch round-trip cost amortises by N.
+            line['chained_steps_per_dispatch'] = result[
+                'chained_steps_per_dispatch']
+            line['chained_ms_per_step'] = round(
+                result['chained_ms_per_step'], 2)
+            line['chained_frames_per_sec'] = round(
+                result['chained_frames_per_sec'], 1)
         for backend, res in results.items():
             if backend != best_backend:
                 line[f'{backend}_frames_per_sec'] = round(
@@ -762,6 +837,7 @@ def main():
     name, backend, dtype, unroll = CONFIGS[0]
     try:
         results[name] = _bench_subprocess(backend, dtype, unroll,
+                                          chained_steps=16,
                                           timeout=stage_timeout(700))
     except Exception:
         failed.append(name)
@@ -772,7 +848,8 @@ def main():
         try:
             results[name] = bench_tpu(rnn_backend=backend,
                                       compute_dtype=dtype,
-                                      unroll=unroll, sustained_steps=50)
+                                      unroll=unroll, sustained_steps=50,
+                                      chained_steps=16)
             degraded = True
             failed.remove(name)
         except Exception:
