@@ -891,6 +891,7 @@ def main():
             time.sleep(cooldown)
             try:
                 retry = _bench_subprocess(backend, dtype, unroll,
+                                          chained_steps=16,
                                           timeout=stage_timeout(500))
             except Exception:
                 continue
