@@ -217,6 +217,19 @@ class TestChainedAccumulation:
         assert chained.loop._chain_fns
         _assert_params_close(_params(chained), _params(base))
 
+    def test_composes_with_device_normalise(self, uniform_voice_data,
+                                             tmp_path):
+        """Accumulating chains run the same post-assembly device transform
+        (--device_normalise) as every other cached path — raw-only arenas,
+        normalisation inside the scan body."""
+        kwargs = dict(device_cache=True, device_normalise=True,
+                      grad_accum_steps=2)
+        base = _run(uniform_voice_data, tmp_path, 'acc_dn_off', **kwargs)
+        chained = _run(uniform_voice_data, tmp_path, 'acc_dn_on',
+                       steps_per_dispatch=4, **kwargs)
+        assert chained.loop._chain_fns
+        _assert_params_close(_params(chained), _params(base))
+
     def test_apply_schedule_unit(self):
         """chain_apply_schedule: pure simulation of the cycle counters."""
         from morgana_tpu.training import TrainLoop
