@@ -197,8 +197,24 @@ def run_checks(device=None):
             raise RuntimeError(f'non-finite losses: {losses_seen}')
         if not losses_seen[-1] < losses_seen[0]:
             raise RuntimeError(f'loss did not decrease: {losses_seen}')
+        # Sustained pace, readback-barriered (best of 2 x 8-step runs):
+        # surfaces the tunnel's degraded device modes — scan-heavy programs
+        # have been observed executing 15x slow for hours while matmul
+        # probes run at full speed (BASELINE.md round-4 diagnosis). A user
+        # seeing slow training should see it HERE too, not suspect their
+        # model. Informational (never fails the check: absolute pace
+        # depends on the link).
+        best = float('inf')
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(8):
+                params, opt_state, loss = step(params, opt_state)
+            float(loss)
+            best = min(best, (time.perf_counter() - t0) / 8)
         return (f'compile {compile_s:.1f}s, loss {losses_seen[0]:.4f} -> '
-                f'{losses_seen[-1]:.4f} over 4 steps')
+                f'{losses_seen[-1]:.4f} over 4 steps; sustained '
+                f'{best * 1e3:.1f} ms/step (readback-barriered — compare '
+                f'across sessions to spot degraded device windows)')
 
     _check('train_step', train_step, results,
            skip=None if dev['status'] == 'PASS' else 'device check not PASS')
