@@ -165,37 +165,47 @@ class ExperimentBuilder(object):
         r"""Adds command line arguments (superset of the reference flags)."""
         parser.add_argument('--model_kwargs', dest='model_kwargs', action=DictAction,
                             type=str, default={},
-                            help='Settings for the model, a Python dictionary written in quotes.')
+                            help='Keyword arguments forwarded to the model constructor, given as a '
+                                 'quoted Python dict literal (parsed with ast.literal_eval).')
         parser.add_argument('--analysis_kwargs', dest='analysis_kwargs', action=DictAction,
                             type=str, default={'sample_rate': 16000},
-                            help='Key-word arguments passed to `BaseModel.analysis_for_*` methods.')
+                            help='Quoted dict literal forwarded to the `BaseModel.analysis_for_*` '
+                                 'hooks (e.g. the synthesis sample rate).')
 
         # Training options.
-        add_boolean_arg(parser, 'train', help='If True, model will be trained for --num_epochs on --train_id_list.')
-        add_boolean_arg(parser, 'valid', help='If True, model will be evaluated on --valid_id_list every epoch.')
+        add_boolean_arg(parser, 'train', help='Run the training loop over --train_id_list '
+                                              '(from --start_epoch to --end_epoch).')
+        add_boolean_arg(parser, 'valid', help='Evaluate on --valid_id_list after every training epoch.')
         parser.add_argument('--test', dest='test', action='store_true', default=False,
-                            help='If True, generation for --test_id_list will be performed after training.')
+                            help='Run generation (predict without targets) over --test_id_list '
+                                 'once training finishes.')
 
         parser.add_argument('--start_epoch', dest='start_epoch', action='store', type=int, default=1,
-                            help='The epoch number to start training at (will effect checkpoint saves).')
+                            help='First epoch number of this run; checkpoint files are named '
+                                 'after the epoch, so set this when resuming to avoid '
+                                 'overwriting earlier saves.')
         parser.add_argument('--end_epoch', dest='end_epoch', action='store', type=int, default=50,
-                            help='Epoch to end training at.')
+                            help='Last epoch number (inclusive) of this run.')
         parser.add_argument('--checkpoint_path', dest='checkpoint_path', action='store', type=str, default=None,
-                            help='If specified, the model will first load parameters from an existing checkpoint.')
+                            help='Initialise model parameters from this checkpoint before any '
+                                 "procedure runs ('latest' resumes a rolling step checkpoint).")
         parser.add_argument('--ema_checkpoint_path', dest='ema_checkpoint_path', action='store', type=str,
                             default=None,
-                            help='If specified, the EMA model will first load parameters from an existing checkpoint.')
+                            help='Initialise the EMA (shadow) parameters from this checkpoint.')
 
         parser.add_argument('--batch_size', dest='batch_size', action='store', type=int, default=32,
-                            help='Batch size used for iteration over train/valid data.')
+                            help='Utterances per training/validation batch.')
         parser.add_argument('--learning_rate', dest='learning_rate', action='store', type=float, default=0.01,
-                            help='Learning rate for the Adam optimiser.')
+                            help='Base optimiser learning rate (the value LR schedules scale).')
         parser.add_argument('--lr_schedule_name', dest='lr_schedule_name', action='store', type=str,
-                            default='constant', help='Learning rate schedule to use during training.')
+                            default='constant', help='Name of the learning-rate schedule '
+                                                     '(see morgana_tpu.lr_schedules.SUPPORTED).')
         parser.add_argument('--lr_schedule_kwargs', dest='lr_schedule_kwargs', action=DictAction, type=str,
-                            default={}, help='Settings for learning rate schedule, a Python dict in quotes.')
+                            default={}, help='Quoted dict literal of schedule hyper-parameters '
+                                             '(e.g. "{\'warmup_steps\': 4000}").')
         parser.add_argument('--weight_decay', dest='weight_decay', action='store', type=float, default=0.,
-                            help='L2 regularisation weight, 0 means no L2 loss term.')
+                            help='Strength of L2 parameter regularisation (0 disables it; '
+                                 'decoupled decay under --optimizer adamw).')
         parser.add_argument('--optimizer', dest='optimizer', action='store', type=str, default='adam',
                             help='Optimiser: adam (torch-Adam semantics, the reference default), '
                                  'adamw (decoupled weight decay), sgd, or lamb.')
@@ -203,16 +213,19 @@ class ExperimentBuilder(object):
                             default={}, help='Optimiser settings (b1/b2/eps, momentum/nesterov for sgd), '
                                              'a Python dict in quotes.')
         parser.add_argument('--ema_decay', dest='ema_decay', action='store', type=float, default=0.,
-                            help='If not 0, track an exponential moving average of model parameters, '
-                                 'used for generation.')
+                            help='Decay of an exponential moving average of the parameters; '
+                                 'when non-zero, validation/generation use the EMA weights '
+                                 'and a twin `_ema` checkpoint is saved.')
 
         parser.add_argument('--device', dest='device', action='store', type=str, default=None,
                             help="JAX platform to run on ('tpu', 'cpu', or 'tpu:0'). Default: JAX default.")
         parser.add_argument('--num_data_threads', dest='num_data_threads', action='store', type=int, default=0,
-                            help='Number of threads used to load the data with.')
+                            help='Size of the host-side loader thread pool (0 = load inline; '
+                                 'the C++ reader releases the GIL, so threads scale on '
+                                 'multi-core hosts).')
 
         parser.add_argument('--model_checkpoint_interval', dest='model_checkpoint_interval', action='store',
-                            type=int, default=1, help='Number of epochs between model checkpoints.')
+                            type=int, default=1, help='Save a parameter checkpoint every N epochs.')
         parser.add_argument('--step_checkpoint_interval', dest='step_checkpoint_interval', action='store',
                             type=int, default=0,
                             help='If > 0, save a rolling mid-epoch checkpoint '
@@ -226,38 +239,40 @@ class ExperimentBuilder(object):
                                  'where each rank snapshots its own shard\'s map to '
                                  'checkpoints/step.lengths.pN.pkl).')
         parser.add_argument('--train_output_interval', dest='train_output_interval', action='store',
-                            type=int, default=10, help='Epochs between generating output for training data.')
+                            type=int, default=10, help='Run the train-set analysis hooks '
+                                                       '(feature dumps/synthesis) every N epochs.')
         parser.add_argument('--valid_output_interval', dest='valid_output_interval', action='store',
-                            type=int, default=10, help='Epochs between generating output for validation data.')
+                            type=int, default=10, help='Run the validation-set analysis hooks every N epochs.')
         parser.add_argument('--test_output_interval', dest='test_output_interval', action='store',
-                            type=int, default=10, help='Epochs between generating output for test data.')
+                            type=int, default=10, help='Run the test-set analysis hooks every N epochs.')
 
         # Paths for data and output.
         parser.add_argument('--data_root', dest='data_root', action='store', type=str, default='data',
-                            help='Base directory containing all data.')
+                            help='Directory under which every corpus sub-directory lives.')
         parser.add_argument('--train_dir', dest='train_dir', action='store', type=str, default='train',
-                            help='Name of the sub-directory in --data_root containing training data.')
+                            help='Training-corpus sub-directory of --data_root.')
         parser.add_argument('--valid_dir', dest='valid_dir', action='store', type=str, default='valid',
-                            help='Name of the sub-directory in --data_root containing validation data.')
+                            help='Validation-corpus sub-directory of --data_root.')
         parser.add_argument('--test_dir', dest='test_dir', action='store', type=str, default='test',
-                            help='Name of the sub-directory in --data_root containing test data.')
+                            help='Test-corpus sub-directory of --data_root.')
         parser.add_argument('--train_id_list', dest='train_id_list', action='store', type=str,
                             default='train_file_id_list.scp',
-                            help='File name in --train_dir containing basenames of training samples.')
+                            help='Utterance-id list file (one basename per line) inside --train_dir.')
         parser.add_argument('--valid_id_list', dest='valid_id_list', action='store', type=str,
                             default='valid_file_id_list.scp',
-                            help='File name in --valid_dir containing basenames of validation samples.')
+                            help='Utterance-id list file inside --valid_dir.')
         parser.add_argument('--test_id_list', dest='test_id_list', action='store', type=str,
                             default='test_file_id_list.scp',
-                            help='File name in --test_dir containing basenames of test files.')
+                            help='Utterance-id list file inside --test_dir.')
         parser.add_argument('--normalisation_dir', dest='normalisation_dir', action='store', type=str,
                             default='train',
-                            help='Name of the sub-directory in --data_root containing normalisation data.')
+                            help='Sub-directory of --data_root holding the JSON normaliser '
+                                 'parameter files ({name}_mvn.json / {name}_minmax.json).')
         parser.add_argument('--experiments_base', dest='experiments_base', action='store', type=str,
                             default='experiments',
-                            help='Base directory where all experiments direct their output.')
+                            help='Directory that collects all experiment output directories.')
         parser.add_argument('--experiment_name', dest='experiment_name', action='store', type=str, required=True,
-                            help='Name of the sub-directory in --experiments_base used for any output.')
+                            help='This run\'s output directory name under --experiments_base.')
 
         # TPU-native additions.
         parser.add_argument('--seed', dest='seed', action='store', type=int, default=1234567890,
