@@ -1004,8 +1004,12 @@ class MultiHeadAttention(Module):
         softmax, no materialised T x T tensors, custom fused backward).
         Padding enters as segment ids (padded frames form their own
         segment); the kernel applies no logit scale, so q is pre-scaled by
-        ``1/sqrt(head_dim)``. Fully-masked (padded) query rows return 0 —
-        downstream sequence-masked losses/metrics discard them either way.
+        ``1/sqrt(head_dim)``. Padded query rows are NOT defined outputs:
+        all pad positions share segment id 0, so a padded query attends the
+        padded keys and returns whatever the padding activations (e.g.
+        projection biases) produce — garbage, exactly like the flash/XLA
+        paths' pad rows. Downstream consumers must mask by ``seq_len``
+        (the sequence-masked losses/metrics already do).
         """
         from jax.experimental.pallas.ops.tpu.splash_attention import (
             splash_attention_kernel as sk)

@@ -532,17 +532,20 @@ class TestSplashBackend:
             a = nn.MultiHeadAttention(64, 4, backend='xla')
             nn.manual_seed(59)
             b = nn.MultiHeadAttention(64, 4, backend='splash')
-            for causal in (False, True):
+            # window=64 pins the subtlest splash mapping — LocalMask's
+            # window_size=(window-1, 0) — against local_causal_bias.
+            for causal, window in ((False, None), (True, None), (True, 64)):
                 with nn.bind(a):
                     ya = np.asarray(a(jnp.asarray(x), seq_len=lens,
-                                      causal=causal))
+                                      causal=causal, window=window))
                 with nn.bind(b):
                     yb = np.asarray(b(jnp.asarray(x), seq_len=lens,
-                                      causal=causal))
+                                      causal=causal, window=window))
                 for i, n in enumerate(lens):
                     np.testing.assert_allclose(
                         ya[i, :n], yb[i, :n], rtol=2e-2, atol=2e-3,
-                        err_msg=f'T={T} causal={causal} row {i}')
+                        err_msg=f'T={T} causal={causal} '
+                                f'window={window} row {i}')
 
 
 class TestMigrateTransformer:
