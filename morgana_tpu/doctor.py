@@ -211,10 +211,54 @@ def run_checks(device=None):
                 params, opt_state, loss = step(params, opt_state)
             float(loss)
             best = min(best, (time.perf_counter() - t0) / 8)
+
+        # Chained-pace discriminator: the same 8 steps as ONE compiled
+        # lax.scan program. Comparing it with the per-dispatch pace
+        # separates the two slow-training causes a user cannot otherwise
+        # tell apart (BASELINE.md round-4 diagnosis): chained << per-step
+        # means per-dispatch round trips dominate (a high-RTT link —
+        # --steps_per_dispatch recovers the gap), while chained ~= per-step
+        # with both slow means the device window itself is degraded for
+        # scan-heavy programs (no flag helps; wait it out).
+        def chain_body(carry, _):
+            p, s = carry
+            def loss_fn(pp):
+                with nn.bind(model, pp, train=True):
+                    return losses.mse(model(x, seq_len), y, seq_len=seq_len)
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            p2, s2, _, _ = apply_updates(optimizer, 0., p, s, None, grads,
+                                         jnp.float32(0.01))
+            return (p2, s2), loss
+
+        @jax.jit
+        def chain8(params, opt_state):
+            (p, s), chain_losses = jax.lax.scan(
+                chain_body, (params, opt_state), None, length=8)
+            return p, s, chain_losses[-1]
+
+        params, opt_state, closs = chain8(params, opt_state)  # compile
+        float(closs)
+        chained_best = float('inf')
+        for _ in range(2):
+            t0 = time.perf_counter()
+            params, opt_state, closs = chain8(params, opt_state)
+            float(closs)
+            chained_best = min(chained_best,
+                               (time.perf_counter() - t0) / 8)
+        if best > 0.005 and best > 2.0 * chained_best:
+            diagnosis = ('dispatch-bound link: chaining amortises the '
+                         'per-dispatch round trip — use '
+                         '--steps_per_dispatch')
+        elif best > 0.050 and chained_best > 0.5 * best:
+            diagnosis = ('degraded device window: even one fused program '
+                         'runs slow — environment weather, retry later')
+        else:
+            diagnosis = 'healthy: dispatch overhead is not the bottleneck'
         return (f'compile {compile_s:.1f}s, loss {losses_seen[0]:.4f} -> '
                 f'{losses_seen[-1]:.4f} over 4 steps; sustained '
-                f'{best * 1e3:.1f} ms/step (readback-barriered — compare '
-                f'across sessions to spot degraded device windows)')
+                f'{best * 1e3:.1f} ms/step per-dispatch vs '
+                f'{chained_best * 1e3:.1f} ms/step chained (8-step scan; '
+                f'readback-barriered) — {diagnosis}')
 
     _check('train_step', train_step, results,
            skip=None if dev['status'] == 'PASS' else 'device check not PASS')
