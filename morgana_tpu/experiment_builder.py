@@ -662,12 +662,6 @@ class ExperimentBuilder(object):
                                  '--device_cache (batches must assemble on '
                                  'device for the chained program to run '
                                  'without per-batch host data).')
-            if self.grad_accum_steps > 1 and self.log_norms:
-                raise ValueError('--steps_per_dispatch > 1 with '
-                                 '--grad_accum_steps > 1 does not support '
-                                 '--log_norms (norms are staged only on '
-                                 'applied steps, but a scanned chain must '
-                                 'stage a uniform key set every step).')
             if self.shard_map_step:
                 raise ValueError('--steps_per_dispatch > 1 is not supported '
                                  'with --shard_map_step; the GSPMD path '
@@ -1157,9 +1151,8 @@ class ExperimentBuilder(object):
         bench headline chain length). Explicit flags always win
         (--no-device_cache / --no-device_normalise / --steps_per_dispatch 1
         opt out), and AUTO never creates a conflict: multihost keeps the
-        streaming loader, shard_map_step and log_norms+accumulation keep
-        their per-batch paths. CPU backends keep all three off — there is
-        no device link to save."""
+        streaming loader and shard_map_step keeps its per-batch path. CPU
+        backends keep all three off — there is no device link to save."""
         try:
             on_accel = jax.default_backend() != 'cpu'
         except Exception:
@@ -1190,9 +1183,7 @@ class ExperimentBuilder(object):
         if self.steps_per_dispatch is None:
             self.steps_per_dispatch = 1
             chain_ok = (self.device_cache
-                        and not kwargs.get('shard_map_step', False)
-                        and not (int(kwargs.get('grad_accum_steps', 1) or 1) > 1
-                                 and kwargs.get('log_norms', False)))
+                        and not kwargs.get('shard_map_step', False))
             if chain_ok and on_accel:
                 try:
                     rtt_ms = self._dispatch_rtt_ms()

@@ -60,31 +60,49 @@ def apply_updates(optimizer, ema_decay, params, opt_state, ema_params,
     return params, opt_state, ema_params, updates
 
 
+def stage_norm_values(handler, staged, diags, valid=None):
+    """Appends named scalar diagnostics to an already-drained staged-metric
+    dict (jit-side; the builder's ``apply_staged`` merges them like any
+    other staged partial). ``diags`` is an iterable of ``(name, scalar)``;
+    each metric must already be registered in the handler's ``'train'``
+    collection. Keys extend the drained dict's ``'NNN|collection|name'``
+    scheme so identity rides with each value.
+
+    ``valid`` (a traced bool) multiplies every partial leaf — for a
+    ``Mean`` this zeroes both ``sum`` AND ``count``, so a masked-out step
+    contributes nothing to the merged result. This is what lets a scanned
+    accumulation chain stage a UNIFORM key set every micro-step while the
+    merged norms cover exactly the applied optimiser steps."""
+    out = dict(staged)
+    idx = len(staged)
+    for name, value in diags:
+        # collections[...] (not handler['train']): plain dict access — the
+        # public indexer flushes pending merges, a host-sync side effect
+        # that must not fire at trace time.
+        p = handler.collections['train'][name].partials(value)
+        if valid is not None:
+            p = jax.tree_util.tree_map(
+                lambda t: t * jnp.asarray(valid, t.dtype), p)
+        out[f'{idx:04d}|train|{name}'] = p
+        idx += 1
+    return out
+
+
 def stage_norms(handler, staged, grads, params, updates, lr):
-    """Appends global L2-norm diagnostics to an already-drained staged-metric
-    dict (jit-side; the builder's ``apply_staged`` merges them like any other
-    staged partial). Three scalars per applied optimiser step:
+    """Stages the three global L2-norm diagnostics of an applied optimiser
+    step (see :func:`stage_norm_values` for the staging mechanics):
 
     - ``grad_norm``: raw global gradient norm, BEFORE any clipping — the
       quantity torch's ``clip_grad_norm_`` returns, and the one to watch for
       recurrent-net explosions.
     - ``param_norm``: global norm of the post-update parameters.
     - ``update_norm``: global norm of the actual parameter change
-      ``lr * update`` (the effective step size in parameter space).
-
-    The metrics must already be registered in the handler's ``'train'``
-    collection (see :class:`TrainLoop` ``log_norms``); keys extend the
-    drained dict's ``'NNN|collection|name'`` scheme so identity rides with
-    each value."""
-    diags = (('grad_norm', optax.global_norm(grads)),
-             ('param_norm', optax.global_norm(params)),
-             ('update_norm', lr * optax.global_norm(updates)))
-    out = dict(staged)
-    idx = len(staged)
-    for name, value in diags:
-        out[f'{idx:04d}|train|{name}'] = handler['train'][name].partials(value)
-        idx += 1
-    return out
+      ``lr * update`` (the effective step size in parameter space)."""
+    return stage_norm_values(
+        handler, staged,
+        (('grad_norm', optax.global_norm(grads)),
+         ('param_norm', optax.global_norm(params)),
+         ('update_norm', lr * optax.global_norm(updates))))
 
 
 #: Optimiser registry, mirroring the LR-schedule registry
@@ -417,8 +435,16 @@ class TrainLoop(object):
         apply, exactly as :meth:`_build_accum_step`/:meth:`_build_apply_step`
         do. ``lax.cond`` keeps the non-apply branch a pure pass-through so
         XLA compiles one program for any apply schedule (flags are traced
-        inputs, not compile-time constants)."""
+        inputs, not compile-time constants).
+
+        With ``log_norms`` the three norm diagnostics are staged on EVERY
+        micro-step (a scanned chain must stage a uniform key set), masked
+        by the apply flag: a non-applied step contributes zero to both the
+        sum and the count of each ``Mean`` accumulator, so the merged norms
+        cover exactly the applied optimiser steps — the same numbers the
+        unchained accumulation path reports."""
         model, optimizer, ema_decay = self.model, self.optimizer, self.ema_decay
+        log_norms = self.log_norms
         rng_base = self._train_rng_base
 
         def chain_step(params, opt_state, ema_params, acc_grads, arenas,
@@ -447,15 +473,35 @@ class TrainLoop(object):
                     params, opt_state, ema_params, acc = operand
                     avg = jax.tree_util.tree_map(
                         lambda a: a * jnp.asarray(inv_items, a.dtype), acc)
-                    params, opt_state, ema_params, _ = apply_updates(
+                    params, opt_state, ema_params, updates = apply_updates(
                         optimizer, ema_decay, params, opt_state, ema_params,
                         avg, lr)
+                    # Norms of the APPLIED quantities: the cycle-averaged
+                    # gradient actually fed to the optimiser, the post-
+                    # update parameters, and the effective step size.
+                    norms = () if not log_norms else (
+                        optax.global_norm(avg).astype(jnp.float32),
+                        optax.global_norm(params).astype(jnp.float32),
+                        (lr * optax.global_norm(updates)).astype(
+                            jnp.float32))
                     acc = jax.tree_util.tree_map(jnp.zeros_like, acc)
-                    return params, opt_state, ema_params, acc
+                    return params, opt_state, ema_params, acc, norms
 
-                params, opt_state, ema_params, acc_grads = jax.lax.cond(
-                    apply_flag, do_apply, lambda op: op,
+                def no_apply(operand):
+                    params, opt_state, ema_params, acc = operand
+                    zeros = (jnp.float32(0.),) * 3 if log_norms else ()
+                    return params, opt_state, ema_params, acc, zeros
+
+                (params, opt_state, ema_params, acc_grads,
+                 norms) = jax.lax.cond(
+                    apply_flag, do_apply, no_apply,
                     (params, opt_state, ema_params, acc_grads))
+                if log_norms:
+                    staged = stage_norm_values(
+                        model.metrics, staged,
+                        zip(('grad_norm', 'param_norm', 'update_norm'),
+                            norms),
+                        valid=apply_flag)
                 return (params, opt_state, ema_params, acc_grads), (loss,
                                                                     staged)
 
@@ -510,12 +556,6 @@ class TrainLoop(object):
         if self.shard_map_mesh is not None:
             raise ValueError('train_chain requires the default GSPMD step')
         accum = self.grad_accum_steps > 1
-        if accum and self.log_norms:
-            raise ValueError('train_chain with grad_accum_steps > 1 does not '
-                             'support log_norms (norms are staged only on '
-                             'applied steps, but a scanned chain must stage '
-                             'a uniform key set every step); drop '
-                             '--log_norms or --steps_per_dispatch.')
         idx_mat = np.asarray(idx_mat, np.int32)
         chain_len, batch = idx_mat.shape
         lengths = cache.padded_lengths(idx_mat.reshape(-1), bucket=bucket)

@@ -230,6 +230,29 @@ class TestChainedAccumulation:
         assert chained.loop._chain_fns
         _assert_params_close(_params(chained), _params(base))
 
+    def test_log_norms_matches_unchained(self, uniform_voice_data,
+                                         tmp_path):
+        """chain + accumulation + --log_norms (the flagship observability
+        combination, refused until round 5): the chain stages the three norm
+        diagnostics every micro-step masked by the apply flag, so the merged
+        per-epoch norms — and the trained parameters — match the unchained
+        accumulation path exactly."""
+        kwargs = dict(device_cache=True, grad_accum_steps=2, log_norms=True)
+        base = _run(uniform_voice_data, tmp_path, 'acc_ln_off', **kwargs)
+        chained = _run(uniform_voice_data, tmp_path, 'acc_ln_on',
+                       steps_per_dispatch=4, **kwargs)
+        assert chained.loop._chain_fns, 'no chained program was ever built'
+        _assert_params_close(_params(chained), _params(base))
+        for epoch in (1, 2):
+            with open(os.path.join(chained.experiment_dir, 'train',
+                                   f'epoch_{epoch}', 'metrics.json')) as fc, \
+                 open(os.path.join(base.experiment_dir, 'train',
+                                   f'epoch_{epoch}', 'metrics.json')) as fb:
+                got, want = json.load(fc), json.load(fb)
+            for key in ('grad_norm', 'param_norm', 'update_norm', 'loss'):
+                np.testing.assert_allclose(got[key], want[key], rtol=1e-5,
+                                           err_msg=f'epoch {epoch} {key}')
+
     def test_apply_schedule_unit(self):
         """chain_apply_schedule: pure simulation of the cycle counters."""
         from morgana_tpu.training import TrainLoop
@@ -287,16 +310,17 @@ class TestFallbacksAndConflicts:
         with pytest.raises(ValueError, match='device_cache'):
             ExperimentBuilder(TinyF0Model, experiment_name='c_nodc', **args)
 
-    def test_conflicts_with_grad_accum_log_norms(self, voice_data, tmp_path):
-        """Chain + accumulation composes; chain + accumulation + log_norms
-        does not (norms stage only on applied steps, a scanned chain must
-        stage a uniform key set every step)."""
+    def test_conflicts_with_shard_map_and_log_norms(self, voice_data,
+                                                    tmp_path):
+        """log_norms still refuses the explicit shard_map step (the chain/
+        accumulation refusal was lifted in round 5 — see
+        TestChainedAccumulation.test_log_norms_matches_unchained)."""
         args = builder_args(voice_data['data_root'],
                             str(tmp_path / 'experiments'),
-                            device_cache=True, steps_per_dispatch=4,
-                            grad_accum_steps=2, log_norms=True)
+                            batch_size=8, data_parallel=True,
+                            shard_map_step=True, log_norms=True)
         with pytest.raises(ValueError, match='log_norms'):
-            ExperimentBuilder(TinyF0Model, experiment_name='c_ga_ln', **args)
+            ExperimentBuilder(TinyF0Model, experiment_name='c_sm_ln', **args)
 
     def test_conflicts_with_shard_map_step(self, voice_data, tmp_path):
         args = builder_args(voice_data['data_root'],
