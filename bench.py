@@ -210,7 +210,7 @@ def _build_batch_chain(model, optimizer, ema_decay, rng_base, n):
 
 def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
               batch_size=None, frames=None, sustained_steps=0,
-              chained_steps=0):
+              chained_steps=0, quick=False):
     import jax
     import jax.numpy as jnp
     from morgana_tpu.training import TrainLoop, build_optimizer
@@ -251,12 +251,19 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
         loss, _, _ = loop.train_step(batch, lr=1e-3)
     jax.block_until_ready(loss)
 
+    # quick=True (breadth-first A/B rows): halve the burst rounds and
+    # sustained mini-runs — the compile dominates a config's cost anyway,
+    # and a short measured pass per config beats budget-starved skips
+    # (round-4 verdict: 3 of 4 configs read skipped_budget).
+    burst_rounds = 2 if quick else MEASURE_ROUNDS
+    sustained_runs = 2 if quick else 3
+
     # Burst rounds (block_until_ready-timed). On the tunnelled runtime
     # block_until_ready can credit scheduling rather than completion, so the
     # burst is reported as a SECONDARY number; its round spread still gives
     # throttle transparency (median round / best round, ~1.0 = healthy).
     round_times = []
-    for _ in range(MEASURE_ROUNDS):
+    for _ in range(burst_rounds):
         t0 = time.perf_counter()
         for _ in range(MEASURE_STEPS):
             loss, _, _ = loop.train_step(batch, lr=1e-3)
@@ -274,7 +281,7 @@ def bench_tpu(rnn_backend='pallas', compute_dtype=None, unroll=8,
     # amortises to ~2 ms/step over 15 steps.
     steps = max(int(sustained_steps), 12)
     run_times = []
-    for _ in range(3):
+    for _ in range(sustained_runs):
         t0 = time.perf_counter()
         for _ in range(steps):
             loss, _, _ = loop.train_step(batch, lr=1e-3)
@@ -446,7 +453,7 @@ def _probe_subprocess(timeout=600):
 
 
 def _bench_subprocess(backend, compute_dtype=None, unroll=8, sustained_steps=0,
-                      chained_steps=0, timeout=900):
+                      chained_steps=0, quick=False, timeout=900):
     """One config per process: a second measurement in the same process
     reads ~30x slow on the shared TPU (runtime contention with the first
     program's buffers), so each config gets a clean process.
@@ -460,7 +467,7 @@ def _bench_subprocess(backend, compute_dtype=None, unroll=8, sustained_steps=0,
     code = (f'import bench, json; print("BENCH_JSON:" + json.dumps('
             f'bench.bench_tpu({backend!r}, compute_dtype={compute_dtype!r}, '
             f'unroll={unroll}, sustained_steps={sustained_steps}, '
-            f'chained_steps={chained_steps})))')
+            f'chained_steps={chained_steps}, quick={quick})))')
     return _run_bench_code(code, timeout=timeout)
 
 
@@ -607,10 +614,12 @@ def bench_e2e(num_utts=512, epochs=4, num_data_threads=8, transfer_dtype=None,
 
 
 def _e2e_subprocess(device_normalise=False, device_cache=False,
-                    steps_per_dispatch=1, length_sort_window=0, timeout=1200):
+                    steps_per_dispatch=1, length_sort_window=0,
+                    num_utts=512, epochs=4, timeout=1200):
     return _run_bench_code(
         'import bench, json; print("BENCH_JSON:" + json.dumps('
-        f'bench.bench_e2e(device_normalise={bool(device_normalise)}, '
+        f'bench.bench_e2e(num_utts={int(num_utts)}, epochs={int(epochs)}, '
+        f'device_normalise={bool(device_normalise)}, '
         f'device_cache={bool(device_cache)}, '
         f'steps_per_dispatch={int(steps_per_dispatch)}, '
         f'length_sort_window={int(length_sort_window)})))', timeout=timeout)
@@ -795,6 +804,12 @@ def main():
             line['transformer_achieved_tflops'] = \
                 transformer['achieved_tflops']
             line['transformer_config'] = transformer['config']
+            # Window-health fields ride with the row (VERDICT r4 item 1).
+            line['transformer_sustained_vs_burst'] = round(
+                transformer['ms_per_step']
+                / max(transformer.get('burst_ms_per_step', 0.0), 1e-9), 2)
+            line['transformer_throttle_ratio'] = \
+                transformer.get('throttle_ratio')
             if measured_peak is not None:
                 line['transformer_mfu'] = round(
                     transformer['achieved_tflops'] / measured_peak, 3)
@@ -831,6 +846,10 @@ def main():
                     res['frames_per_sec'], 1)
                 line[f'{backend}_ms_per_step'] = round(
                     res['ms_per_step'], 2)
+                # Per-row window health: an A/B row measured in a degraded
+                # window says so itself instead of being silently skipped.
+                line[f'{backend}_sustained_vs_burst'] = round(
+                    res['ms_per_step'] / res['burst_ms_per_step'], 2)
         return line
 
     # ---- Stage 1: the headline config, then IMMEDIATELY emit. ----
@@ -876,13 +895,69 @@ def main():
             pass
         emit(_build_line())
 
-    # ---- Stage 3: throttle-episode retries for the headline. ----
+    # ---- Stage 3: breadth-first A/B configs. ----
+    # Every backend gets ONE short measured pass BEFORE any budget goes to
+    # headline retries (round-4 verdict: spending the window on retries left
+    # 3 of 4 configs reading skipped_budget). Rows measured in a degraded
+    # window carry their own health fields (per-config sustained_vs_burst /
+    # throttle_ratio in the final line) instead of being skipped — the
+    # relative A/B story usually survives a uniformly slow window, and the
+    # fields say when it cannot.
+    if not degraded:
+        for cfg_name, cfg_backend, cfg_dtype, cfg_unroll in CONFIGS[1:]:
+            if remaining() < 200:
+                failed.append(cfg_name + ':skipped_budget')
+                continue
+            try:
+                results[cfg_name] = _bench_subprocess(
+                    cfg_backend, cfg_dtype, cfg_unroll, quick=True,
+                    timeout=stage_timeout(300))
+            except Exception:
+                # Report, don't hide: a missing config silently shifting the
+                # headline to a slower backend would read as a regression.
+                failed.append(cfg_name)
+        emit(_build_line())
+
+    # ---- Stage 4: compact transformer row (DEFAULT budget). ----
+    # Non-scan-heavy: in the diagnosed degraded-device windows (scan
+    # programs ~15x slow while matmul programs run at full pace —
+    # BASELINE.md round 4) this stage still lands a healthy flagship
+    # number, so it runs BEFORE any LSTM retries.
+    if not degraded and remaining() > 240:
+        try:
+            extras['transformer'] = _run_bench_code(
+                'import json, sys, os;'
+                'sys.path.insert(0, '
+                'os.path.join(os.getcwd(), "benchmarks"));'
+                'import bench_transformer as bt;'
+                'print("BENCH_JSON:" + json.dumps('
+                'bt.measure(512, 6, 4, 2048, "bfloat16", 32, 640)))',
+                timeout=stage_timeout(420))
+        except Exception:
+            failed.append('transformer')
+        emit(_build_line())
+
+    # ---- Stage 5: compact e2e row (DEFAULT budget). ----
+    # A real (small) on-disk corpus trained through the actual user path
+    # with the full TPU-first ladder (devcache + devnorm + chained
+    # dispatch); the 512-utterance ladder stays behind MORGANA_BENCH_FULL.
+    if not degraded and remaining() > 300:
+        try:
+            extras['e2e_chain'] = _e2e_subprocess(
+                device_normalise=True, device_cache=True,
+                steps_per_dispatch=16, length_sort_window=16,
+                num_utts=192, epochs=2, timeout=stage_timeout(480))
+        except Exception:
+            failed.append('e2e_chain')
+        emit(_build_line())
+
+    # ---- Stage 6: throttle-episode retries for the headline, LAST. ----
     # When the sustained reading is wildly slower than the burst (or
     # achieved compute is far below the measured peak), the window was a
-    # throttling episode, not the chip's real pace. Re-measure after
-    # escalating cooldowns while the budget allows, keeping the best
-    # readings (each still a genuine >= 3 x 15-step readback-barriered
-    # measurement).
+    # throttling episode, not the chip's real pace. Only after every stage
+    # has its one measured pass does leftover budget go to escalating
+    # cooldown retries (each still a genuine >= 3 x 15-step
+    # readback-barriered measurement).
     if not degraded:
         for cooldown in (60, 180, 300):
             if not _throttled(results[name]) or \
@@ -900,41 +975,7 @@ def main():
                 results[name] = retry
                 emit(_build_line())
 
-    # ---- Stage 4: secondary A/B configs (budget permitting). ----
-    for cfg_name, cfg_backend, cfg_dtype, cfg_unroll in CONFIGS[1:]:
-        if remaining() < 240:
-            failed.append(cfg_name + ':skipped_budget')
-            continue
-        if any(_throttled(r) for r in results.values()):
-            # Throttled window: the A/B rows would be noise.
-            failed.append(cfg_name + ':skipped_throttled')
-            continue
-        try:
-            results[cfg_name] = _bench_subprocess(
-                cfg_backend, cfg_dtype, cfg_unroll,
-                timeout=stage_timeout(400))
-        except Exception:
-            # Report, don't hide: a missing config silently shifting the
-            # headline to a slower backend would read as a perf regression.
-            failed.append(cfg_name)
-    emit(_build_line())
-
-    # ---- Stage 5: the best e2e row (device-resident + chained dispatch).
-    # The single most important secondary number: a REAL epoch through the
-    # user path with the full TPU-first ladder. Runs in the default budget
-    # when time remains; the rest of the ladder is MORGANA_BENCH_FULL only.
-    if not degraded and remaining() > 420:
-        try:
-            extras['e2e_chain'] = _e2e_subprocess(
-                device_normalise=True, device_cache=True,
-                steps_per_dispatch=16, length_sort_window=16,
-                timeout=stage_timeout(600))
-        except Exception:
-            pass
-        emit(_build_line())
-
-    # ---- Stage 6 (MORGANA_BENCH_FULL=1): full e2e ladder + vocoder +
-    # transformer rows. ----
+    # ---- Stage 7 (MORGANA_BENCH_FULL=1): full e2e ladder + vocoder. ----
     if full and not degraded:
         if remaining() > 420:
             try:
@@ -976,22 +1017,6 @@ def main():
                     'dev = bv.bench_device(f0, vuv, mcep, bap, seq_len);'
                     'print("BENCH_JSON:" + json.dumps('
                     '{"host": host, "device": dev}))',
-                    timeout=stage_timeout(450))
-            except Exception:
-                pass
-            emit(_build_line())
-        # The attention-path flagship (models/transformer_spss.py): the MXU
-        # showcase — O(1) sequential depth, so MFU is bounded by arithmetic
-        # intensity rather than the LSTM's per-timestep loop latency.
-        if remaining() > 300:
-            try:
-                extras['transformer'] = _run_bench_code(
-                    'import json, sys, os;'
-                    'sys.path.insert(0, '
-                    'os.path.join(os.getcwd(), "benchmarks"));'
-                    'import bench_transformer as bt;'
-                    'print("BENCH_JSON:" + json.dumps('
-                    'bt.measure(512, 6, 4, 2048, "bfloat16", 32, 640)))',
                     timeout=stage_timeout(450))
             except Exception:
                 pass
