@@ -27,9 +27,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def measure(backend, dtype, unroll, batch, frames, steps, rounds):
+def measure(backend, dtype, unroll, batch, frames, steps, rounds,
+            remat=False):
     import bench
 
+    if remat:
+        # Global recurrent-layer rematerialisation (the --remat training
+        # flag): activations recompute in the backward, trading FLOPs for
+        # the HBM that caps large-batch x unroll configs (BASELINE.md
+        # round-2 batch-scaling note).
+        from morgana_tpu import nn
+        nn.set_default_remat(True)
     # MEASURE_* are read at call time inside bench_tpu; shapes must be
     # passed explicitly (module globals were bound into signature defaults
     # at import time).
@@ -53,6 +61,10 @@ def main(argv=None):
                              'shared chip throttles sustained load).')
     parser.add_argument('--rounds', type=int, default=6,
                         help='Timed rounds; best-of-rounds is reported.')
+    parser.add_argument('--remat', action='store_true', default=False,
+                        help='Recurrent rematerialisation (the --remat '
+                             'training flag); frees the HBM that caps '
+                             'batch >= 128 at unroll 64.')
     parser.add_argument('--sweep', default=None,
                         help="e.g. 'unroll=8,32,64' or 'backend=scan,pallas' "
                              '— runs one subprocess per value.')
@@ -64,7 +76,8 @@ def main(argv=None):
                 '--backend', args.backend, '--dtype', args.dtype,
                 '--unroll', str(args.unroll), '--batch', str(args.batch),
                 '--frames', str(args.frames), '--steps', str(args.steps),
-                '--rounds', str(args.rounds)]
+                '--rounds', str(args.rounds)] \
+               + (['--remat'] if args.remat else [])
         for value in values.split(','):
             cmd = list(base)
             try:
@@ -84,7 +97,7 @@ def main(argv=None):
         return
 
     r = measure(args.backend, args.dtype, args.unroll, args.batch,
-                args.frames, args.steps, args.rounds)
+                args.frames, args.steps, args.rounds, remat=args.remat)
     print(json.dumps({k: v for k, v in r.items()
                       if k != 'xla_flops_per_step' or v is not None}))
 

@@ -276,11 +276,10 @@ class ToDeviceWrapper(object):
         self.prefetch = max(1, prefetch)
         # Device-resident corpus (data/device_cache.py): batches assemble ON
         # device from HBM arenas; the underlying loader supplies only the
-        # index order. Mutually exclusive with multi-host iteration (the
-        # corpus would be host-sharded).
+        # index order. Multi-host: each process caches ITS OWN corpus shard
+        # and assembly is a collective-free shard_map (the per-batch padded
+        # lengths are harmonised once per epoch — see _iter_cached).
         self.device_cache = device_cache
-        if device_cache is not None and jax.process_count() > 1:
-            raise ValueError('device_cache is single-host only')
         # Optional wire dtype for float32 SEQUENCE features (ndim >= 3):
         # bf16 halves host->device bytes — the binding term when the device
         # sits behind a bandwidth-limited link (see BASELINE.md e2e
@@ -375,21 +374,34 @@ class ToDeviceWrapper(object):
     def _iter_cached(self):
         """Device-cache iteration: batch indices from the loader's ordering
         machinery (shuffle / length-sort / skip all apply), content gathered
-        from the HBM arenas — nothing but (B,) index vectors on the wire."""
+        from the HBM arenas — nothing but (B,) index vectors on the wire.
+
+        Multi-host: per-batch padded lengths are harmonised across hosts
+        with ONE allgather for the whole epoch up front (every host must
+        assemble the same global batch shape), then each assemble is a
+        collective-free shard_map program."""
         loader = self.data_loader
         cache = self.device_cache
-        for idxs in loader.iter_batch_indices():
+        batches = loader.iter_batch_indices()
+        lengths_list = None
+        if getattr(cache, 'multihost', False):
+            lengths_list = cache.harmonise_lengths(
+                [cache.padded_lengths(idxs, bucket=loader.bucket)
+                 for idxs in batches])
+        for i, idxs in enumerate(batches):
             if loader.length_sort_window:
                 # The host path learns lengths as it loads items; the cache
                 # knows them outright. Record at the same per-batch cadence
                 # so epoch orders match the host path exactly (epoch 1 is
                 # plain-shuffled either way, epoch 2+ length-sorted).
-                for i in idxs:
-                    loader._lengths[int(i)] = int(cache.item_lengths[int(i)])
+                for idx in idxs:
+                    loader._lengths[int(idx)] = int(
+                        cache.item_lengths[int(idx)])
             # The device transform fuses INTO the assemble program (one
             # dispatch per batch; see DeviceCorpusCache.assemble).
-            yield cache.assemble(idxs, bucket=loader.bucket,
-                                 post=self.device_transform)
+            yield cache.assemble(
+                idxs, bucket=loader.bucket, post=self.device_transform,
+                lengths=None if lengths_list is None else lengths_list[i])
 
     def __iter__(self):
         q = queue.Queue(maxsize=self.prefetch)
@@ -398,6 +410,15 @@ class ToDeviceWrapper(object):
         stop = threading.Event()
 
         if self.device_cache is not None:
+            if jax.process_count() > 1:
+                # Multi-host cached iteration runs SYNCHRONOUSLY on the
+                # caller's thread: the epoch-level harmonising allgather and
+                # every program launch must interleave identically with the
+                # train-step launches on all hosts (one global collective
+                # order). There is no host I/O to overlap anyway — assembly
+                # is a device program over resident arenas.
+                yield from self._iter_cached()
+                return
             source = self._iter_cached()
             stage = lambda features: features  # noqa: E731 — already placed
         else:

@@ -1150,9 +1150,10 @@ class ExperimentBuilder(object):
         device link dispatch-latency-bound, --steps_per_dispatch 16 (the
         bench headline chain length). Explicit flags always win
         (--no-device_cache / --no-device_normalise / --steps_per_dispatch 1
-        opt out), and AUTO never creates a conflict: multihost keeps the
-        streaming loader and shard_map_step keeps its per-batch path. CPU
-        backends keep all three off — there is no device link to save."""
+        opt out), and AUTO never creates a conflict: shard_map_step keeps
+        its per-batch path, and multihost caches per-process corpus shards
+        (falling back to streaming on non-pure-data meshes). CPU backends
+        keep all three off — there is no device link to save."""
         try:
             on_accel = jax.default_backend() != 'cpu'
         except Exception:
@@ -1165,19 +1166,11 @@ class ExperimentBuilder(object):
         explicit_chain = self.steps_per_dispatch is not None \
             and self.steps_per_dispatch > 1
         if self.device_cache is None:
-            if explicit_chain and self.multihost:
-                # Implying the cache here would trip the device_cache/
-                # multihost conflict with an error naming a flag the user
-                # never passed; name the real culprit instead.
-                raise ValueError(
-                    '--steps_per_dispatch > 1 requires the device cache, '
-                    'which is single-host only (each multi-host process '
-                    'loads a different corpus shard); drop '
-                    '--steps_per_dispatch or --multihost.')
             # An explicit --steps_per_dispatch N implies the device cache
             # (chains assemble batches from the device-resident corpus).
-            self.device_cache = bool(
-                explicit_chain or (on_accel and not self.multihost))
+            # Multi-host composes since round 5: each process caches its own
+            # corpus shard (data/device_cache.py).
+            self.device_cache = bool(explicit_chain or on_accel)
             if self.device_cache and not explicit_chain:
                 auto.append('--device_cache')
         if self.steps_per_dispatch is None:
@@ -1226,11 +1219,6 @@ class ExperimentBuilder(object):
             if self.lr_schedule_name == 'plateau' and not self.valid:
                 raise ValueError(
                     "To use the 'plateau' learning rate schedule you must turn on the validation process.")
-
-        if self.device_cache and self.multihost:
-            raise ValueError(
-                '--device_cache is single-host only (each multi-host process '
-                'loads a different corpus shard); drop one of the flags.')
 
         if (not self.train) and (self.valid or self.test):
             if self.checkpoint_path:
@@ -1290,7 +1278,18 @@ class ExperimentBuilder(object):
                     '(sharded %s batches must be full-size)',
                     name, dropped, name)
         device_cache = None
-        if self.device_cache:
+        use_cache = self.device_cache
+        if use_cache and self.process_count > 1 and self.tensor_parallel > 1:
+            # The multi-host cache's row-per-device arena layout needs a
+            # pure-data mesh; cross-host TP keeps the streaming loader.
+            if not getattr(self, '_mh_cache_fallback_logged', False):
+                self._mh_cache_fallback_logged = True
+                self.logger.warning(
+                    '--device_cache with --multihost requires a pure '
+                    'data-parallel mesh; --tensor_parallel %d keeps the '
+                    'streaming loader', self.tensor_parallel)
+            use_cache = False
+        if use_cache:
             from morgana_tpu.data.device_cache import (CacheOverBudget,
                                                        DeviceCorpusCache)
             # The budget is for the PROCESS: every split's arenas coexist
@@ -1486,24 +1485,37 @@ class ExperimentBuilder(object):
     def _chain_groups(self, loader, cache):
         """Groups the epoch's batch index arrays into ``(n, B)`` matrices of
         CONSECUTIVE equal-shape-signature batches, ``n <=
-        steps_per_dispatch`` — the unit of chained dispatch. Grouping only
-        affects how many batches share one program call; each batch's
-        content, order and step numbering are exactly the streaming path's."""
-        cur, cur_sig = [], None
-        for idxs in loader.iter_batch_indices():
+        steps_per_dispatch`` — the unit of chained dispatch, yielded as
+        ``(idx_mat, lengths)`` where ``lengths`` is the group's shared
+        padded-length dict. Grouping only affects how many batches share one
+        program call; each batch's content, order and step numbering are
+        exactly the streaming path's.
+
+        Multi-host: the per-batch lengths are harmonised across hosts up
+        front (one allgather for the epoch), so every host computes the SAME
+        signatures — and therefore the same groups — and the global batch
+        shape agrees."""
+        batches = loader.iter_batch_indices()
+        lengths_list = [cache.padded_lengths(idxs, bucket=loader.bucket)
+                        for idxs in batches]
+        if getattr(cache, 'multihost', False):
+            lengths_list = cache.harmonise_lengths(lengths_list)
+        cur, cur_sig, cur_lengths = [], None, None
+        for idxs, lengths in zip(batches, lengths_list):
             if loader.length_sort_window:
                 # Same per-batch length recording as the cached streaming
                 # iterator, so epoch orders match the host path exactly.
                 for i in idxs:
                     loader._lengths[int(i)] = int(cache.item_lengths[int(i)])
-            sig = cache.batch_signature(idxs, bucket=loader.bucket)
+            sig = cache.batch_signature(idxs, bucket=loader.bucket,
+                                        lengths=lengths)
             if cur and (sig != cur_sig or len(cur) >= self.steps_per_dispatch):
-                yield np.stack(cur)
+                yield np.stack(cur), cur_lengths
                 cur = []
-            cur_sig = sig
+            cur_sig, cur_lengths = sig, lengths
             cur.append(idxs)
         if cur:
-            yield np.stack(cur)
+            yield np.stack(cur), cur_lengths
 
     def _chained_train_batches(self, data_loader, lr_schedule, skip,
                                num_batches, pbar):
@@ -1515,12 +1527,16 @@ class ExperimentBuilder(object):
         cache = data_loader.device_cache
         loader = data_loader.data_loader
         post = data_loader.device_transform
-        n_frames_host = cache.host_stacked('n_frames')
+        # Multi-host: host_stacked holds only this process's shard — skip
+        # frames/sec accounting (matching the streaming multihost path,
+        # which skips it for non-addressable global arrays).
+        n_frames_host = None if getattr(cache, 'multihost', False) \
+            else cache.host_stacked('n_frames')
         losses = []
         frames_seen = []
         done = 0
         try:
-            for idx_mat in self._chain_groups(loader, cache):
+            for idx_mat, lengths in self._chain_groups(loader, cache):
                 n = len(idx_mat)
                 first_step = (self.epoch - 1) * num_batches + skip + done + 1
                 # The last batch of the epoch closes any open gradient-
@@ -1547,7 +1563,8 @@ class ExperimentBuilder(object):
                         # take the ordinary fused step on an assembled batch —
                         # identical to the unchained cached path.
                         features = cache.assemble(idx_mat[0],
-                                                  bucket=loader.bucket, post=post)
+                                                  bucket=loader.bucket,
+                                                  post=post, lengths=lengths)
                         batch_loss, staged, _ = self.loop.train_step(
                             features, lrs[0], force_apply=epoch_last)
                         self.model.metrics.apply_staged(staged, tag='train')
@@ -1555,7 +1572,8 @@ class ExperimentBuilder(object):
                         batch_loss, staged = self.loop.train_chain(
                             cache, idx_mat, lrs, post=post,
                             batch_sharding=self.batch_sharding or None,
-                            bucket=loader.bucket, force_apply_last=epoch_last)
+                            bucket=loader.bucket, force_apply_last=epoch_last,
+                            lengths=lengths)
                         self.model.metrics.apply_staged(staged, tag='train',
                                                         steps=n)
                 losses.append(batch_loss)
@@ -1573,7 +1591,7 @@ class ExperimentBuilder(object):
                         and self.is_lead_host:
                     self._write_memory_report(
                         cache.assemble(idx_mat[0], bucket=loader.bucket,
-                                       post=post))
+                                       post=post, lengths=lengths))
 
                 pbar.advance(n)
                 pbar.maybe_print('train', self.epoch, lambda b=batch_loss: dict(
@@ -1864,7 +1882,7 @@ class ExperimentBuilder(object):
         losses = []
         done = 0
         try:
-            for idx_mat in self._chain_groups(loader, cache):
+            for idx_mat, lengths in self._chain_groups(loader, cache):
                 n = len(idx_mat)
                 # Step book-keeping BEFORE the dispatch, mirroring
                 # _valid_batches (which sets model.step before each batch):
@@ -1873,7 +1891,8 @@ class ExperimentBuilder(object):
                 self.model.step = (self.epoch - 1) * num_batches + done + n
                 if n == 1:
                     features = cache.assemble(idx_mat[0],
-                                              bucket=loader.bucket, post=post)
+                                              bucket=loader.bucket,
+                                              post=post, lengths=lengths)
                     batch_loss, staged, _ = self.loop.eval_step(
                         features, use_ema=use_ema)
                     self.model.metrics.apply_staged(staged, tag='eval')
@@ -1881,7 +1900,8 @@ class ExperimentBuilder(object):
                     batch_loss, staged = self.loop.eval_chain(
                         cache, idx_mat, post=post,
                         batch_sharding=self.batch_sharding or None,
-                        bucket=loader.bucket, use_ema=use_ema)
+                        bucket=loader.bucket, use_ema=use_ema,
+                        lengths=lengths)
                     self.model.metrics.apply_staged(staged, tag='eval',
                                                     steps=n)
                 losses.append(batch_loss)

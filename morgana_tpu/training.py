@@ -537,7 +537,8 @@ class TrainLoop(object):
         return flags, invs
 
     def train_chain(self, cache, idx_mat, lr_values, post=None,
-                    batch_sharding=None, bucket=True, force_apply_last=False):
+                    batch_sharding=None, bucket=True, force_apply_last=False,
+                    lengths=None):
         """Runs ``len(idx_mat)`` consecutive train steps as one compiled
         program over a :class:`~morgana_tpu.data.device_cache.DeviceCorpusCache`
         (``--steps_per_dispatch``). All rows of ``idx_mat`` must share one
@@ -558,7 +559,20 @@ class TrainLoop(object):
         accum = self.grad_accum_steps > 1
         idx_mat = np.asarray(idx_mat, np.int32)
         chain_len, batch = idx_mat.shape
-        lengths = cache.padded_lengths(idx_mat.reshape(-1), bucket=bucket)
+        multihost = getattr(cache, 'multihost', False)
+        if lengths is None:
+            lengths = cache.padded_lengths(idx_mat.reshape(-1), bucket=bucket)
+            if multihost:
+                lengths = cache.harmonise_lengths([lengths])[0]
+        if multihost:
+            # idx_mat is this process's local slice: the assembled batches
+            # (and therefore item accounting for accumulation) are GLOBAL,
+            # and the shard_map assemble already emits the sharded layout.
+            batch *= jax.process_count()
+            batch_sharding = None
+            idx_arg = cache.global_indices(idx_mat)
+        else:
+            idx_arg = idx_mat
         if batch_sharding is not None and not cache.can_shard(batch):
             batch_sharding = None
         sig = (chain_len, batch, post is not None,
@@ -583,7 +597,7 @@ class TrainLoop(object):
             (self.params, self.opt_state, self.ema_params, self._acc_grads,
              losses, staged) = fn(
                 self.params, self.opt_state, self.ema_params,
-                self._acc_grads, arenas, stacked, idx_mat,
+                self._acc_grads, arenas, stacked, idx_arg,
                 jnp.asarray(lr_values, jnp.float32),
                 jnp.asarray(flags, jnp.bool_),
                 jnp.asarray(invs, jnp.float32),
@@ -601,7 +615,7 @@ class TrainLoop(object):
             (self.params, self.opt_state, self.ema_params, losses,
              staged) = fn(
                 self.params, self.opt_state, self.ema_params, arenas,
-                stacked, idx_mat, jnp.asarray(lr_values, jnp.float32),
+                stacked, idx_arg, jnp.asarray(lr_values, jnp.float32),
                 jnp.asarray(self.step_count, jnp.int32))
             self.last_step_applied = True
         self.step_count += chain_len
@@ -641,7 +655,7 @@ class TrainLoop(object):
         return jax.jit(chain_eval)
 
     def eval_chain(self, cache, idx_mat, post=None, batch_sharding=None,
-                   bucket=True, use_ema=False):
+                   bucket=True, use_ema=False, lengths=None):
         """Runs ``len(idx_mat)`` consecutive eval steps as one compiled
         program over a device-resident corpus (``--steps_per_dispatch`` on
         validation epochs). Same grouping contract as :meth:`train_chain`;
@@ -649,7 +663,17 @@ class TrainLoop(object):
         for ``Handler.apply_staged(..., steps=chain_len)``."""
         idx_mat = np.asarray(idx_mat, np.int32)
         chain_len, batch = idx_mat.shape
-        lengths = cache.padded_lengths(idx_mat.reshape(-1), bucket=bucket)
+        multihost = getattr(cache, 'multihost', False)
+        if lengths is None:
+            lengths = cache.padded_lengths(idx_mat.reshape(-1), bucket=bucket)
+            if multihost:
+                lengths = cache.harmonise_lengths([lengths])[0]
+        if multihost:
+            batch *= jax.process_count()
+            batch_sharding = None
+            idx_arg = cache.global_indices(idx_mat)
+        else:
+            idx_arg = idx_mat
         if batch_sharding is not None and not cache.can_shard(batch):
             batch_sharding = None
         sig = (chain_len, batch, post is not None,
@@ -664,7 +688,7 @@ class TrainLoop(object):
         # chained epoch and a per-batch epoch consume identical keys.
         rngs = jnp.stack([self._next_rng() for _ in range(chain_len)])
         arenas, stacked = cache.device_buffers()
-        return fn(params, arenas, stacked, idx_mat,
+        return fn(params, arenas, stacked, idx_arg,
                   jnp.asarray(self.step_count, jnp.int32), rngs)
 
     def _build_eval_step(self):

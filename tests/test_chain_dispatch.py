@@ -409,14 +409,16 @@ class TestUnits:
         class Host:
             steps_per_dispatch = 2
         groups = list(ExperimentBuilder._chain_groups(Host(), loader, cache))
-        assert all(len(g) <= 2 for g in groups)
-        flat = np.concatenate([g.reshape(-1) for g in groups])
+        assert all(len(g) <= 2 for g, _ in groups)
+        flat = np.concatenate([g.reshape(-1) for g, _ in groups])
         loader.set_epoch(loader.epoch - 1)  # replay the same shuffle
         order = np.concatenate(loader.iter_batch_indices())
         np.testing.assert_array_equal(flat, order)
-        for g in groups:
+        for g, lengths in groups:
             sigs = {cache.batch_signature(row) for row in g}
             assert len(sigs) == 1
+            # The yielded lengths are the group's shared padded lengths.
+            assert cache.batch_signature(g[0], lengths=lengths) in sigs
 
 
 class TestChainedValidation:

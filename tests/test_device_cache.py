@@ -260,12 +260,19 @@ class TestTraining:
         assert exp.valid_loader.device_cache is None  # streamed fallback
         exp.run_experiment()  # and the run still completes
 
-    def test_multihost_conflict_raises(self, voice_data, tmp_path):
+    def test_multihost_flag_composes(self, voice_data, tmp_path):
+        """--device_cache + --multihost no longer conflicts (round 5: each
+        process caches its own corpus shard). With no cluster configured
+        this degenerates to the single-host cached path and must train;
+        the REAL two-process trajectory gate is
+        test_multihost_real.py::test_two_process_device_cache_trajectory."""
         args = builder_args(voice_data['data_root'],
                             str(tmp_path / 'experiments'),
                             device_cache=True, multihost=True)
-        with pytest.raises(ValueError, match='single-host'):
-            ExperimentBuilder(TinyF0Model, experiment_name='dc_mh', **args)
+        nn.manual_seed(args['seed'])
+        exp = ExperimentBuilder(TinyF0Model, experiment_name='dc_mh', **args)
+        assert exp.train_loader.device_cache is not None
+        exp.run_experiment()
 
     def test_capacity_search_reserves_arena_bytes(self, voice_data, tmp_path):
         """--search_batch_size must leave room for the resident arenas."""

@@ -74,12 +74,14 @@ class TestAutoResolution:
         assert exp.device_normalise is False
         assert exp.steps_per_dispatch == 1
 
-    def test_multihost_auto_keeps_streaming(self, voice_data, tmp_path,
-                                            monkeypatch):
-        """--multihost + AUTO must NOT raise the single-host-only conflict:
-        the cache quietly stays off (each process loads a different corpus
-        shard). Only an EXPLICIT --device_cache conflicts."""
+    def test_multihost_auto_enables_cache(self, voice_data, tmp_path,
+                                          monkeypatch):
+        """--multihost + AUTO engages the full fast path (round 5: each
+        process caches its own corpus shard, so the cache is no longer a
+        conflict)."""
         monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+        monkeypatch.setattr(ExperimentBuilder, '_dispatch_rtt_ms',
+                            staticmethod(lambda rounds=5: 28.0))
         # Multihost needs a real coordinator; resolution happens before
         # distributed init, so probe the resolver directly.
         exp = _build(voice_data, tmp_path, 'auto_mh_probe')
@@ -87,20 +89,21 @@ class TestAutoResolution:
         exp.device_cache = exp.device_normalise = None
         exp.steps_per_dispatch = None
         exp._resolve_fast_path_defaults({})
-        assert exp.device_cache is False
+        assert exp.device_cache is True
         assert exp.device_normalise is True
+        assert exp.steps_per_dispatch == 16
 
-    def test_accum_log_norms_auto_skips_chain(self, voice_data, tmp_path,
-                                              monkeypatch):
-        """log_norms + accumulation cannot chain (non-uniform staged keys);
-        AUTO must leave steps_per_dispatch at 1 instead of raising."""
+    def test_accum_log_norms_auto_chains(self, voice_data, tmp_path,
+                                         monkeypatch):
+        """log_norms + accumulation chains since round 5 (uniform masked
+        norm staging every micro-step): AUTO engages the chain."""
         monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
         monkeypatch.setattr(ExperimentBuilder, '_dispatch_rtt_ms',
                             staticmethod(lambda rounds=5: 28.0))
         exp = _build(voice_data, tmp_path, 'auto_ln',
                      grad_accum_steps=2, log_norms=True)
         assert exp.device_cache is True
-        assert exp.steps_per_dispatch == 1
+        assert exp.steps_per_dispatch == 16
 
     def test_dispatch_rtt_probe_runs(self):
         """The probe itself: a real measurement on the test backend —

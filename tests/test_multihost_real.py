@@ -98,6 +98,74 @@ def _clean_env(repo):
 
 
 @pytest.mark.slow
+def test_two_process_device_cache_trajectory(tmp_path):
+    """--device_cache (+ chained dispatch) under REAL two-process multihost
+    (round 5): each process packs its own corpus shard into device arenas
+    and batches assemble as a collective-free shard_map over the cross-host
+    'data' axis. The trained parameters must match the streaming multihost
+    loader's trajectory."""
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), '..'))
+    data_root = str(tmp_path / 'data')
+    subprocess.run(
+        [sys.executable, '-c',
+         'import sys; sys.argv=[""]\n'
+         'from morgana_tpu.data.synthetic import generate_voice_data\n'
+         f'generate_voice_data({data_root!r}, num_train=8, num_valid=4, '
+         'num_test=2, seed=9)'],
+        cwd=repo, check=True, env=_clean_env(repo), timeout=120)
+
+    def launch(name, extra_flags):
+        port = _free_port()
+        procs = []
+        for rank in range(2):
+            env = _clean_env(repo)
+            env.update({
+                'XLA_FLAGS': '--xla_force_host_platform_device_count=2',
+                'MORGANA_COORDINATOR': f'localhost:{port}',
+                'MORGANA_NUM_PROCESSES': '2',
+                'MORGANA_PROCESS_ID': str(rank),
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable,
+                 os.path.join(repo, 'models', 'f0_test_model.py'),
+                 '--experiment_name', name, '--data_root', data_root,
+                 '--train_id_list', 'train/train_file_id_list.scp',
+                 '--valid_id_list', 'valid/valid_file_id_list.scp',
+                 '--test_id_list', 'test/test_file_id_list.scp',
+                 '--batch_size', '4', '--end_epoch', '2', '--device', 'cpu',
+                 '--multihost', '--data_parallel'] + extra_flags,
+                cwd=str(tmp_path), env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        outputs = []
+        for proc in procs:
+            out, _ = proc.communicate(timeout=420)
+            outputs.append(out)
+            assert proc.returncode == 0, out[-3000:]
+        return outputs
+
+    base = launch('mh_stream', ['--no-device_cache'])
+    cached = launch('mh_cache', ['--device_cache', '--steps_per_dispatch', '4'])
+
+    # The cache actually engaged, on both ranks.
+    for out in cached:
+        assert 'device cache built' in out, out[-3000:]
+    # Lockstep: both ranks of each run report identical validation losses.
+    for outputs in (base, cached):
+        losses = [re.findall(r'valid_loss ([\d.]+)', out) for out in outputs]
+        assert losses[0] and losses[0] == losses[1], losses
+
+    # The trajectory gate: cached (chained) parameters match streaming.
+    p_base = np.load(tmp_path / 'experiments' / 'mh_stream' / 'checkpoints'
+                     / 'epoch_2.npz')
+    p_cache = np.load(tmp_path / 'experiments' / 'mh_cache' / 'checkpoints'
+                      / 'epoch_2.npz')
+    assert set(p_base.files) == set(p_cache.files)
+    for key in p_base.files:
+        np.testing.assert_allclose(p_cache[key], p_base[key], rtol=1e-6,
+                                   atol=1e-7, err_msg=key)
+
+
+@pytest.mark.slow
 def test_two_process_length_sorted_step_checkpoints(tmp_path):
     """Multihost + --length_sort_window + --step_checkpoint_interval: every
     rank snapshots its OWN shard's learned length map
