@@ -640,11 +640,6 @@ class ExperimentBuilder(object):
                              '(it is the explicit-collective formulation of '
                              'the data-parallel step).')
         self.log_norms = kwargs.get('log_norms', False)
-        if self.log_norms and self.shard_map_step:
-            raise ValueError('--log_norms is not supported with '
-                             '--shard_map_step; drop --shard_map_step (the '
-                             'default GSPMD data-parallel path supports '
-                             'norm logging).')
         self.grad_accum_steps = max(1, int(kwargs.get('grad_accum_steps', 1) or 1))
         if self.grad_accum_steps > 1 and self.shard_map_step:
             raise ValueError('--grad_accum_steps > 1 is not supported with '

@@ -14,7 +14,8 @@ from jax.sharding import PartitionSpec as P
 __all__ = ['build_shard_map_train_step']
 
 
-def build_shard_map_train_step(model, optimizer, mesh, axis='data', ema_decay=0.):
+def build_shard_map_train_step(model, optimizer, mesh, axis='data', ema_decay=0.,
+                               log_norms=False):
     r"""Builds a jitted shard_map train step for ``model`` over ``mesh``.
 
     Parameters are replicated; the batch is split over ``axis``. Each device
@@ -27,6 +28,11 @@ def build_shard_map_train_step(model, optimizer, mesh, axis='data', ema_decay=0.
     step, so ``TrainLoop(shard_map_mesh=...)`` (the builder's
     ``--shard_map_step`` flag) can swap it in unchanged. ``global_step``
     travels outside the batch because it is replicated, not batch-sharded.
+
+    ``log_norms`` stages the grad/param/update global-norm diagnostics,
+    computed on the POST-``pmean`` gradients and post-update parameters —
+    replicated values, so they append to the (already psum-reduced) staged
+    dict with no extra collective and merge exactly like the fused step's.
     """
 
     def per_device_step(params, opt_state, ema_params, batch, lr, global_step, rng):
@@ -45,8 +51,11 @@ def build_shard_map_train_step(model, optimizer, mesh, axis='data', ema_decay=0.
         grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, axis), grads)
         staged = jax.tree_util.tree_map(lambda s: jax.lax.psum(s, axis), staged)
 
-        params, opt_state, ema_params, _updates = training.apply_updates(
+        params, opt_state, ema_params, updates = training.apply_updates(
             optimizer, ema_decay, params, opt_state, ema_params, grads, lr)
+        if log_norms:
+            staged = training.stage_norms(model.metrics, staged, grads,
+                                          params, updates, lr)
         return params, opt_state, ema_params, loss, staged, outputs
 
     # Pytree-prefix specs: a single P() / P(axis) broadcasts over each whole

@@ -217,10 +217,6 @@ class TrainLoop(object):
         # they stage nothing — the dict-keyed staging protocol tolerates the
         # differing key sets across executables).
         self.log_norms = bool(log_norms)
-        if self.log_norms and shard_map_mesh is not None:
-            raise ValueError('log_norms is not supported with the explicit '
-                             'shard_map step; use the default GSPMD '
-                             '(--data_parallel) path.')
         if self.log_norms:
             from morgana_tpu import metrics as metrics_mod
             for name in ('grad_norm', 'param_norm', 'update_norm'):
@@ -293,7 +289,7 @@ class TrainLoop(object):
             from morgana_tpu.parallel.shard_map_step import build_shard_map_train_step
             return build_shard_map_train_step(
                 self.model, self.optimizer, self.shard_map_mesh,
-                ema_decay=self.ema_decay)
+                ema_decay=self.ema_decay, log_norms=self.log_norms)
 
         model, optimizer, ema_decay = self.model, self.optimizer, self.ema_decay
         log_norms = self.log_norms

@@ -310,18 +310,6 @@ class TestFallbacksAndConflicts:
         with pytest.raises(ValueError, match='device_cache'):
             ExperimentBuilder(TinyF0Model, experiment_name='c_nodc', **args)
 
-    def test_conflicts_with_shard_map_and_log_norms(self, voice_data,
-                                                    tmp_path):
-        """log_norms still refuses the explicit shard_map step (the chain/
-        accumulation refusal was lifted in round 5 — see
-        TestChainedAccumulation.test_log_norms_matches_unchained)."""
-        args = builder_args(voice_data['data_root'],
-                            str(tmp_path / 'experiments'),
-                            batch_size=8, data_parallel=True,
-                            shard_map_step=True, log_norms=True)
-        with pytest.raises(ValueError, match='log_norms'):
-            ExperimentBuilder(TinyF0Model, experiment_name='c_sm_ln', **args)
-
     def test_conflicts_with_shard_map_step(self, voice_data, tmp_path):
         args = builder_args(voice_data['data_root'],
                             str(tmp_path / 'experiments'),

@@ -114,13 +114,26 @@ class TestLoopNorms:
         norm_big = float(hb['train']['grad_norm'].result())
         assert norm_accum == pytest.approx(norm_big, rel=1e-5)
 
-    def test_shard_map_conflict_raises(self):
+    def test_shard_map_norms_match_gspmd(self, rng):
+        """The explicit shard_map step stages the same norm diagnostics as
+        the fused GSPMD step (round 5: computed on the post-pmean gradients
+        and post-update parameters — replicated values, no extra
+        collective)."""
+        batch = _synthetic_batch(rng, batch=8)
+        loop_a = _make_loop(log_norms=True)
         mesh = jax.sharding.Mesh(np.array(jax.devices()), ('data',))
-        nn.manual_seed(0)
-        model = TinyF0Model()
-        with pytest.raises(ValueError, match='shard_map'):
-            TrainLoop(model, build_optimizer(), shard_map_mesh=mesh,
-                      log_norms=True)
+        loop_b = _make_loop(shard_map_mesh=mesh, log_norms=True)
+
+        for loop in (loop_a, loop_b):
+            handler = loop.model.metrics
+            handler.reset_state('train')
+            _, staged, _ = loop.train_step(
+                training.numeric_features(batch), lr=0.01)
+            handler.apply_staged(staged, tag='train')
+        for name in ('grad_norm', 'param_norm', 'update_norm'):
+            a = float(loop_a.model.metrics['train'][name].result())
+            b = float(loop_b.model.metrics['train'][name].result())
+            assert a == pytest.approx(b, rel=1e-5), name
 
 
 class TestBuilderLogNorms:
@@ -142,11 +155,19 @@ class TestBuilderLogNorms:
             exp.experiment_dir, 'valid', 'epoch_2', 'metrics.json')))
         assert 'grad_norm' not in valid_metrics
 
-    def test_builder_conflict_with_shard_map_step(self, voice_data, tmp_path):
+    def test_shard_map_step_logs_norms(self, voice_data, tmp_path):
+        """--log_norms + --shard_map_step composes (round 5): the explicit
+        step stages the post-pmean norms and they land in metrics.json."""
         args = builder_args(voice_data['data_root'],
                             str(tmp_path / 'experiments'),
                             log_norms=True, data_parallel=True,
-                            shard_map_step=True, batch_size=8)
+                            shard_map_step=True, batch_size=8, end_epoch=1)
         nn.manual_seed(args['seed'])
-        with pytest.raises(ValueError, match='log_norms'):
-            ExperimentBuilder(TinyF0Model, experiment_name='conflict', **args)
+        exp = ExperimentBuilder(TinyF0Model, experiment_name='sm_norms',
+                                **args)
+        exp.run_experiment()
+        train_metrics = json.load(open(os.path.join(
+            exp.experiment_dir, 'train', 'epoch_1', 'metrics.json')))
+        for name in ('grad_norm', 'param_norm', 'update_norm'):
+            assert name in train_metrics and np.isfinite(train_metrics[name])
+            assert train_metrics[name] > 0
