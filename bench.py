@@ -471,6 +471,34 @@ def _bench_subprocess(backend, compute_dtype=None, unroll=8, sustained_steps=0,
     return _run_bench_code(code, timeout=timeout)
 
 
+def bench_configs_pack(configs, with_probes=False):
+    """Measures several ``(name, backend, dtype, unroll)`` configs
+    SEQUENTIALLY in one process, ``quick`` methodology each. Historically
+    forbidden (round 2: a second in-process measurement read ~30x slow) —
+    re-validated in round 5 AFTER batches moved onto the device: sequential
+    in-process sustained readings now match subprocess isolation (68.4 vs
+    68.5 ms/step same-window A/B; the old contention was the per-step
+    upload path, which staging removed). One process for the whole A/B
+    sweep saves the ~240 s fresh-process first-program cost per config
+    that some chip windows charge. ``with_probes`` also runs the roofline +
+    transfer probes FIRST (clean process state), under the ``__probes__``
+    key — folding stage 2 into the same process."""
+    out = {}
+    if with_probes:
+        out['__probes__'] = {'peak': measure_peak_tflops(),
+                             'bw': measure_transfer_bandwidth()}
+    for name, backend, dtype, unroll in configs:
+        out[name] = bench_tpu(backend, dtype, unroll=unroll, quick=True)
+    return out
+
+
+def _pack_subprocess(configs, with_probes=False, timeout=900):
+    code = ('import bench, json; print("BENCH_JSON:" + json.dumps('
+            f'bench.bench_configs_pack({[tuple(c) for c in configs]!r}, '
+            f'with_probes={bool(with_probes)})))')
+    return _run_bench_code(code, timeout=timeout)
+
+
 def bench_generate(rnn_backend='scan', compute_dtype='bfloat16', unroll=64,
                    num_batches=10):
     """Generation (predict-only, incl. fused-stream on-device MLPG)
@@ -708,6 +736,7 @@ def main():
     results = {}
     degraded = False
     failed = []
+    failure_notes = {}  # stage name -> first line of the failure reason
     measured_peak = transfer_bw = None
     extras = {}  # e2e/vocoder/transformer rows keyed by name
 
@@ -818,6 +847,10 @@ def main():
                                'in-process measurement'
         if failed:
             line['failed_configs'] = list(failed)
+        if failure_notes:
+            line['stage_errors'] = {k: v.splitlines()[0][:160]
+                                    for k, v in failure_notes.items()}
+        line['t_elapsed_s'] = round(time.monotonic() - t_start, 1)
         if measured_peak is not None and line.get('mfu', 0) > 1.0:
             line['mfu_note'] = (
                 'mfu > 1 vs the measured peak: the probe and the bench hit '
@@ -853,14 +886,25 @@ def main():
         return line
 
     # ---- Stage 1: the headline config, then IMMEDIATELY emit. ----
+    # Two subprocess attempts: the tunnel wedge that blocks FRESH processes
+    # (jax.devices() hanging) flaps on the scale of minutes, and a single
+    # failed attempt used to flip the whole run into the in-process
+    # fallback — which skipped every later stage (the round-5 rehearsal
+    # caught exactly this). The failure reason is kept for the final line.
     name, backend, dtype, unroll = CONFIGS[0]
-    try:
-        results[name] = _bench_subprocess(backend, dtype, unroll,
-                                          chained_steps=16,
-                                          timeout=stage_timeout(700))
-    except Exception:
+    for attempt in range(2):
+        if remaining() < 300 and results:
+            break
+        try:
+            results[name] = _bench_subprocess(backend, dtype, unroll,
+                                              chained_steps=16,
+                                              timeout=stage_timeout(700))
+            break
+        except Exception as e:
+            failure_notes[f'{name}#{attempt}'] = \
+                f'{type(e).__name__}: {e}'[:300]
+    if name not in results:
         failed.append(name)
-    if not results:
         # In-process fallback, ONE config only: a second measurement in the
         # same interpreter reads ~30x slow (runtime contention), so running
         # all configs here would pick the best backend by iteration order.
@@ -882,40 +926,77 @@ def main():
         raise SystemExit('no backend could be benchmarked')
     emit(_build_line())  # provisional headline: survives any later kill
 
-    # ---- Stage 2: roofline + transfer probes (make MFU well-defined). ----
-    if remaining() > 90:
+    # After an in-process fallback, probe whether subprocess isolation has
+    # RECOVERED (the fresh-process wedge flaps on the scale of minutes):
+    # every later stage runs in its own process and only needs the wedge
+    # gone now, so one cheap canary decides instead of writing the whole
+    # stage list off.
+    isolation = not degraded
+    if degraded and remaining() > 300:
         try:
-            if degraded:
-                measured_peak = measure_peak_tflops()
-                transfer_bw = measure_transfer_bandwidth()
-            else:
-                probes = _probe_subprocess(timeout=stage_timeout(300))
-                measured_peak, transfer_bw = probes['peak'], probes['bw']
+            _run_bench_code(
+                'import json, jax; d = jax.devices();'
+                'print("BENCH_JSON:" + json.dumps({"n": len(d)}))',
+                timeout=stage_timeout(120))
+            isolation = True
+            failure_notes['isolation'] = 'recovered after in-process fallback'
         except Exception:
             pass
-        emit(_build_line())
 
-    # ---- Stage 3: breadth-first A/B configs. ----
+    # ---- Stages 2+3: probes + breadth-first A/B, ONE subprocess. ----
     # Every backend gets ONE short measured pass BEFORE any budget goes to
     # headline retries (round-4 verdict: spending the window on retries left
     # 3 of 4 configs reading skipped_budget). Rows measured in a degraded
-    # window carry their own health fields (per-config sustained_vs_burst /
-    # throttle_ratio in the final line) instead of being skipped — the
-    # relative A/B story usually survives a uniformly slow window, and the
-    # fields say when it cannot.
-    if not degraded:
-        for cfg_name, cfg_backend, cfg_dtype, cfg_unroll in CONFIGS[1:]:
-            if remaining() < 200:
+    # window carry their own health fields (per-config sustained_vs_burst
+    # in the final line) instead of being skipped — the relative A/B story
+    # usually survives a uniformly slow window, and the fields say when it
+    # cannot. Probes + sweep share one process (bench_configs_pack): some
+    # chip windows charge a fresh process ~240 s for its first program, and
+    # in-process sequential measurement is validated equal to subprocess
+    # isolation (staged batches removed the old contention). Separate
+    # probe/per-config subprocesses remain the fallback if the pack dies.
+    if not isolation:
+        # In-process probes only (same interpreter as the fallback headline).
+        if remaining() > 90:
+            try:
+                measured_peak = measure_peak_tflops()
+                transfer_bw = measure_transfer_bandwidth()
+            except Exception as e:
+                failure_notes['probes'] = f'{type(e).__name__}: {e}'[:300]
+            emit(_build_line())
+    else:
+        rest = [c for c in CONFIGS[1:] if c[0] not in results]
+        if remaining() > 360:
+            try:
+                pack = _pack_subprocess(rest, with_probes=True,
+                                        timeout=stage_timeout(700))
+                probes = pack.pop('__probes__', None)
+                if probes:
+                    measured_peak, transfer_bw = probes['peak'], probes['bw']
+                results.update(pack)
+                rest = []
+            except Exception as e:
+                failure_notes['ab_pack'] = f'{type(e).__name__}: {e}'[:300]
+        emit(_build_line())
+        if measured_peak is None and remaining() > 330:
+            try:
+                probes = _probe_subprocess(timeout=stage_timeout(420))
+                measured_peak, transfer_bw = probes['peak'], probes['bw']
+            except Exception as e:
+                failure_notes['probes'] = f'{type(e).__name__}: {e}'[:300]
+        for cfg_name, cfg_backend, cfg_dtype, cfg_unroll in rest:
+            if remaining() < 380:
                 failed.append(cfg_name + ':skipped_budget')
                 continue
             try:
                 results[cfg_name] = _bench_subprocess(
                     cfg_backend, cfg_dtype, cfg_unroll, quick=True,
-                    timeout=stage_timeout(300))
-            except Exception:
+                    timeout=stage_timeout(450))
+            except Exception as e:
                 # Report, don't hide: a missing config silently shifting the
                 # headline to a slower backend would read as a regression.
                 failed.append(cfg_name)
+                failure_notes[cfg_name] = f'{type(e).__name__}: {e}'[:300]
         emit(_build_line())
 
     # ---- Stage 4: compact transformer row (DEFAULT budget). ----
@@ -923,7 +1004,7 @@ def main():
     # programs ~15x slow while matmul programs run at full pace —
     # BASELINE.md round 4) this stage still lands a healthy flagship
     # number, so it runs BEFORE any LSTM retries.
-    if not degraded and remaining() > 240:
+    if isolation and remaining() > 240:
         try:
             extras['transformer'] = _run_bench_code(
                 'import json, sys, os;'
@@ -933,22 +1014,24 @@ def main():
                 'print("BENCH_JSON:" + json.dumps('
                 'bt.measure(512, 6, 4, 2048, "bfloat16", 32, 640)))',
                 timeout=stage_timeout(420))
-        except Exception:
+        except Exception as e:
             failed.append('transformer')
+            failure_notes['transformer'] = f'{type(e).__name__}: {e}'[:300]
         emit(_build_line())
 
     # ---- Stage 5: compact e2e row (DEFAULT budget). ----
     # A real (small) on-disk corpus trained through the actual user path
     # with the full TPU-first ladder (devcache + devnorm + chained
     # dispatch); the 512-utterance ladder stays behind MORGANA_BENCH_FULL.
-    if not degraded and remaining() > 300:
+    if isolation and remaining() > 300:
         try:
             extras['e2e_chain'] = _e2e_subprocess(
                 device_normalise=True, device_cache=True,
                 steps_per_dispatch=16, length_sort_window=16,
                 num_utts=192, epochs=2, timeout=stage_timeout(480))
-        except Exception:
+        except Exception as e:
             failed.append('e2e_chain')
+            failure_notes['e2e_chain'] = f'{type(e).__name__}: {e}'[:300]
         emit(_build_line())
 
     # ---- Stage 6: throttle-episode retries for the headline, LAST. ----
@@ -958,7 +1041,7 @@ def main():
     # has its one measured pass does leftover budget go to escalating
     # cooldown retries (each still a genuine >= 3 x 15-step
     # readback-barriered measurement).
-    if not degraded:
+    if isolation:
         for cooldown in (60, 180, 300):
             if not _throttled(results[name]) or \
                     remaining() < cooldown + 240:
@@ -976,7 +1059,7 @@ def main():
                 emit(_build_line())
 
     # ---- Stage 7 (MORGANA_BENCH_FULL=1): full e2e ladder + vocoder. ----
-    if full and not degraded:
+    if full and isolation:
         if remaining() > 420:
             try:
                 extras['e2e'] = _e2e_subprocess(
