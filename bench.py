@@ -732,6 +732,17 @@ def main():
                      'window'})
         return
 
+    # FIRST line out the door: the device is reachable, measurement is
+    # starting. If everything after this dies at a driver kill (round-3's
+    # rc=124/parsed=null, re-reproduced in the round-5 wedge rehearsal),
+    # the artifact still parses and says WHY it is empty.
+    emit({'metric': 'rnn_spss_train_frames_per_sec', 'value': 0.0,
+          'unit': 'frames/sec', 'vs_baseline': 0.0,
+          'status': 'provisional: device reachable after '
+                    f'{probe_waited:.0f}s of probing; measurement starting '
+                    '(later lines supersede this one)',
+          't_elapsed_s': round(time.monotonic() - t_start, 1)})
+
     # Mutable stage state; _build_line snapshots it after every stage.
     results = {}
     degraded = False
@@ -893,8 +904,8 @@ def main():
     # caught exactly this). The failure reason is kept for the final line.
     name, backend, dtype, unroll = CONFIGS[0]
     for attempt in range(2):
-        if remaining() < 300 and results:
-            break
+        if attempt and remaining() < 300:
+            break  # never start a doomed second attempt near the deadline
         try:
             results[name] = _bench_subprocess(backend, dtype, unroll,
                                               chained_steps=16,
@@ -905,24 +916,29 @@ def main():
                 f'{type(e).__name__}: {e}'[:300]
     if name not in results:
         failed.append(name)
-        # In-process fallback, ONE config only: a second measurement in the
-        # same interpreter reads ~30x slow (runtime contention), so running
-        # all configs here would pick the best backend by iteration order.
-        try:
-            results[name] = bench_tpu(rnn_backend=backend,
-                                      compute_dtype=dtype,
-                                      unroll=unroll, sustained_steps=50,
-                                      chained_steps=16)
-            degraded = True
-            failed.remove(name)
-        except Exception:
-            pass
+        # In-process fallback (only with budget left: in wedge windows the
+        # MAIN process's first program can itself cost ~240 s, and a kill
+        # mid-fallback must still leave the provisional line standing).
+        if remaining() > 60:
+            try:
+                results[name] = bench_tpu(rnn_backend=backend,
+                                          compute_dtype=dtype,
+                                          unroll=unroll, sustained_steps=50,
+                                          chained_steps=16)
+                degraded = True
+                failed.remove(name)
+            except Exception as e:
+                failure_notes[f'{name}#inproc'] = \
+                    f'{type(e).__name__}: {e}'[:300]
     if not results:
         emit({'metric': 'rnn_spss_train_frames_per_sec', 'value': 0.0,
               'unit': 'frames/sec', 'vs_baseline': 0.0,
               'error': 'headline config failed in both subprocess and '
                        'in-process modes; see BASELINE.md for the last '
-                       'healthy-window numbers'})
+                       'healthy-window numbers',
+              'stage_errors': {k: v.splitlines()[0][:160]
+                               for k, v in failure_notes.items()},
+              't_elapsed_s': round(time.monotonic() - t_start, 1)})
         raise SystemExit('no backend could be benchmarked')
     emit(_build_line())  # provisional headline: survives any later kill
 
