@@ -487,16 +487,46 @@ def bench_configs_pack(configs, with_probes=False):
     if with_probes:
         out['__probes__'] = {'peak': measure_peak_tflops(),
                              'bw': measure_transfer_bandwidth()}
+        print('BENCH_JSON:' + json.dumps({'__probes__': out['__probes__']}),
+              flush=True)
     for name, backend, dtype, unroll in configs:
         out[name] = bench_tpu(backend, dtype, unroll=unroll, quick=True)
+        # One flushed line per phase: a pack killed mid-flight still
+        # delivers every phase that finished (the caller merges all lines).
+        print('BENCH_JSON:' + json.dumps({name: out[name]}), flush=True)
     return out
 
 
 def _pack_subprocess(configs, with_probes=False, timeout=900):
-    code = ('import bench, json; print("BENCH_JSON:" + json.dumps('
+    """Runs bench_configs_pack in one subprocess and merges EVERY
+    ``BENCH_JSON:`` line it managed to print — a timeout keeps the finished
+    phases instead of discarding the whole pack."""
+    import subprocess
+    code = ('import bench; '
             f'bench.bench_configs_pack({[tuple(c) for c in configs]!r}, '
-            f'with_probes={bool(with_probes)})))')
-    return _run_bench_code(code, timeout=timeout)
+            f'with_probes={bool(with_probes)})')
+    stdout = ''
+    timed_out = False
+    try:
+        proc = subprocess.run([sys.executable, '-c', code],
+                              capture_output=True, text=True, timeout=timeout,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        stdout = proc.stdout or ''
+    except subprocess.TimeoutExpired as e:
+        timed_out = True
+        stdout = e.output if isinstance(e.output, str) else \
+            (e.output or b'').decode('utf-8', 'replace')
+    merged = {}
+    for line in stdout.splitlines():
+        if line.startswith('BENCH_JSON:'):
+            merged.update(json.loads(line[len('BENCH_JSON:'):]))
+    if not merged:
+        raise RuntimeError(
+            f'config pack produced no results '
+            f'({"timeout" if timed_out else "no BENCH_JSON lines"})')
+    if timed_out:
+        merged['__partial__'] = True
+    return merged
 
 
 def bench_generate(rnn_backend='scan', compute_dtype='bfloat16', unroll=64,
@@ -986,11 +1016,14 @@ def main():
             try:
                 pack = _pack_subprocess(rest, with_probes=True,
                                         timeout=stage_timeout(700))
+                if pack.pop('__partial__', False):
+                    failure_notes['ab_pack'] = \
+                        'pack hit its timeout; finished phases kept'
                 probes = pack.pop('__probes__', None)
                 if probes:
                     measured_peak, transfer_bw = probes['peak'], probes['bw']
                 results.update(pack)
-                rest = []
+                rest = [c for c in rest if c[0] not in results]
             except Exception as e:
                 failure_notes['ab_pack'] = f'{type(e).__name__}: {e}'[:300]
         emit(_build_line())
