@@ -143,8 +143,13 @@ def test_two_process_device_cache_trajectory(tmp_path):
             assert proc.returncode == 0, out[-3000:]
         return outputs
 
-    base = launch('mh_stream', ['--no-device_cache'])
-    cached = launch('mh_cache', ['--device_cache', '--steps_per_dispatch', '4'])
+    # --device_normalise on BOTH runs: the cached run then fuses the device
+    # transform INTO the shard_map assemble body (the post= path), and the
+    # streaming run applies the same transform to its global batches — the
+    # trajectory gate covers the transform placement too.
+    base = launch('mh_stream', ['--no-device_cache', '--device_normalise'])
+    cached = launch('mh_cache', ['--device_cache', '--steps_per_dispatch', '4',
+                                 '--device_normalise'])
 
     # The cache actually engaged, on both ranks.
     for out in cached:
