@@ -497,14 +497,11 @@ def bench_configs_pack(configs, with_probes=False):
     return out
 
 
-def _pack_subprocess(configs, with_probes=False, timeout=900):
-    """Runs bench_configs_pack in one subprocess and merges EVERY
-    ``BENCH_JSON:`` line it managed to print — a timeout keeps the finished
-    phases instead of discarding the whole pack."""
+def _run_merge_code(code, timeout=900):
+    """Runs ``code`` in one subprocess and merges EVERY ``BENCH_JSON:``
+    dict line it managed to print — a timeout keeps the finished phases
+    instead of discarding the whole stage (``__partial__`` marks it)."""
     import subprocess
-    code = ('import bench; '
-            f'bench.bench_configs_pack({[tuple(c) for c in configs]!r}, '
-            f'with_probes={bool(with_probes)})')
     stdout = ''
     timed_out = False
     try:
@@ -522,11 +519,18 @@ def _pack_subprocess(configs, with_probes=False, timeout=900):
             merged.update(json.loads(line[len('BENCH_JSON:'):]))
     if not merged:
         raise RuntimeError(
-            f'config pack produced no results '
+            f'stage produced no results '
             f'({"timeout" if timed_out else "no BENCH_JSON lines"})')
     if timed_out:
         merged['__partial__'] = True
     return merged
+
+
+def _pack_subprocess(configs, with_probes=False, timeout=900):
+    code = ('import bench; '
+            f'bench.bench_configs_pack({[tuple(c) for c in configs]!r}, '
+            f'with_probes={bool(with_probes)})')
+    return _run_merge_code(code, timeout=timeout)
 
 
 def bench_generate(rnn_backend='scan', compute_dtype='bfloat16', unroll=64,
@@ -1048,39 +1052,43 @@ def main():
                 failure_notes[cfg_name] = f'{type(e).__name__}: {e}'[:300]
         emit(_build_line())
 
-    # ---- Stage 4: compact transformer row (DEFAULT budget). ----
-    # Non-scan-heavy: in the diagnosed degraded-device windows (scan
-    # programs ~15x slow while matmul programs run at full pace —
-    # BASELINE.md round 4) this stage still lands a healthy flagship
-    # number, so it runs BEFORE any LSTM retries.
+    # ---- Stages 4+5: transformer + compact e2e rows, ONE subprocess. ----
+    # Transformer first: non-scan-heavy, so in the diagnosed degraded
+    # windows (scan programs ~15x slow, matmul programs at full pace —
+    # BASELINE.md round 4) it still lands a healthy flagship number, and it
+    # runs BEFORE any LSTM retries. The compact e2e row (a real on-disk
+    # corpus through the actual user path with the full TPU-first ladder)
+    # shares the process so it does not pay its own fresh-process
+    # first-program cost (~240 s in some windows — the cost that starved
+    # this row in rehearsal); per-phase line merging keeps the transformer
+    # row if the e2e phase is cut off. The 512-utt ladder stays behind
+    # MORGANA_BENCH_FULL.
     if isolation and remaining() > 240:
+        code = (
+            'import json, sys, os;'
+            'sys.path.insert(0, os.path.join(os.getcwd(), "benchmarks"));'
+            'import bench_transformer as bt;'
+            'print("BENCH_JSON:" + json.dumps({"transformer": '
+            'bt.measure(512, 6, 4, 2048, "bfloat16", 32, 640)}), '
+            'flush=True);'
+            'import bench;'
+            'print("BENCH_JSON:" + json.dumps({"e2e_chain": '
+            'bench.bench_e2e(num_utts=192, epochs=2, device_normalise=True, '
+            'device_cache=True, steps_per_dispatch=16, '
+            'length_sort_window=16)}), flush=True)')
         try:
-            extras['transformer'] = _run_bench_code(
-                'import json, sys, os;'
-                'sys.path.insert(0, '
-                'os.path.join(os.getcwd(), "benchmarks"));'
-                'import bench_transformer as bt;'
-                'print("BENCH_JSON:" + json.dumps('
-                'bt.measure(512, 6, 4, 2048, "bfloat16", 32, 640)))',
-                timeout=stage_timeout(420))
+            merged = _run_merge_code(code, timeout=stage_timeout(650))
+            if merged.pop('__partial__', False):
+                failure_notes['extras'] = \
+                    'transformer/e2e stage hit its timeout; finished ' \
+                    'phases kept'
+            extras.update(merged)
+            for key in ('transformer', 'e2e_chain'):
+                if key not in extras:
+                    failed.append(key)
         except Exception as e:
-            failed.append('transformer')
-            failure_notes['transformer'] = f'{type(e).__name__}: {e}'[:300]
-        emit(_build_line())
-
-    # ---- Stage 5: compact e2e row (DEFAULT budget). ----
-    # A real (small) on-disk corpus trained through the actual user path
-    # with the full TPU-first ladder (devcache + devnorm + chained
-    # dispatch); the 512-utterance ladder stays behind MORGANA_BENCH_FULL.
-    if isolation and remaining() > 300:
-        try:
-            extras['e2e_chain'] = _e2e_subprocess(
-                device_normalise=True, device_cache=True,
-                steps_per_dispatch=16, length_sort_window=16,
-                num_utts=192, epochs=2, timeout=stage_timeout(480))
-        except Exception as e:
-            failed.append('e2e_chain')
-            failure_notes['e2e_chain'] = f'{type(e).__name__}: {e}'[:300]
+            failed.extend(['transformer', 'e2e_chain'])
+            failure_notes['extras'] = f'{type(e).__name__}: {e}'[:300]
         emit(_build_line())
 
     # ---- Stage 6: throttle-episode retries for the headline, LAST. ----
