@@ -533,6 +533,40 @@ def _pack_subprocess(configs, with_probes=False, timeout=900):
     return _run_merge_code(code, timeout=timeout)
 
 
+def bench_full_pack(configs, transformer=True, e2e=True):
+    """EVERY secondary stage in one process, cheapest-and-most-valuable
+    first, one flushed ``BENCH_JSON:`` line per phase (the caller keeps
+    whatever finished if the process is cut off): roofline + transfer
+    probes, the transformer row (healthy even in scan-degraded device
+    windows), the quick A/B config sweep, then the compact e2e row (the
+    longest phase — a real corpus through the real user path). One process
+    for all of it because some chip windows charge each fresh process
+    ~240 s for its first program, which starved these stages when each had
+    its own subprocess (round-5 rehearsals)."""
+    def phase(name, value):
+        print('BENCH_JSON:' + json.dumps({name: value}), flush=True)
+
+    phase('__probes__', {'peak': measure_peak_tflops(),
+                         'bw': measure_transfer_bandwidth()})
+    if transformer:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), 'benchmarks'))
+        import bench_transformer as bt
+        phase('transformer', bt.measure(512, 6, 4, 2048, 'bfloat16', 32, 640))
+    for name, backend, dtype, unroll in configs:
+        phase(name, bench_tpu(backend, dtype, unroll=unroll, quick=True))
+    if e2e:
+        phase('e2e_chain', bench_e2e(
+            num_utts=192, epochs=2, device_normalise=True, device_cache=True,
+            steps_per_dispatch=16, length_sort_window=16))
+
+
+def _full_pack_subprocess(configs, timeout=900):
+    code = ('import bench; '
+            f'bench.bench_full_pack({[tuple(c) for c in configs]!r})')
+    return _run_merge_code(code, timeout=timeout)
+
+
 def bench_generate(rnn_backend='scan', compute_dtype='bfloat16', unroll=64,
                    num_batches=10):
     """Generation (predict-only, incl. fused-stream on-device MLPG)
@@ -1018,19 +1052,25 @@ def main():
         rest = [c for c in CONFIGS[1:] if c[0] not in results]
         if remaining() > 360:
             try:
-                pack = _pack_subprocess(rest, with_probes=True,
-                                        timeout=stage_timeout(700))
+                pack = _full_pack_subprocess(rest,
+                                             timeout=stage_timeout(850))
                 if pack.pop('__partial__', False):
-                    failure_notes['ab_pack'] = \
+                    failure_notes['full_pack'] = \
                         'pack hit its timeout; finished phases kept'
                 probes = pack.pop('__probes__', None)
                 if probes:
                     measured_peak, transfer_bw = probes['peak'], probes['bw']
+                for key in ('transformer', 'e2e_chain'):
+                    if key in pack:
+                        extras[key] = pack.pop(key)
                 results.update(pack)
                 rest = [c for c in rest if c[0] not in results]
             except Exception as e:
-                failure_notes['ab_pack'] = f'{type(e).__name__}: {e}'[:300]
+                failure_notes['full_pack'] = f'{type(e).__name__}: {e}'[:300]
         emit(_build_line())
+        # Per-piece fallbacks for whatever the pack did not deliver, each
+        # budget-guarded (they matter in windows where the pack was cut
+        # off early but the chip has since sped up).
         if measured_peak is None and remaining() > 330:
             try:
                 probes = _probe_subprocess(timeout=stage_timeout(420))
@@ -1052,43 +1092,41 @@ def main():
                 failure_notes[cfg_name] = f'{type(e).__name__}: {e}'[:300]
         emit(_build_line())
 
-    # ---- Stages 4+5: transformer + compact e2e rows, ONE subprocess. ----
-    # Transformer first: non-scan-heavy, so in the diagnosed degraded
-    # windows (scan programs ~15x slow, matmul programs at full pace —
-    # BASELINE.md round 4) it still lands a healthy flagship number, and it
-    # runs BEFORE any LSTM retries. The compact e2e row (a real on-disk
-    # corpus through the actual user path with the full TPU-first ladder)
-    # shares the process so it does not pay its own fresh-process
-    # first-program cost (~240 s in some windows — the cost that starved
-    # this row in rehearsal); per-phase line merging keeps the transformer
-    # row if the e2e phase is cut off. The 512-utt ladder stays behind
-    # MORGANA_BENCH_FULL.
-    if isolation and remaining() > 240:
-        code = (
-            'import json, sys, os;'
-            'sys.path.insert(0, os.path.join(os.getcwd(), "benchmarks"));'
-            'import bench_transformer as bt;'
-            'print("BENCH_JSON:" + json.dumps({"transformer": '
-            'bt.measure(512, 6, 4, 2048, "bfloat16", 32, 640)}), '
-            'flush=True);'
-            'import bench;'
-            'print("BENCH_JSON:" + json.dumps({"e2e_chain": '
-            'bench.bench_e2e(num_utts=192, epochs=2, device_normalise=True, '
-            'device_cache=True, steps_per_dispatch=16, '
-            'length_sort_window=16)}), flush=True)')
+    # ---- Transformer / compact e2e fallback (when the pack missed them,
+    # same per-phase merge; the 512-utt ladder stays behind
+    # MORGANA_BENCH_FULL). ----
+    missing = [k for k in ('transformer', 'e2e_chain') if k not in extras]
+    if isolation and missing and remaining() > 300:
+        parts = ['import json, sys, os;'
+                 'sys.path.insert(0, '
+                 'os.path.join(os.getcwd(), "benchmarks"));']
+        if 'transformer' in missing:
+            parts.append(
+                'import bench_transformer as bt;'
+                'print("BENCH_JSON:" + json.dumps({"transformer": '
+                'bt.measure(512, 6, 4, 2048, "bfloat16", 32, 640)}), '
+                'flush=True);')
+        if 'e2e_chain' in missing:
+            parts.append(
+                'import bench;'
+                'print("BENCH_JSON:" + json.dumps({"e2e_chain": '
+                'bench.bench_e2e(num_utts=192, epochs=2, '
+                'device_normalise=True, device_cache=True, '
+                'steps_per_dispatch=16, length_sort_window=16)}), '
+                'flush=True);')
         try:
-            merged = _run_merge_code(code, timeout=stage_timeout(650))
+            merged = _run_merge_code(''.join(parts),
+                                     timeout=stage_timeout(650))
             if merged.pop('__partial__', False):
                 failure_notes['extras'] = \
-                    'transformer/e2e stage hit its timeout; finished ' \
+                    'transformer/e2e fallback hit its timeout; finished ' \
                     'phases kept'
             extras.update(merged)
-            for key in ('transformer', 'e2e_chain'):
-                if key not in extras:
-                    failed.append(key)
         except Exception as e:
-            failed.extend(['transformer', 'e2e_chain'])
             failure_notes['extras'] = f'{type(e).__name__}: {e}'[:300]
+        for key in missing:
+            if key not in extras:
+                failed.append(key)
         emit(_build_line())
 
     # ---- Stage 6: throttle-episode retries for the headline, LAST. ----
