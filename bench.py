@@ -533,19 +533,24 @@ def _pack_subprocess(configs, with_probes=False, timeout=900):
     return _run_merge_code(code, timeout=timeout)
 
 
-def bench_full_pack(configs, transformer=True, e2e=True):
-    """EVERY secondary stage in one process, cheapest-and-most-valuable
-    first, one flushed ``BENCH_JSON:`` line per phase (the caller keeps
-    whatever finished if the process is cut off): roofline + transfer
-    probes, the transformer row (healthy even in scan-degraded device
-    windows), the quick A/B config sweep, then the compact e2e row (the
-    longest phase — a real corpus through the real user path). One process
-    for all of it because some chip windows charge each fresh process
-    ~240 s for its first program, which starved these stages when each had
-    its own subprocess (round-5 rehearsals)."""
+def bench_full_pack(configs, headline=None, transformer=True, e2e=True):
+    """EVERY stage in one process, most-valuable-first, one flushed
+    ``BENCH_JSON:`` line per phase (the caller consumes phases AS THEY
+    ARRIVE and keeps whatever finished if the process is cut off): the
+    headline config (full methodology + chained-dispatch row), roofline +
+    transfer probes, the transformer row (healthy even in scan-degraded
+    device windows), the quick A/B config sweep, then the compact e2e row
+    (the longest phase — a real corpus through the real user path). One
+    process for all of it because some chip windows charge each fresh
+    process ~240 s for its first program, which starved these stages when
+    each had its own subprocess (round-5 rehearsals)."""
     def phase(name, value):
         print('BENCH_JSON:' + json.dumps({name: value}), flush=True)
 
+    if headline:
+        name, backend, dtype, unroll = headline
+        phase(name, bench_tpu(backend, dtype, unroll=unroll,
+                              chained_steps=16))
     phase('__probes__', {'peak': measure_peak_tflops(),
                          'bw': measure_transfer_bandwidth()})
     if transformer:
@@ -565,6 +570,38 @@ def _full_pack_subprocess(configs, timeout=900):
     code = ('import bench; '
             f'bench.bench_full_pack({[tuple(c) for c in configs]!r})')
     return _run_merge_code(code, timeout=timeout)
+
+
+def _stream_worker(headline, configs, deadline_s, on_phase):
+    """Launches bench_full_pack in one subprocess and feeds each
+    ``BENCH_JSON:`` phase line to ``on_phase`` AS IT ARRIVES, so the main
+    process can re-emit an enriched headline line after every phase — a
+    driver kill at any moment keeps everything delivered so far. The child
+    is killed at ``deadline_s``. Returns (n_phases, timed_out)."""
+    import subprocess
+    import threading
+
+    code = ('import bench; '
+            f'bench.bench_full_pack({[tuple(c) for c in configs]!r}, '
+            f'headline={tuple(headline)!r})')
+    proc = subprocess.Popen(
+        [sys.executable, '-c', code], stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    timer = threading.Timer(max(1.0, deadline_s), proc.kill)
+    timer.start()
+    phases = 0
+    try:
+        for line in proc.stdout:
+            if line.startswith('BENCH_JSON:'):
+                on_phase(json.loads(line[len('BENCH_JSON:'):]))
+                phases += 1
+    finally:
+        timer.cancel()
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait()
+    return phases, proc.returncode not in (0,)
 
 
 def bench_generate(rnn_backend='scan', compute_dtype='bfloat16', unroll=64,
@@ -964,24 +1001,47 @@ def main():
                     res['ms_per_step'] / res['burst_ms_per_step'], 2)
         return line
 
-    # ---- Stage 1: the headline config, then IMMEDIATELY emit. ----
-    # Two subprocess attempts: the tunnel wedge that blocks FRESH processes
-    # (jax.devices() hanging) flaps on the scale of minutes, and a single
-    # failed attempt used to flip the whole run into the in-process
-    # fallback — which skipped every later stage (the round-5 rehearsal
-    # caught exactly this). The failure reason is kept for the final line.
+    # ---- The worker: EVERY stage in ONE streamed subprocess. ----
+    # Phases arrive as flushed lines (headline -> probes -> transformer ->
+    # quick A/B sweep -> compact e2e) and the main process re-emits the
+    # enriched headline line after each one — a driver kill at any moment
+    # keeps everything delivered so far, and the whole run pays the
+    # fresh-process first-program cost (~240 s in some chip windows) ONCE.
+    # Two attempts: the tunnel wedge that blocks fresh processes flaps on
+    # the scale of minutes.
     name, backend, dtype, unroll = CONFIGS[0]
+
+    def on_phase(d):
+        nonlocal measured_peak, transfer_bw
+        probes = d.pop('__probes__', None)
+        if probes:
+            measured_peak, transfer_bw = probes['peak'], probes['bw']
+        for key, value in d.items():
+            if key in ('transformer', 'e2e_chain'):
+                extras[key] = value
+            else:
+                results[key] = value
+        if results:
+            emit(_build_line())
+
     for attempt in range(2):
-        if attempt and remaining() < 300:
-            break  # never start a doomed second attempt near the deadline
-        try:
-            results[name] = _bench_subprocess(backend, dtype, unroll,
-                                              chained_steps=16,
-                                              timeout=stage_timeout(700))
+        if attempt and (results or remaining() < 300):
             break
+        try:
+            phases, timed_out = _stream_worker(
+                CONFIGS[0], CONFIGS[1:],
+                deadline_s=max(60.0, remaining() - 60), on_phase=on_phase)
+            if timed_out and phases:
+                failure_notes['worker'] = \
+                    f'worker cut off after {phases} phases; finished ' \
+                    'phases kept'
+            elif not phases:
+                failure_notes[f'worker#{attempt}'] = \
+                    'worker produced no phases (wedged or crashed)'
         except Exception as e:
-            failure_notes[f'{name}#{attempt}'] = \
+            failure_notes[f'worker#{attempt}'] = \
                 f'{type(e).__name__}: {e}'[:300]
+
     if name not in results:
         failed.append(name)
         # In-process fallback (only with budget left: in wedge windows the
@@ -1008,13 +1068,12 @@ def main():
                                for k, v in failure_notes.items()},
               't_elapsed_s': round(time.monotonic() - t_start, 1)})
         raise SystemExit('no backend could be benchmarked')
-    emit(_build_line())  # provisional headline: survives any later kill
+    emit(_build_line())
 
     # After an in-process fallback, probe whether subprocess isolation has
     # RECOVERED (the fresh-process wedge flaps on the scale of minutes):
-    # every later stage runs in its own process and only needs the wedge
-    # gone now, so one cheap canary decides instead of writing the whole
-    # stage list off.
+    # the remaining fallback stages run in their own processes and only
+    # need the wedge gone now.
     isolation = not degraded
     if degraded and remaining() > 300:
         try:
@@ -1027,21 +1086,14 @@ def main():
         except Exception:
             pass
 
-    # ---- Stages 2+3: probes + breadth-first A/B, ONE subprocess. ----
-    # Every backend gets ONE short measured pass BEFORE any budget goes to
-    # headline retries (round-4 verdict: spending the window on retries left
-    # 3 of 4 configs reading skipped_budget). Rows measured in a degraded
-    # window carry their own health fields (per-config sustained_vs_burst
-    # in the final line) instead of being skipped — the relative A/B story
-    # usually survives a uniformly slow window, and the fields say when it
-    # cannot. Probes + sweep share one process (bench_configs_pack): some
-    # chip windows charge a fresh process ~240 s for its first program, and
-    # in-process sequential measurement is validated equal to subprocess
-    # isolation (staged batches removed the old contention). Separate
-    # probe/per-config subprocesses remain the fallback if the pack dies.
+    # ---- Per-piece fallbacks for what the worker did not deliver. ----
+    # Breadth-first discipline (round-4 verdict): every backend config gets
+    # one short measured pass before any budget goes to headline retries;
+    # rows measured in a degraded window carry their own health fields
+    # (per-config sustained_vs_burst) instead of being skipped.
     if not isolation:
         # In-process probes only (same interpreter as the fallback headline).
-        if remaining() > 90:
+        if measured_peak is None and remaining() > 90:
             try:
                 measured_peak = measure_peak_tflops()
                 transfer_bw = measure_transfer_bandwidth()
@@ -1050,24 +1102,6 @@ def main():
             emit(_build_line())
     else:
         rest = [c for c in CONFIGS[1:] if c[0] not in results]
-        if remaining() > 360:
-            try:
-                pack = _full_pack_subprocess(rest,
-                                             timeout=stage_timeout(850))
-                if pack.pop('__partial__', False):
-                    failure_notes['full_pack'] = \
-                        'pack hit its timeout; finished phases kept'
-                probes = pack.pop('__probes__', None)
-                if probes:
-                    measured_peak, transfer_bw = probes['peak'], probes['bw']
-                for key in ('transformer', 'e2e_chain'):
-                    if key in pack:
-                        extras[key] = pack.pop(key)
-                results.update(pack)
-                rest = [c for c in rest if c[0] not in results]
-            except Exception as e:
-                failure_notes['full_pack'] = f'{type(e).__name__}: {e}'[:300]
-        emit(_build_line())
         # Per-piece fallbacks for whatever the pack did not deliver, each
         # budget-guarded (they matter in windows where the pack was cut
         # off early but the chip has since sped up).
