@@ -561,9 +561,16 @@ def bench_full_pack(configs, headline=None, transformer=True, e2e=True):
     for name, backend, dtype, unroll in configs:
         phase(name, bench_tpu(backend, dtype, unroll=unroll, quick=True))
     if e2e:
+        # length_sort_window stays OFF here: with only 2 epochs the
+        # length-sorted epoch 2 re-groups into NEW chain shapes and pays
+        # their compiles inside the measured epoch (seen as a ~1000x-low
+        # row in rehearsal); without it epoch 2 reuses epoch 1's programs
+        # and measures the steady state. The full-budget ladder
+        # (MORGANA_BENCH_FULL) keeps the flagship sorted config over
+        # enough epochs to amortise.
         phase('e2e_chain', bench_e2e(
             num_utts=192, epochs=2, device_normalise=True, device_cache=True,
-            steps_per_dispatch=16, length_sort_window=16))
+            steps_per_dispatch=16))
 
 
 def _full_pack_subprocess(configs, timeout=900):
@@ -1146,7 +1153,7 @@ def main():
                 'print("BENCH_JSON:" + json.dumps({"e2e_chain": '
                 'bench.bench_e2e(num_utts=192, epochs=2, '
                 'device_normalise=True, device_cache=True, '
-                'steps_per_dispatch=16, length_sort_window=16)}), '
+                'steps_per_dispatch=16)}), '
                 'flush=True);')
         try:
             merged = _run_merge_code(''.join(parts),
