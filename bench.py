@@ -558,9 +558,10 @@ def bench_full_pack(configs, headline=None, transformer=True, e2e=True):
             os.path.dirname(os.path.abspath(__file__)), 'benchmarks'))
         import bench_transformer as bt
         phase('transformer', bt.measure(512, 6, 4, 2048, 'bfloat16', 32, 640))
-    for name, backend, dtype, unroll in configs:
-        phase(name, bench_tpu(backend, dtype, unroll=unroll, quick=True))
     if e2e:
+        # Before the A/B sweep: the verdict's Done criterion names
+        # headline + e2e + transformer rows explicitly, so in a window too
+        # slow for everything the sweep is the sacrificed tail.
         # length_sort_window stays OFF here: with only 2 epochs the
         # length-sorted epoch 2 re-groups into NEW chain shapes and pays
         # their compiles inside the measured epoch (seen as a ~1000x-low
@@ -569,8 +570,10 @@ def bench_full_pack(configs, headline=None, transformer=True, e2e=True):
         # (MORGANA_BENCH_FULL) keeps the flagship sorted config over
         # enough epochs to amortise.
         phase('e2e_chain', bench_e2e(
-            num_utts=192, epochs=2, device_normalise=True, device_cache=True,
+            num_utts=128, epochs=2, device_normalise=True, device_cache=True,
             steps_per_dispatch=16))
+    for name, backend, dtype, unroll in configs:
+        phase(name, bench_tpu(backend, dtype, unroll=unroll, quick=True))
 
 
 def _full_pack_subprocess(configs, timeout=900):
@@ -1151,7 +1154,7 @@ def main():
             parts.append(
                 'import bench;'
                 'print("BENCH_JSON:" + json.dumps({"e2e_chain": '
-                'bench.bench_e2e(num_utts=192, epochs=2, '
+                'bench.bench_e2e(num_utts=128, epochs=2, '
                 'device_normalise=True, device_cache=True, '
                 'steps_per_dispatch=16)}), '
                 'flush=True);')
